@@ -1,0 +1,374 @@
+"""Aggregation operators (SURVEY.md §2.4, A1–A13).
+
+All are `groupBy().agg()` — Catalyst plans partial (map-side) + final
+aggregation automatically, so each agg is one shuffle of already-
+combined groups. Float averages use the cents/integer-scaling scheme
+(:mod:`..functions.exact`) for cross-engine determinism.
+
+Reference: the dashboard/scoring views at
+`/root/reference/sql/dashboard_views.sql` and pandas value_counts
+aggregations in `/root/reference/dashboard.py`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import exact
+from ..plans import panel
+from ..registry import register
+
+# Exact mean of confidence (cents-quantized) — shared by A1/A3/A4.
+_CONF_MEAN_SQL = (
+    "ROUND(CAST(SUM(CAST(ROUND(confidence * 100, 0) AS BIGINT)) AS DOUBLE)"
+    " / COUNT(*) / 100.0, 4)"
+)
+
+
+def _conf_mean() -> F.Column:
+    return F.round(
+        F.sum(F.round(F.col("confidence") * 100, 0).cast("long")).cast("double")
+        / F.count("*")
+        / 100.0,
+        4,
+    )
+
+
+@register(
+    "agg_accuracy_by_stock",
+    oracle=panel.sql_with(
+        *panel.PANEL_SCORED,
+        body=f"""
+SELECT ticker,
+       COUNT(*) AS total_predictions,
+       CAST(SUM(is_correct) AS BIGINT) AS correct_predictions,
+       ROUND(AVG(is_correct) * 100, 1) AS accuracy_pct,
+       {_CONF_MEAN_SQL} AS avg_confidence
+FROM scored GROUP BY ticker""",
+    ),
+)
+def agg_accuracy_by_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 — per-ticker prediction accuracy (`sql/dashboard_views.sql:42-51`)."""
+    return panel.scored(spark, sf_dir).groupBy("ticker").agg(
+        F.count("*").alias("total_predictions"),
+        F.sum("is_correct").alias("correct_predictions"),
+        F.round(F.avg("is_correct") * 100, 1).alias("accuracy_pct"),
+        _conf_mean().alias("avg_confidence"),
+    )
+
+
+@register(
+    "agg_accuracy_by_day",
+    oracle=panel.sql_with(
+        *panel.PANEL_SCORED,
+        body="""
+SELECT date,
+       COUNT(*) AS total,
+       CAST(SUM(is_correct) AS BIGINT) AS correct,
+       STRING_AGG(CASE WHEN is_correct = 1 THEN '✅' ELSE '❌' END, ' ' ORDER BY ticker) AS marks
+FROM scored GROUP BY date""",
+    ),
+)
+def agg_accuracy_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 — per-day counts + ORDERED string aggregation of ✅/❌ marks
+    (`sql/dashboard_views.sql:54-66`). Ordered agg in Spark =
+    sort-inside-collect: array_sort on (ticker, mark) structs, then
+    project the mark and join — deterministic because ticker is unique
+    within a date."""
+    s = panel.scored(spark, sf_dir).withColumn(
+        "mark", F.when(F.col("is_correct") == 1, "✅").otherwise("❌")
+    )
+    marks = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ticker", "mark"))),
+            lambda x: x["mark"],
+        ),
+        " ",
+    )
+    return s.groupBy("date").agg(
+        F.count("*").alias("total"),
+        F.sum("is_correct").alias("correct"),
+        marks.alias("marks"),
+    )
+
+
+@register(
+    "agg_global_summary",
+    oracle=panel.sql_with(
+        *panel.PANEL_SCORED,
+        body=f"""
+SELECT COUNT(*) AS total_predictions,
+       CAST(SUM(is_correct) AS BIGINT) AS correct_predictions,
+       ROUND(AVG(is_correct) * 100, 1) AS accuracy_pct,
+       {_CONF_MEAN_SQL} AS avg_confidence,
+       COUNT(DISTINCT ticker) AS tickers_covered,
+       MIN(date) AS first_date,
+       MAX(date) AS last_date
+FROM scored""",
+    ),
+)
+def agg_global_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 — global summary incl. COUNT(DISTINCT)
+    (`sql/dashboard_views.sql:69-78`)."""
+    return panel.scored(spark, sf_dir).agg(
+        F.count("*").alias("total_predictions"),
+        F.sum("is_correct").alias("correct_predictions"),
+        F.round(F.avg("is_correct") * 100, 1).alias("accuracy_pct"),
+        _conf_mean().alias("avg_confidence"),
+        F.countDistinct("ticker").alias("tickers_covered"),
+        F.min("date").alias("first_date"),
+        F.max("date").alias("last_date"),
+    )
+
+
+@register(
+    "agg_by_model_version",
+    oracle=panel.sql_with(
+        *panel.PANEL_SCORED,
+        body="""
+SELECT model_version,
+       COUNT(*) AS total_predictions,
+       CAST(SUM(is_correct) AS BIGINT) AS correct_predictions,
+       ROUND(AVG(is_correct) * 100, 1) AS accuracy_pct,
+       MIN(date) AS first_prediction,
+       MAX(date) AS last_prediction
+FROM scored GROUP BY model_version""",
+    ),
+)
+def agg_by_model_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 — accuracy by model version (`sql/dashboard_views.sql:106-116`)."""
+    return panel.scored(spark, sf_dir).groupBy("model_version").agg(
+        F.count("*").alias("total_predictions"),
+        F.sum("is_correct").alias("correct_predictions"),
+        F.round(F.avg("is_correct") * 100, 1).alias("accuracy_pct"),
+        F.min("date").alias("first_prediction"),
+        F.max("date").alias("last_prediction"),
+    )
+
+
+@register(
+    "agg_confusion_matrix",
+    oracle=panel.sql_with(
+        *panel.PANEL_SCORED,
+        body="""
+SELECT predicted_volatility_class AS predicted,
+       actual_volatility_class AS actual,
+       COUNT(*) AS n
+FROM scored GROUP BY 1, 2""",
+    ),
+)
+def agg_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 — confusion matrix (`sql/dashboard_views.sql:139-146`)."""
+    return (
+        panel.scored(spark, sf_dir)
+        .groupBy(
+            F.col("predicted_volatility_class").alias("predicted"),
+            F.col("actual_volatility_class").alias("actual"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "agg_precision_per_class",
+    oracle=panel.sql_with(
+        *panel.PANEL_SCORED,
+        body="""
+SELECT predicted_volatility_class AS class,
+       COUNT(*) AS n_predicted,
+       ROUND(SUM(CASE WHEN is_correct = 1 THEN 1 ELSE 0 END) / COUNT(*), 4) AS precision
+FROM scored GROUP BY 1""",
+    ),
+)
+def agg_precision_per_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 — conditional-agg precision per predicted class
+    (`sql/dashboard_views.sql:149-157`)."""
+    return (
+        panel.scored(spark, sf_dir)
+        .groupBy(F.col("predicted_volatility_class").alias("class"))
+        .agg(
+            F.count("*").alias("n_predicted"),
+            F.round(
+                F.sum(F.when(F.col("is_correct") == 1, 1).otherwise(0)) / F.count("*"),
+                4,
+            ).alias("precision"),
+        )
+    )
+
+
+@register(
+    "agg_recall_per_class",
+    oracle=panel.sql_with(
+        *panel.PANEL_SCORED,
+        body="""
+SELECT actual_volatility_class AS class,
+       COUNT(*) AS n_actual,
+       ROUND(SUM(CASE WHEN is_correct = 1 THEN 1 ELSE 0 END) / COUNT(*), 4) AS recall
+FROM scored GROUP BY 1""",
+    ),
+)
+def agg_recall_per_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 — recall per actual class (`sql/dashboard_views.sql:160-168`)."""
+    return (
+        panel.scored(spark, sf_dir)
+        .groupBy(F.col("actual_volatility_class").alias("class"))
+        .agg(
+            F.count("*").alias("n_actual"),
+            F.round(
+                F.sum(F.when(F.col("is_correct") == 1, 1).otherwise(0)) / F.count("*"),
+                4,
+            ).alias("recall"),
+        )
+    )
+
+
+@register(
+    "agg_f1_from_joined",
+    oracle=panel.sql_with(
+        *panel.PANEL_SCORED,
+        """precision_v AS (
+  SELECT predicted_volatility_class AS class,
+         ROUND(SUM(is_correct) / COUNT(*), 4) AS precision
+  FROM scored GROUP BY 1
+)""",
+        """recall_v AS (
+  SELECT actual_volatility_class AS class,
+         ROUND(SUM(is_correct) / COUNT(*), 4) AS recall
+  FROM scored GROUP BY 1
+)""",
+        body="""
+SELECT p.class, p.precision, r.recall,
+       ROUND(2 * p.precision * r.recall / NULLIF(p.precision + r.recall, 0), 4) AS f1
+FROM precision_v p JOIN recall_v r ON p.class = r.class""",
+    ),
+)
+def agg_f1_from_joined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 — F1 = 2PR/(P+R) with NULLIF guard over the J4 join
+    (`sql/dashboard_views.sql:171-182`)."""
+    s = panel.scored(spark, sf_dir)
+    prec = s.groupBy(F.col("predicted_volatility_class").alias("class")).agg(
+        F.round(F.sum("is_correct") / F.count("*"), 4).alias("precision")
+    )
+    rec = s.groupBy(F.col("actual_volatility_class").alias("class")).agg(
+        F.round(F.sum("is_correct") / F.count("*"), 4).alias("recall")
+    )
+    j = prec.join(rec, "class", "inner")
+    f1 = F.round(
+        2
+        * F.col("precision")
+        * F.col("recall")
+        / F.nullif(F.col("precision") + F.col("recall"), F.lit(0)),
+        4,
+    )
+    return j.select("class", "precision", "recall", f1.alias("f1"))
+
+
+@register(
+    "agg_value_counts",
+    oracle=panel.sql_with(
+        panel.PRICES_CTE,
+        panel.EXPLANATIONS_CTE,
+        body="""
+SELECT LOWER(sentiment) AS sentiment, COUNT(*) AS n
+FROM explanations GROUP BY 1""",
+    ),
+)
+def agg_value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 — value_counts of one column (`dashboard.py:173,195`)."""
+    return (
+        panel.explanations(spark, sf_dir)
+        .groupBy(F.lower("sentiment").alias("sentiment"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "agg_group_size_2d",
+    oracle=panel.sql_with(
+        panel.PRICES_CTE,
+        panel.EXPLANATIONS_CTE,
+        body="""
+SELECT LOWER(topic) AS topic, LOWER(sentiment) AS sentiment, COUNT(*) AS n
+FROM explanations GROUP BY 1, 2""",
+    ),
+)
+def agg_group_size_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 — 2-column group size (`dashboard.py:208`)."""
+    return (
+        panel.explanations(spark, sf_dir)
+        .groupBy(
+            F.lower("topic").alias("topic"), F.lower("sentiment").alias("sentiment")
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "agg_volatility_stats",
+    oracle=panel.sql_with(
+        *panel.PANEL_CHG,
+        body=f"""
+SELECT ticker,
+       COUNT(pct_change) AS n_days,
+       {exact.sql_mean("pct_change", 10000)} AS pct_mean,
+       {exact.sql_std("pct_change", 10000)} AS pct_std
+FROM changes WHERE pct_change IS NOT NULL GROUP BY ticker""",
+    ),
+)
+def agg_volatility_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 — per-ticker mean/std/count of daily moves
+    (`dashboard.py:288-290`, pandas sample-std)."""
+    df = panel.changes(spark, sf_dir).filter(F.col("pct_change").isNotNull())
+    sc = exact.scaled(F.col("pct_change"), 10000)
+    s = F.sum(sc)
+    ssq = F.sum(sc * sc)
+    n = F.count(sc)
+    return df.groupBy("ticker").agg(
+        F.count("pct_change").alias("n_days"),
+        exact.mean_from_sums(s, n, 10000).alias("pct_mean"),
+        exact.std_from_sums(s, ssq, n, 10000).alias("pct_std"),
+    )
+
+
+@register(
+    "agg_data_statistics",
+    oracle=panel.sql_with(
+        *panel.PANEL,
+        body="""
+SELECT ticker,
+       COUNT(*) AS n_rows,
+       MIN(date) AS first_date,
+       MAX(date) AS last_date,
+       CAST(SUM(volume) AS BIGINT) AS total_volume
+FROM prices GROUP BY ticker""",
+    ),
+)
+def agg_data_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 — dataset statistics per ticker (`ml/data_loader.py:181-196`)."""
+    return panel.prices(spark, sf_dir).groupBy("ticker").agg(
+        F.count("*").alias("n_rows"),
+        F.min("date").alias("first_date"),
+        F.max("date").alias("last_date"),
+        F.sum("volume").alias("total_volume"),
+    )
+
+
+@register(
+    "agg_scalar_mean",
+    oracle=panel.sql_with(
+        *panel.PANEL_CHG,
+        body=f"""
+SELECT COUNT(pct_change) AS n,
+       {exact.sql_mean("pct_change", 10000)} AS avg_pct_change
+FROM changes WHERE pct_change IS NOT NULL""",
+    ),
+)
+def agg_scalar_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13 — single scalar mean (`dashboard.py:127`)."""
+    df = panel.changes(spark, sf_dir).filter(F.col("pct_change").isNotNull())
+    sc = exact.scaled(F.col("pct_change"), 10000)
+    return df.agg(
+        F.count("pct_change").alias("n"),
+        exact.mean_from_sums(F.sum(sc), F.count(sc), 10000).alias("avg_pct_change"),
+    )

@@ -1,0 +1,129 @@
+"""Join operators (SURVEY.md §2.3, J1–J5).
+
+Scale notes: J1/J2/J3 are fact⋈fact equi-joins on (ticker, date) —
+both sides derive from the same lineitem scan and share the grouping
+key, so at 100 TB the right layout is bucketing both silver tables by
+ticker (co-located SMJ, no shuffle). Locally Catalyst/AQE picks the
+strategy. J4/J5 join tiny aggregated sides — broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans import panel
+from ..registry import register
+
+
+@register(
+    "join_left_prices_grok",
+    oracle=panel.sql_with(
+        *panel.PANEL_ENRICHED,
+        body="""
+SELECT c.ticker, c.date, c.close, c.pct_change, e.sentiment, e.topic, e.explanation
+FROM changes c LEFT JOIN explanations e ON c.ticker = e.ticker AND c.date = e.date""",
+    ),
+)
+def join_left_prices_grok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 — the central fact-table LEFT join prices ⟕ explanations
+    (`fct_prices_with_grok.sql:21-24`); unmatched rows keep NULLs."""
+    c = panel.changes(spark, sf_dir)
+    e = panel.explanations(spark, sf_dir)
+    return c.join(e, ["ticker", "date"], "left").select(
+        "ticker", "date", "close", "pct_change", "sentiment", "topic", "explanation"
+    )
+
+
+@register(
+    "join_inner_pred_actual",
+    oracle=panel.sql_with(*panel.PANEL_SCORED, body="SELECT * FROM scored"),
+)
+def join_inner_pred_actual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 — predictions ⨝ actual volatility to score the model
+    (`sql/dashboard_views.sql:36-39`)."""
+    return panel.scored(spark, sf_dir)
+
+
+@register(
+    "join_anti_unprocessed",
+    oracle=panel.sql_with(
+        panel.PRICES_CTE,
+        panel.EXPLANATIONS_CTE,
+        body="""
+SELECT p.ticker, p.date, p.close, p.volume
+FROM prices p
+WHERE NOT EXISTS (
+  SELECT 1 FROM explanations e WHERE e.ticker = p.ticker AND e.date = p.date
+)""",
+    ),
+)
+def join_anti_unprocessed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 — incremental delta: price rows with no explanation yet
+    (`stock_grok_pipeline.py:191-195` NOT EXISTS → left_anti)."""
+    p = panel.prices(spark, sf_dir)
+    e = panel.explanations(spark, sf_dir)
+    return p.join(e, ["ticker", "date"], "left_anti").select(
+        "ticker", "date", "close", "volume"
+    )
+
+
+PRECISION_CTE = """precision_v AS (
+  SELECT predicted_volatility_class AS class,
+         ROUND(SUM(is_correct) / COUNT(*), 4) AS precision
+  FROM scored GROUP BY 1
+)"""
+
+RECALL_CTE = """recall_v AS (
+  SELECT actual_volatility_class AS class,
+         ROUND(SUM(is_correct) / COUNT(*), 4) AS recall
+  FROM scored GROUP BY 1
+)"""
+
+
+@register(
+    "join_inner_precision_recall",
+    oracle=panel.sql_with(
+        *panel.PANEL_SCORED,
+        PRECISION_CTE,
+        RECALL_CTE,
+        body="""
+SELECT p.class, p.precision, r.recall
+FROM precision_v p JOIN recall_v r ON p.class = r.class""",
+    ),
+)
+def join_inner_precision_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 — precision ⨝ recall per class (`sql/dashboard_views.sql:180-181`)."""
+    s = panel.scored(spark, sf_dir)
+    prec = s.groupBy(
+        F.col("predicted_volatility_class").alias("class")
+    ).agg(F.round(F.sum("is_correct") / F.count("*"), 4).alias("precision"))
+    rec = s.groupBy(F.col("actual_volatility_class").alias("class")).agg(
+        F.round(F.sum("is_correct") / F.count("*"), 4).alias("recall")
+    )
+    return prec.join(rec, "class", "inner")
+
+
+@register(
+    "join_scalar_subquery_latest",
+    oracle=panel.sql_with(
+        *panel.PANEL_CHG,
+        panel.PREDICTIONS_CTE,
+        body="""
+SELECT ticker, date, predicted_volatility_class, model_version
+FROM predictions
+WHERE model_version = (
+  SELECT model_version FROM predictions ORDER BY date DESC, ticker DESC LIMIT 1
+)""",
+    ),
+)
+def join_scalar_subquery_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 — filter to the latest model version via scalar subquery
+    (`sql/dashboard_views.sql:98-103`). Spark: 1-row broadcast join."""
+    p = panel.predictions(spark, sf_dir)
+    latest = (
+        p.orderBy(F.desc("date"), F.desc("ticker")).select("model_version").limit(1)
+    )
+    return p.join(F.broadcast(latest), "model_version").select(
+        "ticker", "date", "predicted_volatility_class", "model_version"
+    )

@@ -1,0 +1,385 @@
+"""Window operators (SURVEY.md §2.5, W1–W11).
+
+The analytic core of the reference: every op partitions by ticker and
+orders by date (`/root/reference/ml/feature_engineering.py:108`,
+`stg_stock_prices.sql:11`). Spark: one `Window.partitionBy('ticker')
+.orderBy('date')` — all window functions over the same spec share a
+single shuffle+sort, so the whole feature block is ONE exchange.
+
+Scale: the panel key (ticker) is high-cardinality at 100 TB (suppkey),
+so the window shuffle is well-distributed; skew on a hot ticker is
+handled by AQE. Rolling stats use the integer-scaling scheme from
+:mod:`..functions.exact` for cross-engine determinism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import exact
+from ..plans import panel
+from ..registry import register
+
+def W():
+    """Lazy canonical window spec (needs an active SparkSession)."""
+    return Window.partitionBy("ticker").orderBy("date")
+
+
+def frame(k: int):
+    """Trailing k-row frame [-(k-1), 0] — pandas rolling(k) analog."""
+    return Window.partitionBy("ticker").orderBy("date").rowsBetween(-(k - 1), 0)
+
+
+@register(
+    "window_lag_prev_close",
+    oracle=panel.sql_with(
+        *panel.PANEL_CHG,
+        body="SELECT ticker, date, close, price_change, pct_change FROM changes",
+    ),
+)
+def window_lag_prev_close(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 — LAG(close) → price_change / pct_change.
+
+    Reference: `stg_stock_prices.sql:11-13`, CTE forms at
+    `stock_grok_pipeline.py:182-187`.
+    """
+    return panel.changes(spark, sf_dir).select(
+        "ticker", "date", "close", "price_change", "pct_change"
+    )
+
+
+@register(
+    "window_lag_features",
+    oracle=panel.sql_with(
+        *panel.PANEL_CHG,
+        body="""
+SELECT ticker, date, pct_change,
+       LAG(pct_change, 1) OVER (PARTITION BY ticker ORDER BY date) AS pct_lag_1,
+       LAG(pct_change, 2) OVER (PARTITION BY ticker ORDER BY date) AS pct_lag_2,
+       LAG(pct_change, 3) OVER (PARTITION BY ticker ORDER BY date) AS pct_lag_3,
+       LAG(volume, 1) OVER (PARTITION BY ticker ORDER BY date) AS volume_lag_1
+FROM changes""",
+    ),
+)
+def window_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 — lag-k feature columns (`ml/feature_engineering.py:74-80`)."""
+    df = panel.changes(spark, sf_dir)
+    return df.select(
+        "ticker",
+        "date",
+        "pct_change",
+        *[F.lag("pct_change", k).over(W()).alias(f"pct_lag_{k}") for k in (1, 2, 3)],
+        F.lag("volume", 1).over(W()).alias("volume_lag_1"),
+    )
+
+
+@register(
+    "window_lead_target",
+    oracle=panel.sql_with(
+        *panel.PANEL_CHG,
+        body="""
+SELECT ticker, date, pct_change, next_pct,
+       CASE WHEN ABS(next_pct) < 2 THEN 'low'
+            WHEN ABS(next_pct) < 5 THEN 'medium' ELSE 'high' END AS target_class
+FROM (
+  SELECT ticker, date, pct_change,
+         LEAD(pct_change, 1) OVER (PARTITION BY ticker ORDER BY date) AS next_pct
+  FROM changes
+)
+WHERE next_pct IS NOT NULL""",
+    ),
+)
+def window_lead_target(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 — next-day target via LEAD (`ml/feature_engineering.py:164`)."""
+    df = panel.changes(spark, sf_dir).select(
+        "ticker",
+        "date",
+        "pct_change",
+        F.lead("pct_change", 1).over(W()).alias("next_pct"),
+    )
+    abs_next = F.abs(F.col("next_pct"))
+    return df.filter(F.col("next_pct").isNotNull()).select(
+        "ticker",
+        "date",
+        "pct_change",
+        "next_pct",
+        F.when(abs_next < 2, "low")
+        .when(abs_next < 5, "medium")
+        .otherwise("high")
+        .alias("target_class"),
+    )
+
+
+@register(
+    "window_pct_change_k",
+    oracle=panel.sql_with(
+        *panel.PANEL,
+        body="""
+SELECT ticker, date,
+       (close / NULLIF(LAG(close, 1) OVER (PARTITION BY ticker ORDER BY date), 0) - 1) * 100 AS return_1d,
+       (close / NULLIF(LAG(close, 3) OVER (PARTITION BY ticker ORDER BY date), 0) - 1) * 100 AS return_3d,
+       (close / NULLIF(LAG(close, 5) OVER (PARTITION BY ticker ORDER BY date), 0) - 1) * 100 AS return_5d
+FROM prices""",
+    ),
+)
+def window_pct_change_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 — k-period returns (`ml/feature_engineering.py:116-118`)."""
+    df = panel.prices(spark, sf_dir)
+    cols = [
+        (
+            (F.col("close") / F.nullif(F.lag("close", k).over(W()), F.lit(0)) - 1) * 100
+        ).alias(f"return_{k}d")
+        for k in (1, 3, 5)
+    ]
+    return df.select("ticker", "date", *cols)
+
+
+def _rolling_stats_oracle() -> str:
+    parts = []
+    for k in (5, 10):
+        over = f"OVER (PARTITION BY ticker ORDER BY date ROWS BETWEEN {k - 1} PRECEDING AND CURRENT ROW)"
+        parts.append(exact.sql_mean("pct_change", 10000, over) + f" AS pct_mean_{k}")
+        parts.append(exact.sql_std("pct_change", 10000, over) + f" AS pct_std_{k}")
+    return panel.sql_with(
+        *panel.PANEL_CHG,
+        body="SELECT ticker, date, pct_change,\n" + ",\n".join(parts) + "\nFROM changes",
+    )
+
+
+@register("window_rolling_mean_std", oracle=_rolling_stats_oracle())
+def window_rolling_mean_std(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5 — trailing rolling mean/std, min_periods=1
+    (`ml/feature_engineering.py:83-93`). Stats over 1e-4-quantized
+    pct_change (see functions.exact for the determinism scheme)."""
+    df = panel.changes(spark, sf_dir)
+    sc = exact.scaled(F.col("pct_change"), 10000)
+    cols = []
+    for k in (5, 10):
+        f = frame(k)
+        s = F.sum(sc).over(f)
+        ssq = F.sum(sc * sc).over(f)
+        n = F.count(sc).over(f)
+        cols.append(exact.mean_from_sums(s, n, 10000).alias(f"pct_mean_{k}"))
+        cols.append(exact.std_from_sums(s, ssq, n, 10000).alias(f"pct_std_{k}"))
+    return df.select("ticker", "date", "pct_change", *cols)
+
+
+@register(
+    "window_rolling_volume_ma",
+    oracle=panel.sql_with(
+        *panel.PANEL,
+        body="""
+SELECT ticker, date, volume,
+       AVG(volume) OVER (PARTITION BY ticker ORDER BY date ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS volume_ma_20,
+       volume / NULLIF(AVG(volume) OVER (PARTITION BY ticker ORDER BY date ROWS BETWEEN 19 PRECEDING AND CURRENT ROW), 0) AS volume_ratio
+FROM prices""",
+    ),
+)
+def window_rolling_volume_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6 — 20-day volume MA + ratio (`ml/feature_engineering.py:134-137`).
+    volume is integral so plain AVG is exact cross-engine."""
+    df = panel.prices(spark, sf_dir)
+    ma = F.avg("volume").over(frame(20))
+    return df.select(
+        "ticker",
+        "date",
+        "volume",
+        ma.alias("volume_ma_20"),
+        (F.col("volume") / F.nullif(ma, F.lit(0))).alias("volume_ratio"),
+    )
+
+
+_RSI_ORACLE = panel.sql_with(
+    *panel.PANEL_CHG,
+    body="""
+SELECT ticker, date,
+       CASE WHEN n_gain >= 14 THEN
+         CASE WHEN avg_loss_c = 0 THEN 100.0
+              ELSE 100.0 - 100.0 / (1.0 + avg_gain_c / avg_loss_c) END
+       END AS rsi_14
+FROM (
+  SELECT ticker, date,
+         COUNT(gain_c) OVER w AS n_gain,
+         CAST(SUM(gain_c) OVER w AS DOUBLE) / COUNT(gain_c) OVER w AS avg_gain_c,
+         CAST(SUM(loss_c) OVER w AS DOUBLE) / COUNT(loss_c) OVER w AS avg_loss_c
+  FROM (
+    SELECT ticker, date,
+           CASE WHEN price_change IS NULL THEN NULL
+                WHEN price_change > 0 THEN CAST(ROUND(price_change * 100, 0) AS BIGINT)
+                ELSE 0 END AS gain_c,
+           CASE WHEN price_change IS NULL THEN NULL
+                WHEN price_change < 0 THEN CAST(ROUND(-price_change * 100, 0) AS BIGINT)
+                ELSE 0 END AS loss_c
+    FROM changes
+  )
+  WINDOW w AS (PARTITION BY ticker ORDER BY date ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+)""",
+)
+
+
+@register("window_rsi", oracle=_RSI_ORACLE)
+def window_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7 — RSI-14 with min_periods=14 (`ml/feature_engineering.py:32-40`).
+
+    Gains/losses quantized to cents so the 14-row rolling means are
+    exact integer sums; the RSI formula itself is deterministic IEEE.
+    """
+    df = panel.changes(spark, sf_dir)
+    d = F.col("price_change")
+    gain_c = F.when(d.isNull(), None).otherwise(
+        F.when(d > 0, F.round(d * 100, 0).cast("long")).otherwise(F.lit(0).cast("long"))
+    )
+    loss_c = F.when(d.isNull(), None).otherwise(
+        F.when(d < 0, F.round(-d * 100, 0).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    )
+    f = frame(14)
+    df = df.select(
+        "ticker",
+        "date",
+        F.count(gain_c).over(f).alias("n_gain"),
+        (F.sum(gain_c).over(f).cast("double") / F.count(gain_c).over(f)).alias(
+            "avg_gain_c"
+        ),
+        (F.sum(loss_c).over(f).cast("double") / F.count(loss_c).over(f)).alias(
+            "avg_loss_c"
+        ),
+    )
+    rsi = F.when(
+        F.col("n_gain") >= 14,
+        F.when(F.col("avg_loss_c") == 0, F.lit(100.0)).otherwise(
+            F.lit(100.0)
+            - F.lit(100.0) / (F.lit(1.0) + F.col("avg_gain_c") / F.col("avg_loss_c"))
+        ),
+    )
+    return df.select("ticker", "date", rsi.alias("rsi_14"))
+
+
+_ATR_ORACLE = panel.sql_with(
+    *panel.PANEL_CHG,
+    body="""
+SELECT ticker, date,
+       CASE WHEN COUNT(tr_c) OVER w >= 14 THEN
+         CAST(SUM(tr_c) OVER w AS DOUBLE) / COUNT(tr_c) OVER w / 100.0
+       END AS atr_14
+FROM (
+  SELECT ticker, date,
+         CASE WHEN prev_close IS NULL THEN NULL
+              ELSE CAST(ROUND(GREATEST(high - low, ABS(high - prev_close), ABS(low - prev_close)) * 100, 0) AS BIGINT)
+         END AS tr_c
+  FROM (
+    SELECT ticker, date, high, low,
+           LAG(close) OVER (PARTITION BY ticker ORDER BY date) AS prev_close
+    FROM changes
+  )
+)
+WINDOW w AS (PARTITION BY ticker ORDER BY date ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)""",
+)
+
+
+@register("window_atr", oracle=_ATR_ORACLE)
+def window_atr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W8 — ATR-14 true-range rolling mean (`ml/feature_engineering.py:43-51`)."""
+    df = panel.changes(spark, sf_dir).select(
+        "ticker", "date", "high", "low", F.lag("close").over(W()).alias("prev_close")
+    )
+    tr = F.greatest(
+        F.col("high") - F.col("low"),
+        F.abs(F.col("high") - F.col("prev_close")),
+        F.abs(F.col("low") - F.col("prev_close")),
+    )
+    tr_c = F.when(F.col("prev_close").isNull(), None).otherwise(
+        F.round(tr * 100, 0).cast("long")
+    )
+    f = frame(14)
+    atr = F.when(
+        F.count(tr_c).over(f) >= 14,
+        F.sum(tr_c).over(f).cast("double") / F.count(tr_c).over(f) / F.lit(100.0),
+    )
+    return df.select("ticker", "date", atr.alias("atr_14"))
+
+
+def _bollinger_oracle() -> str:
+    over = "OVER (PARTITION BY ticker ORDER BY date ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)"
+    mean = exact.sql_mean("close", 100, over)
+    std = exact.sql_std("close", 100, over)
+    cnt = f"COUNT({exact.sql_scaled('close', 100)}) {over}"
+    return panel.sql_with(
+        *panel.PANEL,
+        body=f"""
+SELECT ticker, date, close,
+       CASE WHEN {cnt} >= 20 THEN {mean} END AS bb_sma_20,
+       CASE WHEN {cnt} >= 20 THEN
+         (({mean} + 2 * ({std})) - ({mean} - 2 * ({std}))) / NULLIF({mean}, 0) * 100
+       END AS bb_width_20
+FROM prices""",
+    )
+
+
+@register("window_bollinger_width", oracle=_bollinger_oracle())
+def window_bollinger_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W9 — Bollinger band width (`ml/feature_engineering.py:54-63`)."""
+    df = panel.prices(spark, sf_dir)
+    sc = exact.scaled(F.col("close"), 100)
+    f = frame(20)
+    s = F.sum(sc).over(f)
+    ssq = F.sum(sc * sc).over(f)
+    n = F.count(sc).over(f)
+    mean = exact.mean_from_sums(s, n, 100)
+    std = exact.std_from_sums(s, ssq, n, 100)
+    upper = mean + 2 * std
+    lower = mean - 2 * std
+    width = (upper - lower) / F.nullif(mean, F.lit(0)) * 100
+    return df.select(
+        "ticker",
+        "date",
+        "close",
+        F.when(n >= 20, mean).alias("bb_sma_20"),
+        F.when(n >= 20, width).alias("bb_width_20"),
+    )
+
+
+@register(
+    "window_latest_per_group",
+    oracle=panel.sql_with(
+        *panel.PANEL,
+        body="""
+SELECT ticker, date, close, volume FROM (
+  SELECT ticker, date, close, volume,
+         ROW_NUMBER() OVER (PARTITION BY ticker ORDER BY date DESC) AS rn
+  FROM prices
+) WHERE rn = 1""",
+    ),
+)
+def window_latest_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W10 — last row per ticker (`ml/predict.py:135` tail(1) analog)."""
+    w = Window.partitionBy("ticker").orderBy(F.desc("date"))
+    return (
+        panel.prices(spark, sf_dir)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("ticker", "date", "close", "volume")
+    )
+
+
+@register(
+    "window_latest_global",
+    oracle=panel.sql_with(
+        *panel.PANEL_CHG,
+        panel.PREDICTIONS_CTE,
+        body="""
+SELECT model_version, ticker, date
+FROM predictions ORDER BY date DESC, ticker DESC LIMIT 1""",
+    ),
+)
+def window_latest_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W11 — latest row overall (`sql/dashboard_views.sql:98-103`
+    scalar-subquery analog)."""
+    return (
+        panel.predictions(spark, sf_dir)
+        .orderBy(F.desc("date"), F.desc("ticker"))
+        .select("model_version", "ticker", "date")
+        .limit(1)
+    )

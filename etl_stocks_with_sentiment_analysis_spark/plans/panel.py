@@ -1,0 +1,329 @@
+"""Derived stock-domain panel over the TPC-H-ish testdata.
+
+The reference's data model (SURVEY.md §1.4) is a (ticker, date) OHLCV
+panel (`/root/reference/init.sql:4-15`), a per-(ticker, date)
+sentiment/topic enrichment table (`init.sql:17-26`), and a prediction
+sink (`/root/reference/ml/data_loader.py:123-136`). FIXTURES.md §5
+maps those shapes onto the driver's testdata: lineitem → prices
+panel, lineitem⋈orders → explanations, derived classes → predictions.
+
+Every builder here has a **matching DuckDB oracle CTE string** used by
+the correctness harness. Float-determinism rules (so the driver's
+order-insensitive value hash matches across engines):
+
+- MIN/MAX over doubles: exact, order-insensitive — safe.
+- SUM over *integer-valued* doubles cast to BIGINT: exact — safe.
+- SUM over price-like doubles: round to cents first, sum as BIGINT,
+  divide at the end ("cents trick") — exact & associative.
+- Derived arithmetic (a-b)/c on identical inputs: IEEE-deterministic.
+- NEVER hash a raw float SUM/AVG/STDDEV over many rows: summation
+  order differs between engines.
+
+Scale notes: the panel is one hash-aggregation over lineitem keyed on
+(suppkey, shipdate) — fully map-side-combinable, shuffles only the
+aggregated groups (≪ input). At 100 TB the natural layout is parquet
+partitioned by date with suppkey bucketing; Catalyst prunes both.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+
+# ---------------------------------------------------------------------------
+# Oracle CTE snippets (DuckDB SQL). Compose with sql_with().
+# ---------------------------------------------------------------------------
+
+PRICES_CTE = """prices AS (
+  SELECT CAST(l_suppkey AS BIGINT) AS ticker,
+         CAST(l_shipdate AS DATE) AS date,
+         MIN(l_extendedprice) AS low,
+         MAX(l_extendedprice) AS high,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS close,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS volume
+  FROM lineitem
+  GROUP BY 1, 2
+)"""
+
+EXPLANATIONS_CTE = """explanations AS (
+  SELECT ticker, date,
+         CASE status WHEN 'O' THEN 'Positive' WHEN 'F' THEN 'Negative' ELSE 'Neutral' END AS sentiment,
+         CASE priority WHEN '1-URGENT' THEN 'earnings' WHEN '2-HIGH' THEN 'macro'
+              WHEN '3-MEDIUM' THEN 'company-specific' ELSE 'speculation' END AS topic,
+         'ticker ' || CAST(ticker AS VARCHAR) || ' moved on ' ||
+         CASE priority WHEN '1-URGENT' THEN 'earnings' WHEN '2-HIGH' THEN 'macro'
+              WHEN '3-MEDIUM' THEN 'company-specific' ELSE 'speculation' END AS explanation
+  FROM (
+    SELECT CAST(l.l_suppkey AS BIGINT) AS ticker,
+           CAST(l.l_shipdate AS DATE) AS date,
+           MIN(o.o_orderstatus) AS status,
+           MIN(o.o_orderpriority) AS priority
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_orderkey % 5 < 4
+    GROUP BY 1, 2
+  )
+)"""
+
+CHANGES_CTE = """changes AS (
+  SELECT ticker, date, low, high, close, volume,
+         close - LAG(close) OVER (PARTITION BY ticker ORDER BY date) AS price_change,
+         (close - LAG(close) OVER (PARTITION BY ticker ORDER BY date))
+           / NULLIF(LAG(close) OVER (PARTITION BY ticker ORDER BY date), 0) * 100 AS pct_change
+  FROM prices
+)"""
+
+PREDICTIONS_CTE = """predictions AS (
+  SELECT ticker, date,
+         CASE WHEN ABS(prev_pct) < 2 THEN 'low'
+              WHEN ABS(prev_pct) < 5 THEN 'medium' ELSE 'high' END AS predicted_volatility_class,
+         ROUND(ABS(prev_pct), 4) AS predicted_volatility,
+         0.5 + CAST(volume % 50 AS DOUBLE) / 100.0 AS confidence,
+         CASE WHEN ticker % 2 = 0 THEN 'v1.0' ELSE 'v2.0' END AS model_version
+  FROM (
+    SELECT ticker, date, volume,
+           LAG(pct_change) OVER (PARTITION BY ticker ORDER BY date) AS prev_pct
+    FROM changes
+  )
+  WHERE prev_pct IS NOT NULL
+)"""
+
+ACTUALS_CTE = """actuals AS (
+  SELECT ticker, date,
+         CASE WHEN ABS(pct_change) < 2 THEN 'low'
+              WHEN ABS(pct_change) < 5 THEN 'medium' ELSE 'high' END AS actual_volatility_class
+  FROM changes
+  WHERE pct_change IS NOT NULL
+)"""
+
+SCORED_CTE = """scored AS (
+  SELECT p.ticker, p.date, p.predicted_volatility_class, p.predicted_volatility,
+         p.confidence, p.model_version, a.actual_volatility_class,
+         CASE WHEN p.predicted_volatility_class = a.actual_volatility_class THEN 1 ELSE 0 END AS is_correct
+  FROM predictions p JOIN actuals a ON p.ticker = a.ticker AND p.date = a.date
+)"""
+
+
+def sql_with(*ctes: str, body: str) -> str:
+    """Compose CTE snippets + a final SELECT into one oracle SQL string."""
+    return "WITH " + ",\n".join(ctes) + "\n" + body
+
+
+# Convenience bundles: most oracles need the full lineage up to a layer.
+PANEL = (PRICES_CTE,)
+PANEL_CHG = (PRICES_CTE, CHANGES_CTE)
+PANEL_ENRICHED = (PRICES_CTE, EXPLANATIONS_CTE, CHANGES_CTE)
+PANEL_SCORED = (PRICES_CTE, CHANGES_CTE, PREDICTIONS_CTE, ACTUALS_CTE, SCORED_CTE)
+
+
+# ---------------------------------------------------------------------------
+# Spark builders (DataFrame API — declarative, Catalyst-optimized)
+# ---------------------------------------------------------------------------
+
+def w_ticker_date():
+    """The canonical panel window: partition by ticker, order by date.
+
+    Built lazily — constructing a WindowSpec requires an active
+    SparkSession, and this module must import session-free (the driver
+    imports __spark_entry__ before creating its own session).
+    """
+    return Window.partitionBy("ticker").orderBy("date")
+
+
+def prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(ticker, date) OHLCV-like panel from lineitem.
+
+    One shuffle (hash-agg on the grouping key) with map-side partial
+    aggregation; all agg functions are order-insensitive-exact.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.col("l_suppkey").cast("long").alias("ticker"),
+        F.col("l_shipdate").cast("date").alias("date"),
+    ).agg(
+        F.min("l_extendedprice").alias("low"),
+        F.max("l_extendedprice").alias("high"),
+        (
+            F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long"))
+            / F.lit(100.0)
+        ).alias("close"),
+        F.sum(F.col("l_quantity").cast("long")).alias("volume"),
+    )
+
+
+def explanations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(ticker, date) sentiment/topic enrichment (~80% coverage).
+
+    lineitem ⋈ orders on orderkey; orders is the small side at any
+    scale factor relative to lineitem (1:~4) but both are fact-sized,
+    so Catalyst's sort-merge join (or AQE-converted SHJ) is correct;
+    no broadcast hint. Deliberately partial coverage (orderkey%5<4) so
+    the J1 left join has NULL sentiment rows and J3's anti-join delta
+    is non-empty, matching FIXTURES.md §2.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    base = (
+        li.filter(F.col("l_orderkey") % 5 < 4)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("l_suppkey").cast("long").alias("ticker"),
+            F.col("l_shipdate").cast("date").alias("date"),
+        )
+        .agg(
+            F.min("o_orderstatus").alias("status"),
+            F.min("o_orderpriority").alias("priority"),
+        )
+    )
+    topic = (
+        F.when(F.col("priority") == "1-URGENT", "earnings")
+        .when(F.col("priority") == "2-HIGH", "macro")
+        .when(F.col("priority") == "3-MEDIUM", "company-specific")
+        .otherwise("speculation")
+    )
+    sentiment = (
+        F.when(F.col("status") == "O", "Positive")
+        .when(F.col("status") == "F", "Negative")
+        .otherwise("Neutral")
+    )
+    return base.select(
+        "ticker",
+        "date",
+        sentiment.alias("sentiment"),
+        topic.alias("topic"),
+        F.concat(
+            F.lit("ticker "),
+            F.col("ticker").cast("string"),
+            F.lit(" moved on "),
+            topic,
+        ).alias("explanation"),
+    )
+
+
+def changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """prices + LAG-derived price_change / pct_change (SURVEY W1).
+
+    Mirrors `/root/reference/dbt_project/models/staging/stg_stock_prices.sql:11-13`.
+    """
+    prev = F.lag("close").over(w_ticker_date())
+    return prices(spark, sf_dir).select(
+        "ticker",
+        "date",
+        "low",
+        "high",
+        "close",
+        "volume",
+        (F.col("close") - prev).alias("price_change"),
+        ((F.col("close") - prev) / F.nullif(prev, F.lit(0)) * 100).alias("pct_change"),
+    )
+
+
+def predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic persistence-model predictions (ml sink analog).
+
+    Predicted class = yesterday's move bucket; confidence derived from
+    volume; two model_versions to exercise A4/J5/W11.
+    Mirrors the sink schema at `/root/reference/ml/data_loader.py:123-136`.
+    """
+    prev_pct = F.lag("pct_change").over(w_ticker_date())
+    base = (
+        changes(spark, sf_dir)
+        .select("ticker", "date", "volume", prev_pct.alias("prev_pct"))
+        .filter(F.col("prev_pct").isNotNull())
+    )
+    abs_prev = F.abs(F.col("prev_pct"))
+    return base.select(
+        "ticker",
+        "date",
+        F.when(abs_prev < 2, "low")
+        .when(abs_prev < 5, "medium")
+        .otherwise("high")
+        .alias("predicted_volatility_class"),
+        F.round(abs_prev, 4).alias("predicted_volatility"),
+        (F.lit(0.5) + (F.col("volume") % 50).cast("double") / 100.0).alias("confidence"),
+        F.when(F.col("ticker") % 2 == 0, "v1.0").otherwise("v2.0").alias("model_version"),
+    )
+
+
+def actuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Realized volatility class per (ticker, date) — F2-style CASE bucket
+    (`/root/reference/sql/dashboard_views.sql:8-14` semantics, `<` boundaries)."""
+    abs_pct = F.abs(F.col("pct_change"))
+    return (
+        changes(spark, sf_dir)
+        .filter(F.col("pct_change").isNotNull())
+        .select(
+            "ticker",
+            "date",
+            F.when(abs_pct < 2, "low")
+            .when(abs_pct < 5, "medium")
+            .otherwise("high")
+            .alias("actual_volatility_class"),
+        )
+    )
+
+
+FCT_CTE = """fct AS (
+  SELECT c.ticker, c.date, c.low, c.high, c.close, c.volume,
+         c.price_change, c.pct_change,
+         LOWER(e.sentiment) AS sentiment, LOWER(e.topic) AS topic, e.explanation,
+         CASE WHEN ABS(c.pct_change) > 5 THEN 'large_move'
+              WHEN ABS(c.pct_change) > 2 THEN 'medium_move'
+              ELSE 'small_move' END AS move_category
+  FROM changes c LEFT JOIN explanations e ON c.ticker = e.ticker AND c.date = e.date
+)"""
+
+
+def fct_prices_with_grok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gold fact table: stg prices ⟕ explanations + move_category.
+
+    Mirrors `/root/reference/dbt_project/models/marts/fct_prices_with_grok.sql:1-24`
+    (left join + CASE bucket) with the stg projections folded in.
+    One window shuffle + one join; at scale both sides are bucketed by
+    ticker so the join is co-located.
+    """
+    c = changes(spark, sf_dir)
+    e = explanations(spark, sf_dir)
+    abs_pct = F.abs(F.col("pct_change"))
+    return (
+        c.join(e, ["ticker", "date"], "left")
+        .select(
+            "ticker",
+            "date",
+            "low",
+            "high",
+            "close",
+            "volume",
+            "price_change",
+            "pct_change",
+            F.lower("sentiment").alias("sentiment"),
+            F.lower("topic").alias("topic"),
+            "explanation",
+            F.when(abs_pct > 5, "large_move")
+            .when(abs_pct > 2, "medium_move")
+            .otherwise("small_move")
+            .alias("move_category"),
+        )
+    )
+
+
+def scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """predictions ⋈ actuals with is_correct flag (J2 — the model-scoring
+    join, `/root/reference/sql/dashboard_views.sql:36-39`)."""
+    p = predictions(spark, sf_dir)
+    a = actuals(spark, sf_dir)
+    return p.join(a, ["ticker", "date"]).select(
+        "ticker",
+        "date",
+        "predicted_volatility_class",
+        "predicted_volatility",
+        "confidence",
+        "model_version",
+        "actual_volatility_class",
+        F.when(
+            F.col("predicted_volatility_class") == F.col("actual_volatility_class"), 1
+        )
+        .otherwise(0)
+        .alias("is_correct"),
+    )

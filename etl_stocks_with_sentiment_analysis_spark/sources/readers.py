@@ -1,0 +1,50 @@
+"""Sources: parquet test tables, CSV, JSON.
+
+Reference parity (SURVEY.md §2.1): S1 ``source_market_batch`` /
+S9 ``source_backup_restore`` — the reference pulls OHLCV frames from
+yfinance (`/root/reference/airflow/dags/stock_grok_pipeline.py:67-74`)
+and restores a CSV backup. Here every source is a Spark reader:
+columnar parquet scans get predicate pushdown + column pruning from
+Catalyst for free; CSV/JSON readers take explicit schemas (never
+inferSchema in production — it scans the data twice).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table as a DataFrame (columnar parquet scan)."""
+    if name not in TESTDATA_TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TESTDATA_TABLES}")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register all testdata tables as temp views for Spark SQL queries."""
+    for name in TESTDATA_TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_csv(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    """CSV source with explicit schema (S9 backup-restore analog)."""
+    return spark.read.csv(path, header=True, schema=schema)
+
+
+def read_json(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    return spark.read.json(path, schema=schema)

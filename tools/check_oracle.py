@@ -1,0 +1,142 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every registered query on Spark and its oracle on DuckDB, then
+compares row count, column names, and (order-insensitively) values.
+Floats are compared exactly first (that is what a value-hash does) and
+with tolerance second, so "hash-risk" queries are flagged before the
+driver sees them.
+
+Usage:
+    python tools/check_oracle.py [--sf DIR] [keys...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import sys
+import time
+import traceback
+
+import duckdb
+
+sys.path.insert(0, ".")
+
+from etl_stocks_with_sentiment_analysis_spark import registry  # noqa: E402
+from etl_stocks_with_sentiment_analysis_spark.session import get_spark  # noqa: E402
+from etl_stocks_with_sentiment_analysis_spark.sources.readers import (  # noqa: E402
+    TESTDATA_TABLES,
+)
+
+
+def norm_cell(v):
+    if v is None:
+        return "∅"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "∅"  # NaN ≈ NULL across pandas/duckdb boundaries
+        return repr(v)
+    s = str(v)
+    if s == "NaT":
+        return "∅"
+    if s.endswith(" 00:00:00"):  # datetime64 midnight ≈ date
+        return s[:-9]
+    return s
+
+
+def frame_to_rows(df) -> list[tuple]:
+    cols = sorted(df.columns)
+    out = [tuple(norm_cell(v) for v in row) for row in df[cols].itertuples(index=False)]
+    out.sort()
+    return out
+
+
+def close_enough(a: list[tuple], b: list[tuple]) -> bool:
+    if len(a) != len(b):
+        return False
+    for ra, rb in zip(a, b):
+        for va, vb in zip(ra, rb):
+            if va == vb:
+                continue
+            try:
+                fa, fb = float(va), float(vb)
+            except ValueError:
+                return False
+            if not math.isclose(fa, fb, rel_tol=1e-9, abs_tol=1e-9):
+                return False
+    return True
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("keys", nargs="*")
+    args = ap.parse_args()
+
+    spark = get_spark("check-oracle")
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'"
+        )
+
+    qs = registry.all_queries()
+    oracles = registry.all_oracles()
+    keys = args.keys or sorted(qs)
+    n_pass = n_soft = n_fail = n_noracle = 0
+    for key in keys:
+        t0 = time.time()
+        try:
+            sdf = qs[key](spark, args.sf).toPandas()
+        except Exception:
+            print(f"FAIL  {key}: SPARK ERROR")
+            traceback.print_exc(limit=4)
+            n_fail += 1
+            continue
+        if key not in oracles:
+            print(f"noracle {key}: rows={len(sdf)} ({time.time() - t0:.1f}s)")
+            n_noracle += 1
+            continue
+        try:
+            odf = con.execute(oracles[key]).df()
+        except Exception as e:
+            print(f"FAIL  {key}: ORACLE ERROR {e}")
+            n_fail += 1
+            continue
+        scols, ocols = sorted(sdf.columns), sorted(odf.columns)
+        if scols != ocols:
+            print(f"FAIL  {key}: columns spark={scols} oracle={ocols}")
+            n_fail += 1
+            continue
+        if len(sdf) != len(odf):
+            print(f"FAIL  {key}: rows spark={len(sdf)} oracle={len(odf)}")
+            n_fail += 1
+            continue
+        a, b = frame_to_rows(sdf), frame_to_rows(odf)
+        if a == b:
+            print(f"pass  {key}: rows={len(sdf)} ({time.time() - t0:.1f}s)")
+            n_pass += 1
+        elif close_enough(a, b):
+            print(f"SOFT  {key}: values within 1e-9 but NOT hash-identical")
+            for ra, rb in zip(a, b):
+                if ra != rb:
+                    print(f"      spark  {ra}\n      oracle {rb}")
+                    break
+            n_soft += 1
+        else:
+            print(f"FAIL  {key}: value mismatch rows={len(sdf)}")
+            shown = 0
+            for ra, rb in zip(a, b):
+                if ra != rb and shown < 3:
+                    print(f"      spark  {ra}\n      oracle {rb}")
+                    shown += 1
+            n_fail += 1
+    print(
+        f"\n== pass={n_pass} soft={n_soft} fail={n_fail} rows-only={n_noracle} "
+        f"of {len(keys)}"
+    )
+    return 1 if n_fail or n_soft else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
