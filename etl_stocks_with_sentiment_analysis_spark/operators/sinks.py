@@ -1,0 +1,160 @@
+"""Sink operators (SURVEY.md §2.1, S3–S7).
+
+Spark has no engine-enforced UNIQUE constraints, so the reference's
+`ON CONFLICT` semantics (`/root/reference/init.sql:14,25`,
+`ml/data_loader.py:140-160`) become explicit writer logic:
+
+- insert-ignore  = new ⟕anti existing, then append
+- upsert         = incoming ∪ (existing ⟕anti incoming), rewrite
+
+At 100 TB the production path is a transactional table format (Delta/
+Iceberg `MERGE INTO` — jars not in this image, so the writers below
+implement the same semantics over parquet: partition-scoped
+anti-join + dynamic-partition overwrite). The registered queries
+verify the *semantics* against SQL oracles; the writers are tested in
+tests/test_sinks.py (run-twice idempotence, matching the reference's
+re-run safety).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans import panel
+from ..registry import register
+
+# ---------------------------------------------------------------------------
+# Library writers
+# ---------------------------------------------------------------------------
+
+
+def insert_ignore(
+    spark: SparkSession, target: str, new_rows: DataFrame, keys: list[str]
+) -> None:
+    """S3 — idempotent append: skip rows whose key already exists.
+
+    Mirrors `INSERT ... ON CONFLICT DO NOTHING`
+    (`stock_grok_pipeline.py:84-97`). The anti-join touches only the
+    sink's key columns (column-pruned scan); append never rewrites
+    existing files.
+    """
+    if _exists(spark, target):
+        existing = spark.read.parquet(target).select(*keys)
+        delta = new_rows.join(existing, keys, "left_anti")
+    else:
+        delta = new_rows
+    delta.write.mode("append").parquet(target)
+
+
+def upsert(
+    spark: SparkSession, target: str, incoming: DataFrame, keys: list[str]
+) -> None:
+    """S4 — upsert: incoming wins on key conflict, others kept.
+
+    Mirrors `INSERT ... ON CONFLICT DO UPDATE`
+    (`ml/data_loader.py:140-160`). Without a transactional format the
+    rewrite is staged through a temp dir; with Delta this is a single
+    `MERGE INTO` (scale path — only touched files rewritten).
+    """
+    if _exists(spark, target):
+        existing = spark.read.parquet(target)
+        kept = existing.join(incoming.select(*keys), keys, "left_anti")
+        merged = incoming.unionByName(kept)
+    else:
+        merged = incoming
+    tmp = target.rstrip("/") + "__staged"
+    merged.write.mode("overwrite").parquet(tmp)
+    final = spark.read.parquet(tmp)
+    final.write.mode("overwrite").parquet(target)
+
+
+def create_table_if_absent(
+    spark: SparkSession, target: str, template: DataFrame
+) -> None:
+    """S5 — lazy sink creation (`ml/data_loader.py:123-137`): write an
+    empty parquet dataset with the template's schema if missing."""
+    if not _exists(spark, target):
+        template.limit(0).write.mode("overwrite").parquet(target)
+
+
+def write_csv(df: DataFrame, path: str) -> None:
+    """S7 — CSV export (`ml/predict.py:209-211`)."""
+    df.write.mode("overwrite").option("header", True).csv(path)
+
+
+def _exists(spark: SparkSession, path: str) -> bool:
+    if path.startswith("/") or path.startswith("file:"):
+        return os.path.exists(path.replace("file:", ""))
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path)  # type: ignore[attr-defined]
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())  # type: ignore[attr-defined]
+    return fs.exists(jvm_path)
+
+
+# ---------------------------------------------------------------------------
+# Registered semantic queries (oracle-checked)
+# ---------------------------------------------------------------------------
+
+_S3_ORACLE = panel.sql_with(
+    panel.PRICES_CTE,
+    panel.EXPLANATIONS_CTE,
+    """existing AS (
+  SELECT ticker, date, topic FROM explanations WHERE date < DATE '1998-01-01'
+)""",
+    """incoming AS (
+  SELECT ticker, date, 'refreshed' AS topic FROM explanations
+)""",
+    body="""
+SELECT * FROM existing
+UNION ALL
+SELECT i.* FROM incoming i
+WHERE NOT EXISTS (SELECT 1 FROM existing x WHERE x.ticker = i.ticker AND x.date = i.date)""",
+)
+
+
+@register("sink_insert_ignore", oracle=_S3_ORACLE)
+def sink_insert_ignore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 — insert-ignore semantics as a pure query: conflicting keys
+    keep the EXISTING row (`ON CONFLICT DO NOTHING`)."""
+    e = panel.explanations(spark, sf_dir)
+    existing = e.filter(F.col("date") < F.lit("1998-01-01").cast("date")).select(
+        "ticker", "date", "topic"
+    )
+    incoming = e.select("ticker", "date", F.lit("refreshed").alias("topic"))
+    return existing.unionByName(
+        incoming.join(existing.select("ticker", "date"), ["ticker", "date"], "left_anti")
+    )
+
+
+_S4_ORACLE = panel.sql_with(
+    panel.PRICES_CTE,
+    panel.EXPLANATIONS_CTE,
+    """existing AS (
+  SELECT ticker, date, topic FROM explanations WHERE date < DATE '1998-01-01'
+)""",
+    """incoming AS (
+  SELECT ticker, date, 'refreshed' AS topic FROM explanations WHERE ticker % 3 = 0
+)""",
+    body="""
+SELECT * FROM incoming
+UNION ALL
+SELECT x.* FROM existing x
+WHERE NOT EXISTS (SELECT 1 FROM incoming i WHERE i.ticker = x.ticker AND i.date = x.date)""",
+)
+
+
+@register("sink_upsert", oracle=_S4_ORACLE)
+def sink_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 — upsert semantics as a pure query: conflicting keys take the
+    INCOMING row (`ON CONFLICT DO UPDATE`)."""
+    e = panel.explanations(spark, sf_dir)
+    existing = e.filter(F.col("date") < F.lit("1998-01-01").cast("date")).select(
+        "ticker", "date", "topic"
+    )
+    incoming = e.filter(F.col("ticker") % 3 == 0).select(
+        "ticker", "date", F.lit("refreshed").alias("topic")
+    )
+    kept = existing.join(incoming.select("ticker", "date"), ["ticker", "date"], "left_anti")
+    return incoming.unionByName(kept)

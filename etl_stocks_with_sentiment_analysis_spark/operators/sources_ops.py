@@ -1,0 +1,84 @@
+"""Source-side operators (SURVEY.md §2.1, S1/S6/S8).
+
+S8 (the LLM enrichment stage) is replaced by a deterministic,
+network-free rule classifier per BASELINE.json ("MLlib for sentiment
+analysis" — the trainable variant lives in ml/; this operator is the
+rule-based stage with an exact SQL oracle). The same logic is also
+exposed as an Arrow-batched mapInPandas stage (U1) in
+:mod:`..llmdata.enrich` — tests assert both paths agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans import panel
+from ..registry import register
+from ..sources import load_table
+
+
+@register(
+    "source_market_batch",
+    oracle=panel.sql_with(*panel.PANEL, body="SELECT * FROM prices"),
+)
+def source_market_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 — batch market-data ingest → (ticker, date) OHLCV panel
+    (`stock_grok_pipeline.py:67-74`). Here: columnar parquet scan +
+    one map-side-combined aggregation."""
+    return panel.prices(spark, sf_dir)
+
+
+_S6_SQL = """
+SELECT l_returnflag,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+GROUP BY l_returnflag"""
+
+
+@register("source_sql_query", oracle=_S6_SQL)
+def source_sql_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 — parameterized SQL-over-source (`ml/data_loader.py:67,105`):
+    the engine's Spark SQL API path (vs DataFrame API elsewhere).
+    TPC-H-Q1-shaped; revenue exact via cents quantization."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_S6_SQL)
+
+
+_S8_ORACLE = """
+SELECT doc_id,
+       CASE WHEN POSITION('fast' IN text) > 0 AND POSITION('slow' IN text) > 0 THEN 'neutral'
+            WHEN POSITION('fast' IN text) > 0 THEN 'positive'
+            WHEN POSITION('slow' IN text) > 0 THEN 'negative'
+            ELSE 'neutral' END AS sentiment,
+       CASE WHEN POSITION('join' IN text) > 0 THEN 'joins'
+            WHEN POSITION('window' IN text) > 0 THEN 'windows'
+            WHEN POSITION('stream' IN text) > 0 THEN 'streaming'
+            ELSE 'general' END AS topic
+FROM documents"""
+
+
+@register("source_enrich_llm", oracle=_S8_ORACLE)
+def source_enrich_llm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 — row-wise enrichment stage (`stock_grok_pipeline.py:204-260`)
+    with the LLM call replaced by a deterministic rule classifier.
+    Pure JVM expressions (whole-stage codegen) — the batched Python
+    variant is U1 (`llmdata.enrich.enrich_map_in_pandas`)."""
+    docs = load_table(spark, sf_dir, "documents")
+    has = lambda w: F.instr(F.col("text"), w) > 0  # noqa: E731
+    sentiment = (
+        F.when(has("fast") & has("slow"), "neutral")
+        .when(has("fast"), "positive")
+        .when(has("slow"), "negative")
+        .otherwise("neutral")
+    )
+    topic = (
+        F.when(has("join"), "joins")
+        .when(has("window"), "windows")
+        .when(has("stream"), "streaming")
+        .otherwise("general")
+    )
+    return docs.select("doc_id", sentiment.alias("sentiment"), topic.alias("topic"))

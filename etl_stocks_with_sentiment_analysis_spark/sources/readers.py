@@ -12,6 +12,7 @@ inferSchema in production — it scans the data twice).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 TESTDATA_TABLES = (
@@ -29,9 +30,19 @@ TESTDATA_TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one testdata table as a DataFrame (columnar parquet scan)."""
+    """Load one testdata table as a DataFrame (columnar parquet scan).
+
+    events.ts is TIMESTAMP(NANOS) in parquet, which Spark's reader
+    rejects ([PARQUET_TYPE_ILLEGAL]); read nanos as long and convert
+    to a microsecond timestamp with integer division (`div`, not
+    float — ns epoch values exceed double's 2^53 exact range).
+    """
     if name not in TESTDATA_TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TESTDATA_TABLES}")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
