@@ -1,0 +1,259 @@
+"""Deduplication operators over the `documents` table.
+
+Four families, all shuffle-bounded (no O(n²) cross joins):
+
+- exact:      hash-groupBy on a content fingerprint — one shuffle.
+- minhash+LSH: shingle → k minhashes → band buckets → bucket self-join.
+  Candidate pairs only where a band collides; at 100 TB this is THE
+  standard near-dup pipeline (the band join shuffles band signatures,
+  not documents).
+- simhash:    per-token hash bit votes → 16-bit fingerprint; near-dups
+  bucket by fingerprint equality.
+- n-gram jaccard: inverted-index join (word → doc pairs) restricted to
+  a candidate neighborhood, then exact Jaccard on distinct-word sets.
+
+Cross-engine determinism: all hashing is MD5 (identical hex strings in
+Spark and DuckDB); minhash minima are lexicographic string minima.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+SELECT MD5(LOWER(text)) AS fingerprint,
+       MIN(doc_id) AS canonical_doc_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by content hash, keep min doc_id as canonical."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5(F.lower("text")).alias("fingerprint")).agg(
+        F.min("doc_id").alias("canonical_doc_id"),
+        F.count("*").alias("n_copies"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+_N_SEEDS = 8
+_BAND_ROWS = 2  # 4 bands × 2 rows
+
+_MINHASH_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents
+  WHERE LEN(STRING_SPLIT(text, ' ')) >= 3
+),
+shingle AS (
+  SELECT DISTINCT doc_id, sh FROM (
+    SELECT doc_id,
+           UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(ws) - 2),
+                  i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])) AS sh
+    FROM tok
+  )
+),
+mh AS (
+  SELECT doc_id, s, MIN(MD5(CAST(s AS VARCHAR) || '|' || sh)) AS h
+  FROM shingle, GENERATE_SERIES(0, {_N_SEEDS - 1}) AS g(s)
+  GROUP BY doc_id, s
+),
+bands AS (
+  SELECT doc_id, s // {_BAND_ROWS} AS band, STRING_AGG(h, ',' ORDER BY s) AS sig
+  FROM mh GROUP BY doc_id, s // {_BAND_ROWS}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id"""
+
+
+@register("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs via MinHash (8 perms) + LSH banding
+    (4 bands × 2 rows). Word-3-shingles → per-seed MD5 minima →
+    band-signature buckets → pairs within a bucket.
+
+    Scale: explode is per-doc bounded; the only shuffles are the
+    (doc, seed) min-agg and the band self-join on (band, sig) —
+    no all-pairs comparison ever happens.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.split("text", " ").alias("ws")).filter(
+        F.size("ws") >= 3
+    )
+    shingle = tok.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(0, size(ws) - 3),"
+                    " i -> concat_ws(' ', ws[i], ws[i + 1], ws[i + 2]))"
+                )
+            )
+        ).alias("sh"),
+    )
+    mh = (
+        shingle.select(
+            "doc_id",
+            "sh",
+            F.explode(F.sequence(F.lit(0), F.lit(_N_SEEDS - 1))).alias("s"),
+        )
+        .groupBy("doc_id", "s")
+        .agg(
+            F.min(F.md5(F.concat(F.col("s").cast("string"), F.lit("|"), F.col("sh"))))
+            .alias("h")
+        )
+    )
+    bands = (
+        mh.withColumn("band", F.expr(f"s div {_BAND_ROWS}"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("s", "h"))), lambda x: x["h"]
+                ),
+                ",",
+            ).alias("sig")
+        )
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), "band", F.col("sig").alias("sig_a")
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), "band", F.col("sig").alias("sig_b")
+    )
+    return (
+        a.join(b, ["band"])
+        .filter((F.col("sig_a") == F.col("sig_b")) & (F.col("doc_a") < F.col("doc_b")))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+_SIMHASH_ORACLE = """
+WITH tok AS (
+  SELECT DISTINCT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents
+),
+bits AS (
+  SELECT doc_id, j,
+         CASE WHEN SUM(((STRPOS('0123456789abcdef', SUBSTR(MD5(w), j + 1, 1)) - 1) % 2) * 2 - 1) > 0
+              THEN 1 ELSE 0 END AS bit
+  FROM tok, GENERATE_SERIES(0, 15) AS g(j)
+  GROUP BY doc_id, j
+)
+SELECT doc_id, CAST(SUM(bit * (1 << j)) AS BIGINT) AS simhash16
+FROM bits GROUP BY doc_id"""
+
+
+@register("dedup_simhash", oracle=_SIMHASH_ORACLE)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-16 fingerprints: per-token MD5 hex-digit parities vote
+    ±1 per bit; fingerprint = packed majority bits. Near-dups share
+    fingerprints (bucket join downstream, like dedup_exact)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
+    )
+    expanded = tok.select(
+        "doc_id", "w", F.explode(F.sequence(F.lit(0), F.lit(15))).alias("j")
+    )
+    contrib = (
+        (
+            (
+                F.instr(
+                    F.lit("0123456789abcdef"),
+                    F.substring(F.md5("w"), F.col("j") + 1, F.lit(1)),
+                )
+                - 1
+            )
+            % 2
+        )
+        * 2
+        - 1
+    )
+    bits = expanded.groupBy("doc_id", "j").agg(
+        F.when(F.sum(contrib) > 0, 1).otherwise(0).alias("bit")
+    )
+    return bits.groupBy("doc_id").agg(
+        F.sum(F.expr("bit * shiftleft(1, j)")).cast("long").alias("simhash16")
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard (inverted-index join)
+# ---------------------------------------------------------------------------
+
+_JACCARD_ORACLE = """
+WITH words AS (
+  SELECT DISTINCT doc_id, source, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents
+),
+wc AS (SELECT doc_id, COUNT(*) AS n FROM words GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter_n
+  FROM words a JOIN words b
+    ON a.w = b.w AND a.source = b.source
+   AND b.doc_id - a.doc_id BETWEEN 1 AND 20
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(inter_n AS DOUBLE) / (ca.n + cb.n - inter_n), 4) AS jaccard
+FROM inter
+JOIN wc ca ON ca.doc_id = doc_a
+JOIN wc cb ON cb.doc_id = doc_b
+WHERE CAST(inter_n AS DOUBLE) / (ca.n + cb.n - inter_n) >= 0.5"""
+
+
+@register("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-set Jaccard similarity via inverted-index join, restricted
+    to a per-source doc_id neighborhood of 20 (bounded candidate set —
+    the unrestricted variant is dedup_minhash_lsh's job at scale)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", "source", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
+    ).distinct()
+    wc = words.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = words.select(
+        F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"), "w"
+    )
+    b = words.select(
+        F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"), "w"
+    )
+    inter = (
+        a.join(
+            b,
+            (a.w == b.w)
+            & (F.col("src_a") == F.col("src_b"))
+            & (F.col("doc_b") - F.col("doc_a")).between(1, 20),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter_n"))
+    )
+    ca = wc.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    cb = wc.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    jac = F.col("inter_n").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("inter_n")
+    )
+    return (
+        inter.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )

@@ -1,0 +1,168 @@
+"""Similarity search over the `embeddings` table (array<float> column).
+
+Two paths:
+
+- brute-force cosine top-k: the correctness baseline. Queries are
+  broadcast; each executor scans its candidate partition once and
+  keeps a per-query top-k (window row_number) — O(Q·N) but embarrass-
+  ingly parallel and broadcast-joined, no shuffle of the big side.
+- IVF (inverted-file) top-k: the 100 TB scale path. Vectors are
+  assigned to their nearest centroid once (a narrow pass), queries
+  probe only their own cluster — the candidate set shrinks by the
+  number of partitions probed. Centroids here are fixed seed vectors
+  (deterministic); production would k-means them.
+
+Determinism: embeddings are quantized to 1e-4 (integer-valued doubles)
+so dot products / squared distances are exact integer sums in double —
+identical in Spark's fold and DuckDB's list functions regardless of
+summation order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+
+_SCALED = (
+    "transform(embedding, e -> round(CAST(e AS DOUBLE) * 10000, 0))"
+)
+_DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+
+
+def _scaled_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.expr(_SCALED).alias("v"),
+        F.expr(_DOT.format(a=_SCALED, b=_SCALED)).alias("nrm"),
+    )
+
+
+_BRUTE_ORACLE = """
+WITH sc AS (
+  SELECT vec_id,
+         LIST_TRANSFORM(embedding, e -> ROUND(CAST(e AS DOUBLE) * 10000, 0)) AS v
+  FROM embeddings
+),
+norms AS (SELECT vec_id, v, LIST_DOT_PRODUCT(v, v) AS nrm FROM sc),
+q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM norms WHERE vec_id % 100 = 0),
+pairs AS (
+  SELECT q.q_id, n.vec_id,
+         LIST_DOT_PRODUCT(q.qv, n.v) / SQRT(q.qn * n.nrm) AS cosine
+  FROM q, norms n WHERE n.vec_id <> q.q_id
+)
+SELECT q_id, vec_id, ROUND(cosine, 6) AS cosine FROM (
+  SELECT q_id, vec_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rn
+  FROM pairs
+) WHERE rn <= 5"""
+
+
+@register("similarity_bruteforce_topk", oracle=_BRUTE_ORACLE)
+def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 per query vector (queries: vec_id%100=0).
+
+    Plan shape: broadcast(queries) ⨯ candidates → per-partition
+    row_number top-k; the big side is scanned once and never shuffled
+    until the tiny (q_id, top-k) result.
+    """
+    vecs = _scaled_vectors(spark, sf_dir)
+    q = vecs.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    ).filter(F.col("q_id") % 100 == 0)
+    pairs = vecs.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+    cosine = F.expr(_DOT.format(a="qv", b="v")) / F.sqrt(
+        F.col("qn") * F.col("nrm")
+    )
+    scored = pairs.select("q_id", "vec_id", cosine.alias("cosine"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("q_id", "vec_id", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+_IVF_ORACLE = """
+WITH sc AS (
+  SELECT vec_id,
+         LIST_TRANSFORM(embedding, e -> ROUND(CAST(e AS DOUBLE) * 10000, 0)) AS v
+  FROM embeddings
+),
+cents AS (SELECT vec_id AS cent_id, v AS cv FROM sc WHERE vec_id IN (1, 2, 3, 4)),
+assign AS (
+  SELECT vec_id, v, cent_id FROM (
+    SELECT s.vec_id, s.v, c.cent_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY s.vec_id
+             ORDER BY LIST_DOT_PRODUCT(s.v, s.v) - 2 * LIST_DOT_PRODUCT(s.v, c.cv)
+                      + LIST_DOT_PRODUCT(c.cv, c.cv), c.cent_id
+           ) AS rn
+    FROM sc s, cents c
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS q_id, v AS qv, cent_id AS q_cent FROM assign WHERE vec_id % 100 = 0),
+pairs AS (
+  SELECT q.q_id, a.vec_id,
+         LIST_DOT_PRODUCT(q.qv, a.v)
+           / SQRT(LIST_DOT_PRODUCT(q.qv, q.qv) * LIST_DOT_PRODUCT(a.v, a.v)) AS cosine
+  FROM q JOIN assign a ON a.cent_id = q.q_cent AND a.vec_id <> q.q_id
+)
+SELECT q_id, vec_id, ROUND(cosine, 6) AS cosine FROM (
+  SELECT q_id, vec_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rn
+  FROM pairs
+) WHERE rn <= 3"""
+
+
+@register("similarity_ivf_topk", oracle=_IVF_ORACLE)
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: assign every vector to its nearest of 4 fixed
+    centroids (L2², exact integer arithmetic), then each query probes
+    only its own cluster for cosine top-3.
+
+    Scale: the assignment pass is a broadcast join against centroids;
+    the probe join shuffles on cent_id — candidate volume per query
+    drops by ~n_clusters vs brute force.
+    """
+    vecs = _scaled_vectors(spark, sf_dir)
+    cents = vecs.filter(F.col("vec_id").isin(1, 2, 3, 4)).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cnrm"),
+    )
+    crossed = vecs.join(F.broadcast(cents))
+    dist = (
+        F.col("nrm")
+        - 2 * F.expr(_DOT.format(a="v", b="cv"))
+        + F.col("cnrm")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(dist.asc(), "cent_id")
+    assign = (
+        crossed.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "nrm", "cent_id")
+    )
+    q = assign.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        F.col("cent_id").alias("q_cent"),
+    )
+    pairs = assign.join(
+        F.broadcast(q),
+        (F.col("cent_id") == F.col("q_cent")) & (F.col("vec_id") != F.col("q_id")),
+    )
+    cosine = F.expr(_DOT.format(a="qv", b="v")) / F.sqrt(F.col("qn") * F.col("nrm"))
+    scored = pairs.select("q_id", "vec_id", cosine.alias("cosine"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("q_id", "vec_id", F.round("cosine", 6).alias("cosine"))
+    )

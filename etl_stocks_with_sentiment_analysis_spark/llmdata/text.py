@@ -1,0 +1,126 @@
+"""Text-analysis operators over the `documents` table.
+
+All pure JVM expressions (split / transform / aggregate on arrays) —
+no Python in the hot path, so a 100 TB corpus scan stays inside
+whole-stage codegen and is bounded by parquet scan throughput.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+
+_STOPWORDS = ("the", "a", "and", "of")
+_STOP_SQL = "('the', 'a', 'and', 'of')"
+
+
+@register(
+    "text_token_count",
+    oracle="""
+SELECT doc_id,
+       CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_ws_tokens,
+       CAST(LIST_SUM(LIST_TRANSFORM(STRING_SPLIT(text, ' '),
+            w -> CAST(CEIL(LENGTH(w) / 4.0) AS BIGINT))) AS BIGINT) AS n_subword_est
+FROM documents""",
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish subword estimate
+    (≈ ceil(len/4) per word, the common ~4-chars-per-token rule)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_ws_tokens"),
+        F.expr(
+            "aggregate(transform(split(text, ' '), w -> CAST(ceil(length(w) / 4.0) AS LONG)),"
+            " CAST(0 AS LONG), (a, x) -> a + x)"
+        ).alias("n_subword_est"),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+SELECT doc_id, n_chars,
+       CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_words,
+       ROUND(CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+             / LEN(STRING_SPLIT(text, ' ')), 4) AS avg_word_len,
+       ROUND(CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), w -> w IN {_STOP_SQL})) AS DOUBLE)
+             / LEN(STRING_SPLIT(text, ' ')), 4) AS stopword_ratio,
+       CASE WHEN LEN(STRING_SPLIT(text, ' ')) < 10 THEN 'too_short'
+            WHEN CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), w -> w IN {_STOP_SQL})) AS DOUBLE)
+                 / LEN(STRING_SPLIT(text, ' ')) > 0.5 THEN 'low_content'
+            ELSE 'ok' END AS quality_bucket
+FROM documents""",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length, word-length, stopword-ratio heuristics
+    (the classic pre-training corpus filters)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_words = F.size(words)
+    stop_list = ", ".join(f"'{w}'" for w in _STOPWORDS)
+    n_stop = F.expr(f"size(filter(split(text, ' '), w -> w IN ({stop_list})))")
+    stop_ratio = n_stop.cast("double") / n_words
+    return docs.select(
+        "doc_id",
+        "n_chars",
+        n_words.cast("long").alias("n_words"),
+        F.round(
+            F.length(F.regexp_replace("text", " ", "")).cast("double") / n_words, 4
+        ).alias("avg_word_len"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.when(n_words < 10, "too_short")
+        .when(stop_ratio > 0.5, "low_content")
+        .otherwise("ok")
+        .alias("quality_bucket"),
+    )
+
+
+@register(
+    "text_lang_id",
+    oracle="""
+SELECT doc_id, lang,
+       CASE WHEN LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                 w -> w IN ('the', 'a', 'and', 'of'))) >= 2 THEN 'en'
+            ELSE 'other' END AS predicted_lang,
+       CASE WHEN (CASE WHEN LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                 w -> w IN ('the', 'a', 'and', 'of'))) >= 2 THEN 'en'
+            ELSE 'other' END) = lang THEN 1 ELSE 0 END AS matches_label
+FROM documents""",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: English stopword density (n-gram/lexicon
+    heuristic family). Compared against the table's lang label."""
+    docs = load_table(spark, sf_dir, "documents")
+    stop_list = ", ".join(f"'{w}'" for w in _STOPWORDS)
+    n_stop = F.expr(f"size(filter(split(text, ' '), w -> w IN ({stop_list})))")
+    pred = F.when(n_stop >= 2, "en").otherwise("other")
+    return docs.select(
+        "doc_id",
+        "lang",
+        pred.alias("predicted_lang"),
+        F.when(pred == F.col("lang"), 1).otherwise(0).alias("matches_label"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+SELECT doc_id,
+       MD5(LOWER(text)) AS fingerprint,
+       SUBSTR(MD5(LOWER(text)), 1, 8) AS fingerprint_short
+FROM documents""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: content hash of normalized text (the
+    exact-dedup key; a rolling/shingled variant is dedup_minhash_lsh)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.lower("text"))
+    return docs.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.substring(fp, 1, 8).alias("fingerprint_short"),
+    )
