@@ -1,0 +1,202 @@
+"""Feature engineering (SURVEY.md §2.12) — native window/scalar
+expressions, NO applyInPandas: every feature from the reference's
+pandas pipeline (`/root/reference/ml/feature_engineering.py:96-169`)
+is expressed as a Spark column so the whole matrix is ONE window
+shuffle + one join, entirely inside codegen.
+
+Feature set (reference ~34-feature vector, `:172-207`): returns,
+lag features, rolling mean/std, volume ratio, calendar parts,
+sentiment score, topic one-hots; target = next-day volatility class.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import exact
+from ..plans import panel
+from ..registry import register
+
+LABELS = ["low", "medium", "high"]  # ml/predict.py:21 inverse map
+
+BASE_FEATURES = [
+    "volatility",
+    "return_1d",
+    "return_3d",
+    "return_5d",
+    "pct_lag_1",
+    "pct_lag_2",
+    "pct_lag_3",
+    "pct_mean_5",
+    "pct_std_5",
+    "pct_mean_10",
+    "pct_std_10",
+    "volume_ratio",
+    "day_of_week",
+    "month",
+    "sentiment_score",
+    "topic_earnings",
+    "topic_macro",
+    "topic_company_specific",
+    "topic_speculation",
+]
+
+
+def feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full (ticker, date) → features + target_class frame."""
+    w = Window.partitionBy("ticker").orderBy("date")
+    chg = panel.changes(spark, sf_dir)
+    expl = panel.explanations(spark, sf_dir)
+
+    sc = exact.scaled(F.col("pct_change"), 10000)
+    roll = []
+    for k in (5, 10):
+        f = w.rowsBetween(-(k - 1), 0)
+        s, ssq, n = F.sum(sc).over(f), F.sum(sc * sc).over(f), F.count(sc).over(f)
+        roll.append(exact.mean_from_sums(s, n, 10000).alias(f"pct_mean_{k}"))
+        roll.append(exact.std_from_sums(s, ssq, n, 10000).alias(f"pct_std_{k}"))
+
+    vma = F.avg("volume").over(w.rowsBetween(-19, 0))
+    sent = F.lower("sentiment")
+    next_pct = F.lead("pct_change", 1).over(w)
+    abs_next = F.abs(next_pct)
+
+    df = chg.join(expl, ["ticker", "date"], "left").select(
+        "ticker",
+        "date",
+        "pct_change",
+        ((F.col("high") - F.col("low")) / F.nullif(F.col("close"), F.lit(0)) * 100).alias(
+            "volatility"
+        ),
+        *[
+            (
+                (F.col("close") / F.nullif(F.lag("close", k).over(w), F.lit(0)) - 1)
+                * 100
+            ).alias(f"return_{k}d")
+            for k in (1, 3, 5)
+        ],
+        *[F.lag("pct_change", k).over(w).alias(f"pct_lag_{k}") for k in (1, 2, 3)],
+        *roll,
+        (F.col("volume") / F.nullif(vma, F.lit(0))).alias("volume_ratio"),
+        ((F.dayofweek("date") + 5) % 7).cast("int").alias("day_of_week"),
+        F.month("date").cast("int").alias("month"),
+        F.when(sent == "positive", 1)
+        .when(sent == "negative", -1)
+        .otherwise(0)
+        .alias("sentiment_score"),
+        *[
+            F.when(F.col("topic") == v, 1).otherwise(0).alias(
+                "topic_" + v.replace("-", "_")
+            )
+            for v in ("earnings", "macro", "company-specific", "speculation")
+        ],
+        F.when(abs_next < 2, "low")
+        .when(abs_next < 5, "medium")
+        .otherwise("high")
+        .alias("target_class"),
+        next_pct.alias("next_pct"),
+    )
+    return df.filter(F.col("next_pct").isNotNull()).drop("next_pct")
+
+
+def _matrix_oracle() -> str:
+    over = {
+        5: "OVER (PARTITION BY c.ticker ORDER BY c.date ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)",
+        10: "OVER (PARTITION BY c.ticker ORDER BY c.date ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)",
+    }
+    roll = ",\n".join(
+        f"       {exact.sql_mean('pct_change', 10000, over[k])} AS pct_mean_{k},\n"
+        f"       {exact.sql_std('pct_change', 10000, over[k])} AS pct_std_{k}"
+        for k in (5, 10)
+    )
+    return panel.sql_with(
+        *panel.PANEL_ENRICHED,
+        body=f"""
+SELECT * EXCLUDE (next_pct) FROM (
+  SELECT c.ticker, c.date, c.pct_change,
+       (c.high - c.low) / NULLIF(c.close, 0) * 100 AS volatility,
+       (c.close / NULLIF(LAG(c.close, 1) OVER w, 0) - 1) * 100 AS return_1d,
+       (c.close / NULLIF(LAG(c.close, 3) OVER w, 0) - 1) * 100 AS return_3d,
+       (c.close / NULLIF(LAG(c.close, 5) OVER w, 0) - 1) * 100 AS return_5d,
+       LAG(c.pct_change, 1) OVER w AS pct_lag_1,
+       LAG(c.pct_change, 2) OVER w AS pct_lag_2,
+       LAG(c.pct_change, 3) OVER w AS pct_lag_3,
+{roll},
+       c.volume / NULLIF(AVG(c.volume) OVER (PARTITION BY c.ticker ORDER BY c.date ROWS BETWEEN 19 PRECEDING AND CURRENT ROW), 0) AS volume_ratio,
+       CAST(ISODOW(c.date) - 1 AS INT) AS day_of_week,
+       CAST(MONTH(c.date) AS INT) AS month,
+       CASE LOWER(e.sentiment) WHEN 'positive' THEN 1 WHEN 'negative' THEN -1 ELSE 0 END AS sentiment_score,
+       CASE WHEN e.topic = 'earnings' THEN 1 ELSE 0 END AS topic_earnings,
+       CASE WHEN e.topic = 'macro' THEN 1 ELSE 0 END AS topic_macro,
+       CASE WHEN e.topic = 'company-specific' THEN 1 ELSE 0 END AS topic_company_specific,
+       CASE WHEN e.topic = 'speculation' THEN 1 ELSE 0 END AS topic_speculation,
+       CASE WHEN ABS(LEAD(c.pct_change, 1) OVER w) < 2 THEN 'low'
+            WHEN ABS(LEAD(c.pct_change, 1) OVER w) < 5 THEN 'medium'
+            ELSE 'high' END AS target_class,
+       LEAD(c.pct_change, 1) OVER w AS next_pct
+  FROM changes c LEFT JOIN explanations e ON c.ticker = e.ticker AND c.date = e.date
+  WINDOW w AS (PARTITION BY c.ticker ORDER BY c.date)
+) WHERE next_pct IS NOT NULL""",
+    )
+
+
+register("ml_feature_matrix", oracle=_matrix_oracle())(feature_matrix)
+
+
+@register(
+    "ml_chrono_split",
+    oracle=panel.sql_with(
+        *panel.PANEL,
+        body="""
+SELECT ticker, date,
+       CASE WHEN rn <= CAST(FLOOR(n * 0.7) AS BIGINT) THEN 'train'
+            WHEN rn <= CAST(FLOOR(n * 0.85) AS BIGINT) THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT ticker, date,
+         ROW_NUMBER() OVER (ORDER BY date, ticker) AS rn,
+         COUNT(*) OVER () AS n
+  FROM prices
+)""",
+    ),
+)
+def ml_chrono_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1 — chronological 70/15/15 split, no shuffle of time order
+    (`ml/feature_engineering.py:210-261`)."""
+    df = panel.prices(spark, sf_dir).select("ticker", "date")
+    w = Window.orderBy("date", "ticker")
+    df = df.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(Window.partitionBy())
+    )
+    split = (
+        F.when(F.col("rn") <= F.floor(F.col("n") * 0.7).cast("long"), "train")
+        .when(F.col("rn") <= F.floor(F.col("n") * 0.85).cast("long"), "val")
+        .otherwise("test")
+    )
+    return df.select("ticker", "date", split.alias("split"))
+
+
+@register(
+    "ml_label_encode",
+    oracle=panel.sql_with(
+        *panel.PANEL_CHG,
+        panel.ACTUALS_CTE,
+        body="""
+SELECT ticker, date, actual_volatility_class,
+       CASE actual_volatility_class WHEN 'low' THEN 0 WHEN 'medium' THEN 1 ELSE 2 END AS label
+FROM actuals""",
+    ),
+)
+def ml_label_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2 — fixed label map {'low':0,'medium':1,'high':2}
+    (`ml/feature_engineering.py:226-228`)."""
+    return panel.actuals(spark, sf_dir).select(
+        "ticker",
+        "date",
+        "actual_volatility_class",
+        F.when(F.col("actual_volatility_class") == "low", 0)
+        .when(F.col("actual_volatility_class") == "medium", 1)
+        .otherwise(2)
+        .alias("label"),
+    )

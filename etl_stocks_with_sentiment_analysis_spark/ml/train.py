@@ -1,0 +1,134 @@
+"""M3–M8: MLlib training pipeline for the next-day volatility
+classifier (`/root/reference/ml/train.py` re-expressed Spark-first).
+
+- M4: MLlib RandomForestClassifier (the reference's sklearn RF config
+  `ml/train.py:62-70`: 200 trees, depth 10, min leaf 4, seed 42).
+  XGBoost's `SparkXGBClassifier` slot is gated behind an import-try
+  (M3) — not in this image.
+- M5: balanced class weights as a weight COLUMN (total/(k·n_class)
+  joined per row — `compute_sample_weight('balanced')` semantics,
+  `ml/train.py:89-91`), no driver-side loop.
+- M6: MulticlassClassificationEvaluator metrics.
+- M7: featureImportances.
+- M8: model.save + metadata JSON.
+
+Scale: `fit` is the only iterative stage; everything upstream is one
+lazy DataFrame. Feature vectors never leave the JVM.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.ml.classification import RandomForestClassificationModel, RandomForestClassifier
+from pyspark.ml.evaluation import MulticlassClassificationEvaluator
+from pyspark.ml.feature import VectorAssembler
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .features import BASE_FEATURES, LABELS, feature_matrix
+
+try:  # M3 — optional XGBoost-on-Spark (not in this image)
+    from xgboost.spark import SparkXGBClassifier  # type: ignore  # noqa: F401
+
+    HAS_XGB = True
+except Exception:  # pragma: no cover
+    HAS_XGB = False
+
+
+@dataclass
+class TrainResult:
+    model: RandomForestClassificationModel
+    metrics: dict[str, float]
+    feature_importances: list[tuple[str, float]]
+    model_version: str
+
+
+def prepare(df: DataFrame) -> DataFrame:
+    """Label-encode target, fill feature NULLs, add balanced weights."""
+    label = (
+        F.when(F.col("target_class") == "low", 0.0)
+        .when(F.col("target_class") == "medium", 1.0)
+        .otherwise(2.0)
+    )
+    df = df.withColumn("label", label).na.fill(0.0, subset=BASE_FEATURES)
+    # M5: weight = total / (n_classes * count(class)) — computed
+    # distributively (window counts), joined per row with no collect.
+    n_total = F.count("*").over(Window.partitionBy())
+    n_class = F.count("*").over(Window.partitionBy("label"))
+    return df.withColumn("weight", n_total / (F.lit(len(LABELS)) * n_class))
+
+
+def chrono_split(df: DataFrame, test_frac: float = 0.3) -> tuple[DataFrame, DataFrame]:
+    """M1 — time-ordered split: train on the earliest (1-test_frac) of
+    dates, test on the rest. Split by DATE RANK (not global row
+    number) so the boundary is a date — shuffle-free at scale."""
+    dates = df.select("date").distinct()
+    w = Window.orderBy("date")
+    ranked = dates.withColumn("dr", F.percent_rank().over(w))
+    boundary = ranked.filter(F.col("dr") <= 1 - test_frac).agg(F.max("date")).first()[0]
+    return df.filter(F.col("date") <= boundary), df.filter(F.col("date") > boundary)
+
+
+def train(
+    spark: SparkSession,
+    sf_dir: str,
+    num_trees: int = 200,
+    max_depth: int = 10,
+    model_version: str = "rf-v1.0",
+) -> TrainResult:
+    df = prepare(feature_matrix(spark, sf_dir))
+    train_df, test_df = chrono_split(df)
+    assembler = VectorAssembler(
+        inputCols=BASE_FEATURES, outputCol="features", handleInvalid="keep"
+    )
+    rf = RandomForestClassifier(
+        numTrees=num_trees,
+        maxDepth=max_depth,
+        minInstancesPerNode=4,
+        seed=42,
+        labelCol="label",
+        featuresCol="features",
+        weightCol="weight",
+    )
+    model = rf.fit(assembler.transform(train_df))
+    pred = model.transform(assembler.transform(test_df))
+
+    metrics = {}
+    for name in ("accuracy", "f1", "weightedRecall", "weightedPrecision"):
+        ev = MulticlassClassificationEvaluator(
+            labelCol="label", predictionCol="prediction", metricName=name
+        )
+        metrics[name] = ev.evaluate(pred)
+
+    importances = sorted(
+        zip(BASE_FEATURES, model.featureImportances.toArray().tolist()),
+        key=lambda t: -t[1],
+    )[:15]
+    return TrainResult(model, metrics, importances, model_version)
+
+
+def save(result: TrainResult, path: str) -> None:
+    """M8 — persist model + metadata JSON (mirrors pickle+metadata,
+    `ml/train.py:169-219`)."""
+    result.model.write().overwrite().save(os.path.join(path, "model"))
+    with open(os.path.join(path, "metadata.json"), "w") as f:
+        json.dump(
+            {
+                "model_version": result.model_version,
+                "features": BASE_FEATURES,
+                "labels": LABELS,
+                "metrics": result.metrics,
+            },
+            f,
+            indent=2,
+        )
+
+
+def load(spark: SparkSession, path: str) -> tuple[RandomForestClassificationModel, dict]:
+    model = RandomForestClassificationModel.load(os.path.join(path, "model"))
+    with open(os.path.join(path, "metadata.json")) as f:
+        meta = json.load(f)
+    return model, meta

@@ -1,0 +1,202 @@
+"""Structured Streaming analogs (SURVEY.md §2.10).
+
+The reference "streams" by daily cron batch + anti-join delta +
+idempotent insert (`stock_grok_pipeline.py:34,182-195`). The faithful
+Spark mapping is an incremental file-source stream with
+Trigger.AvailableNow + dropDuplicates (exactly-once-ish replays), and
+tumbling-window aggregation over the `events` table as the daily-bars
+analog.
+
+Registered query keys run the BATCH-equivalent plan (same semantics,
+SQL-expressible → exact oracle); the true readStream path is driven
+in tests/test_streaming.py with a memory sink and asserted equal to
+the batch result.
+
+Scale: the streaming agg state is keyed (day, event_type) — bounded
+cardinality; the watermark bounds state for late data; file-source
+backlog is processed in AvailableNow increments.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from ..registry import register
+from ..sources import load_table
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # nanos-as-long (see sources.readers)
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def _daily_agg(events: DataFrame, streaming: bool = False) -> DataFrame:
+    """Shared logic for batch and streaming paths: 1-day tumbling
+    window per event_type; exact cents-sum of value. Streaming can't
+    do exact COUNT(DISTINCT) (unbounded per-group state) — it uses
+    approx_count_distinct, the standard scale answer."""
+    n_users = (
+        F.approx_count_distinct("user_id") if streaming else F.countDistinct("user_id")
+    )
+    return (
+        events.groupBy(
+            F.window("ts", "1 day").alias("win"), F.col("event_type")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            n_users.alias("n_users"),
+            (
+                F.sum(F.round(F.col("value") * 100, 0).cast("long")).cast("double")
+                / 100.0
+            ).alias("total_value"),
+        )
+        .select(
+            F.col("win.start").cast("date").alias("day"),
+            "event_type",
+            "n_events",
+            "n_users",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "streaming_tumbling_daily",
+    oracle="""
+SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS day,
+       event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
+FROM events
+GROUP BY 1, 2""",
+)
+def streaming_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day windows over events (batch-equivalent plan of
+    the streaming agg; the readStream twin is driven in tests)."""
+    return _daily_agg(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "streaming_dedup_events",
+    oracle="""
+SELECT event_type, COUNT(*) AS n
+FROM (SELECT DISTINCT event_id, event_type FROM events)
+GROUP BY event_type""",
+)
+def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicates on the event key — the S3 idempotent-replay
+    semantics in streaming form (state-backed dedup + watermark)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select("event_id", "event_type")
+        .dropDuplicates(["event_id", "event_type"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "streaming_sessionize",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_start
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts, event_id,
+         SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM ordered
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       COUNT(*) AS n_events,
+       MIN(ts) AS session_start
+FROM sessions GROUP BY user_id, session_id""",
+)
+def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-min inactivity gap): lag-gap flag + running
+    sum — the batch twin of `session_window(ts, '30 minutes')`."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    is_start = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
+    wsum = w.rowsBetween(Window.unboundedPreceding, 0)
+    df = ev.select("user_id", "ts", "event_id", is_start.alias("is_start"))
+    df = df.withColumn("session_id", F.sum("is_start").over(wsum))
+    return df.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"), F.min("ts").alias("session_start")
+    )
+
+
+# ---------------------------------------------------------------------------
+# True Structured Streaming paths (exercised in tests)
+# ---------------------------------------------------------------------------
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (nanos→micros like
+    the batch reader)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)  # file source wants a directory; filter to events
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_incremental_daily(
+    spark: SparkSession, sf_dir: str, query_name: str = "daily_bars"
+):
+    """Incremental daily-bars job: watermark for late data, tumbling
+    agg, AvailableNow trigger (the cron-batch analog), memory sink for
+    observation. Returns the StreamingQuery (caller awaits/stops)."""
+    agg = _daily_agg(
+        stream_events(spark, sf_dir).withWatermark("ts", "1 day"), streaming=True
+    )
+    return (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def run_dedup_stream(
+    spark: SparkSession, sf_dir: str, query_name: str = "dedup_events"
+):
+    """Streaming dropDuplicates with watermark — S3's idempotent-replay
+    semantics as bounded streaming state."""
+    ev = stream_events(spark, sf_dir).withWatermark("ts", "1 day")
+    deduped = ev.dropDuplicates(["event_id"])
+    return (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

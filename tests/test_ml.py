@@ -1,0 +1,81 @@
+"""ML pipeline (M1-M9): training invariants in the reference's style
+(`/root/reference/ml/README.md:180-183` floors, `tests/` bounds) plus
+end-to-end inference→upsert."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from etl_stocks_with_sentiment_analysis_spark.ml import predict as mlpredict
+from etl_stocks_with_sentiment_analysis_spark.ml import train as mltrain
+from etl_stocks_with_sentiment_analysis_spark.ml.features import (
+    BASE_FEATURES,
+    feature_matrix,
+)
+
+
+@pytest.fixture(scope="module")
+def trained(spark, sf_dir):
+    return mltrain.train(spark, sf_dir, num_trees=20, max_depth=6)
+
+
+def test_feature_matrix_shape_and_floor(spark, sf_dir):
+    df = feature_matrix(spark, sf_dir)
+    assert set(BASE_FEATURES) <= set(df.columns)
+    assert df.count() >= 100  # minimum viable training set (ml/README.md:181)
+    classes = {r.target_class for r in df.select("target_class").distinct().collect()}
+    assert classes <= {"low", "medium", "high"}
+
+
+def test_balanced_weights_sum_per_class(spark, sf_dir):
+    df = mltrain.prepare(feature_matrix(spark, sf_dir))
+    # balanced weights: every class contributes total/k weight mass
+    sums = (
+        df.groupBy("label")
+        .agg(F.sum("weight").alias("s"))
+        .collect()
+    )
+    vals = [r.s for r in sums]
+    assert max(vals) - min(vals) < 1e-6
+
+
+def test_chrono_split_no_leakage(spark, sf_dir):
+    df = feature_matrix(spark, sf_dir)
+    train_df, test_df = mltrain.chrono_split(df)
+    max_train = train_df.agg(F.max("date")).first()[0]
+    min_test = test_df.agg(F.min("date")).first()[0]
+    assert max_train < min_test  # strictly time-ordered, no shuffle leakage
+
+
+def test_train_metrics_beat_random(trained):
+    # 3-class problem: random ≈ 1/3; the persistence-feature model must beat it
+    assert trained.metrics["accuracy"] > 0.34
+    assert len(trained.feature_importances) == 15
+
+
+def test_model_save_load_roundtrip(spark, trained, tmp_path):
+    path = str(tmp_path / "model")
+    mltrain.save(trained, path)
+    model, meta = mltrain.load(spark, path)
+    assert meta["model_version"] == trained.model_version
+    assert meta["features"] == BASE_FEATURES
+
+
+def test_inference_schema_and_upsert(spark, sf_dir, trained, tmp_path):
+    preds = mlpredict.predict_next_day(spark, sf_dir, trained.model, "rf-test")
+    rows = preds.collect()
+    n_tickers = feature_matrix(spark, sf_dir).select("ticker").distinct().count()
+    assert len(rows) == n_tickers  # one prediction per ticker (W10 latest-row)
+    for r in rows:
+        assert r.predicted_volatility_class in ("low", "medium", "high")
+        assert 0.0 <= r.confidence <= 1.0
+    # next business day is never a weekend (F12)
+    weekend = preds.filter(((F.dayofweek("date") + 5) % 7) >= 5).count()
+    assert weekend == 0
+    # upsert round-trip is idempotent on (ticker, date, model_version)
+    target = str(tmp_path / "preds")
+    from etl_stocks_with_sentiment_analysis_spark.operators import sinks
+
+    sinks.upsert(spark, target, preds, ["ticker", "date", "model_version"])
+    sinks.upsert(spark, target, preds, ["ticker", "date", "model_version"])
+    assert spark.read.parquet(target).count() == len(rows)
