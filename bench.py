@@ -1,0 +1,68 @@
+"""Benchmark harness: runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Each query is forced to full materialization with the `noop` sink
+(count() would let Catalyst skip projected columns). Headline set
+covers the whole physical spine: scan→agg (panel), window shuffle,
+fact join, scored lineage, LSH explode pipeline, ANN broadcast
+topk, streaming-batch twin, and the ML feature matrix.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from etl_stocks_with_sentiment_analysis_spark import registry
+from etl_stocks_with_sentiment_analysis_spark.session import get_spark
+
+HEADLINE = [
+    "source_market_batch",
+    "window_lag_prev_close",
+    "window_rsi",
+    "join_left_prices_grok",
+    "agg_accuracy_by_stock",
+    "ml_feature_matrix",
+    "dedup_minhash_lsh",
+    "similarity_bruteforce_topk",
+    "text_quality_score",
+    "streaming_tumbling_daily",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = registry.all_queries()
+
+    timings: dict[str, float] = {}
+    for key in HEADLINE:
+        df = qs[key](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()  # warm (JIT, file listing)
+        t0 = time.time()
+        qs[key](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[key] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
