@@ -27,10 +27,11 @@ FROM changes c LEFT JOIN explanations e ON c.ticker = e.ticker AND c.date = e.da
 )
 def join_left_prices_grok(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 — the central fact-table LEFT join prices ⟕ explanations
-    (`fct_prices_with_grok.sql:21-24`); unmatched rows keep NULLs."""
-    c = panel.changes(spark, sf_dir)
-    e = panel.explanations(spark, sf_dir)
-    return c.join(e, ["ticker", "date"], "left").select(
+    (`fct_prices_with_grok.sql:21-24`); unmatched rows keep NULLs.
+    Physical shape: join-before-window (panel.enriched) — both agg
+    outputs are co-partitioned on the join key, so the join adds no
+    exchange."""
+    return panel.enriched(spark, sf_dir).select(
         "ticker", "date", "close", "pct_change", "sentiment", "topic", "explanation"
     )
 

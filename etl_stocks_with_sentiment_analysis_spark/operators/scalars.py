@@ -352,11 +352,9 @@ FROM changes c LEFT JOIN explanations e ON c.ticker = e.ticker AND c.date = e.da
 def encode_sentiment_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F15 — sentiment→{1,0,-1} with fillna(0)
     (`ml/feature_engineering.py:152-155`)."""
-    c = panel.changes(spark, sf_dir)
-    e = panel.explanations(spark, sf_dir)
     sent = F.lower("sentiment")
     return (
-        c.join(e, ["ticker", "date"], "left")
+        panel.enriched(spark, sf_dir)
         .select(
             "ticker",
             "date",
