@@ -1,6 +1,6 @@
-"""Deduplication operators over the `documents` table.
+"""Deduplication operators over the `documents` / `embeddings` tables.
 
-Four families, all shuffle-bounded (no O(n²) cross joins):
+Five families, all shuffle-bounded (no O(n²) cross joins):
 
 - exact:      hash-groupBy on a content fingerprint — one shuffle.
 - minhash+LSH: shingle → k minhashes → band buckets → bucket self-join.
@@ -11,6 +11,8 @@ Four families, all shuffle-bounded (no O(n²) cross joins):
   bucket by fingerprint equality.
 - n-gram jaccard: inverted-index join (word → doc pairs) restricted to
   a candidate neighborhood, then exact Jaccard on distinct-word sets.
+- embedding cosine: sign-LSH (random-hyperplane family, axis-aligned)
+  bucket prefilter → exact cosine only within a bucket.
 
 Cross-engine determinism: all hashing is MD5 (identical hex strings in
 Spark and DuckDB); minhash minima are lexicographic string minima.
@@ -199,6 +201,78 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # N-gram Jaccard (inverted-index join)
 # ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup (sign-LSH bucketed)
+# ---------------------------------------------------------------------------
+
+_COS_THRESHOLD = 0.25
+
+_EMB_COS_ORACLE = f"""
+WITH sc AS (
+  SELECT vec_id,
+         LIST_TRANSFORM(embedding, e -> ROUND(CAST(e AS DOUBLE) * 10000, 0)) AS v
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, v, LIST_DOT_PRODUCT(v, v) AS nrm,
+         LIST_AGGREGATE(LIST_TRANSFORM(v[1:8],
+             x -> CASE WHEN x > 0 THEN '1' ELSE '0' END), 'string_agg', '') AS bucket
+  FROM sc
+)
+SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+       ROUND(LIST_DOT_PRODUCT(a.v, b.v) / SQRT(a.nrm * b.nrm), 6) AS cosine
+FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE LIST_DOT_PRODUCT(a.v, b.v) / SQRT(a.nrm * b.nrm) >= {_COS_THRESHOLD}"""
+
+
+@register("dedup_embedding_cosine", oracle=_EMB_COS_ORACLE)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: sign-LSH bucket (signs of the
+    first 8 components — an axis-aligned random-hyperplane family),
+    exact cosine only inside a bucket, keep pairs ≥ threshold.
+
+    Scale: the self-join shuffles on the 8-bit bucket key, so candidate
+    volume is ~n²/2^bits instead of n²; high-cosine pairs almost always
+    agree on hyperplane signs, which is exactly the SimHash guarantee.
+    Determinism: vectors quantized to integer-valued doubles → dot
+    products are exact; sqrt/divide are IEEE-identical cross-engine.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    scaled = "transform(embedding, e -> round(CAST(e AS DOUBLE) * 10000, 0))"
+    dot = (
+        "aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
+        " CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+    n = emb.select(
+        "vec_id",
+        F.expr(scaled).alias("v"),
+        F.expr(dot.format(a=scaled, b=scaled)).alias("nrm"),
+        F.expr(
+            f"concat_ws('', transform(slice({scaled}, 1, 8),"
+            " x -> IF(x > 0, '1', '0')))"
+        ).alias("bucket"),
+    )
+    a = n.select(
+        F.col("vec_id").alias("doc_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+        "bucket",
+    )
+    b = n.select(
+        F.col("vec_id").alias("doc_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+        "bucket",
+    )
+    cosine = F.expr(dot.format(a="va", b="vb")) / F.sqrt(F.col("na") * F.col("nb"))
+    return (
+        a.join(b, ["bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(cosine >= _COS_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(cosine, 6).alias("cosine"))
+    )
+
 
 _JACCARD_ORACLE = """
 WITH words AS (
