@@ -12,11 +12,21 @@ from pyspark.sql import functions as F
 from ..operators import sinks
 from ..registry import register
 from .features import LABELS, feature_matrix
-from .train import prepare, train
+from .train import TrainResult, prepare, train
 
 from pyspark.ml.feature import VectorAssembler
 
 from .features import BASE_FEATURES
+
+# One model per sf_dir serves every registered ML key in a harness run
+# (M4/M6/M7/U3/M9 all reuse it) — the iterative fit happens once.
+_TRAIN_CACHE: dict[str, TrainResult] = {}
+
+
+def cached_train(spark: SparkSession, sf_dir: str) -> TrainResult:
+    if sf_dir not in _TRAIN_CACHE:
+        _TRAIN_CACHE[sf_dir] = train(spark, sf_dir, num_trees=20, max_depth=6)
+    return _TRAIN_CACHE[sf_dir]
 
 
 def predict_next_day(
@@ -71,5 +81,52 @@ def ml_infer_next_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     Non-SQL-expressible (iterative fit) — driver rows-only check;
     invariants (classes, confidence bounds, business days) are
     asserted in tests/test_ml.py."""
-    result = train(spark, sf_dir, num_trees=20, max_depth=6)
+    result = cached_train(spark, sf_dir)
     return predict_next_day(spark, sf_dir, result.model, result.model_version)
+
+
+@register("ml_train_rf", oracle=None)  # iterative ML → rows-only check
+def ml_train_rf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4+M5+M6 — RandomForest fit (balanced weight column) evaluated
+    on the chronological holdout; returns the evaluator metrics as rows
+    (`/root/reference/ml/train.py:52-143`)."""
+    result = cached_train(spark, sf_dir)
+    rows = [(k, float(v)) for k, v in sorted(result.metrics.items())]
+    return spark.createDataFrame(rows, "metric STRING, value DOUBLE")
+
+
+@register("ml_feature_importance", oracle=None)  # model-derived → rows-only
+def ml_feature_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7 — top-15 Gini feature importances
+    (`/root/reference/ml/train.py:146-154`)."""
+    result = cached_train(spark, sf_dir)
+    rows = [
+        (rank + 1, name, float(imp))
+        for rank, (name, imp) in enumerate(result.feature_importances)
+    ]
+    return spark.createDataFrame(rows, "rank INT, feature STRING, importance DOUBLE")
+
+
+@register("udf_model_predict", oracle=None)  # model transform → rows-only
+def udf_model_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3 — batch model scoring (`ml/predict.py:83-91`): MLlib
+    `model.transform` over the full feature matrix; confidence = max
+    class probability via `vector_to_array` (JVM-side, no Python UDF)."""
+    result = cached_train(spark, sf_dir)
+    df = prepare(feature_matrix(spark, sf_dir))
+    assembler = VectorAssembler(
+        inputCols=BASE_FEATURES, outputCol="features", handleInvalid="keep"
+    )
+    pred = result.model.transform(assembler.transform(df))
+    label_expr = (
+        F.when(F.col("prediction") == 0, LABELS[0])
+        .when(F.col("prediction") == 1, LABELS[1])
+        .otherwise(LABELS[2])
+    )
+    probs = vector_to_array(F.col("probability"))
+    return pred.select(
+        "ticker",
+        "date",
+        label_expr.alias("predicted_volatility_class"),
+        F.round(F.array_max(probs), 4).alias("confidence"),
+    )

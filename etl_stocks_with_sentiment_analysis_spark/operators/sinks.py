@@ -1,4 +1,5 @@
-"""Sink operators (SURVEY.md §2.1, S3–S7).
+"""Sink operators (SURVEY.md §2.1, S3–S7): insert-ignore, upsert,
+create-if-absent, CSV export.
 
 Spark has no engine-enforced UNIQUE constraints, so the reference's
 `ON CONFLICT` semantics (`/root/reference/init.sql:14,25`,
@@ -19,6 +20,7 @@ re-run safety).
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -158,3 +160,44 @@ def sink_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kept = existing.join(incoming.select("ticker", "date"), ["ticker", "date"], "left_anti")
     return incoming.unionByName(kept)
+
+
+_S5_ORACLE = panel.sql_with(
+    *panel.PANEL_CHG,
+    panel.PREDICTIONS_CTE,
+    body="SELECT * FROM predictions WHERE 1 = 0",
+)
+
+
+@register("sink_create_table", oracle=_S5_ORACLE)
+def sink_create_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 — lazy sink creation (`ml/data_loader.py:123-137`): create an
+    empty table with the sink schema if absent; second call is a no-op
+    (CREATE TABLE IF NOT EXISTS semantics). Read-back proves both the
+    schema and the idempotence (still zero rows after two calls)."""
+    target = os.path.join(tempfile.mkdtemp(prefix="spark_s5_"), "predictions")
+    template = panel.predictions(spark, sf_dir)
+    create_table_if_absent(spark, target, template)
+    create_table_if_absent(spark, target, template)  # must not overwrite/append
+    return spark.read.parquet(target)
+
+
+_S7_ORACLE = panel.sql_with(
+    *panel.PANEL_CHG,
+    panel.PREDICTIONS_CTE,
+    body="SELECT * FROM predictions",
+)
+
+
+@register("sink_csv", oracle=_S7_ORACLE)
+def sink_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 — CSV export (`ml/predict.py:209-211`) + schema'd read-back.
+    Doubles survive the roundtrip exactly: Spark writes shortest-repr
+    decimal strings, which parse back to the identical IEEE double."""
+    target = os.path.join(tempfile.mkdtemp(prefix="spark_s7_"), "preds_csv")
+    write_csv(panel.predictions(spark, sf_dir), target)
+    schema = (
+        "ticker LONG, date DATE, predicted_volatility_class STRING, "
+        "predicted_volatility DOUBLE, confidence DOUBLE, model_version STRING"
+    )
+    return spark.read.csv(target, header=True, schema=schema)

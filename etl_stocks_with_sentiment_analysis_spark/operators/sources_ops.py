@@ -82,3 +82,28 @@ def source_enrich_llm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("general")
     )
     return docs.select("doc_id", sentiment.alias("sentiment"), topic.alias("topic"))
+
+
+_S9_ORACLE = panel.sql_with(
+    panel.PRICES_CTE,
+    panel.EXPLANATIONS_CTE,
+    body="SELECT * FROM explanations",
+)
+
+
+@register("source_backup_restore", oracle=_S9_ORACLE)
+def source_backup_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 — seed-artifact backup/restore: CSV dump of the explanations
+    table (the `grok_explanations_backup.csv` analog) read back with an
+    explicit schema — never inferSchema (it scans the data twice)."""
+    import os
+    import tempfile
+
+    target = os.path.join(tempfile.mkdtemp(prefix="spark_s9_"), "backup_csv")
+    panel.explanations(spark, sf_dir).write.mode("overwrite").option(
+        "header", True
+    ).csv(target)
+    schema = (
+        "ticker LONG, date DATE, sentiment STRING, topic STRING, explanation STRING"
+    )
+    return spark.read.csv(target, header=True, schema=schema)
