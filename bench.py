@@ -29,6 +29,7 @@ HEADLINE = [
     "agg_accuracy_by_stock",
     "ml_feature_matrix",
     "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
     "similarity_bruteforce_topk",
     "text_quality_score",
     "streaming_tumbling_daily",

@@ -131,15 +131,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sig")
         )
     )
-    a = bands.select(
-        F.col("doc_id").alias("doc_a"), "band", F.col("sig").alias("sig_a")
-    )
-    b = bands.select(
-        F.col("doc_id").alias("doc_b"), "band", F.col("sig").alias("sig_b")
-    )
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "sig")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "sig")
+    # Join on (band, sig) — the full bucket key. Joining on band alone
+    # (4 values) would be a disguised cross join; with sig in the hash
+    # key, bucket cardinality ~ n_docs and the shuffle stays balanced.
     return (
-        a.join(b, ["band"])
-        .filter((F.col("sig_a") == F.col("sig_b")) & (F.col("doc_a") < F.col("doc_b")))
+        a.join(b, ["band", "sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
     )
