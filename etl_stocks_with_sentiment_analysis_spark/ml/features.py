@@ -44,10 +44,15 @@ BASE_FEATURES = [
 
 
 def feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full (ticker, date) → features + target_class frame."""
+    """The full (ticker, date) → features + target_class frame.
+
+    Built over panel.enriched (join-BEFORE-window): the left join runs
+    on the two agg outputs while both are still hash-partitioned on
+    the grouping key, and every window feature below reuses enriched's
+    (ticker)-partitioning and date sort — one window exchange for the
+    entire matrix (4 exchanges total vs 6 for the window-first shape)."""
     w = Window.partitionBy("ticker").orderBy("date")
-    chg = panel.changes(spark, sf_dir)
-    expl = panel.explanations(spark, sf_dir)
+    base = panel.enriched(spark, sf_dir)
 
     sc = exact.scaled(F.col("pct_change"), 10000)
     roll = []
@@ -62,7 +67,7 @@ def feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     next_pct = F.lead("pct_change", 1).over(w)
     abs_next = F.abs(next_pct)
 
-    df = chg.join(expl, ["ticker", "date"], "left").select(
+    df = base.select(
         "ticker",
         "date",
         "pct_change",
