@@ -107,29 +107,25 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("sh"),
     )
-    mh = (
-        shingle.select(
-            "doc_id",
-            "sh",
-            F.explode(F.sequence(F.lit(0), F.lit(_N_SEEDS - 1))).alias("s"),
-        )
-        .groupBy("doc_id", "s")
-        .agg(
-            F.min(F.md5(F.concat(F.col("s").cast("string"), F.lit("|"), F.col("sh"))))
-            .alias("h")
-        )
+    # All seeds as parallel columns: one groupBy(doc_id) computes the 8
+    # minima in a single map-side-combinable pass — no seed explode
+    # (8x row inflation avoided) and one shuffle instead of two.
+    mh = shingle.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("sh")))).alias(f"h{s}")
+            for s in range(_N_SEEDS)
+        ]
     )
-    bands = (
-        mh.withColumn("band", F.expr(f"s div {_BAND_ROWS}"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("s", "h"))), lambda x: x["h"]
-                ),
-                ",",
-            ).alias("sig")
-        )
+    n_bands = _N_SEEDS // _BAND_ROWS
+    stack_args = ", ".join(
+        f"{b}, concat_ws(',', "
+        + ", ".join(f"h{s}" for s in range(b * _BAND_ROWS, (b + 1) * _BAND_ROWS))
+        + ")"
+        for b in range(n_bands)
+    )
+    bands = mh.select(
+        "doc_id",
+        F.expr(f"stack({n_bands}, {stack_args})").alias("band", "sig"),
     )
     a = bands.select(F.col("doc_id").alias("doc_a"), "band", "sig")
     b = bands.select(F.col("doc_id").alias("doc_b"), "band", "sig")
