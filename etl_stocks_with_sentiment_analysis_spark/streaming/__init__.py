@@ -1,1 +1,1 @@
-from . import ingest  # noqa: F401
+from . import ingest, stateful  # noqa: F401

@@ -40,3 +40,15 @@ def test_sessionize_gap_semantics(spark, sf_dir):
     assert sess.groupBy("user_id").agg(F.min("session_id").alias("m")).filter(
         F.col("m") != 1
     ).count() == 0
+
+
+def test_stateful_running_total_matches_batch(spark, sf_dir):
+    from etl_stocks_with_sentiment_analysis_spark.streaming import stateful
+
+    q = stateful.run_running_total_stream(spark, sf_dir, query_name="t_rt")
+    q.awaitTermination(120)
+    streamed = spark.sql("SELECT * FROM t_rt")
+    batch = stateful.streaming_stateful_running_total(spark, sf_dir)
+    a = {tuple(map(str, r)) for r in streamed.collect()}
+    b = {tuple(map(str, r)) for r in batch.collect()}
+    assert a == b
