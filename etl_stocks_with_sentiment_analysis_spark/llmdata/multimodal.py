@@ -102,3 +102,90 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_multimodal.py."""
     docs = load_table(spark, sf_dir, "documents")
     return extract_features(with_binary_payload(docs))
+
+
+_RESIZE_CAP = 256
+
+
+def resize_stub(payload: bytes, cap: int = _RESIZE_CAP) -> bytes:
+    """Deterministic fake resize: truncate the blob to `cap` bytes.
+    Production slot: PIL `thumbnail((64, 64))` re-encode."""
+    return payload[:cap]
+
+
+@register(
+    "multimodal_resize",
+    oracle=f"""
+SELECT doc_id,
+       CAST(LEAST(OCTET_LENGTH(ENCODE(text)), {_RESIZE_CAP}) AS BIGINT) AS n_bytes_resized,
+       CAST(64 AS INT) AS width, CAST(64 AS INT) AS height
+FROM documents""",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stage: binary→binary mapInPandas (Arrow round-trips the
+    blobs; nothing is collected). The oracle checks the STUB's actual
+    output length, so the Python stage itself is hash-verified."""
+    schema = "doc_id BIGINT, n_bytes_resized BIGINT, width INT, height INT"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [resize_stub(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "n_bytes_resized": [len(r) for r in resized],
+                    "width": 64,
+                    "height": 64,
+                }
+            )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return with_binary_payload(docs).mapInPandas(gen, schema)
+
+
+_FRAME_BYTES = 32
+_SAMPLE_EVERY = 2
+
+_FRAME_ORACLE = f"""
+WITH f AS (
+  SELECT doc_id, text,
+         UNNEST(GENERATE_SERIES(0,
+             CAST(CEIL(LENGTH(text) / {_FRAME_BYTES}.0) AS INT) - 1)) AS i
+  FROM documents
+)
+SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+       MD5(SUBSTR(text, i * {_FRAME_BYTES} + 1, {_FRAME_BYTES})) AS frame_md5
+FROM f WHERE i % {_SAMPLE_EVERY} = 0"""
+
+
+@register("multimodal_frame_sample", oracle=_FRAME_ORACLE)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: treat the blob as fixed-size frames, keep every
+    k-th, fingerprint each (video keyframe-extraction plumbing). The
+    explode happens INSIDE the Arrow stage — output rows ≈ len/k per
+    doc, never materialized on the driver. Oracle = byte-identical MD5
+    per sampled frame (documents are ASCII so char frames = byte
+    frames)."""
+    import hashlib
+
+    schema = "doc_id BIGINT, frame_idx BIGINT, frame_md5 STRING"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, md5s = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                blob = bytes(payload)
+                for i in range(0, -(-len(blob) // _FRAME_BYTES), _SAMPLE_EVERY):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    md5s.append(
+                        hashlib.md5(
+                            blob[i * _FRAME_BYTES : (i + 1) * _FRAME_BYTES]
+                        ).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_md5": md5s}
+            )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return with_binary_payload(docs).mapInPandas(gen, schema)
