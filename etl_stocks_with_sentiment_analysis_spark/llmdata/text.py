@@ -124,3 +124,67 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         fp.alias("fingerprint"),
         F.substring(fp, 1, 8).alias("fingerprint_short"),
     )
+
+
+_WINNOW_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents
+  WHERE LEN(STRING_SPLIT(text, ' ')) >= 3
+),
+sh AS (
+  SELECT doc_id, UNNEST(GENERATE_SERIES(1, LEN(ws) - 2)) AS pos, ws FROM tok
+),
+hashed AS (
+  SELECT doc_id, pos,
+         LIST_REDUCE(
+           LIST_TRANSFORM(
+             GENERATE_SERIES(1, LENGTH(ws[pos] || ' ' || ws[pos+1] || ' ' || ws[pos+2])),
+             i -> CAST(ASCII(SUBSTR(ws[pos] || ' ' || ws[pos+1] || ' ' || ws[pos+2], i, 1)) AS BIGINT)),
+           (h, c) -> (h * 257 + c) % 1000000007) AS h
+  FROM sh
+)
+SELECT DISTINCT doc_id,
+       MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+FROM hashed"""
+
+
+@register("text_winnow_fingerprint", oracle=_WINNOW_ORACLE)
+def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS algorithm): Rabin-Karp
+    polynomial rolling hash (base 257 mod 1e9+7, exact BIGINT
+    arithmetic cross-engine) per word-3-shingle, then keep the MINIMUM
+    hash of every sliding window of 4 shingles — guarantees any match
+    of ≥ window length shares a fingerprint, with O(len/window)
+    selected hashes per doc.
+
+    Scale: hashing is per-row JVM codegen; the winnow is ONE window
+    pass partitioned by doc_id; the distinct fingerprint set shuffles
+    only (doc_id, fp) pairs. Fingerprint-bucket self-join downstream
+    finds candidates like dedup_minhash_lsh's band join.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    tok = docs.select("doc_id", F.split("text", " ").alias("ws")).filter(
+        F.size("ws") >= 3
+    )
+    sh = tok.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, size(ws) - 3),"
+                " i -> concat_ws(' ', ws[i], ws[i + 1], ws[i + 2]))"
+            )
+        ).alias("pos", "sh"),
+    )
+    roll = (
+        "aggregate(transform(sequence(1, length(sh)),"
+        " i -> CAST(ascii(substring(sh, i, 1)) AS LONG)),"
+        " CAST(0 AS LONG), (h, c) -> (h * 257 + c) % 1000000007)"
+    )
+    hashed = sh.select("doc_id", "pos", F.expr(roll).alias("h"))
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-3, 0)
+    return hashed.select(
+        "doc_id", F.min("h").over(w).alias("fp")
+    ).distinct()
