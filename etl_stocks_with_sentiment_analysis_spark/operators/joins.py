@@ -128,3 +128,88 @@ def join_scalar_subquery_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.join(F.broadcast(latest), "model_version").select(
         "ticker", "date", "predicted_volatility_class", "model_version"
     )
+
+
+@register(
+    "join_asof_latest_explanation",
+    oracle=panel.sql_with(
+        panel.PRICES_CTE,
+        panel.EXPLANATIONS_CTE,
+        body="""
+SELECT p.ticker, p.date, p.close, e.sentiment, e.topic, e.date AS asof_date
+FROM prices p ASOF LEFT JOIN explanations e
+  ON p.ticker = e.ticker AND e.date <= p.date""",
+    ),
+)
+def join_asof_latest_explanation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (backward) join — an operator Spark lacks natively: each
+    price row picks the LATEST explanation at or before its date.
+    (Beyond the reference, which meets its only as-of-like need with
+    LAG — SURVEY.md §2.3; oracle uses DuckDB's native ASOF JOIN.)
+
+    Implementation is the scale-correct union-merge: tag both sides,
+    union, one (ticker)-window `last(..., ignorenulls)` carries the
+    most recent explanation forward, keep price rows. ONE window
+    exchange on the union — never the O(n·m) range join a naive
+    `e.date <= p.date` predicate would plan.
+    """
+    from pyspark.sql import Window
+
+    p = panel.prices(spark, sf_dir).select(
+        "ticker", "date", "close",
+        F.lit(1).alias("is_price"),
+        F.lit(None).cast("string").alias("sentiment"),
+        F.lit(None).cast("string").alias("topic"),
+        F.lit(None).cast("date").alias("edate"),
+    )
+    e = panel.explanations(spark, sf_dir).select(
+        "ticker", "date",
+        F.lit(None).cast("double").alias("close"),
+        F.lit(0).alias("is_price"),
+        "sentiment", "topic",
+        F.col("date").alias("edate"),
+    )
+    # On equal dates the explanation row (is_price=0) sorts first, so a
+    # same-date explanation is visible to the price row (ASOF <=).
+    w = (
+        Window.partitionBy("ticker")
+        .orderBy("date", "is_price")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    u = p.unionByName(e)
+    return (
+        u.select(
+            "ticker", "date", "close", "is_price",
+            F.last("sentiment", ignorenulls=True).over(w).alias("sentiment"),
+            F.last("topic", ignorenulls=True).over(w).alias("topic"),
+            F.last("edate", ignorenulls=True).over(w).alias("asof_date"),
+        )
+        .filter(F.col("is_price") == 1)
+        .drop("is_price")
+    )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    how: str = "inner",
+    n_salt: int = 8,
+) -> DataFrame:
+    """Skew-resilient equi-join: spread each hot key over ``n_salt``
+    shuffle partitions by salting the (typically larger) left side and
+    replicating the right side once per salt value.
+
+    Semantics-preserving for inner/left/left_anti equi-joins: every
+    left row still meets exactly the right rows of its key. Use when a
+    single key dominates (AQE's skew-join split handles moderate skew
+    automatically; salting is the explicit fix when one key exceeds an
+    executor). Cost: right side × n_salt — keep the replicated side
+    the small one.
+    """
+    salt = F.pmod(F.hash(*[F.col(c) for c in left.columns]), F.lit(n_salt))
+    l_ = left.withColumn("__salt", salt)
+    r_ = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    )
+    return l_.join(r_, keys + ["__salt"], how).drop("__salt")
