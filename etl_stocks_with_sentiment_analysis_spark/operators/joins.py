@@ -213,3 +213,65 @@ def salted_join(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
     )
     return l_.join(r_, keys + ["__salt"], how).drop("__salt")
+
+
+_RANGE_ORACLE = """
+SELECT a.event_id AS click_id, b.event_id AS follow_id, b.event_type AS follow_type,
+       EPOCH_US(b.ts) - EPOCH_US(a.ts) AS gap_us
+FROM events a JOIN events b
+  ON EPOCH_US(b.ts) >= EPOCH_US(a.ts)
+ AND EPOCH_US(b.ts) < EPOCH_US(a.ts) + 300000000
+ AND a.event_id <> b.event_id
+WHERE a.event_type = 'click'"""
+
+
+@register("join_range_bucketed", oracle=_RANGE_ORACLE)
+def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join — follow-on events within 5 minutes of
+    each click. Spark has no native range-join strategy: a raw
+    inequality predicate plans a BroadcastNestedLoopJoin, O(n·m).
+    This is the scale-correct bucketization: quantize time into
+    window-sized buckets, emit each probe row into its bucket AND the
+    next (a 5-min interval spans at most two 5-min buckets), hash-join
+    on the bucket key, then apply the exact range filter. Shuffle
+    volume is 2x the probe side — never a cross product. (DuckDB's
+    oracle runs its native IEJoin on the same predicate.)
+    """
+    from ..sources import load_table
+
+    bucket_us = 300_000_000  # window length = bucket length
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    a = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            us.alias("a_us"),
+            F.floor(us / bucket_us).alias("b0"),
+        )
+        .select(
+            "click_id",
+            "a_us",
+            F.explode(F.array(F.col("b0"), F.col("b0") + 1)).alias("bucket"),
+        )
+    )
+    b = ev.select(
+        F.col("event_id").alias("follow_id"),
+        F.col("event_type").alias("follow_type"),
+        us.alias("b_us"),
+        F.floor(us / bucket_us).alias("bucket"),
+    )
+    return (
+        a.join(b, ["bucket"])
+        .filter(
+            (F.col("b_us") >= F.col("a_us"))
+            & (F.col("b_us") < F.col("a_us") + bucket_us)
+            & (F.col("click_id") != F.col("follow_id"))
+        )
+        .select(
+            "click_id",
+            "follow_id",
+            "follow_type",
+            (F.col("b_us") - F.col("a_us")).alias("gap_us"),
+        )
+    )
