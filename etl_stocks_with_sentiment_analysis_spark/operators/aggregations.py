@@ -372,3 +372,66 @@ def agg_scalar_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("pct_change").alias("n"),
         exact.mean_from_sums(F.sum(sc), F.count(sc), 10000).alias("avg_pct_change"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Beyond the reference: hypertable-style rollup + exact quantiles
+# ---------------------------------------------------------------------------
+
+_ROLLUP_BODY = """
+SELECT day, hour, event_type,
+       CASE WHEN GROUPING(hour) = 0 THEN 'day_hour_type'
+            WHEN GROUPING(day) = 0 THEN 'day_type'
+            ELSE 'type' END AS level,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
+FROM {src}
+GROUP BY GROUPING SETS ((day, hour, event_type), (day, event_type), (event_type))"""
+
+_ROLLUP_PRE = (
+    "SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS day, "
+    "CAST(HOUR(ts) AS INT) AS hour, event_type, value FROM events"
+)
+
+
+@register(
+    "rollup_time_hierarchy",
+    oracle=f"WITH e AS ({_ROLLUP_PRE})\n" + _ROLLUP_BODY.format(src="e"),
+)
+def rollup_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup (continuous-aggregate
+    analog): hour/day/all-time aggregates of the events stream in ONE
+    GROUPING SETS pass — Catalyst expands the sets and still applies
+    partial aggregation, so the raw events shuffle once, not once per
+    resolution. `level` disambiguates the NULLed-out grouping columns
+    (GROUPING(), not NULL-sniffing — NULL data values stay distinct).
+    """
+    from ..sources import load_table
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(f"WITH e AS ({_ROLLUP_PRE})\n" + _ROLLUP_BODY.format(src="e"))
+
+
+_QUANT_BODY = """
+SELECT ticker,
+       CAST(PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY volume) AS BIGINT) AS med_volume,
+       CAST(PERCENTILE_DISC(0.9) WITHIN GROUP (ORDER BY volume) AS BIGINT) AS p90_volume,
+       CAST(PERCENTILE_DISC(0.99) WITHIN GROUP (ORDER BY volume) AS BIGINT) AS p99_volume
+FROM {src}
+GROUP BY ticker"""
+
+
+@register(
+    "agg_quantiles",
+    oracle=panel.sql_with(panel.PRICES_CTE, body=_QUANT_BODY.format(src="prices")),
+)
+def agg_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-ticker volume quantiles with PERCENTILE_DISC — discrete
+    quantiles pick an actual data value, so they are exactly
+    reproducible cross-engine (interpolating PERCENTILE_CONT mixes
+    float arithmetic that differs in ulps between engines — the same
+    reason approx sketches are kept out of the oracle-checked surface).
+    One shuffle; the per-group sort is bounded by group size.
+    """
+    panel.prices(spark, sf_dir).createOrReplaceTempView("prices_panel_q")
+    return spark.sql(_QUANT_BODY.format(src="prices_panel_q"))
