@@ -26,7 +26,9 @@ HEADLINE = [
     "window_lag_prev_close",
     "window_rsi",
     "join_left_prices_grok",
+    "join_asof_latest_explanation",
     "agg_accuracy_by_stock",
+    "rollup_time_hierarchy",
     "ml_feature_matrix",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
