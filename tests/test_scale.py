@@ -45,3 +45,29 @@ def test_asof_join_same_date_and_carry_forward(spark, sf_dir):
     assert matched_same_day.count() == e.count()
     # rows with no prior explanation stay NULL (left semantics)
     assert out.filter(F.col("asof_date").isNull()).count() > 0
+
+
+def _plan(spark, df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_plan_shapes_hold(spark, sf_dir):
+    """Regression guard for the measured plan decisions (ARCHITECTURE.md):
+    exchange budgets and no-nested-loop invariants of the hot lineages."""
+    from etl_stocks_with_sentiment_analysis_spark.llmdata import dedup
+    from etl_stocks_with_sentiment_analysis_spark.ml.features import feature_matrix
+    from etl_stocks_with_sentiment_analysis_spark.operators import aggregations
+
+    fm = _plan(spark, feature_matrix(spark, sf_dir))
+    # join-before-window: 2 agg shuffles + 1 broadcast + 1 window, max
+    assert fm.count("Exchange") <= 4
+    assert "NestedLoop" not in fm
+
+    rj = _plan(spark, joins.join_range_bucketed(spark, sf_dir))
+    assert "NestedLoop" not in rj  # the naive range predicate would BNLJ
+
+    mh = _plan(spark, dedup.dedup_minhash_lsh(spark, sf_dir))
+    assert mh.count("Exchange") <= 3  # single min-agg pass + band join
+
+    ro = _plan(spark, aggregations.rollup_time_hierarchy(spark, sf_dir))
+    assert ro.count("Exchange") <= 2  # one expand + one shuffle family
