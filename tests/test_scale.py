@@ -71,3 +71,17 @@ def test_plan_shapes_hold(spark, sf_dir):
 
     ro = _plan(spark, aggregations.rollup_time_hierarchy(spark, sf_dir))
     assert ro.count("Exchange") <= 2  # one expand + one shuffle family
+
+
+def test_dashboard_views_register_and_select(spark, sf_dir):
+    from etl_stocks_with_sentiment_analysis_spark.plans import views
+
+    names = views.create_dashboard_views(spark, sf_dir)
+    assert len(names) == 12
+    for v in names:
+        assert spark.sql(f"SELECT * FROM {v} LIMIT 1").count() >= 0
+    # reference-style SQL over the named views works verbatim
+    top = spark.sql(
+        "SELECT ticker FROM accuracy_by_stock ORDER BY accuracy_pct DESC LIMIT 1"
+    )
+    assert top.count() == 1
