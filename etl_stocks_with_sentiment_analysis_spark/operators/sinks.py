@@ -33,6 +33,14 @@ from ..registry import register
 # ---------------------------------------------------------------------------
 
 
+def scratch_dir(prefix: str) -> str:
+    """Fresh scratch directory INSIDE the repo (never /tmp — the repo
+    root is the only writable surface this engine assumes)."""
+    base = os.path.join(os.path.dirname(__file__), "..", "..", ".scratch")
+    os.makedirs(base, exist_ok=True)
+    return tempfile.mkdtemp(prefix=prefix, dir=base)
+
+
 def insert_ignore(
     spark: SparkSession, target: str, new_rows: DataFrame, keys: list[str]
 ) -> None:
@@ -175,7 +183,7 @@ def sink_create_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     empty table with the sink schema if absent; second call is a no-op
     (CREATE TABLE IF NOT EXISTS semantics). Read-back proves both the
     schema and the idempotence (still zero rows after two calls)."""
-    target = os.path.join(tempfile.mkdtemp(prefix="spark_s5_"), "predictions")
+    target = os.path.join(scratch_dir("s5_"), "predictions")
     template = panel.predictions(spark, sf_dir)
     create_table_if_absent(spark, target, template)
     create_table_if_absent(spark, target, template)  # must not overwrite/append
@@ -194,7 +202,7 @@ def sink_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S7 — CSV export (`ml/predict.py:209-211`) + schema'd read-back.
     Doubles survive the roundtrip exactly: Spark writes shortest-repr
     decimal strings, which parse back to the identical IEEE double."""
-    target = os.path.join(tempfile.mkdtemp(prefix="spark_s7_"), "preds_csv")
+    target = os.path.join(scratch_dir("s7_"), "preds_csv")
     write_csv(panel.predictions(spark, sf_dir), target)
     schema = (
         "ticker LONG, date DATE, predicted_volatility_class STRING, "

@@ -97,9 +97,10 @@ def source_backup_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     table (the `grok_explanations_backup.csv` analog) read back with an
     explicit schema — never inferSchema (it scans the data twice)."""
     import os
-    import tempfile
 
-    target = os.path.join(tempfile.mkdtemp(prefix="spark_s9_"), "backup_csv")
+    from .sinks import scratch_dir
+
+    target = os.path.join(scratch_dir("s9_"), "backup_csv")
     panel.explanations(spark, sf_dir).write.mode("overwrite").option(
         "header", True
     ).csv(target)
