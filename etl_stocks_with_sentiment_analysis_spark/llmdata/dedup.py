@@ -326,3 +326,73 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= 0.5)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Connected components over candidate pairs (dedup canonicalization)
+# ---------------------------------------------------------------------------
+
+_CC_ORACLE = f"""
+WITH RECURSIVE pairs AS ({_MINHASH_ORACLE}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+nodes AS (SELECT DISTINCT a AS doc_id FROM edges),
+reach(doc_id, r) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.doc_id = e.b
+)
+SELECT doc_id, MIN(r) AS canonical_doc_id FROM reach GROUP BY doc_id"""
+
+
+@register("dedup_connected_components", oracle=_CC_ORACLE)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup canonicalization: connected components over the MinHash
+    candidate pairs — every near-dup cluster collapses to its minimum
+    doc_id (the keep-one-copy decision of a corpus pipeline).
+
+    Iterative min-label propagation: each round every node takes the
+    min label of itself and its neighbors; converges in O(component
+    diameter) rounds (dup clusters are near-cliques, so 2-3). The
+    fixpoint test is an exact integer label-sum, monotonically
+    decreasing. At web scale the same loop with the large-star/
+    small-star transforms is the standard MapReduce CC algorithm.
+    Oracle: DuckDB recursive CTE reachability (exact, same fixpoint).
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    edges = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .unionAll(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("a").alias("doc_id"))
+        .distinct()
+        .withColumn("lbl", F.col("doc_id"))
+    )
+    prev_sum = None
+    for _ in range(20):
+        nbr_min = (
+            edges.join(
+                labels.select(F.col("doc_id").alias("b_id"), "lbl"),
+                F.col("b") == F.col("b_id"),
+            )
+            .groupBy("a")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        labels = (
+            labels.join(nbr_min, labels.doc_id == nbr_min.a, "left")
+            .select(
+                "doc_id",
+                F.least(F.col("lbl"), F.coalesce("nbr_lbl", "lbl")).alias("lbl"),
+            )
+            .cache()
+        )
+        cur = labels.agg(F.sum("lbl")).first()[0]
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+    edges.unpersist()
+    return labels.select("doc_id", F.col("lbl").alias("canonical_doc_id"))
