@@ -166,3 +166,47 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("q_id", "vec_id", F.round("cosine", 6).alias("cosine"))
     )
+
+
+@register("similarity_kmeans_ivf", oracle=None)  # iterative fit → rows-only
+def similarity_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with LEARNED centroids: MLlib KMeans (k=8, seed 42) replaces
+    similarity_ivf_topk's fixed seed vectors — the production path
+    (centroids fit the data distribution, so cluster sizes balance and
+    recall rises at the same probe budget). Iterative fit → rows-only
+    driver check; the fixed-centroid variant above carries the exact
+    oracle for the probe plumbing.
+
+    Scale: fit runs on a sample/feature frame (here: full table —
+    500-5k vectors); assignment is one model.transform scan; the probe
+    join shuffles on the learned cluster id exactly like the static
+    IVF path.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = _scaled_vectors(spark, sf_dir).withColumn(
+        "features", array_to_vector(F.col("v").cast("array<double>"))
+    )
+    model = KMeans(k=8, seed=42, featuresCol="features", predictionCol="cent_id").fit(
+        vecs
+    )
+    assign = model.transform(vecs).select("vec_id", "v", "nrm", "cent_id")
+    q = assign.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        F.col("cent_id").alias("q_cent"),
+    )
+    pairs = assign.join(
+        F.broadcast(q),
+        (F.col("cent_id") == F.col("q_cent")) & (F.col("vec_id") != F.col("q_id")),
+    )
+    cosine = F.expr(_DOT.format(a="qv", b="v")) / F.sqrt(F.col("qn") * F.col("nrm"))
+    scored = pairs.select("q_id", "vec_id", cosine.alias("cosine"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("q_id", "vec_id", F.round("cosine", 6).alias("cosine"))
+    )
