@@ -104,3 +104,57 @@ def limit_head(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("ticker", "date", "close")
         .limit(20)
     )
+
+
+_SKYLINE_ORACLE = panel.sql_with(
+    panel.PRICES_CTE,
+    """points AS (
+  SELECT ticker, MAX(high) AS peak_price, CAST(SUM(volume) AS BIGINT) AS total_volume
+  FROM prices GROUP BY ticker
+)""",
+    body="""
+SELECT p.ticker, p.peak_price, p.total_volume
+FROM points p
+WHERE NOT EXISTS (
+  SELECT 1 FROM points q
+  WHERE q.peak_price >= p.peak_price AND q.total_volume >= p.total_volume
+    AND (q.peak_price > p.peak_price OR q.total_volume > p.total_volume)
+)""",
+)
+
+
+@register("topk_skyline", oracle=_SKYLINE_ORACLE)
+def topk_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto front) of tickers over (peak price, total
+    volume): rows no other row dominates on both axes — the multi-
+    criteria generalization of top-k (after "Integration of Skyline
+    Queries into Spark SQL", EDBT 2023 — see PAPERS.md; the reference
+    itself has only single-axis top-k, SURVEY §2.6).
+
+    Scale: the dominance test runs on the AGGREGATED points (group
+    cardinality, not fact cardinality) — the groupBy is the data
+    reduction; the anti-join is a broadcast over dimension-sized
+    points. A fact-scale skyline would first take partition-local
+    skylines (skyline(S) ⊆ ∪ skyline(Sᵢ), dominance is transitive)
+    and re-apply the same test to the union.
+    """
+    pts = (
+        panel.prices(spark, sf_dir)
+        .groupBy("ticker")
+        .agg(
+            F.max("high").alias("peak_price"),
+            F.sum("volume").cast("long").alias("total_volume"),
+        )
+    )
+    q = pts.select(
+        F.col("peak_price").alias("q_peak"), F.col("total_volume").alias("q_vol")
+    )
+    dominated = (
+        (F.col("q_peak") >= F.col("peak_price"))
+        & (F.col("q_vol") >= F.col("total_volume"))
+        & (
+            (F.col("q_peak") > F.col("peak_price"))
+            | (F.col("q_vol") > F.col("total_volume"))
+        )
+    )
+    return pts.join(F.broadcast(q), dominated, "left_anti")
