@@ -188,3 +188,46 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashed.select(
         "doc_id", F.min("h").over(w).alias("fp")
     ).distinct()
+
+
+_SPLIT_ORACLE = """
+WITH b AS (
+  SELECT doc_id, source, lang,
+         (STRPOS('0123456789abcdef', SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+         + STRPOS('0123456789abcdef', SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS bucket
+  FROM documents
+)
+SELECT doc_id, source, lang, bucket,
+       CASE WHEN bucket < 204 THEN 'train'
+            WHEN bucket < 230 THEN 'val'
+            ELSE 'test' END AS split
+FROM b"""
+
+
+@register("sample_hash_split", oracle=_SPLIT_ORACLE)
+def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~80/10/10 train/val/test assignment by content-id
+    hash bucket (first MD5 byte) — the reproducible-split primitive of
+    a training-data pipeline: no RNG state, stable under re-runs,
+    re-partitioning, and incremental appends (a doc's split never
+    changes), and trivially stratifiable by any key.
+
+    Scale: pure per-row expression (whole-stage codegen, no shuffle);
+    sampling by `split = 'train'` pushes down to the scan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    hx = F.md5(F.col("doc_id").cast("string"))
+    digit = lambda i: (  # noqa: E731
+        F.instr(F.lit("0123456789abcdef"), F.substring(hx, i, 1)) - 1
+    )
+    bucket = digit(1) * 16 + digit(2)
+    return docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        bucket.alias("bucket"),
+        F.when(bucket < 204, "train")
+        .when(bucket < 230, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
