@@ -231,3 +231,38 @@ def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+_NGRAM_ORACLE = """
+WITH bg AS (
+  SELECT UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(STRING_SPLIT(text, ' ')) - 1),
+         i -> STRING_SPLIT(text, ' ')[i] || ' ' || STRING_SPLIT(text, ' ')[i + 1])) AS bigram
+  FROM documents
+)
+SELECT bigram, COUNT(*) AS n
+FROM bg GROUP BY bigram
+ORDER BY n DESC, bigram LIMIT 20"""
+
+
+@register("text_ngram_freq", oracle=_NGRAM_ORACLE)
+def text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram frequency top-20 — the vocabulary/statistics scan
+    of a training-data pipeline (tokenizer fitting, boilerplate
+    detection). Explode is per-doc bounded; the count is map-side
+    combined; ORDER BY+LIMIT compiles to TakeOrderedAndProject (no
+    global sort). Deterministic tie-break on the bigram itself."""
+    docs = load_table(spark, sf_dir, "documents")
+    bg = docs.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(split(text, ' ')) - 2),"
+                " i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i + 1]))"
+            )
+        ).alias("bigram")
+    )
+    return (
+        bg.groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "bigram")
+        .limit(20)
+    )
