@@ -167,19 +167,32 @@ FROM (
     ),
 )
 def ml_chrono_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M1 — chronological 70/15/15 split, no shuffle of time order
-    (`ml/feature_engineering.py:210-261`)."""
+    """M1 — chronological 70/15/15 split
+    (`ml/feature_engineering.py:210-261`).
+
+    Scale shape: the global rank is decomposed into a per-DATE offset
+    (cumulative count over the tiny distinct-dates frame — the only
+    single-partition step, and it runs on ~#dates rows, never the
+    panel) plus a per-date `row_number` partitioned BY date (parallel
+    across dates). The panel itself never funnels through one task —
+    the old `Window.orderBy(date, ticker)` global row_number did."""
     df = panel.prices(spark, sf_dir).select("ticker", "date")
-    w = Window.orderBy("date", "ticker")
-    df = df.withColumn("rn", F.row_number().over(w)).withColumn(
-        "n", F.count("*").over(Window.partitionBy())
+    per_date = df.groupBy("date").agg(F.count("*").alias("cnt"))
+    wd = Window.orderBy("date")
+    bounds = per_date.select(
+        "date",
+        (F.sum("cnt").over(wd) - F.col("cnt")).alias("offset"),
+        F.sum("cnt").over(Window.partitionBy()).alias("n"),
     )
+    wr = Window.partitionBy("date").orderBy("ticker")
+    joined = df.join(F.broadcast(bounds), "date")
+    rn = F.col("offset") + F.row_number().over(wr)
     split = (
-        F.when(F.col("rn") <= F.floor(F.col("n") * 0.7).cast("long"), "train")
-        .when(F.col("rn") <= F.floor(F.col("n") * 0.85).cast("long"), "val")
+        F.when(rn <= F.floor(F.col("n") * 0.7).cast("long"), "train")
+        .when(rn <= F.floor(F.col("n") * 0.85).cast("long"), "val")
         .otherwise("test")
     )
-    return df.select("ticker", "date", split.alias("split"))
+    return joined.select("ticker", "date", split.alias("split"))
 
 
 @register(

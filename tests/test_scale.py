@@ -73,6 +73,21 @@ def test_plan_shapes_hold(spark, sf_dir):
     assert ro.count("Exchange") <= 2  # one expand + one shuffle family
 
 
+def test_chrono_split_panel_never_single_partition(spark, sf_dir):
+    """ml_chrono_split's global rank must decompose into per-date
+    offset (tiny frame) + date-partitioned row_number: the only
+    SinglePartition exchange allowed is the distinct-dates one."""
+    import re
+
+    from etl_stocks_with_sentiment_analysis_spark.ml.features import ml_chrono_split
+
+    plan = _plan(spark, ml_chrono_split(spark, sf_dir))
+    assert plan.count("Exchange SinglePartition") <= 1
+    # the panel-side ranking window is partitioned by date, not global
+    m = re.search(r"row_number\(\) windowspecdefinition\((\w+)", plan)
+    assert m and m.group(1).startswith("date")
+
+
 def test_dashboard_views_register_and_select(spark, sf_dir):
     from etl_stocks_with_sentiment_analysis_spark.plans import views
 
