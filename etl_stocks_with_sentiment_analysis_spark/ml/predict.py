@@ -70,7 +70,7 @@ def run_inference(
     result = train(spark, sf_dir, num_trees=num_trees)
     preds = predict_next_day(spark, sf_dir, result.model, result.model_version)
     sinks.upsert(
-        spark, target, preds, ["ticker", "date", "model_version"]
+        spark, target, preds, ["ticker", "date", "model_version"], partition_col="date"
     )
     return preds
 

@@ -20,7 +20,9 @@ re-run safety).
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -59,26 +61,88 @@ def insert_ignore(
     delta.write.mode("append").parquet(target)
 
 
+@contextmanager
+def _scoped_conf(spark: SparkSession, key: str, value: str):
+    """Set a session conf for the duration of one write, then restore —
+    never leak write-mode config into unrelated reads/writes."""
+    try:
+        old = spark.conf.get(key)
+    except Exception:
+        old = None
+    spark.conf.set(key, value)
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
+
 def upsert(
-    spark: SparkSession, target: str, incoming: DataFrame, keys: list[str]
+    spark: SparkSession,
+    target: str,
+    incoming: DataFrame,
+    keys: list[str],
+    partition_col: str | None = None,
 ) -> None:
     """S4 — upsert: incoming wins on key conflict, others kept.
 
     Mirrors `INSERT ... ON CONFLICT DO UPDATE`
-    (`ml/data_loader.py:140-160`). Without a transactional format the
-    rewrite is staged through a temp dir; with Delta this is a single
-    `MERGE INTO` (scale path — only touched files rewritten).
+    (`ml/data_loader.py:140-160`).
+
+    With ``partition_col`` (must be one of ``keys``; the sink is laid
+    out `partition_col=...`): partition-scoped merge. Only partitions
+    PRESENT in `incoming` are read (broadcast semi-join → partition
+    pruning), merged, and rewritten via dynamic-partition overwrite —
+    untouched partitions' files are never touched, so per-upsert cost
+    is O(touched partitions), not O(table). This is the parquet analog
+    of Delta/Iceberg `MERGE INTO` (the production path once a
+    transactional format is available).
+
+    Without ``partition_col``: whole-table rewrite — acceptable only
+    for small dimension tables.
+
+    The merge result is staged to a private scratch dir first and the
+    dir is deleted on success (and on failure). NOT crash-atomic: a
+    crash mid-final-write can leave touched partitions partially
+    written (the transactional format closes this gap); untouched
+    partitions are safe in the partitioned path by construction.
     """
-    if _exists(spark, target):
-        existing = spark.read.parquet(target)
-        kept = existing.join(incoming.select(*keys), keys, "left_anti")
-        merged = incoming.unionByName(kept)
+    if partition_col is not None and partition_col not in keys:
+        raise ValueError(f"partition_col {partition_col!r} must be one of keys {keys}")
+    if not _exists(spark, target):
+        w = incoming.write.mode("overwrite")
+        if partition_col:
+            w = w.partitionBy(partition_col)
+        w.parquet(target)
+        return
+
+    existing = spark.read.parquet(target)
+    if partition_col:
+        touched = incoming.select(partition_col).distinct()
+        scoped = existing.join(F.broadcast(touched), [partition_col], "left_semi")
     else:
-        merged = incoming
-    tmp = target.rstrip("/") + "__staged"
-    merged.write.mode("overwrite").parquet(tmp)
-    final = spark.read.parquet(tmp)
-    final.write.mode("overwrite").parquet(target)
+        scoped = existing
+    kept = scoped.join(incoming.select(*keys), keys, "left_anti")
+    merged = incoming.unionByName(kept)
+
+    tmp = scratch_dir("upsert_")
+    staged_path = os.path.join(tmp, "staged")
+    try:
+        merged.write.mode("overwrite").parquet(staged_path)
+        staged = spark.read.parquet(staged_path)
+        if partition_col:
+            with _scoped_conf(
+                spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"
+            ):
+                staged.write.mode("overwrite").partitionBy(partition_col).parquet(
+                    target
+                )
+        else:
+            staged.write.mode("overwrite").parquet(target)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def create_table_if_absent(

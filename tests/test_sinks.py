@@ -61,6 +61,64 @@ def test_upsert_idempotent(spark, rows, tmp_path):
     assert spark.read.parquet(target).count() == 3
 
 
+def _partition_bytes(root, part):
+    """{relative file path: bytes} for one partition directory."""
+    import os
+
+    out = {}
+    pdir = os.path.join(root, part)
+    for dirpath, _, files in os.walk(pdir):
+        for f in files:
+            p = os.path.join(dirpath, f)
+            with open(p, "rb") as fh:
+                out[os.path.relpath(p, root)] = fh.read()
+    return out
+
+
+def test_upsert_partitioned_touches_only_incoming_partitions(spark, rows, tmp_path):
+    """Partition-scoped upsert: files of partitions absent from
+    `incoming` must be byte-identical afterwards (dynamic overwrite
+    rewrote only the touched partition)."""
+    target = str(tmp_path / "sink")
+    sinks.upsert(spark, target, rows, ["ticker", "date"], partition_col="date")
+    before = _partition_bytes(target, "date=2024-01-02")
+    assert before  # partition exists
+
+    clash = spark.createDataFrame(
+        [(1, "2024-01-01", "NEW"), (3, "2024-01-01", "d")],
+        "ticker INT, date STRING, val STRING",
+    )
+    sinks.upsert(spark, target, clash, ["ticker", "date"], partition_col="date")
+    after = _partition_bytes(target, "date=2024-01-02")
+    assert after == before  # untouched partition: same files, same bytes
+
+    out = spark.read.parquet(target)
+    assert out.count() == 4
+    updated = out.filter((F.col("ticker") == 1) & (F.col("date") == "2024-01-01"))
+    assert updated.first()["val"] == "NEW"  # incoming wins in touched partition
+    kept = out.filter((F.col("ticker") == 2) & (F.col("date") == "2024-01-01"))
+    assert kept.first()["val"] == "c"  # non-conflicting row in touched partition kept
+
+
+def test_upsert_partitioned_idempotent_and_no_staging_leak(spark, rows, tmp_path):
+    import os
+
+    target = str(tmp_path / "sink")
+    sinks.upsert(spark, target, rows, ["ticker", "date"], partition_col="date")
+    sinks.upsert(spark, target, rows, ["ticker", "date"], partition_col="date")
+    assert spark.read.parquet(target).count() == 3
+    scratch = os.path.join(os.path.dirname(sinks.__file__), "..", "..", ".scratch")
+    leftovers = [d for d in os.listdir(scratch) if d.startswith("upsert_")]
+    assert leftovers == []
+
+
+def test_upsert_partition_col_must_be_key(spark, rows, tmp_path):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sinks.upsert(spark, str(tmp_path / "s"), rows, ["ticker"], partition_col="date")
+
+
 def test_create_table_if_absent(spark, rows, tmp_path):
     target = str(tmp_path / "tbl")
     sinks.create_table_if_absent(spark, target, rows)
