@@ -362,18 +362,36 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle: DuckDB recursive CTE reachability (exact, same fixpoint).
     """
     pairs = dedup_minhash_lsh(spark, sf_dir)
-    edges = (
-        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-        .unionAll(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
-        .cache()
+    edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")).unionAll(
+        pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
     )
+    labels = connected_components(edges)
+    return labels.select("doc_id", F.col("lbl").alias("canonical_doc_id"))
+
+
+def connected_components(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
+    """Min-label propagation to the FIXPOINT over a symmetric edge list
+    `(a, b)`; returns `(doc_id, lbl)` with lbl = component minimum.
+
+    Iterative hygiene (the part that matters at scale):
+    - each round's labels frame replaces the previous one, which is
+      `unpersist()`ed immediately — pinned cache stays O(1) frames;
+    - every 3rd round uses `localCheckpoint(eager=True)` instead of
+      `cache()`, truncating the logical plan so lineage depth (and
+      replanning cost) stays bounded no matter the component diameter;
+    - convergence is an exact integer label-sum fixpoint (monotonically
+      decreasing), and NON-convergence within `max_rounds` raises
+      instead of silently returning wrong labels.
+    """
+    edges = edges.cache()
     labels = (
         edges.select(F.col("a").alias("doc_id"))
         .distinct()
         .withColumn("lbl", F.col("doc_id"))
     )
     prev_sum = None
-    for _ in range(20):
+    converged = False
+    for i in range(max_rounds):
         nbr_min = (
             edges.join(
                 labels.select(F.col("doc_id").alias("b_id"), "lbl"),
@@ -382,17 +400,24 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("a")
             .agg(F.min("lbl").alias("nbr_lbl"))
         )
-        labels = (
-            labels.join(nbr_min, labels.doc_id == nbr_min.a, "left")
-            .select(
-                "doc_id",
-                F.least(F.col("lbl"), F.coalesce("nbr_lbl", "lbl")).alias("lbl"),
-            )
-            .cache()
+        new_labels = labels.join(nbr_min, labels.doc_id == nbr_min.a, "left").select(
+            "doc_id",
+            F.least(F.col("lbl"), F.coalesce("nbr_lbl", "lbl")).alias("lbl"),
         )
-        cur = labels.agg(F.sum("lbl")).first()[0]
+        if (i + 1) % 3 == 0:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        else:
+            new_labels = new_labels.cache()
+        cur = new_labels.agg(F.sum("lbl")).first()[0]
+        labels.unpersist()
+        labels = new_labels
         if cur == prev_sum:
+            converged = True
             break
         prev_sum = cur
     edges.unpersist()
-    return labels.select("doc_id", F.col("lbl").alias("canonical_doc_id"))
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds"
+        )
+    return labels

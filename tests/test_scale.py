@@ -73,6 +73,42 @@ def test_plan_shapes_hold(spark, sf_dir):
     assert ro.count("Exchange") <= 2  # one expand + one shuffle family
 
 
+def test_connected_components_long_chain_bounded_plan(spark, sf_dir):
+    """A path graph of diameter 15 (> the old 20-round comfort zone's
+    assumptions) must converge to all-zero labels, with checkpointing
+    keeping the final plan depth bounded (not 15 nested joins)."""
+    from etl_stocks_with_sentiment_analysis_spark.llmdata.dedup import (
+        connected_components,
+    )
+
+    n = 16
+    chain = [(i, i + 1) for i in range(n - 1)]
+    edges = spark.createDataFrame(
+        chain + [(b, a) for a, b in chain], "a LONG, b LONG"
+    )
+    labels = connected_components(edges)
+    rows = {r["doc_id"]: r["lbl"] for r in labels.collect()}
+    assert rows == {i: 0 for i in range(n)}
+    # localCheckpoint truncated lineage: at most the ~2 rounds since
+    # the last checkpoint remain in the plan (~15 uncheckpointed
+    # propagation rounds would show ~30 joins)
+    plan = _plan(spark, labels)
+    assert plan.count("Join") <= 12
+
+
+def test_connected_components_nonconvergence_raises(spark, sf_dir):
+    import pytest
+
+    from etl_stocks_with_sentiment_analysis_spark.llmdata.dedup import (
+        connected_components,
+    )
+
+    chain = [(i, i + 1) for i in range(9)]
+    edges = spark.createDataFrame(chain + [(b, a) for a, b in chain], "a LONG, b LONG")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_rounds=2)
+
+
 def test_chrono_split_panel_never_single_partition(spark, sf_dir):
     """ml_chrono_split's global rank must decompose into per-date
     offset (tiny frame) + date-partitioned row_number: the only
