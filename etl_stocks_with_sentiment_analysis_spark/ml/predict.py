@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 from ..operators import sinks
 from ..registry import register
 from .features import LABELS, feature_matrix
-from .train import TrainResult, prepare, train
+from .train import TrainResult, prepare, train, train_gbt
 
 from pyspark.ml.feature import VectorAssembler
 
@@ -91,6 +91,23 @@ def ml_train_rf(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the chronological holdout; returns the evaluator metrics as rows
     (`/root/reference/ml/train.py:52-143`)."""
     result = cached_train(spark, sf_dir)
+    rows = [(k, float(v)) for k, v in sorted(result.metrics.items())]
+    return spark.createDataFrame(rows, "metric STRING, value DOUBLE")
+
+
+_GBT_CACHE: dict[str, TrainResult] = {}
+
+
+@register("ml_train_gbt", oracle=None)  # iterative ML → rows-only check
+def ml_train_gbt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3 — gradient-boosted trainer (xgboost when present, else
+    OneVsRest over MLlib GBTClassifier) evaluated on the chronological
+    holdout (`/root/reference/ml/train.py:52-61`). Small boosting
+    budget for harness runtime; tests/test_ml.py holds the metric
+    floor."""
+    if sf_dir not in _GBT_CACHE:
+        _GBT_CACHE[sf_dir] = train_gbt(spark, sf_dir, max_iter=8, max_depth=5)
+    result = _GBT_CACHE[sf_dir]
     rows = [(k, float(v)) for k, v in sorted(result.metrics.items())]
     return spark.createDataFrame(rows, "metric STRING, value DOUBLE")
 

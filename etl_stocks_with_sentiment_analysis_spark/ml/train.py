@@ -40,7 +40,7 @@ except Exception:  # pragma: no cover
 
 @dataclass
 class TrainResult:
-    model: RandomForestClassificationModel
+    model: object  # RandomForestClassificationModel | OneVsRestModel | xgboost
     metrics: dict[str, float]
     feature_importances: list[tuple[str, float]]
     model_version: str
@@ -108,6 +108,68 @@ def train(
         key=lambda t: -t[1],
     )[:15]
     return TrainResult(model, metrics, importances, model_version)
+
+
+def train_gbt(
+    spark: SparkSession,
+    sf_dir: str,
+    max_iter: int = 20,
+    max_depth: int = 6,
+    model_version: str = "gbt-v1.0",
+) -> TrainResult:
+    """M3 — gradient-boosted trees, the reference's primary model
+    (`/root/reference/ml/train.py:52-61`: xgboost multi:softmax,
+    n_estimators=200, depth 6).
+
+    Preferred path: `SparkXGBClassifier` when xgboost is installed
+    (import-gated above). Public-knowledge stand-in otherwise: MLlib
+    `GBTClassifier` is binary-only, so the 3-class problem becomes
+    `OneVsRest` over three binary GBT margins — same model family,
+    same depth, runnable in this image. `fit` is the only iterative
+    stage; boosting rounds are sequential by nature but each round is
+    one distributed pass.
+    """
+    from pyspark.ml.classification import GBTClassifier, OneVsRest
+
+    df = prepare(feature_matrix(spark, sf_dir))
+    train_df, test_df = chrono_split(df)
+    assembler = VectorAssembler(
+        inputCols=BASE_FEATURES, outputCol="features", handleInvalid="keep"
+    )
+    if HAS_XGB:  # pragma: no cover - not in this image
+        clf = SparkXGBClassifier(
+            num_workers=1,
+            n_estimators=max_iter,
+            max_depth=max_depth,
+            label_col="label",
+            features_col="features",
+        )
+    else:
+        base = GBTClassifier(
+            maxIter=max_iter,
+            maxDepth=max_depth,
+            seed=42,
+            labelCol="label",
+            featuresCol="features",
+            weightCol="weight",
+        )
+        clf = OneVsRest(
+            classifier=base,
+            labelCol="label",
+            featuresCol="features",
+            weightCol="weight",
+            parallelism=3,  # the three binary fits run concurrently
+        )
+    model = clf.fit(assembler.transform(train_df))
+    pred = model.transform(assembler.transform(test_df))
+
+    metrics = {}
+    for name in ("accuracy", "f1", "weightedRecall", "weightedPrecision"):
+        ev = MulticlassClassificationEvaluator(
+            labelCol="label", predictionCol="prediction", metricName=name
+        )
+        metrics[name] = ev.evaluate(pred)
+    return TrainResult(model, metrics, [], model_version)
 
 
 def save(result: TrainResult, path: str) -> None:

@@ -53,6 +53,13 @@ def test_train_metrics_beat_random(trained):
     assert len(trained.feature_importances) == 15
 
 
+def test_train_gbt_metrics_beat_random(spark, sf_dir):
+    # M3 stand-in (OneVsRest GBT): same floor as the RF — beat 3-class random
+    result = mltrain.train_gbt(spark, sf_dir, max_iter=8, max_depth=5)
+    assert result.metrics["accuracy"] > 0.34
+    assert 0.0 <= result.metrics["f1"] <= 1.0
+
+
 def test_model_save_load_roundtrip(spark, trained, tmp_path):
     path = str(tmp_path / "model")
     mltrain.save(trained, path)
