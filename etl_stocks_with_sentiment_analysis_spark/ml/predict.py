@@ -5,12 +5,15 @@ features → latest row per ticker (W10) → MLlib transform → confidence
 
 from __future__ import annotations
 
+import os
+
 from pyspark.ml.functions import vector_to_array
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import sinks
 from ..registry import register
+from . import tracking
 from .features import LABELS, feature_matrix
 from .train import TrainResult, prepare, train, train_gbt
 
@@ -64,11 +67,27 @@ def predict_next_day(
 
 
 def run_inference(
-    spark: SparkSession, sf_dir: str, target: str, num_trees: int = 50
+    spark: SparkSession,
+    sf_dir: str,
+    target: str,
+    num_trees: int = 50,
+    log_dir: str | None = None,
 ) -> DataFrame:
-    """End-to-end M9: train → predict → upsert into the sink table."""
+    """End-to-end M9: train → log run → predict with the PROMOTED
+    model_version (registry semantics, `ml/mlflow_utils.py:178-241`)
+    → upsert into the sink table."""
     result = train(spark, sf_dir, num_trees=num_trees)
-    preds = predict_next_day(spark, sf_dir, result.model, result.model_version)
+    model_version = result.model_version
+    if log_dir is not None:
+        tracking.log_run(
+            spark,
+            log_dir,
+            result.model_version,
+            {"num_trees": num_trees, "model": "rf"},
+            result.metrics,
+        )
+        model_version = tracking.promoted(spark, log_dir).first()["model_version"]
+    preds = predict_next_day(spark, sf_dir, result.model, model_version)
     sinks.upsert(
         spark, target, preds, ["ticker", "date", "model_version"], partition_col="date"
     )
@@ -93,6 +112,25 @@ def ml_train_rf(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = cached_train(spark, sf_dir)
     rows = [(k, float(v)) for k, v in sorted(result.metrics.items())]
     return spark.createDataFrame(rows, "metric STRING, value DOUBLE")
+
+
+@register("ml_tracking_promote", oracle=None)  # stateful run log → rows-only
+def ml_tracking_promote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 — registry round-trip as a query: log two runs into a fresh
+    run-log table, return the promoted (latest) run's deterministic
+    columns. Proves append-only history + latest-wins promotion
+    (`ml/mlflow_utils.py:32-241`)."""
+    log_dir = os.path.join(sinks.scratch_dir("mlruns_"), "runs")
+    tracking.log_run(
+        spark, log_dir, "rf-v1.0", {"num_trees": 20}, {"accuracy": 0.5}, "a/v1"
+    )
+    tracking.log_run(
+        spark, log_dir, "rf-v2.0", {"num_trees": 50}, {"accuracy": 0.6}, "a/v2"
+    )
+    n = tracking.runs(spark, log_dir).count()
+    return tracking.promoted(spark, log_dir).select(
+        "model_version", "params", "metrics", F.lit(n).alias("n_runs")
+    )
 
 
 _GBT_CACHE: dict[str, TrainResult] = {}

@@ -68,6 +68,32 @@ def test_model_save_load_roundtrip(spark, trained, tmp_path):
     assert meta["features"] == BASE_FEATURES
 
 
+def test_tracking_two_runs_promotes_newer(spark, tmp_path):
+    from etl_stocks_with_sentiment_analysis_spark.ml import tracking
+
+    log_dir = str(tmp_path / "runs")
+    tracking.log_run(spark, log_dir, "rf-v1.0", {"n": 20}, {"accuracy": 0.5}, "p1")
+    tracking.log_run(spark, log_dir, "rf-v2.0", {"n": 50}, {"accuracy": 0.6}, "p2")
+    assert tracking.runs(spark, log_dir).count() == 2  # append-only history
+    top = tracking.promoted(spark, log_dir).first()
+    assert top["model_version"] == "rf-v2.0"  # latest wins
+    names = tracking.create_tracking_views(spark, log_dir)
+    assert spark.sql("SELECT model_version FROM ml_latest_model").first()[0] == "rf-v2.0"
+    assert len(names) == 2
+
+
+def test_run_inference_stamps_promoted_version(spark, sf_dir, tmp_path):
+    preds = mlpredict.run_inference(
+        spark,
+        sf_dir,
+        str(tmp_path / "preds"),
+        num_trees=2,
+        log_dir=str(tmp_path / "runs"),
+    )
+    versions = {r["model_version"] for r in preds.select("model_version").collect()}
+    assert versions == {"rf-v1.0"}  # stamped from the promotion view
+
+
 def test_inference_schema_and_upsert(spark, sf_dir, trained, tmp_path):
     preds = mlpredict.predict_next_day(spark, sf_dir, trained.model, "rf-test")
     rows = preds.collect()
