@@ -29,6 +29,31 @@ def source_market_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return panel.prices(spark, sf_dir)
 
 
+@register(
+    "source_market_fallback",
+    oracle=panel.sql_with(*panel.PANEL, body="SELECT * FROM prices"),
+)
+def source_market_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 — retry-on-failure ingest (`stock_grok_pipeline.py:130-156`):
+    the panel is read in 4 ticker-hash buckets through
+    `read_with_retry`, with a deterministic flaky-source simulation
+    (buckets 0 and 2 fail their FIRST attempt). One retry round must
+    yield a frame identical to the clean read — the oracle is exactly
+    S1's."""
+    from ..sources.readers import read_with_retry
+
+    base = panel.prices(spark, sf_dir)
+    attempts: dict[int, int] = {}
+
+    def read_bucket(b: int) -> DataFrame:
+        attempts[b] = attempts.get(b, 0) + 1
+        if b % 2 == 0 and attempts[b] == 1:
+            raise IOError(f"simulated transient source fault, bucket {b}")
+        return base.filter(F.col("ticker") % 4 == b)
+
+    return read_with_retry([0, 1, 2, 3], read_bucket)
+
+
 _S6_SQL = """
 SELECT l_returnflag,
        COUNT(*) AS n_items,

@@ -52,6 +52,52 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+def read_with_retry(
+    partitions: list,
+    read_one,
+    max_attempts: int = 3,
+    on_retry=None,
+) -> DataFrame:
+    """S2 — fallback/retry source (`/root/reference/airflow/dags/
+    stock_grok_pipeline.py:130-156`): the reference fetches per ticker
+    and re-fetches ONLY the tickers that failed, then combines.
+
+    Spark analog: `partitions` is a list of source-partition
+    descriptors (ticker buckets, file groups, date ranges) and
+    `read_one(p)` plans the read for one of them. Failed descriptors
+    are retried up to `max_attempts` times; the result is the union of
+    all per-partition frames in the original order, identical to a
+    clean read. The loop is driver-side over METADATA (descriptor
+    list, ~100s of entries) — the data itself never leaves executors;
+    task-level transient faults below this are already covered by
+    `spark.task.maxFailures`.
+    """
+    from functools import reduce
+
+    frames: dict[int, DataFrame] = {}
+    pending = list(range(len(partitions)))
+    last_err: Exception | None = None
+    for attempt in range(1, max_attempts + 1):
+        failed = []
+        for i in pending:
+            try:
+                frames[i] = read_one(partitions[i])
+            except Exception as e:  # noqa: BLE001 - retry ANY source fault
+                last_err = e
+                failed.append(i)
+        pending = failed
+        if not pending:
+            break
+        if on_retry is not None:
+            on_retry(attempt, [partitions[i] for i in pending])
+    if pending:
+        raise RuntimeError(
+            f"source read failed after {max_attempts} attempts for "
+            f"{[partitions[i] for i in pending]}"
+        ) from last_err
+    return reduce(DataFrame.unionByName, (frames[i] for i in range(len(partitions))))
+
+
 def read_csv(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
     """CSV source with explicit schema (S9 backup-restore analog)."""
     return spark.read.csv(path, header=True, schema=schema)
