@@ -41,15 +41,61 @@ def with_binary_payload(docs: DataFrame) -> DataFrame:
     )
 
 
+try:  # real image codec when the environment has one; stub otherwise
+    from PIL import Image as _PILImage
+
+    HAS_PIL = True
+except ImportError:  # this container ships no codecs
+    _PILImage = None
+    HAS_PIL = False
+
+
 def decode_stub(payload: bytes) -> dict:
     """Deterministic fake decoder (REAL CODECS NOT AVAILABLE HERE).
 
-    Production slot: replace with PIL/libav decode. Raises for
-    unsupported modes like a real decoder would.
+    Production slot: `decode_image` below (PIL, auto-selected when
+    importable). Raises for unsupported modes like a real decoder
+    would.
     """
     if payload is None:
         raise NotImplementedError("real decoder required for empty payloads")
     return {"n_bytes": len(payload), "checksum": sum(payload) % 65536}
+
+
+def decode_image(payload: bytes) -> dict:
+    """Real PIL decode (only callable when HAS_PIL). Returns the same
+    feature dict shape as `decode_stub` plus width/height/mode, so the
+    mapInPandas plumbing is identical in both environments. The
+    registered keys keep the stub regardless — their oracles hash the
+    stub's deterministic output; the real path is exercised by a
+    PIL-gated pytest (tests/test_udf_stages.py) on generated PNGs."""
+    if not HAS_PIL:
+        raise NotImplementedError("PIL not available in this environment")
+    import io
+
+    img = _PILImage.open(io.BytesIO(payload))
+    return {
+        "n_bytes": len(payload),
+        "checksum": sum(payload) % 65536,
+        "width": img.width,
+        "height": img.height,
+        "mode": img.mode,
+    }
+
+
+def resize_image(payload: bytes, size: tuple[int, int] = (64, 64)) -> bytes:
+    """Real PIL resize (only callable when HAS_PIL): decode →
+    thumbnail(size) → re-encode PNG. Same bytes-in/bytes-out signature
+    as `resize_stub`."""
+    if not HAS_PIL:
+        raise NotImplementedError("PIL not available in this environment")
+    import io
+
+    img = _PILImage.open(io.BytesIO(payload))
+    img.thumbnail(size)
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    return buf.getvalue()
 
 
 def extract_features(df: DataFrame) -> DataFrame:

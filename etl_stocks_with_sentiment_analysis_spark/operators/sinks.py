@@ -37,9 +37,19 @@ from ..registry import register
 
 def scratch_dir(prefix: str) -> str:
     """Fresh scratch directory INSIDE the repo (never /tmp — the repo
-    root is the only writable surface this engine assumes)."""
+    root is the only writable surface this engine assumes).
+
+    Dirs from PREVIOUS calls with the same prefix are removed first,
+    so repeated correctness/bench runs hold at most one live dir per
+    prefix instead of accumulating unboundedly. (Removal must happen
+    here, not after the key returns — registered sink keys return a
+    lazy DataFrame that still reads from the current dir.)
+    """
     base = os.path.join(os.path.dirname(__file__), "..", "..", ".scratch")
     os.makedirs(base, exist_ok=True)
+    for entry in os.listdir(base):
+        if entry.startswith(prefix):
+            shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
     return tempfile.mkdtemp(prefix=prefix, dir=base)
 
 

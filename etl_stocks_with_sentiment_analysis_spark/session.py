@@ -37,6 +37,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.session.timeZone", "UTC")
+        # events.parquet is TIMESTAMP(NANOS); Spark has no per-read
+        # option for it, so the flag lives here at session build
+        # (sources.readers.ensure_nanos_conf re-asserts it for
+        # sessions not built by this factory).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

@@ -1,1 +1,6 @@
-from .readers import load_table, read_csv, read_json  # noqa: F401
+from .readers import (  # noqa: F401
+    ensure_nanos_conf,
+    load_table,
+    read_csv,
+    read_json,
+)

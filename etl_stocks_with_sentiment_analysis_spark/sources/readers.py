@@ -29,6 +29,20 @@ TESTDATA_TABLES = (
 )
 
 
+def ensure_nanos_conf(spark: SparkSession) -> None:
+    """Assert the TIMESTAMP(NANOS)-parquet support flag on a session.
+
+    Spark exposes no per-read option for nanos parquet — the legacy
+    flag is session-global by design. The engine's own session factory
+    (`session.get_spark`) sets it at build time; this idempotent
+    re-assert exists ONLY for sessions built elsewhere (the driver's,
+    bare pytest fixtures), so a table read never silently fails there.
+    It never unsets or changes any other config.
+    """
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table as a DataFrame (columnar parquet scan).
 
@@ -40,7 +54,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TESTDATA_TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TESTDATA_TABLES}")
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        ensure_nanos_conf(spark)
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")

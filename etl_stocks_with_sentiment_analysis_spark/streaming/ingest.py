@@ -31,7 +31,7 @@ from pyspark.sql.types import (
 )
 
 from ..registry import register
-from ..sources import load_table
+from ..sources import ensure_nanos_conf, load_table
 
 EVENTS_SCHEMA = StructType(
     [
@@ -158,7 +158,7 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (nanos→micros like
     the batch reader)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ensure_nanos_conf(spark)
     raw = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .format("parquet")

@@ -1,6 +1,9 @@
 """U1/U2/U3 surface: the Arrow-batched Python stages must agree with
 their JVM-expression twins (same semantics, different physical path)."""
 
+import pandas as pd
+import pytest
+
 from etl_stocks_with_sentiment_analysis_spark.llmdata import enrich, multimodal
 from etl_stocks_with_sentiment_analysis_spark.operators.sources_ops import (
     source_enrich_llm,
@@ -37,3 +40,40 @@ def test_decode_stub_is_deterministic_and_guards():
     assert out1 == out2 and out1["n_bytes"] == 3
     with pytest.raises(NotImplementedError):
         multimodal.decode_stub(None)
+
+
+@pytest.mark.skipif(not multimodal.HAS_PIL, reason="PIL not in this image")
+def test_real_decode_on_generated_pngs(spark):
+    """When PIL is present, the SAME mapInPandas plumbing decodes real
+    PNGs end-to-end (width/height/mode recovered per blob)."""
+    import io
+
+    from PIL import Image
+
+    def png(w, h):
+        buf = io.BytesIO()
+        Image.new("RGB", (w, h), (10, 20, 30)).save(buf, format="PNG")
+        return buf.getvalue()
+
+    rows = [(1, png(8, 4)), (2, png(16, 2))]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, payload BINARY")
+    schema = "doc_id BIGINT, width INT, height INT, mode STRING"
+
+    def gen(batches):
+        for pdf in batches:
+            feats = [multimodal.decode_image(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "width": [f["width"] for f in feats],
+                    "height": [f["height"] for f in feats],
+                    "mode": [f["mode"] for f in feats],
+                }
+            )
+
+    out = {r["doc_id"]: r for r in df.mapInPandas(gen, schema).collect()}
+    assert out[1]["width"] == 8 and out[1]["height"] == 4
+    assert out[2]["width"] == 16 and out[2]["mode"] == "RGB"
+    resized = multimodal.resize_image(png(256, 128))
+    w, h = Image.open(io.BytesIO(resized)).size
+    assert (w, h) == (64, 32)  # thumbnail preserves aspect under 64x64

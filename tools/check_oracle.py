@@ -7,7 +7,12 @@ with tolerance second, so "hash-risk" queries are flagged before the
 driver sees them.
 
 Usage:
-    python tools/check_oracle.py [--sf DIR] [keys...]
+    python tools/check_oracle.py [--sf DIR] [--json OUT] [keys...]
+
+--json writes a per-key result file in the CORRECTNESS_r*.json shape,
+committed per-round as LOCAL_GATE_r{N}.json: the driver's own gate
+records only the first ~50 keys alphabetically per round, so this file
+is the auditable evidence for every key past the cap.
 """
 
 from __future__ import annotations
@@ -70,8 +75,10 @@ def close_enough(a: list[tuple], b: list[tuple]) -> bool:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--json", default=None, help="write per-key results to this file")
     ap.add_argument("keys", nargs="*")
     args = ap.parse_args()
+    results: dict[str, dict] = {}
 
     spark = get_spark("check-oracle")
     con = duckdb.connect()
@@ -91,30 +98,40 @@ def main() -> int:
         except Exception:
             print(f"FAIL  {key}: SPARK ERROR")
             traceback.print_exc(limit=4)
+            results[key] = {"status": "fail", "reason": "spark_error"}
             n_fail += 1
             continue
         if key not in oracles:
-            print(f"noracle {key}: rows={len(sdf)} ({time.time() - t0:.1f}s)")
+            secs = round(time.time() - t0, 2)
+            print(f"noracle {key}: rows={len(sdf)} ({secs:.1f}s)")
+            results[key] = {"status": "rows_only", "rows": len(sdf), "secs": secs}
             n_noracle += 1
             continue
         try:
             odf = con.execute(oracles[key]).df()
         except Exception as e:
             print(f"FAIL  {key}: ORACLE ERROR {e}")
+            results[key] = {"status": "fail", "reason": f"oracle_error: {e}"}
             n_fail += 1
             continue
         scols, ocols = sorted(sdf.columns), sorted(odf.columns)
         if scols != ocols:
             print(f"FAIL  {key}: columns spark={scols} oracle={ocols}")
+            results[key] = {"status": "fail", "reason": "columns"}
             n_fail += 1
             continue
         if len(sdf) != len(odf):
             print(f"FAIL  {key}: rows spark={len(sdf)} oracle={len(odf)}")
+            results[key] = {"status": "fail", "reason": "rowcount"}
             n_fail += 1
             continue
         a, b = frame_to_rows(sdf), frame_to_rows(odf)
         if a == b:
-            print(f"pass  {key}: rows={len(sdf)} ({time.time() - t0:.1f}s)")
+            secs = round(time.time() - t0, 2)
+            print(f"pass  {key}: rows={len(sdf)} ({secs:.1f}s)")
+            results[key] = {
+                "status": "pass", "rows": len(sdf), "cols": scols, "secs": secs,
+            }
             n_pass += 1
         elif close_enough(a, b):
             print(f"SOFT  {key}: values within 1e-9 but NOT hash-identical")
@@ -122,6 +139,7 @@ def main() -> int:
                 if ra != rb:
                     print(f"      spark  {ra}\n      oracle {rb}")
                     break
+            results[key] = {"status": "soft"}
             n_soft += 1
         else:
             print(f"FAIL  {key}: value mismatch rows={len(sdf)}")
@@ -130,11 +148,33 @@ def main() -> int:
                 if ra != rb and shown < 3:
                     print(f"      spark  {ra}\n      oracle {rb}")
                     shown += 1
+            results[key] = {"status": "fail", "reason": "values"}
             n_fail += 1
     print(
         f"\n== pass={n_pass} soft={n_soft} fail={n_fail} rows-only={n_noracle} "
         f"of {len(keys)}"
     )
+    if args.json:
+        import json
+
+        with open(args.json, "w") as fh:
+            json.dump(
+                {
+                    "sf_dir": args.sf,
+                    "summary": {
+                        "pass": n_pass,
+                        "soft": n_soft,
+                        "fail": n_fail,
+                        "rows_only": n_noracle,
+                        "total": len(keys),
+                    },
+                    "results": results,
+                },
+                fh,
+                indent=1,
+                sort_keys=True,
+            )
+        print(f"wrote {args.json}")
     return 1 if n_fail or n_soft else 0
 
 
