@@ -10,3 +10,4 @@ from . import sorts  # noqa: F401
 from . import reshape  # noqa: F401
 from . import sinks  # noqa: F401
 from . import sources_ops  # noqa: F401
+from . import analytics  # noqa: F401

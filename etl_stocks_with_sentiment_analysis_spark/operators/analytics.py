@@ -1,0 +1,255 @@
+"""Product/event analytics operators (round-2 extensions).
+
+The reference's dashboard answers "how is the model doing" questions
+(`/root/reference/sql/dashboard_views.sql`); a production analytics
+engine over the same event firehose also needs the classic
+user-journey queries — funnel conversion, cohort retention — plus
+cross-asset statistics (pairwise correlation) and deterministic
+stratified sampling for training-data extraction. All four are pure
+DataFrame plans (no Python stages) with exact-integer determinism per
+:mod:`..functions.exact`'s scheme.
+
+Scale notes:
+- funnel / cohort aggregate per user_id first (high-cardinality key,
+  map-side combinable) before any join; nothing global.
+- the correlation matrix is bounded to an explicit watchlist — the
+  pairwise join is quadratic in WATCHLIST size only, never in table
+  size. Unbounded all-pairs correlation at 100 TB is a design error,
+  not a tuning problem; widen the watchlist consciously.
+- stratified sampling orders inside each stratum by a hash —
+  per-ticker windows, no global sort, identical sample on every
+  engine/run (the property `sample_hash_split` establishes for
+  row-level splits, lifted to exact per-stratum quotas).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans import panel
+from ..registry import register
+from ..sources import load_table
+
+# ---------------------------------------------------------------------------
+# Funnel conversion (events: click → purchase)
+# ---------------------------------------------------------------------------
+
+_FUNNEL_ORACLE = """
+WITH clicks AS (
+  SELECT user_id, MIN(ts) AS first_click
+  FROM events WHERE event_type = 'click' GROUP BY user_id
+),
+conv AS (
+  SELECT c.user_id, MIN(e.ts) AS first_purchase
+  FROM clicks c
+  JOIN events e
+    ON e.user_id = c.user_id AND e.event_type = 'purchase'
+   AND e.ts > c.first_click
+  GROUP BY c.user_id
+)
+SELECT COUNT(*) AS n_clicked,
+       COUNT(v.first_purchase) AS n_converted,
+       CAST(ROUND(10000.0 * COUNT(v.first_purchase) / COUNT(*), 0) AS BIGINT)
+           AS conversion_bp,
+       CAST(SUM(EPOCH_US(v.first_purchase) - EPOCH_US(c.first_click)) AS BIGINT)
+           AS total_lag_us
+FROM clicks c LEFT JOIN conv v ON c.user_id = v.user_id"""
+
+
+@register("events_funnel", oracle=_FUNNEL_ORACLE)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase funnel: of users who ever clicked, how many
+    later purchased, and the summed click→purchase lag. Both stages
+    aggregate per user_id BEFORE joining (map-side combinable, join
+    cardinality = distinct users, never events×events)."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    conv = (
+        clicks.join(
+            ev.filter(F.col("event_type") == "purchase").select(
+                "user_id", F.col("ts").alias("pts")
+            ),
+            "user_id",
+        )
+        .filter(F.col("pts") > F.col("first_click"))
+        .groupBy("user_id")
+        .agg(F.min("pts").alias("first_purchase"))
+    )
+    j = clicks.join(conv, "user_id", "left")
+    return j.agg(
+        F.count("*").alias("n_clicked"),
+        F.count("first_purchase").alias("n_converted"),
+        F.round(10000.0 * F.count("first_purchase") / F.count("*"), 0)
+        .cast("long")
+        .alias("conversion_bp"),
+        F.sum(
+            F.unix_micros("first_purchase") - F.unix_micros("first_click")
+        ).alias("total_lag_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weekly cohort retention
+# ---------------------------------------------------------------------------
+
+_COHORT_ORACLE = """
+WITH first_seen AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT e.user_id, CAST(e.ts AS DATE) AS day
+  FROM events e
+)
+SELECT CAST(DATE_TRUNC('week', f.first_day) AS DATE) AS cohort_week,
+       CAST(FLOOR((a.day - f.first_day) / 7.0) AS BIGINT) AS week_offset,
+       COUNT(DISTINCT a.user_id) AS n_users
+FROM activity a JOIN first_seen f ON a.user_id = f.user_id
+GROUP BY 1, 2"""
+
+
+@register("events_cohort_retention", oracle=_COHORT_ORACLE)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-seen week,
+    counted per week-offset of later activity. The per-user MIN and
+    the DISTINCT (user, day) projection both combine map-side; the
+    join carries one row per active user-day, not per event."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    first_seen = ev.groupBy("user_id").agg(F.min(day).alias("first_day"))
+    activity = ev.select("user_id", day.alias("day")).distinct()
+    j = activity.join(first_seen, "user_id")
+    return j.groupBy(
+        F.date_trunc("week", "first_day").cast("date").alias("cohort_week"),
+        F.floor(F.datediff("day", "first_day") / 7.0).alias("week_offset"),
+    ).agg(F.countDistinct("user_id").alias("n_users"))
+
+
+# ---------------------------------------------------------------------------
+# Watchlist pairwise return correlation
+# ---------------------------------------------------------------------------
+
+_WATCHLIST_MAX = 25  # pairwise work is quadratic in THIS, not in table size
+
+_CORR_ORACLE = panel.sql_with(
+    *panel.PANEL_CHG,
+    f"""r AS (
+  SELECT ticker, date, CAST(ROUND(pct_change * 100, 0) AS BIGINT) AS bp
+  FROM changes
+  WHERE pct_change IS NOT NULL AND ticker <= {_WATCHLIST_MAX}
+)""",
+    """sums AS (
+  SELECT a.ticker AS t1, b.ticker AS t2,
+         COUNT(*) AS n,
+         SUM(a.bp) AS sx, SUM(b.bp) AS sy,
+         SUM(a.bp * b.bp) AS sxy,
+         SUM(a.bp * a.bp) AS sxx, SUM(b.bp * b.bp) AS syy
+  FROM r a JOIN r b ON a.date = b.date AND a.ticker < b.ticker
+  GROUP BY 1, 2
+)""",
+    body="""
+SELECT t1, t2, n AS n_days,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / NULLIF(SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                  * SQRT(CAST(n * syy - sy * sy AS DOUBLE)), 0.0) AS corr
+FROM sums""",
+)
+
+
+@register("agg_corr_watchlist", oracle=_CORR_ORACLE)
+def agg_corr_watchlist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise daily-return correlation across a bounded watchlist.
+
+    The correlation is assembled from six exact BIGINT sums (n, Σx,
+    Σy, Σxy, Σx², Σy²) over basis-point integer returns, so the
+    final double is computed from identical integers in both engines —
+    never a raw float aggregate. The date-keyed self-join carries only
+    watchlist rows; everything else is pruned at the scan.
+    """
+    chg = (
+        panel.changes(spark, sf_dir)
+        .filter(
+            F.col("pct_change").isNotNull() & (F.col("ticker") <= _WATCHLIST_MAX)
+        )
+        .select(
+            "ticker",
+            "date",
+            F.round(F.col("pct_change") * 100, 0).cast("long").alias("bp"),
+        )
+    )
+    a = chg.select(
+        F.col("ticker").alias("t1"), "date", F.col("bp").alias("bpx")
+    )
+    b = chg.select(
+        F.col("ticker").alias("t2"), "date", F.col("bp").alias("bpy")
+    )
+    sums = (
+        a.join(b, "date")
+        .filter(F.col("t1") < F.col("t2"))
+        .groupBy("t1", "t2")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("bpx").alias("sx"),
+            F.sum("bpy").alias("sy"),
+            F.sum(F.col("bpx") * F.col("bpy")).alias("sxy"),
+            F.sum(F.col("bpx") * F.col("bpx")).alias("sxx"),
+            F.sum(F.col("bpy") * F.col("bpy")).alias("syy"),
+        )
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    dx = F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+    dy = F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+    return sums.select(
+        "t1",
+        "t2",
+        F.col("n").alias("n_days"),
+        (num / F.nullif(dx * dy, F.lit(0.0))).alias("corr"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling
+# ---------------------------------------------------------------------------
+
+_STRATA_K = 20
+
+_STRATIFIED_ORACLE = panel.sql_with(
+    *panel.PANEL,
+    body=f"""
+SELECT ticker, date, close FROM (
+  SELECT ticker, date, close,
+         ROW_NUMBER() OVER (
+           PARTITION BY ticker
+           ORDER BY MD5(CAST(ticker AS VARCHAR) || '|' || CAST(date AS VARCHAR)), date
+         ) AS rn
+  FROM prices
+) WHERE rn <= {_STRATA_K}""",
+)
+
+
+@register("sample_stratified", oracle=_STRATIFIED_ORACLE)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-quota stratified sample: precisely K rows per ticker,
+    chosen by MD5 order of the row key — deterministic across engines,
+    runs, and partitionings (unlike `df.sample`, whose output depends
+    on partition layout). Per-stratum window only; at 100 TB each
+    ticker's window sorts its own partition slice, no global order."""
+    w = Window.partitionBy("ticker").orderBy("md5key", "date")
+    px = panel.prices(spark, sf_dir).select(
+        "ticker",
+        "date",
+        "close",
+        F.md5(
+            F.concat_ws("|", F.col("ticker").cast("string"), F.col("date").cast("string"))
+        ).alias("md5key"),
+    )
+    return (
+        px.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _STRATA_K)
+        .select("ticker", "date", "close")
+    )

@@ -41,3 +41,35 @@ def pivot_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select(
         "ticker", *[F.col(str(m)).alias(f"m{m:02d}") for m in _MONTHS]
     )
+
+
+_UNPIVOT_ORACLE = panel.sql_with(
+    *panel.PANEL,
+    body="""
+SELECT ticker, date, field, value FROM (
+  SELECT ticker, date, 'low' AS field, low AS value FROM prices
+  UNION ALL
+  SELECT ticker, date, 'high', high FROM prices
+  UNION ALL
+  SELECT ticker, date, 'close', close FROM prices
+)""",
+)
+
+
+@register("reshape_unpivot", oracle=_UNPIVOT_ORACLE)
+def reshape_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2 — melt/unpivot (pandas `df.melt` analog): wide OHLC columns
+    → long (ticker, date, field, value). Spark's native `unpivot`
+    rewrites to a generator expression — row count triples but nothing
+    shuffles; the narrow long format is what a feature store or
+    tall-table sink ingests. All three measures are exact
+    (min/max/cents-sum), so raw doubles hash-match."""
+    return (
+        panel.prices(spark, sf_dir)
+        .unpivot(
+            ids=["ticker", "date"],
+            values=["low", "high", "close"],
+            variableColumnName="field",
+            valueColumnName="value",
+        )
+    )

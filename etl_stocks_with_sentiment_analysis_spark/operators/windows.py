@@ -383,3 +383,137 @@ def window_latest_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("model_version", "ticker", "date")
         .limit(1)
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-2 extensions: recursive / path-dependent window ops beyond W1-W11
+# ---------------------------------------------------------------------------
+
+_EMA_ORACLE = (
+    "WITH RECURSIVE "
+    + panel.PRICES_CTE
+    + """,
+t AS (
+  SELECT ticker, date,
+         CAST(CAST(ROUND(close * 100, 0) AS BIGINT) AS DOUBLE) AS c,
+         ROW_NUMBER() OVER (PARTITION BY ticker ORDER BY date) AS rn
+  FROM prices
+),
+ema AS (
+  SELECT ticker, date, rn, c AS ema FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.ticker, t.date, t.rn, e.ema * 0.875 + t.c * 0.125
+  FROM t JOIN ema e ON t.ticker = e.ticker AND t.rn = e.rn + 1
+)
+SELECT ticker, date, ema / 100.0 AS ema FROM ema"""
+)
+
+
+@register("window_ema", oracle=_EMA_ORACLE)
+def window_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential moving average, alpha = 1/8 (pandas `ewm(alpha=...)
+    .mean()` analog, `ml/feature_engineering.py` family). A true
+    RECURSIVE operator — EMA_t depends on EMA_{t-1}, which no SQL
+    window frame expresses — so this is the documented Arrow path:
+    `applyInPandas` per ticker, sequential fold inside the group,
+    verified against a DuckDB recursive-CTE oracle.
+
+    Determinism: inputs are quantized to cents first; the fold
+    `e*0.875 + c*0.125` uses exact binary constants and the identical
+    IEEE op sequence in both engines, so results are bit-identical.
+
+    Scale: one shuffle on ticker (high-cardinality panel key); each
+    group's history folds sequentially inside its task — the same
+    shape as any per-key stateful pass. Group size is bounded by the
+    trading-day count (~2.5k rows/ticker at any SF), so no task is
+    ever larger than one key's history.
+    """
+    import pandas as pd
+
+    px = panel.prices(spark, sf_dir).select(
+        "ticker",
+        "date",
+        F.round(F.col("close") * 100, 0).cast("long").cast("double").alias("c"),
+    )
+
+    def ema_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("date").reset_index(drop=True)
+        out, e = [], None
+        for c in pdf["c"]:
+            c = float(c)
+            e = c if e is None else e * 0.875 + c * 0.125
+            out.append(e / 100.0)
+        pdf["ema"] = out
+        return pdf[["ticker", "date", "ema"]]
+
+    return px.groupBy("ticker").applyInPandas(
+        ema_group, "ticker bigint, date date, ema double"
+    )
+
+
+_DD_ORACLE = panel.sql_with(
+    panel.PRICES_CTE,
+    """dd AS (
+  SELECT ticker, date,
+         CAST(ROUND(close * 100, 0) AS BIGINT) AS c,
+         MAX(CAST(ROUND(close * 100, 0) AS BIGINT))
+           OVER (PARTITION BY ticker ORDER BY date ROWS UNBOUNDED PRECEDING) AS peak
+  FROM prices
+)""",
+    body="""
+SELECT ticker,
+       MAX(CAST(ROUND(10000.0 * (1.0 - CAST(c AS DOUBLE) / CAST(peak AS DOUBLE)), 0) AS BIGINT)) AS max_drawdown_bp,
+       COUNT(*) AS n_days
+FROM dd GROUP BY ticker""",
+)
+
+
+@register("window_max_drawdown", oracle=_DD_ORACLE)
+def window_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per ticker in basis points: running peak
+    (cumulative max window) vs close, then a max-agg. Path-dependent
+    but frame-expressible — stays fully JVM-side: one window exchange
+    on ticker shared with the panel's canonical spec, then a map-side-
+    combinable agg. Drawdown ratio is computed from exact cents
+    integers so the cross-engine hash matches.
+    """
+    c = F.round(F.col("close") * 100, 0).cast("long")
+    wcum = W().rowsBetween(Window.unboundedPreceding, 0)
+    px = panel.prices(spark, sf_dir).select("ticker", "date", c.alias("c"))
+    px = px.withColumn("peak", F.max("c").over(wcum))
+    dd = F.round(
+        10000.0 * (1.0 - F.col("c").cast("double") / F.col("peak").cast("double")), 0
+    ).cast("long")
+    return (
+        px.select("ticker", dd.alias("dd"))
+        .groupBy("ticker")
+        .agg(F.max("dd").alias("max_drawdown_bp"), F.count("*").alias("n_days"))
+    )
+
+
+_NTILE_ORACLE = panel.sql_with(
+    *panel.PANEL_CHG,
+    body="""
+SELECT ticker, date, pct_change,
+       NTILE(4) OVER (PARTITION BY ticker ORDER BY pct_change, date) AS vol_quartile
+FROM changes WHERE pct_change IS NOT NULL""",
+)
+
+
+@register("window_ntile_quartiles", oracle=_NTILE_ORACLE)
+def window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-ticker return quartiles via NTILE(4) (`pd.qcut` analog).
+    The window partitions by ticker — never a global orderBy, so no
+    single-partition funnel; ties are broken by date so bucket
+    assignment is deterministic across engines."""
+    w = Window.partitionBy("ticker").orderBy("pct_change", "date")
+    return (
+        panel.changes(spark, sf_dir)
+        .filter(F.col("pct_change").isNotNull())
+        .select(
+            "ticker",
+            "date",
+            "pct_change",
+            F.ntile(4).over(w).alias("vol_quartile"),
+        )
+    )
