@@ -1,0 +1,98 @@
+"""Round-2 operator invariants: event analytics, recursive EMA,
+stratified sampling — semantics AND plan shape (no single-partition
+funnels, no nested-loop joins sneaking in)."""
+
+from pyspark.sql import functions as F
+
+from etl_stocks_with_sentiment_analysis_spark.operators import analytics, windows
+from etl_stocks_with_sentiment_analysis_spark.plans import panel
+
+
+def _plan(spark, df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_funnel_counts_consistent(spark, sf_dir):
+    row = analytics.events_funnel(spark, sf_dir).collect()[0]
+    assert 0 <= row["n_converted"] <= row["n_clicked"]
+    assert 0 <= row["conversion_bp"] <= 10000
+    if row["n_converted"]:
+        assert row["total_lag_us"] > 0  # purchases strictly after clicks
+
+
+def test_cohort_offsets_nonnegative_and_week0_complete(spark, sf_dir):
+    out = analytics.events_cohort_retention(spark, sf_dir)
+    assert out.filter(F.col("week_offset") < 0).count() == 0
+    # every cohort has a week-0 row (the first-seen day itself)
+    cohorts = out.select("cohort_week").distinct().count()
+    week0 = out.filter(F.col("week_offset") == 0).count()
+    assert week0 == cohorts
+
+
+def test_corr_bounds_and_symmetric_input(spark, sf_dir):
+    out = analytics.agg_corr_watchlist(spark, sf_dir)
+    bad = out.filter(
+        F.col("corr").isNotNull() & (F.abs(F.col("corr")) > 1.0 + 1e-12)
+    )
+    assert bad.count() == 0
+    # pairs are strictly upper-triangular, so no self/duplicate pairs
+    assert out.filter(F.col("t1") >= F.col("t2")).count() == 0
+
+
+def test_stratified_sample_exact_quota_and_partition_invariant(spark, sf_dir):
+    out = analytics.sample_stratified(spark, sf_dir)
+    per = out.groupBy("ticker").count()
+    n_dates = panel.prices(spark, sf_dir).groupBy("ticker").count()
+    short = per.join(n_dates.withColumnRenamed("count", "n_rows"), "ticker")
+    # exactly K rows per ticker (or all rows if the stratum is smaller)
+    assert short.filter(
+        F.col("count") != F.least(F.lit(analytics._STRATA_K), F.col("n_rows"))
+    ).count() == 0
+    # deterministic under a different input partitioning
+    rows = {tuple(map(str, r)) for r in out.collect()}
+    again = {tuple(map(str, r)) for r in analytics.sample_stratified(spark, sf_dir).repartition(7).collect()}
+    assert rows == again
+
+
+def test_ema_first_row_equals_close_and_is_smoother(spark, sf_dir):
+    ema = windows.window_ema(spark, sf_dir)
+    px = panel.prices(spark, sf_dir).select("ticker", "date", "close")
+    j = ema.join(px, ["ticker", "date"])
+    w_first = (
+        j.groupBy("ticker")
+        .agg(F.min("date").alias("date"))
+        .join(j, ["ticker", "date"])
+    )
+    # EMA seeds at the first close (cents-rounded)
+    off = w_first.filter(
+        F.abs(F.col("ema") - F.round(F.col("close"), 2)) > 1e-9
+    )
+    assert off.count() == 0
+    # smoothing: EMA variance strictly below close variance per ticker
+    v = j.groupBy("ticker").agg(
+        F.variance("close").alias("vc"), F.variance("ema").alias("ve")
+    )
+    assert v.filter(F.col("ve") > F.col("vc")).count() == 0
+
+
+def test_drawdown_bounds(spark, sf_dir):
+    dd = windows.window_max_drawdown(spark, sf_dir)
+    assert dd.filter(
+        (F.col("max_drawdown_bp") < 0) | (F.col("max_drawdown_bp") > 10000)
+    ).count() == 0
+
+
+def test_round2_plans_have_no_global_funnel(spark, sf_dir):
+    """None of the round-2 ops may plan a single-partition exchange or
+    a nested-loop join — they all partition by ticker/user/date keys."""
+    for df in (
+        windows.window_ema(spark, sf_dir),
+        windows.window_max_drawdown(spark, sf_dir),
+        windows.window_ntile_quartiles(spark, sf_dir),
+        analytics.sample_stratified(spark, sf_dir),
+        analytics.events_cohort_retention(spark, sf_dir),
+        analytics.agg_corr_watchlist(spark, sf_dir),
+    ):
+        plan = _plan(spark, df)
+        assert "Exchange SinglePartition" not in plan
+        assert "NestedLoop" not in plan
