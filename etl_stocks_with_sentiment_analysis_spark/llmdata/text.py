@@ -266,3 +266,64 @@ def text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "bigram")
         .limit(20)
     )
+
+
+_TFIDF_K = 5
+# rational tf/df score: tf * 1e6 // df is exact integer arithmetic in
+# both engines — a float idf (LN) could differ by 1 ulp across libm
+# implementations and flip a ROUND, so the score stays rational.
+
+_TFIDF_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM toks WHERE term <> '' AND term NOT IN {_STOP_SQL}
+  GROUP BY 1, 2
+),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT t.doc_id, t.term, t.tf, d.df,
+         t.tf * 1000000 // d.df AS score
+  FROM tf t JOIN df d USING (term)
+)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       CAST(score AS BIGINT) AS score
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+  FROM scored
+) WHERE rn <= {_TFIDF_K}"""
+
+
+@register("text_tfidf_topk", oracle=_TFIDF_ORACLE)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-K distinguishing terms by a TF-IDF-family
+    score (tf scaled by inverse document frequency as the exact
+    rational ``tf * 1e6 div df`` — same ranking as tf/df, no float
+    log; see module determinism note). The keyword-extraction /
+    corpus-characterization primitive of a training-data pipeline.
+
+    Scale: tf is a (doc, term) map-side-combinable agg over the token
+    explode (per-doc bounded); df re-aggregates the already-small tf
+    frame by term; the join back is term-keyed (skew bounded by the
+    stopword filter + AQE); final top-K is a per-doc window — never a
+    global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter((F.col("term") != "") & ~F.col("term").isin(*_STOPWORDS))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(df_, "term").withColumn(
+        "score", F.expr("tf * 1000000L div df")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TFIDF_K)
+        .select("doc_id", "term", "tf", "df", "score")
+    )

@@ -435,3 +435,80 @@ def agg_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     panel.prices(spark, sf_dir).createOrReplaceTempView("prices_panel_q")
     return spark.sql(_QUANT_BODY.format(src="prices_panel_q"))
+
+
+# ---------------------------------------------------------------------------
+# Round-2 extensions
+# ---------------------------------------------------------------------------
+
+_HIST_ORACLE = panel.sql_with(
+    *panel.PANEL_CHG,
+    body="""
+SELECT LEAST(GREATEST(CAST(FLOOR(pct_change) AS BIGINT), -10), 10) AS bin,
+       COUNT(*) AS n
+FROM changes WHERE pct_change IS NOT NULL
+GROUP BY 1""",
+)
+
+
+@register("agg_histogram_returns", oracle=_HIST_ORACLE)
+def agg_histogram_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return-distribution histogram: 1%-wide bins clamped to
+    [-10, +10] — the fixed-bin histogram is the scale-safe sketch for
+    distribution dashboards (bounded output cardinality, one map-side-
+    combinable agg; contrast with exact percentiles, which need a
+    sort). FLOOR of bit-identical doubles is deterministic."""
+    chg = panel.changes(spark, sf_dir).filter(F.col("pct_change").isNotNull())
+    bin_ = F.least(
+        F.greatest(F.floor("pct_change").cast("long"), F.lit(-10)), F.lit(10)
+    )
+    return chg.groupBy(bin_.alias("bin")).agg(F.count("*").alias("n"))
+
+
+_CALIB_ORACLE = panel.sql_with(
+    *panel.PANEL_SCORED,
+    body="""
+SELECT CAST(FLOOR(confidence * 10) AS BIGINT) AS conf_decile,
+       COUNT(*) AS n,
+       CAST(SUM(is_correct) AS BIGINT) AS n_correct,
+       CAST(ROUND(10000.0 * SUM(is_correct) / COUNT(*), 0) AS BIGINT) AS accuracy_bp
+FROM scored GROUP BY 1""",
+)
+
+
+@register("agg_calibration_buckets", oracle=_CALIB_ORACLE)
+def agg_calibration_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confidence-calibration table: is the model's stated confidence
+    honest? Buckets predictions by confidence decile and compares
+    observed accuracy (exact integer counts → basis points). The
+    reference dashboard plots this from its predictions table
+    (`dashboard.py` confidence charts); here it is one combinable
+    aggregation."""
+    s = panel.scored(spark, sf_dir)
+    return s.groupBy(
+        F.floor(F.col("confidence") * 10).cast("long").alias("conf_decile")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum("is_correct").cast("long").alias("n_correct"),
+        F.round(10000.0 * F.sum("is_correct") / F.count("*"), 0)
+        .cast("long")
+        .alias("accuracy_bp"),
+    )
+
+
+@register("agg_approx_distinct", oracle=None)  # sketch ≠ SQL-reproducible
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-user counts per event_type
+    (`approx_count_distinct`, rsd 2%). THE scale answer for
+    count-distinct over 100 TB: constant-size sketch per group,
+    map-side mergeable, no shuffle of raw user ids — the exact
+    variant shuffles every distinct (group, user) pair. Rows-only key
+    (sketch estimates are engine-specific); the error bound vs the
+    exact count is asserted in tests/test_analytics.py."""
+    from ..sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count("*").alias("n_events"),
+    )

@@ -96,3 +96,38 @@ def test_round2_plans_have_no_global_funnel(spark, sf_dir):
         plan = _plan(spark, df)
         assert "Exchange SinglePartition" not in plan
         assert "NestedLoop" not in plan
+
+
+def test_approx_distinct_within_rsd_bound(spark, sf_dir):
+    from etl_stocks_with_sentiment_analysis_spark.operators.aggregations import (
+        agg_approx_distinct,
+    )
+    from etl_stocks_with_sentiment_analysis_spark.sources import load_table
+
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in agg_approx_distinct(spark, sf_dir).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for et, n in exact.items():
+        assert abs(approx[et] - n) <= max(3, 0.05 * n)
+
+
+def test_tfidf_topk_per_doc_bounded_and_ranked(spark, sf_dir):
+    from etl_stocks_with_sentiment_analysis_spark.llmdata.text import (
+        _TFIDF_K,
+        text_tfidf_topk,
+    )
+
+    out = text_tfidf_topk(spark, sf_dir)
+    per_doc = out.groupBy("doc_id").count()
+    assert per_doc.filter(F.col("count") > _TFIDF_K).count() == 0
+    # score is the monotone rational tf/df: recompute and compare
+    bad = out.filter(F.col("score") != F.expr("tf * 1000000L div df"))
+    assert bad.count() == 0
