@@ -24,7 +24,7 @@ import shutil
 import tempfile
 from contextlib import contextmanager
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans import panel
@@ -283,3 +283,127 @@ def sink_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "predicted_volatility DOUBLE, confidence DOUBLE, model_version STRING"
     )
     return spark.read.csv(target, header=True, schema=schema)
+
+
+_SCD2_ORACLE = panel.sql_with(
+    panel.PRICES_CTE,
+    panel.EXPLANATIONS_CTE,
+    """cur AS (
+  SELECT ticker, topic, date AS valid_from FROM (
+    SELECT ticker, topic, date,
+           ROW_NUMBER() OVER (PARTITION BY ticker ORDER BY date DESC) AS rn
+    FROM explanations WHERE date < DATE '1998-01-01'
+  ) WHERE rn = 1
+)""",
+    """inc AS (
+  SELECT ticker, topic, date AS eff_date FROM (
+    SELECT ticker, topic, date,
+           ROW_NUMBER() OVER (PARTITION BY ticker ORDER BY date) AS rn
+    FROM explanations WHERE date >= DATE '1998-01-01'
+  ) WHERE rn = 1
+)""",
+    body="""
+SELECT c.ticker, c.topic, c.valid_from, i.eff_date AS valid_to, FALSE AS is_current
+FROM cur c JOIN inc i ON c.ticker = i.ticker AND c.topic <> i.topic
+UNION ALL
+SELECT c.ticker, c.topic, c.valid_from, CAST(NULL AS DATE) AS valid_to, TRUE AS is_current
+FROM cur c LEFT JOIN inc i ON c.ticker = i.ticker
+WHERE i.ticker IS NULL OR c.topic = i.topic
+UNION ALL
+SELECT i.ticker, i.topic, i.eff_date AS valid_from, CAST(NULL AS DATE) AS valid_to, TRUE AS is_current
+FROM inc i LEFT JOIN cur c ON i.ticker = c.ticker
+WHERE c.ticker IS NULL OR c.topic <> i.topic""",
+)
+
+
+@register("sink_scd2_merge", oracle=_SCD2_ORACLE)
+def sink_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension merge: the warehouse MERGE
+    pattern the reference's Postgres sink would run for dimension
+    history. Current snapshot (latest pre-cutoff topic per ticker) vs
+    incoming changes (first post-cutoff): changed keys get their open
+    row CLOSED (valid_to = effective date) plus a NEW open row;
+    unchanged/absent keys keep their open row; brand-new keys insert.
+
+    Three ticker-keyed joins over two already-tiny per-key frames —
+    at scale both sides are latest-per-key reductions (combinable
+    window/agg), never the raw history.
+    """
+    e = panel.explanations(spark, sf_dir)
+    w_desc = Window.partitionBy("ticker").orderBy(F.desc("date"))
+    w_asc = Window.partitionBy("ticker").orderBy("date")
+    cutoff = F.lit("1998-01-01").cast("date")
+    cur = (
+        e.filter(F.col("date") < cutoff)
+        .withColumn("rn", F.row_number().over(w_desc))
+        .filter(F.col("rn") == 1)
+        .select("ticker", "topic", F.col("date").alias("valid_from"))
+    )
+    inc = (
+        e.filter(F.col("date") >= cutoff)
+        .withColumn("rn", F.row_number().over(w_asc))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("ticker").alias("i_ticker"),
+            F.col("topic").alias("i_topic"),
+            F.col("date").alias("eff_date"),
+        )
+    )
+    closed = (
+        cur.join(
+            inc,
+            (cur.ticker == inc.i_ticker) & (cur.topic != inc.i_topic),
+        )
+        .select(
+            "ticker",
+            "topic",
+            "valid_from",
+            F.col("eff_date").alias("valid_to"),
+            F.lit(False).alias("is_current"),
+        )
+    )
+    kept = (
+        cur.join(inc, cur.ticker == inc.i_ticker, "left")
+        .filter(F.col("i_ticker").isNull() | (F.col("topic") == F.col("i_topic")))
+        .select(
+            "ticker",
+            "topic",
+            "valid_from",
+            F.lit(None).cast("date").alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        )
+    )
+    new_rows = (
+        inc.join(cur, inc.i_ticker == cur.ticker, "left")
+        .filter(F.col("ticker").isNull() | (F.col("topic") != F.col("i_topic")))
+        .select(
+            F.col("i_ticker").alias("ticker"),
+            F.col("i_topic").alias("topic"),
+            F.col("eff_date").alias("valid_from"),
+            F.lit(None).cast("date").alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        )
+    )
+    return closed.unionByName(kept).unionByName(new_rows)
+
+
+def compact(spark: SparkSession, path: str, n_files: int) -> None:
+    """Small-files compaction — the 100 TB maintenance job every
+    parquet lake needs (streaming/incremental upserts accumulate tiny
+    files; scan cost is per-file). Rewrites `path` into `n_files`
+    files via a staged write + atomic directory swap. `repartition`
+    is a full shuffle by design (even output sizes); run it per
+    partition directory in production to bound memory."""
+    df = spark.read.parquet(path)
+    tmp = scratch_dir("compact_")
+    staged = os.path.join(tmp, "staged")
+    df.repartition(n_files).write.mode("overwrite").parquet(staged)
+    old = path.rstrip("/") + "__old"
+    os.rename(path, old)
+    try:
+        os.rename(staged, path)
+    except Exception:
+        os.rename(old, path)  # roll back
+        raise
+    shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(tmp, ignore_errors=True)

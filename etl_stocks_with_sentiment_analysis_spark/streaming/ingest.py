@@ -200,3 +200,38 @@ def run_dedup_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_incremental_upsert(
+    spark: SparkSession, sf_dir: str, target: str, query_name: str = "daily_upsert"
+):
+    """Incremental materialization: the streaming daily agg merged
+    into a parquet sink via foreachBatch + the partition-scoped
+    `upsert` writer — the event-incremental form of the reference's
+    "recompute today's rows, merge into the table" cron semantics
+    (`stock_grok_pipeline.py:182-195`). `update` output mode emits
+    only the groups a trigger changed; each batch rewrites only the
+    day-partitions present in that batch. Rerunning the whole stream
+    is idempotent (same keys → same rows)."""
+    from ..operators.sinks import upsert
+
+    agg = _daily_agg(
+        stream_events(spark, sf_dir).withWatermark("ts", "1 day"), streaming=True
+    )
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        upsert(
+            batch_df.sparkSession,
+            target,
+            batch_df,
+            keys=["day", "event_type"],
+            partition_col="day",
+        )
+
+    return (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(merge)
+        .trigger(availableNow=True)
+        .queryName(query_name)
+        .start()
+    )

@@ -134,3 +134,47 @@ def test_write_csv_roundtrip(spark, rows, tmp_path):
     back = spark.read.csv(target, header=True)
     assert back.count() == 3
     assert set(back.columns) == {"ticker", "date", "val"}
+
+
+def test_compact_preserves_rows_and_reduces_files(spark, sf_dir, tmp_path):
+    import os
+
+    from etl_stocks_with_sentiment_analysis_spark.operators.sinks import compact
+    from etl_stocks_with_sentiment_analysis_spark.plans import panel
+
+    target = str(tmp_path / "frag")
+    px = panel.prices(spark, sf_dir)
+    px.repartition(64).write.parquet(target)  # simulate small-files buildup
+    before = {tuple(map(str, r)) for r in spark.read.parquet(target).collect()}
+    n_before = len([f for f in os.listdir(target) if f.endswith(".parquet")])
+    assert n_before >= 32
+
+    compact(spark, target, 4)
+    after = {tuple(map(str, r)) for r in spark.read.parquet(target).collect()}
+    n_after = len([f for f in os.listdir(target) if f.endswith(".parquet")])
+    assert after == before
+    assert n_after <= 4
+    assert not os.path.exists(target.rstrip("/") + "__old")
+
+
+def test_scd2_invariants(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from etl_stocks_with_sentiment_analysis_spark.operators.sinks import (
+        sink_scd2_merge,
+    )
+
+    out = sink_scd2_merge(spark, sf_dir)
+    # exactly one current row per ticker
+    cur = out.filter("is_current").groupBy("ticker").count()
+    assert cur.filter(F.col("count") != 1).count() == 0
+    # closed rows end exactly when a current row for the key begins
+    closed = out.filter(~F.col("is_current")).select("ticker", "valid_to")
+    opens = out.filter("is_current").select(
+        "ticker", F.col("valid_from").alias("valid_to")
+    )
+    assert closed.join(opens, ["ticker", "valid_to"], "left_anti").count() == 0
+    # no open-ended overlap: closed rows start before they end
+    assert out.filter(
+        ~F.col("is_current") & (F.col("valid_from") >= F.col("valid_to"))
+    ).count() == 0

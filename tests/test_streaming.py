@@ -52,3 +52,26 @@ def test_stateful_running_total_matches_batch(spark, sf_dir):
     a = {tuple(map(str, r)) for r in streamed.collect()}
     b = {tuple(map(str, r)) for r in batch.collect()}
     assert a == b
+
+
+def test_incremental_upsert_materializes_and_is_idempotent(spark, sf_dir, tmp_path):
+    target = str(tmp_path / "daily_sink")
+    cols = ["day", "event_type", "n_events", "total_value"]
+
+    def snapshot():
+        return {
+            tuple(map(str, r))
+            for r in spark.read.parquet(target).select(*cols).collect()
+        }
+
+    q = ingest.run_incremental_upsert(spark, sf_dir, target, query_name="t_up1")
+    q.awaitTermination(120)
+    batch = {
+        tuple(map(str, r))
+        for r in ingest.streaming_tumbling_daily(spark, sf_dir).select(*cols).collect()
+    }
+    assert snapshot() == batch
+    # replaying the whole stream upserts the same keys — no dupes
+    q2 = ingest.run_incremental_upsert(spark, sf_dir, target, query_name="t_up2")
+    q2.awaitTermination(120)
+    assert snapshot() == batch
