@@ -421,3 +421,43 @@ def connected_components(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
             f"connected_components did not converge in {max_rounds} rounds"
         )
     return labels
+
+
+_CANONICAL_ORACLE = """
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(n_group - 1 AS BIGINT) AS n_dropped
+FROM (
+  SELECT doc_id, LENGTH(text) AS n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY MD5(LOWER(text))
+           ORDER BY LENGTH(text) DESC, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY MD5(LOWER(text))) AS n_group
+  FROM documents
+) WHERE rn = 1"""
+
+
+@register("dedup_canonical_corpus", oracle=_CANONICAL_ORACLE)
+def dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup END PRODUCT: the kept corpus. One representative per
+    exact-duplicate cluster, chosen by quality (longest text, then
+    lowest doc_id — deterministic), with the per-cluster drop count.
+    This is the frame a training pipeline actually writes out after
+    `dedup_exact` diagnoses the duplication. Single fingerprint-keyed
+    window; at 100 TB the fingerprint is high-cardinality so the
+    shuffle is well-spread."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    fp = F.md5(F.lower("text"))
+    w = Window.partitionBy(fp).orderBy(F.length("text").desc(), "doc_id")
+    wc = Window.partitionBy(fp)
+    return (
+        docs.select(
+            "doc_id",
+            F.length("text").cast("long").alias("n_chars"),
+            F.row_number().over(w).alias("rn"),
+            (F.count("*").over(wc) - 1).cast("long").alias("n_dropped"),
+        )
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "n_chars", "n_dropped")
+    )

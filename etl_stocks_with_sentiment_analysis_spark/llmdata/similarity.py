@@ -210,3 +210,47 @@ def similarity_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("q_id", "vec_id", F.round("cosine", 6).alias("cosine"))
     )
+
+
+_CENTROID_ORACLE = """
+WITH e AS (
+  SELECT label,
+         UNNEST(GENERATE_SERIES(0, LEN(embedding) - 1)) AS dim,
+         UNNEST(LIST_TRANSFORM(embedding,
+                x -> CAST(ROUND(CAST(x AS DOUBLE) * 10000, 0) AS BIGINT))) AS bp
+  FROM embeddings
+)
+SELECT label, CAST(dim AS INT) AS dim,
+       CAST(SUM(bp) AS BIGINT) AS sum_bp,
+       COUNT(*) AS n,
+       CAST(SUM(bp) AS DOUBLE) / COUNT(*) / 10000.0 AS centroid
+FROM e GROUP BY 1, 2"""
+
+
+@register("embedding_centroid_by_label", oracle=_CENTROID_ORACLE)
+def embedding_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding column, one row per
+    (label, dimension) — the class-prototype computation behind
+    nearest-centroid classification, cluster drift monitoring, and
+    IVF coarse quantizer refresh.
+
+    posexplode → (label, dim) agg: map-side combinable, shuffle
+    cardinality = labels × dims (tiny, independent of row count).
+    Sums are over 1e-4-quantized integers (exact, order-free); the
+    final centroid is one double division from identical BIGINTs.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "label",
+        F.posexplode(
+            F.expr(
+                "transform(embedding,"
+                " x -> CAST(round(CAST(x AS DOUBLE) * 10000, 0) AS LONG))"
+            )
+        ).alias("dim", "bp"),
+    )
+    return e.groupBy("label", F.col("dim").cast("int").alias("dim")).agg(
+        F.sum("bp").alias("sum_bp"),
+        F.count("*").alias("n"),
+        (F.sum("bp").cast("double") / F.count("*") / 10000.0).alias("centroid"),
+    )

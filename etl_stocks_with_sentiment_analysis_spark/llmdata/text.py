@@ -327,3 +327,64 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _TFIDF_K)
         .select("doc_id", "term", "tf", "df", "score")
     )
+
+
+_CORPUS_PREP_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, source, lang, text,
+         LEN(STRING_SPLIT(text, ' ')) AS n_words,
+         CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+              w -> w IN {_STOP_SQL})) AS DOUBLE)
+             / LEN(STRING_SPLIT(text, ' ')) AS stop_ratio
+  FROM documents
+),
+kept AS (
+  SELECT * FROM scored
+  WHERE n_words >= 10 AND stop_ratio <= 0.5
+    AND (CASE WHEN LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+              w -> w IN {_STOP_SQL})) >= 2 THEN 'en' ELSE 'other' END) = 'en'
+),
+canonical AS (
+  SELECT doc_id, source, CAST(n_words AS BIGINT) AS n_words,
+         ROW_NUMBER() OVER (
+           PARTITION BY MD5(LOWER(text))
+           ORDER BY LENGTH(text) DESC, doc_id) AS rn
+  FROM kept
+)
+SELECT doc_id, source, n_words FROM canonical WHERE rn = 1"""
+
+
+@register("pipeline_corpus_prep", oracle=_CORPUS_PREP_ORACLE)
+def pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus preparation in ONE declarative plan:
+    quality filter (length + stopword-ratio) → language filter
+    (English by stopword density) → exact dedup keeping the best copy.
+    The composition the individual text/dedup keys exist to serve —
+    and because it is a single DataFrame lineage, the cheap quality
+    predicates run scan-side BEFORE the dedup window pays its shuffle
+    (only survivors are exchanged), exactly what you want at 100 TB:
+    filter early, shuffle late, one pass."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_words = F.size(words)
+    stop_list = ", ".join(f"'{w}'" for w in _STOPWORDS)
+    n_stop = F.expr(f"size(filter(split(text, ' '), w -> w IN ({stop_list})))")
+    kept = docs.filter(
+        (n_words >= 10)
+        & (n_stop.cast("double") / n_words <= 0.5)
+        & (n_stop >= 2)  # lang-id 'en' by stopword density
+    )
+    fp = F.md5(F.lower("text"))
+    w = Window.partitionBy(fp).orderBy(F.length("text").desc(), "doc_id")
+    return (
+        kept.select(
+            "doc_id",
+            "source",
+            n_words.cast("long").alias("n_words"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "source", "n_words")
+    )
