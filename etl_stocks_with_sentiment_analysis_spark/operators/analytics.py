@@ -253,3 +253,35 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _STRATA_K)
         .select("ticker", "date", "close")
     )
+
+
+_ERR_ALERT_BP = 2500  # alert when >25% of a day's events are errors
+
+_ERR_ALERT_ORACLE = f"""
+SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS day,
+       COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_errors,
+       CAST(ROUND(10000.0 * SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  / COUNT(*), 0) AS BIGINT) AS err_bp,
+       CAST(ROUND(10000.0 * SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  / COUNT(*), 0) AS BIGINT) > {_ERR_ALERT_BP} AS is_alert
+FROM events GROUP BY 1"""
+
+
+@register("events_error_rate_alert", oracle=_ERR_ALERT_ORACLE)
+def events_error_rate_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily error-rate alert feed: the engine-side condition behind
+    the reference's Slack/PagerDuty callbacks (`airflow/utils/
+    alerts.py` is delivery; this is detection). One combinable agg
+    keyed on day — bounded output, trivially incremental via the
+    streaming daily path."""
+    ev = load_table(spark, sf_dir, "events")
+    n_err = F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+    err_bp = F.round(10000.0 * n_err / F.count("*"), 0).cast("long")
+    return ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count("*").alias("n_events"),
+        n_err.cast("long").alias("n_errors"),
+        err_bp.alias("err_bp"),
+        (err_bp > _ERR_ALERT_BP).alias("is_alert"),
+    )

@@ -517,3 +517,47 @@ def window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.ntile(4).over(w).alias("vol_quartile"),
         )
     )
+
+
+def _zscore_oracle() -> str:
+    over = "OVER w"
+    mean = exact.sql_mean("pct_change", 10000, over)
+    std = exact.sql_std("pct_change", 10000, over)
+    return panel.sql_with(
+        *panel.PANEL_CHG,
+        body=f"""
+SELECT ticker, date, pct_change, z, ABS(z) > 3 AS is_anomaly FROM (
+  SELECT ticker, date, pct_change,
+         (pct_change - {mean}) / NULLIF({std}, 0) AS z
+  FROM changes WHERE pct_change IS NOT NULL
+  WINDOW w AS (PARTITION BY ticker ORDER BY date
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+)""",
+    )
+
+
+@register("window_zscore_anomaly", oracle=_zscore_oracle())
+def window_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomaly detection: trailing-20-day z-score of daily returns,
+    flagged at |z| > 3 — the data-side feed behind the reference's
+    alerting integrations (`airflow/utils/alerts.py` delivers; this
+    computes WHAT to deliver). Same single window exchange as the
+    other rolling stats; mean/std come from exact integer sums
+    (functions/exact.py) so the flag never flips across engines or
+    partitionings. z stays NULL while the window has < 2 rows (and
+    when std is 0), propagating NULL to the flag — no false alerts on
+    cold start."""
+    df = panel.changes(spark, sf_dir).filter(F.col("pct_change").isNotNull())
+    sc = exact.scaled(F.col("pct_change"), 10000)
+    f = frame(20)
+    s, ssq, n = F.sum(sc).over(f), F.sum(sc * sc).over(f), F.count(sc).over(f)
+    mean = exact.mean_from_sums(s, n, 10000)
+    std = exact.std_from_sums(s, ssq, n, 10000)
+    z = (F.col("pct_change") - mean) / F.nullif(std, F.lit(0.0))
+    return df.select(
+        "ticker",
+        "date",
+        "pct_change",
+        z.alias("z"),
+        (F.abs(z) > 3).alias("is_anomaly"),
+    )
