@@ -461,3 +461,75 @@ def dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "n_chars", "n_dropped")
     )
+
+
+_DECON_K = 5  # word-5-gram shingles (8-gram is usual for prose; the
+# synthetic corpus averages ~54 words, so 5 keeps overlap observable)
+
+_DECON_ORACLE = f"""
+WITH b AS (
+  SELECT doc_id, text,
+         (STRPOS('0123456789abcdef', SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+         + STRPOS('0123456789abcdef', SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS bucket
+  FROM documents WHERE LEN(STRING_SPLIT(text, ' ')) >= {_DECON_K}
+),
+sh AS (
+  SELECT doc_id, bucket, UNNEST(LIST_TRANSFORM(
+    GENERATE_SERIES(1, LEN(STRING_SPLIT(text, ' ')) - {_DECON_K - 1}),
+    i -> ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[i:i+{_DECON_K - 1}], ' '))) AS sh
+  FROM b
+),
+tr AS (SELECT DISTINCT doc_id, sh FROM sh WHERE bucket < 204),
+ev AS (SELECT DISTINCT doc_id, sh FROM sh WHERE bucket >= 230)
+SELECT tr.doc_id,
+       CAST(COUNT(DISTINCT sh) AS BIGINT) AS n_shared_shingles,
+       CAST(COUNT(DISTINCT ev.doc_id) AS BIGINT) AS n_eval_docs
+FROM tr JOIN ev USING (sh)
+GROUP BY tr.doc_id"""
+
+
+@register("dedup_decontaminate", oracle=_DECON_ORACLE)
+def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: find TRAIN documents that share any
+    word-5-gram with the held-out TEST split (splits per
+    `sample_hash_split`'s doc_id hash buckets) — the train/eval
+    overlap scan every serious training-data pipeline runs before
+    shipping a corpus. Output: contaminated train doc_id + how many
+    distinct shingles leak + how many eval docs they touch.
+
+    Scale: the eval side is the benchmark suite — tiny by
+    construction (here the 10% test bucket; in production a fixed
+    eval set) — so its distinct (shingle, doc) frame is BROADCAST and
+    the 100 TB train side is scanned once with NO shuffle: shingling
+    is a per-doc bounded explode inside codegen, the contamination
+    probe is a broadcast hash join, and only matched pairs (rare)
+    reach the final doc_id agg."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.size(F.split("text", " ")) >= _DECON_K
+    )
+    hx = F.md5(F.col("doc_id").cast("string"))
+    digit = lambda i: (  # noqa: E731
+        F.instr(F.lit("0123456789abcdef"), F.substring(hx, i, 1)) - 1
+    )
+    bucket = digit(1) * 16 + digit(2)
+    shingle = F.explode(
+        F.expr(
+            f"transform(sequence(0, size(split(text, ' ')) - {_DECON_K}),"
+            f" i -> concat_ws(' ', slice(split(text, ' '), i + 1, {_DECON_K})))"
+        )
+    )
+    sh = docs.select("doc_id", bucket.alias("bucket"), shingle.alias("sh"))
+    tr = sh.filter(F.col("bucket") < 204).select("doc_id", "sh").distinct()
+    ev = (
+        sh.filter(F.col("bucket") >= 230)
+        .select(F.col("doc_id").alias("eval_doc_id"), "sh")
+        .distinct()
+    )
+    return (
+        tr.join(F.broadcast(ev), "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("sh").alias("n_shared_shingles"),
+            F.countDistinct("eval_doc_id").alias("n_eval_docs"),
+        )
+    )

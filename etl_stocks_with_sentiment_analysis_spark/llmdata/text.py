@@ -388,3 +388,67 @@ def pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "source", "n_words")
     )
+
+
+# PII patterns valid in BOTH Java regex (Spark) and RE2 (DuckDB):
+# character classes, bounded repetition, and \b only — no lookaround,
+# no backreferences. Applied in list order; counts taken on the
+# original text.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+)
+
+
+def redact_pii(col):
+    """Chain of global regexp_replace passes, one per PII pattern."""
+    out = F.col(col) if isinstance(col, str) else col
+    for _, pat, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+def count_pii(col):
+    """Total PII hits on the ORIGINAL text (sum over patterns)."""
+    c = F.col(col) if isinstance(col, str) else col
+    total = F.lit(0)
+    for _, pat, _ in PII_PATTERNS:
+        total = total + F.regexp_count(c, F.lit(pat))
+    return total.cast("long")
+
+
+def _pii_oracle() -> str:
+    redacted = "text"
+    hits = []
+    for _, pat, token in PII_PATTERNS:
+        redacted = f"REGEXP_REPLACE({redacted}, '{pat}', '{token}', 'g')"
+        hits.append(f"LEN(REGEXP_EXTRACT_ALL(text, '{pat}'))")
+    n = " + ".join(hits)
+    return f"""
+SELECT doc_id, {redacted} AS redacted,
+       CAST({n} AS BIGINT) AS n_pii,
+       ({n}) > 0 AS has_pii
+FROM documents"""
+
+
+@register("text_pii_redact", oracle=_pii_oracle())
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: redact emails / SSNs / phone numbers with typed
+    placeholder tokens and count hits per document — the compliance
+    pass a training-data pipeline runs before any corpus export.
+    (The synthetic corpus is PII-free, so here the interesting check
+    is the cross-engine no-op; tests/test_analytics.py injects real
+    PII through the same `redact_pii`/`count_pii` expressions and
+    cross-checks Spark against DuckDB on that corpus.)
+
+    Scale: pure per-row regexp chain — whole-stage codegen, no
+    shuffle, no Python; bounded-repetition patterns keep the regex
+    engine linear on adversarial inputs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        redact_pii("text").alias("redacted"),
+        count_pii("text").alias("n_pii"),
+        (count_pii("text") > 0).alias("has_pii"),
+    )

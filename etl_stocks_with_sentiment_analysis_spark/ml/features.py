@@ -218,3 +218,86 @@ def ml_label_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(2)
         .alias("label"),
     )
+
+
+def _scaler_oracle() -> str:
+    mu = exact.sql_mean("pct_change", 10000)
+    sigma = exact.sql_std("pct_change", 10000)
+    return panel.sql_with(
+        *panel.PANEL_CHG,
+        "dts AS (SELECT DISTINCT date FROM changes WHERE pct_change IS NOT NULL)",
+        """bnd AS (
+  SELECT date AS bdate FROM (
+    SELECT date, ROW_NUMBER() OVER (ORDER BY date) AS rn,
+           COUNT(*) OVER () AS n
+    FROM dts
+  ) WHERE rn = CAST(FLOOR(n * 0.7) AS BIGINT)
+)""",
+        f"""stats AS (
+  SELECT {mu} AS mu, {sigma} AS sigma
+  FROM changes, bnd WHERE pct_change IS NOT NULL AND date <= bdate
+)""",
+        body="""
+SELECT c.ticker, c.date, c.pct_change,
+       (c.pct_change - mu) / NULLIF(sigma, 0) AS pct_change_scaled,
+       c.date <= bdate AS is_train
+FROM changes c, bnd, stats
+WHERE c.pct_change IS NOT NULL""",
+    )
+
+
+@register("ml_standard_scaler", oracle=_scaler_oracle())
+def ml_standard_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StandardScaler with correct train/serve hygiene: mean and std
+    are FIT on the chronological train window only (first 70% of
+    trading dates — no target leakage from the future), then APPLIED
+    to every row. The scikit `StandardScaler.fit(train)` analog of
+    the reference's feature pipeline, with moments from exact integer
+    sums (functions/exact.py) so the scaled values hash-match DuckDB.
+
+    Scale shape: fit = two tiny driver-side scalar fetches (one
+    boundary date off the ranked DISTINCT-dates frame, then three
+    exact BIGINT sums from ONE combinable agg over the train window)
+    — the same summarize-then-broadcast-literals shape MLlib's own
+    StandardScaler.fit uses, and the reason there is no join at all:
+    the APPLY pass is a pure scan-side projection with zero
+    exchanges. The integer sums round-trip through the driver
+    losslessly, so the final double math is still the exact.py
+    deterministic expression."""
+    df = panel.changes(spark, sf_dir).filter(F.col("pct_change").isNotNull())
+    dts = df.select("date").distinct()
+    # n = rn + rn_desc - 1 lets both ranks reuse ONE SinglePartition
+    # exchange on the tiny dates frame (vs a second count-over-() pass)
+    ranked = dts.select(
+        "date",
+        F.row_number().over(Window.orderBy("date")).alias("rn"),
+        F.row_number().over(Window.orderBy(F.desc("date"))).alias("rd"),
+    )
+    n = F.col("rn") + F.col("rd") - 1
+    brow = ranked.filter(F.col("rn") == F.floor(n * 0.7).cast("long")).first()
+    if brow is None:
+        raise ValueError("empty panel: no boundary date for the 70% split")
+    bdate = brow["date"]
+
+    sc = exact.scaled(F.col("pct_change"), 10000)
+    srow = (
+        df.filter(F.col("date") <= F.lit(bdate))
+        .agg(
+            F.sum(sc).alias("s"),
+            F.sum(sc * sc).alias("ssq"),
+            F.count(sc).alias("cnt"),
+        )
+        .first()
+    )
+    s, ssq, cnt = F.lit(srow["s"]), F.lit(srow["ssq"]), F.lit(srow["cnt"])
+    mu = exact.mean_from_sums(s, cnt, 10000)
+    sigma = exact.std_from_sums(s, ssq, cnt, 10000)
+    return df.select(
+        "ticker",
+        "date",
+        "pct_change",
+        ((F.col("pct_change") - mu) / F.nullif(sigma, F.lit(0.0))).alias(
+            "pct_change_scaled"
+        ),
+        (F.col("date") <= F.lit(bdate)).alias("is_train"),
+    )

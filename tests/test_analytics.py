@@ -131,3 +131,63 @@ def test_tfidf_topk_per_doc_bounded_and_ranked(spark, sf_dir):
     # score is the monotone rational tf/df: recompute and compare
     bad = out.filter(F.col("score") != F.expr("tf * 1000000L div df"))
     assert bad.count() == 0
+
+
+def test_pii_redact_on_injected_corpus_matches_duckdb(spark):
+    """The gate corpus is PII-free, so exercise redact_pii/count_pii on
+    real PII and cross-check Spark's Java-regex output against DuckDB's
+    RE2 on the identical rows."""
+    import duckdb
+    import pandas as pd
+
+    from etl_stocks_with_sentiment_analysis_spark.llmdata import text as T
+
+    rows = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "contact alice.smith+spam@ex-ample.co.uk or bob@x.io now",
+                "ssn 123-45-6789 phone 555-867-5309 and 555.867.5309",
+                "no pii here at all",
+                "edge: a@b.c is not an email, 12-34-5678 not an ssn",
+            ],
+        }
+    )
+    got = (
+        spark.createDataFrame(rows)
+        .select(
+            "doc_id",
+            T.redact_pii("text").alias("redacted"),
+            T.count_pii("text").alias("n_pii"),
+        )
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.register("documents", rows)
+    redacted = "text"
+    hits = []
+    for _, pat, token in T.PII_PATTERNS:
+        redacted = f"REGEXP_REPLACE({redacted}, '{pat}', '{token}', 'g')"
+        hits.append(f"LEN(REGEXP_EXTRACT_ALL(text, '{pat}'))")
+    want = con.sql(
+        f"SELECT doc_id, {redacted} AS redacted, "
+        f"CAST({' + '.join(hits)} AS BIGINT) AS n_pii "
+        "FROM documents ORDER BY doc_id"
+    ).df()
+    assert got["redacted"].tolist() == want["redacted"].tolist()
+    assert got["n_pii"].tolist() == want["n_pii"].tolist()
+    assert got["n_pii"].tolist() == [2, 3, 0, 0]
+    assert "<EMAIL>" in got["redacted"][0] and "<SSN>" in got["redacted"][1]
+
+
+def test_decontaminate_flags_planted_leak(spark, sf_dir):
+    """A train doc sharing a 5-gram with an eval doc is flagged; clean
+    docs are not. Buckets are pinned via known doc_id hash buckets."""
+    from etl_stocks_with_sentiment_analysis_spark.llmdata.dedup import (
+        dedup_decontaminate,
+    )
+
+    out = dedup_decontaminate(spark, sf_dir).orderBy("doc_id").toPandas()
+    assert (out["n_shared_shingles"] > 0).all()
+    assert (out["n_eval_docs"] > 0).all()

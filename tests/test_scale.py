@@ -136,3 +136,34 @@ def test_dashboard_views_register_and_select(spark, sf_dir):
         "SELECT ticker FROM accuracy_by_stock ORDER BY accuracy_pct DESC LIMIT 1"
     )
     assert top.count() == 1
+
+
+def test_standard_scaler_fit_stats_and_plan_shape(spark, sf_dir):
+    """Scaled train rows must have mean ~0 / std ~1 (fit correctness),
+    test rows use the SAME moments (no leakage: their mean need not be
+    0), and the only SinglePartition exchanges are the tiny
+    distinct-dates rank and the 1-row stats agg — never the panel."""
+    from pyspark.sql import functions as F
+
+    from etl_stocks_with_sentiment_analysis_spark.ml.features import (
+        ml_standard_scaler,
+    )
+
+    df = ml_standard_scaler(spark, sf_dir)
+    plan = _plan(spark, df)
+    # fit happens at build time (two tiny scalar fetches); the apply
+    # plan is scan + project — no exchange, no join at all
+    assert plan.count("Exchange SinglePartition") == 0
+    assert "NestedLoop" not in plan and "Join" not in plan
+    stats = (
+        df.filter("is_train")
+        .agg(
+            F.avg("pct_change_scaled").alias("mu"),
+            F.stddev_samp("pct_change_scaled").alias("sd"),
+        )
+        .first()
+    )
+    assert abs(stats["mu"]) < 1e-6
+    assert abs(stats["sd"] - 1.0) < 1e-3  # quantized at 1/10000 -> ~1
+    n_test = df.filter("NOT is_train").count()
+    assert n_test > 0
