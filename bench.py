@@ -45,15 +45,23 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = registry.all_queries()
 
-    timings: dict[str, float] = {}
+    # Per-query fault isolation: a raising key records its own "error"
+    # entry and the suite still emits the JSON line — one broken
+    # operator must never zero the round's perf evidence.
+    timings: dict[str, object] = {}
+    errors = 0
     for key in HEADLINE:
-        df = qs[key](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()  # warm (JIT, file listing)
-        t0 = time.time()
-        qs[key](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[key] = round(time.time() - t0, 3)
+        try:
+            df = qs[key](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()  # warm (JIT, listing)
+            t0 = time.time()
+            qs[key](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[key] = round(time.time() - t0, 3)
+        except Exception as e:  # noqa: BLE001 - isolate per-query faults
+            errors += 1
+            timings[key] = f"error: {type(e).__name__}: {str(e).splitlines()[0][:200]}"
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(v for v in timings.values() if isinstance(v, float)), 3)
     print(
         json.dumps(
             {
@@ -62,9 +70,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "errors": errors,
             }
         )
     )
+    sys.exit(0)
 
 
 if __name__ == "__main__":

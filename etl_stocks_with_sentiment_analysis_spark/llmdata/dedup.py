@@ -203,6 +203,41 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _COS_THRESHOLD = 0.25
 
+_EMB_DIMS = 64  # embeddings.embedding is list<float>[64] (TESTDATA.md)
+_N_PLANES = 8
+
+
+def _hyperplanes(n_planes: int = _N_PLANES, dims: int = _EMB_DIMS) -> list[list[int]]:
+    """Seeded integer random hyperplanes, identical in both engines.
+
+    A fixed-seed LCG (not `random` — the literal sequence must never
+    depend on interpreter version) yields components in [-1000, 1000].
+    Integer hyperplanes × integer-quantized vectors ⇒ every projection
+    dot product is exact in double (|dot| ≤ 64·10⁴·10³ < 2^53), so the
+    sign bucket is bit-deterministic cross-engine. Random (vs the old
+    first-8-axis) planes decorrelate the bucket bits from any single
+    embedding dimension, killing bucket skew on correlated embeddings.
+    """
+    state = 123456789
+    planes = []
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dims):
+            state = (1103515245 * state + 12345) % (2**31)
+            row.append((state % 2001) - 1000)
+        planes.append(row)
+    return planes
+
+
+_PLANES = _hyperplanes()
+
+_BUCKET_SQL_DUCK = "|| ".join(
+    "CASE WHEN LIST_DOT_PRODUCT(v, ["
+    + ", ".join(str(c) for c in row)
+    + "]) > 0 THEN '1' ELSE '0' END "
+    for row in _PLANES
+)
+
 _EMB_COS_ORACLE = f"""
 WITH sc AS (
   SELECT vec_id,
@@ -211,8 +246,7 @@ WITH sc AS (
 ),
 n AS (
   SELECT vec_id, v, LIST_DOT_PRODUCT(v, v) AS nrm,
-         LIST_AGGREGATE(LIST_TRANSFORM(v[1:8],
-             x -> CASE WHEN x > 0 THEN '1' ELSE '0' END), 'string_agg', '') AS bucket
+         {_BUCKET_SQL_DUCK} AS bucket
   FROM sc
 )
 SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
@@ -223,13 +257,16 @@ WHERE LIST_DOT_PRODUCT(a.v, b.v) / SQRT(a.nrm * b.nrm) >= {_COS_THRESHOLD}"""
 
 @register("dedup_embedding_cosine", oracle=_EMB_COS_ORACLE)
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs: sign-LSH bucket (signs of the
-    first 8 components — an axis-aligned random-hyperplane family),
-    exact cosine only inside a bucket, keep pairs ≥ threshold.
+    """Embedding-cosine near-dup pairs: sign-LSH bucket over 8 SEEDED
+    random integer hyperplanes (see :func:`_hyperplanes`), exact cosine
+    only inside a bucket, keep pairs ≥ threshold.
 
     Scale: the self-join shuffles on the 8-bit bucket key, so candidate
     volume is ~n²/2^bits instead of n²; high-cosine pairs almost always
     agree on hyperplane signs, which is exactly the SimHash guarantee.
+    Random projections (vs axis-aligned sign bits) keep the 256 buckets
+    balanced even when embedding dimensions are correlated — the skew
+    mode that turns one bucket into the whole join at 100 TB.
     Determinism: vectors quantized to integer-valued doubles → dot
     products are exact; sqrt/divide are IEEE-identical cross-engine.
     """
@@ -239,15 +276,19 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
         " CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
     )
+    plane_dot = (
+        "aggregate(zip_with(v, CAST(array({h}) AS array<double>),"
+        " (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+    bucket_sql = "concat(" + ", ".join(
+        "IF(" + plane_dot.format(h=", ".join(str(c) for c in row)) + " > 0, '1', '0')"
+        for row in _PLANES
+    ) + ")"
     n = emb.select(
         "vec_id",
         F.expr(scaled).alias("v"),
         F.expr(dot.format(a=scaled, b=scaled)).alias("nrm"),
-        F.expr(
-            f"concat_ws('', transform(slice({scaled}, 1, 8),"
-            " x -> IF(x > 0, '1', '0')))"
-        ).alias("bucket"),
-    )
+    ).withColumn("bucket", F.expr(bucket_sql))
     a = n.select(
         F.col("vec_id").alias("doc_a"),
         F.col("v").alias("va"),

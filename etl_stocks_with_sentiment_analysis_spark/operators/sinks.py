@@ -22,7 +22,6 @@ from __future__ import annotations
 import os
 import shutil
 import tempfile
-from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -71,24 +70,6 @@ def insert_ignore(
     delta.write.mode("append").parquet(target)
 
 
-@contextmanager
-def _scoped_conf(spark: SparkSession, key: str, value: str):
-    """Set a session conf for the duration of one write, then restore —
-    never leak write-mode config into unrelated reads/writes."""
-    try:
-        old = spark.conf.get(key)
-    except Exception:
-        old = None
-    spark.conf.set(key, value)
-    try:
-        yield
-    finally:
-        if old is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, old)
-
-
 def upsert(
     spark: SparkSession,
     target: str,
@@ -104,20 +85,22 @@ def upsert(
     With ``partition_col`` (must be one of ``keys``; the sink is laid
     out `partition_col=...`): partition-scoped merge. Only partitions
     PRESENT in `incoming` are read (broadcast semi-join → partition
-    pruning), merged, and rewritten via dynamic-partition overwrite —
-    untouched partitions' files are never touched, so per-upsert cost
-    is O(touched partitions), not O(table). This is the parquet analog
-    of Delta/Iceberg `MERGE INTO` (the production path once a
-    transactional format is available).
+    pruning), merged, staged to a sibling `__staging` directory (same
+    filesystem as the target), then each touched partition
+    directory is swapped into place with an ATOMIC rename (old dir →
+    ``__old`` backup → new dir in; all completed swaps roll back if
+    any swap fails). The cluster writes data exactly once — the commit
+    is pure directory-metadata moves — and a crash mid-commit leaves
+    every partition either fully-old or fully-new, never a torn file
+    set. Untouched partitions are never touched, so per-upsert cost is
+    O(touched partitions), not O(table). This is the parquet analog of
+    Delta/Iceberg `MERGE INTO`; rename atomicity holds on POSIX and
+    HDFS — on object stores (S3) use the transactional table format
+    instead.
 
-    Without ``partition_col``: whole-table rewrite — acceptable only
-    for small dimension tables.
-
-    The merge result is staged to a private scratch dir first and the
-    dir is deleted on success (and on failure). NOT crash-atomic: a
-    crash mid-final-write can leave touched partitions partially
-    written (the transactional format closes this gap); untouched
-    partitions are safe in the partitioned path by construction.
+    Without ``partition_col``: whole-table staged rewrite committed by
+    the same atomic directory swap — acceptable only for small
+    dimension tables.
     """
     if partition_col is not None and partition_col not in keys:
         raise ValueError(f"partition_col {partition_col!r} must be one of keys {keys}")
@@ -137,22 +120,67 @@ def upsert(
     kept = scoped.join(incoming.select(*keys), keys, "left_anti")
     merged = incoming.unionByName(kept)
 
-    tmp = scratch_dir("upsert_")
-    staged_path = os.path.join(tmp, "staged")
+    # Stage as a SIBLING of the target: commit renames must stay on the
+    # target's filesystem (cross-device rename raises EXDEV).
+    staged_path = target.rstrip("/") + "__staging"
+    shutil.rmtree(staged_path, ignore_errors=True)
     try:
-        merged.write.mode("overwrite").parquet(staged_path)
-        staged = spark.read.parquet(staged_path)
+        w = merged.write.mode("overwrite")
         if partition_col:
-            with _scoped_conf(
-                spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"
-            ):
-                staged.write.mode("overwrite").partitionBy(partition_col).parquet(
-                    target
-                )
+            w = w.partitionBy(partition_col)
+        w.parquet(staged_path)  # reads existing BEFORE target is mutated
+        if partition_col:
+            staged_parts = [
+                e
+                for e in sorted(os.listdir(staged_path))
+                if e.startswith(f"{partition_col}=")
+            ]
+            _swap_dirs(
+                [
+                    (os.path.join(staged_path, e), os.path.join(target, e))
+                    for e in staged_parts
+                ]
+            )
         else:
-            staged.write.mode("overwrite").parquet(target)
+            _swap_dirs([(staged_path, target)])
     finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(staged_path, ignore_errors=True)
+
+
+def _swap_dirs(moves: list[tuple[str, str]]) -> None:
+    """Commit staged directories into place atomically-per-dir, with
+    all-or-nothing rollback across the set.
+
+    Each move is: dst → dst__old (if dst exists), src → dst. POSIX/
+    HDFS rename is atomic, so any single directory is always either
+    the complete old or the complete new file set. If any rename
+    fails, every completed move is rolled back (new dir out, backup
+    restored) before re-raising; backups are deleted only after ALL
+    moves landed.
+    """
+    done: list[tuple[str, str | None]] = []  # (dst, backup-or-None)
+    try:
+        for src, dst in moves:
+            backup = dst.rstrip("/") + "__old"
+            had = os.path.exists(dst)
+            if had:
+                os.rename(dst, backup)
+            try:
+                os.rename(src, dst)
+            except Exception:
+                if had:
+                    os.rename(backup, dst)
+                raise
+            done.append((dst, backup if had else None))
+    except Exception:
+        for dst, backup in reversed(done):
+            shutil.rmtree(dst, ignore_errors=True)
+            if backup is not None:
+                os.rename(backup, dst)
+        raise
+    for _, backup in done:
+        if backup is not None:
+            shutil.rmtree(backup, ignore_errors=True)
 
 
 def create_table_if_absent(

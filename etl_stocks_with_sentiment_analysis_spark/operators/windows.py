@@ -414,40 +414,53 @@ def window_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponential moving average, alpha = 1/8 (pandas `ewm(alpha=...)
     .mean()` analog, `ml/feature_engineering.py` family). A true
     RECURSIVE operator — EMA_t depends on EMA_{t-1}, which no SQL
-    window frame expresses — so this is the documented Arrow path:
-    `applyInPandas` per ticker, sequential fold inside the group,
-    verified against a DuckDB recursive-CTE oracle.
+    window frame expresses. Rather than the applyInPandas escape hatch
+    (Arrow round-trip + Python workers in the hot path), the fold runs
+    entirely JVM-side: collect each ticker's bounded history into an
+    array, `aggregate()` (higher-order fold) builds the EMA series,
+    `posexplode` restores rows. Verified against a DuckDB
+    recursive-CTE oracle.
 
     Determinism: inputs are quantized to cents first; the fold
     `e*0.875 + c*0.125` uses exact binary constants and the identical
     IEEE op sequence in both engines, so results are bit-identical.
 
     Scale: one shuffle on ticker (high-cardinality panel key); each
-    group's history folds sequentially inside its task — the same
-    shape as any per-key stateful pass. Group size is bounded by the
-    trading-day count (~2.5k rows/ticker at any SF), so no task is
-    ever larger than one key's history.
+    group folds sequentially inside its JVM task with zero Python
+    serialization. Group size is bounded by the trading-day count
+    (~2.5k rows/ticker at any SF — ~40 KB of struct array), so the
+    collect_list never approaches task-memory limits; array append in
+    the fold is O(n²) element copies = ~3M doubles/ticker, noise next
+    to the shuffle.
     """
-    import pandas as pd
-
     px = panel.prices(spark, sf_dir).select(
         "ticker",
         "date",
         F.round(F.col("close") * 100, 0).cast("long").cast("double").alias("c"),
     )
-
-    def ema_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("date").reset_index(drop=True)
-        out, e = [], None
-        for c in pdf["c"]:
-            c = float(c)
-            e = c if e is None else e * 0.875 + c * 0.125
-            out.append(e / 100.0)
-        pdf["ema"] = out
-        return pdf[["ticker", "date", "ema"]]
-
-    return px.groupBy("ticker").applyInPandas(
-        ema_group, "ticker bigint, date date, ema double"
+    hist = px.groupBy("ticker").agg(
+        F.array_sort(F.collect_list(F.struct("date", "c"))).alias("h")
+    )
+    ema_arr = F.aggregate(
+        F.col("h"),
+        F.expr("CAST(array() AS array<double>)"),
+        lambda acc, x: F.concat(
+            acc,
+            F.array(
+                F.when(F.size(acc) == 0, x["c"]).otherwise(
+                    F.element_at(acc, -1) * F.lit(0.875) + x["c"] * F.lit(0.125)
+                )
+            ),
+        ),
+    )
+    return (
+        hist.withColumn("e", ema_arr)
+        .select("ticker", F.explode(F.arrays_zip("h", "e")).alias("z"))
+        .select(
+            "ticker",
+            F.col("z.h.date").alias("date"),
+            (F.col("z.e") / F.lit(100.0)).alias("ema"),
+        )
     )
 
 

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import LongType, StructType, TimestampNTZType, TimestampType
 
 TESTDATA_TABLES = (
     "region",
@@ -43,20 +43,45 @@ def ensure_nanos_conf(spark: SparkSession) -> None:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
 
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to session-TZ TimestampType, whatever the file ships.
+
+    The testdata generator has shipped ``ts`` as TIMESTAMP(NANOS) in
+    some rounds and ``timestamp[us]`` in others, so the reader branches
+    on the type it actually got instead of assuming one encoding:
+
+    - ``LongType`` — parquet NANOS read under
+      ``spark.sql.legacy.parquet.nanosAsLong``: integer-divide to
+      micros (``div``, not float — ns epoch values exceed double's
+      2^53 exact range) and rebuild a timestamp.
+    - ``TimestampNTZType`` — micros parquet without isAdjustedToUTC:
+      cast to TimestampType, which interprets the wall clock in the
+      session timezone (UTC here), matching DuckDB's naive reading.
+    - ``TimestampType`` — already what every consumer expects.
+    """
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(dt, TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast(TimestampType()))
+    if isinstance(dt, TimestampType):
+        return df
+    raise TypeError(f"events.ts arrived as unsupported type {dt}")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table as a DataFrame (columnar parquet scan).
 
-    events.ts is TIMESTAMP(NANOS) in parquet, which Spark's reader
-    rejects ([PARQUET_TYPE_ILLEGAL]); read nanos as long and convert
-    to a microsecond timestamp with integer division (`div`, not
-    float — ns epoch values exceed double's 2^53 exact range).
+    ``events.ts`` varies by encoding across testdata generations; see
+    :func:`normalize_event_ts`. The nanos conf is asserted before the
+    read because a NANOS-typed file fails schema resolution without it
+    ([PARQUET_TYPE_ILLEGAL]); the flag is a no-op for micros files.
     """
     if name not in TESTDATA_TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TESTDATA_TABLES}")
     if name == "events":
         ensure_nanos_conf(spark)
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return normalize_event_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

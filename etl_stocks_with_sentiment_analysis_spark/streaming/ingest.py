@@ -21,28 +21,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    DoubleType,
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-    TimestampType,
-)
 
 from ..registry import register
 from ..sources import ensure_nanos_conf, load_table
-
-EVENTS_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # nanos-as-long (see sources.readers)
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+from ..sources.readers import normalize_event_ts
 
 
 def _daily_agg(events: DataFrame, streaming: bool = False) -> DataFrame:
@@ -156,16 +138,24 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events parquet (nanos→micros like
-    the batch reader)."""
+    """File-source stream over the events parquet.
+
+    A file-source stream needs a static schema up front; rather than
+    hard-coding one ts encoding (the testdata has shipped both
+    TIMESTAMP(NANOS) and timestamp[us] across generations), take the
+    schema Spark resolves from the actual file footer — a driver-side
+    metadata read, no data scan — then normalize ts exactly like the
+    batch reader so batch and stream twins stay comparable.
+    """
     ensure_nanos_conf(spark)
+    file_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(file_schema)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)  # file source wants a directory; filter to events
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_event_ts(raw)
 
 
 def run_incremental_daily(

@@ -107,9 +107,47 @@ def test_upsert_partitioned_idempotent_and_no_staging_leak(spark, rows, tmp_path
     sinks.upsert(spark, target, rows, ["ticker", "date"], partition_col="date")
     sinks.upsert(spark, target, rows, ["ticker", "date"], partition_col="date")
     assert spark.read.parquet(target).count() == 3
-    scratch = os.path.join(os.path.dirname(sinks.__file__), "..", "..", ".scratch")
-    leftovers = [d for d in os.listdir(scratch) if d.startswith("upsert_")]
+    # neither staging siblings nor per-partition backups survive success
+    leftovers = [d for d in os.listdir(tmp_path) if d != "sink"]
     assert leftovers == []
+    assert [d for d in os.listdir(target) if d.endswith("__old")] == []
+
+
+def test_upsert_crash_mid_commit_rolls_back_and_stays_readable(
+    spark, rows, tmp_path, monkeypatch
+):
+    """Kill-mid-write: a failure while installing the SECOND touched
+    partition must roll back the first (already-swapped) partition and
+    leave the sink byte-readable with its pre-upsert contents."""
+    import os
+
+    target = str(tmp_path / "sink")
+    sinks.upsert(spark, target, rows, ["ticker", "date"], partition_col="date")
+    before = {tuple(map(str, r)) for r in spark.read.parquet(target).collect()}
+
+    clash = spark.createDataFrame(
+        [(1, "2024-01-01", "X"), (1, "2024-01-02", "Y")],  # touches both partitions
+        "ticker INT, date STRING, val STRING",
+    )
+    real_rename = os.rename
+    installs = {"n": 0}
+
+    def flaky(src, dst):
+        if "__staging" in src and not dst.endswith("__old"):
+            installs["n"] += 1
+            if installs["n"] == 2:
+                raise OSError("simulated crash mid-commit")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(sinks.os, "rename", flaky)
+    with pytest.raises(OSError, match="simulated crash"):
+        sinks.upsert(spark, target, clash, ["ticker", "date"], partition_col="date")
+    monkeypatch.undo()
+
+    after = {tuple(map(str, r)) for r in spark.read.parquet(target).collect()}
+    assert after == before  # full rollback, still readable
+    assert not os.path.exists(target + "__staging")
+    assert [d for d in os.listdir(target) if d.endswith("__old")] == []
 
 
 def test_upsert_partition_col_must_be_key(spark, rows, tmp_path):
