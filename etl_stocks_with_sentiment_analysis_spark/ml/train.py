@@ -44,6 +44,7 @@ class TrainResult:
     metrics: dict[str, float]
     feature_importances: list[tuple[str, float]]
     model_version: str
+    test_predictions: DataFrame | None = None  # held-out preds (lazy plan)
 
 
 def prepare(df: DataFrame) -> DataFrame:
@@ -54,11 +55,18 @@ def prepare(df: DataFrame) -> DataFrame:
         .otherwise(2.0)
     )
     df = df.withColumn("label", label).na.fill(0.0, subset=BASE_FEATURES)
-    # M5: weight = total / (n_classes * count(class)) — computed
-    # distributively (window counts), joined per row with no collect.
-    n_total = F.count("*").over(Window.partitionBy())
-    n_class = F.count("*").over(Window.partitionBy("label"))
-    return df.withColumn("weight", n_total / (F.lit(len(LABELS)) * n_class))
+    # M5: weight = total / (n_classes * count(class)). Class counts are
+    # a map-side-combinable groupBy to k rows; total is a window over
+    # that K-ROW frame only (never the data); weights broadcast-join
+    # back per row. No global window over the panel, no collect.
+    counts = df.groupBy("label").agg(F.count("*").alias("n_class"))
+    counts = counts.withColumn(
+        "n_total", F.sum("n_class").over(Window.partitionBy())
+    ).select(
+        "label",
+        (F.col("n_total") / (F.lit(len(LABELS)) * F.col("n_class"))).alias("weight"),
+    )
+    return df.join(F.broadcast(counts), "label")
 
 
 def chrono_split(df: DataFrame, test_frac: float = 0.3) -> tuple[DataFrame, DataFrame]:
@@ -107,7 +115,7 @@ def train(
         zip(BASE_FEATURES, model.featureImportances.toArray().tolist()),
         key=lambda t: -t[1],
     )[:15]
-    return TrainResult(model, metrics, importances, model_version)
+    return TrainResult(model, metrics, importances, model_version, pred)
 
 
 def train_gbt(
@@ -169,7 +177,40 @@ def train_gbt(
             labelCol="label", predictionCol="prediction", metricName=name
         )
         metrics[name] = ev.evaluate(pred)
-    return TrainResult(model, metrics, [], model_version)
+    return TrainResult(model, metrics, [], model_version, pred)
+
+
+def per_class_metrics(pred: DataFrame) -> list[dict]:
+    """Per-class precision/recall/F1 from the confusion counts — the
+    reference's published evaluation shape (`/root/reference/TODO.md:8-13`,
+    sklearn classification_report analog).
+
+    One distributed groupBy over (label, prediction); only the k²
+    confusion cells (k = 3 classes) reach the driver, so this is
+    collect-safe at any data scale.
+    """
+    cells = {
+        (int(r["label"]), int(r["prediction"])): r["count"]
+        for r in pred.groupBy("label", "prediction").count().collect()
+    }
+    out = []
+    for idx, name in enumerate(LABELS):
+        tp = cells.get((idx, idx), 0)
+        fp = sum(c for (l, p), c in cells.items() if p == idx and l != idx)
+        fn = sum(c for (l, p), c in cells.items() if l == idx and p != idx)
+        prec = tp / (tp + fp) if tp + fp else 0.0
+        rec = tp / (tp + fn) if tp + fn else 0.0
+        f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+        out.append(
+            {
+                "class": name,
+                "precision": round(prec, 4),
+                "recall": round(rec, 4),
+                "f1": round(f1, 4),
+                "support": tp + fn,
+            }
+        )
+    return out
 
 
 def save(result: TrainResult, path: str) -> None:
