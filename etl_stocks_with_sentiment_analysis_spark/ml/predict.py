@@ -133,6 +133,36 @@ def ml_tracking_promote(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ml_registry_lifecycle", oracle=None)  # stateful registry → rows-only
+def ml_registry_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 — full registry lifecycle as a query: two logged runs, two
+    registered versions, v1 promoted to Production then superseded by
+    v2 (v1 must auto-archive, MLflow's single-production convention).
+    Returns the final per-version stages + the best run by accuracy —
+    deterministic columns only (`ml/mlflow_utils.py:141-210`)."""
+    log_dir = os.path.join(sinks.scratch_dir("mlreg_"), "runs")
+    r1 = tracking.log_run(
+        spark, log_dir, "rf-v1.0", {"num_trees": 20}, {"accuracy": 0.5}, "a/v1"
+    )
+    r2 = tracking.log_run(
+        spark, log_dir, "rf-v2.0", {"num_trees": 50}, {"accuracy": 0.6}, "a/v2"
+    )
+    v1 = tracking.register_model(spark, log_dir, r1, "vol-clf", stage="Production")
+    v2 = tracking.register_model(spark, log_dir, r2, "vol-clf")
+    tracking.transition_stage(spark, log_dir, "vol-clf", v2, "Production")
+    best = tracking.best_run(spark, log_dir, metric="accuracy").first()["model_version"]
+    live = tracking.production_model(spark, log_dir, "vol-clf").first()
+    return tracking.model_versions(spark, log_dir).select(
+        "model_name",
+        "version",
+        "stage",
+        F.lit(best).alias("best_by_accuracy"),
+        F.lit(live["model_version"]).alias("production_model_version"),
+        F.lit(v1).alias("v_first"),
+        F.lit(v2).alias("v_second"),
+    )
+
+
 _GBT_CACHE: dict[str, TrainResult] = {}
 
 

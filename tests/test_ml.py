@@ -82,6 +82,53 @@ def test_tracking_two_runs_promotes_newer(spark, tmp_path):
     assert len(names) == 2
 
 
+def test_registry_versions_stages_and_artifacts(spark, tmp_path):
+    from etl_stocks_with_sentiment_analysis_spark.ml import tracking
+
+    log_dir = str(tmp_path / "runs")
+    r1 = tracking.log_run(spark, log_dir, "rf-v1.0", {"n": 20}, {"accuracy": 0.5}, "p1")
+    r2 = tracking.log_run(spark, log_dir, "rf-v2.0", {"n": 50}, {"accuracy": 0.6}, "p2")
+
+    # versions are assigned sequentially per model name
+    v1 = tracking.register_model(spark, log_dir, r1, "vol-clf", stage="Production")
+    v2 = tracking.register_model(spark, log_dir, r2, "vol-clf")
+    assert (v1, v2) == (1, 2)
+
+    # promoting v2 auto-archives v1 (single Production version)
+    tracking.transition_stage(spark, log_dir, "vol-clf", v2, "Production")
+    stages = {
+        r["version"]: r["stage"]
+        for r in tracking.model_versions(spark, log_dir).collect()
+    }
+    assert stages == {1: "Archived", 2: "Production"}
+
+    # production lineage resolves version → run → params/metrics
+    live = tracking.production_model(spark, log_dir, "vol-clf").first()
+    assert live["run_id"] == r2 and live["model_version"] == "rf-v2.0"
+
+    # best-run selection by logged metric
+    assert tracking.best_run(spark, log_dir, "accuracy").first()["run_id"] == r2
+    assert (
+        tracking.best_run(spark, log_dir, "accuracy", ascending=True).first()["run_id"]
+        == r1
+    )
+    assert tracking.compare_runs(spark, log_dir, [r1, r2]).count() == 2
+
+    # artifact lineage: content-hashed, per-run
+    art = tmp_path / "report.json"
+    art.write_text('{"ok": true}')
+    tracking.log_artifact(spark, log_dir, r2, "report", str(art))
+    row = tracking.run_artifacts(spark, log_dir, r2).first()
+    assert row["name"] == "report" and row["n_bytes"] == len('{"ok": true}')
+    import hashlib
+
+    assert row["sha256"] == hashlib.sha256(b'{"ok": true}').hexdigest()
+    assert tracking.run_artifacts(spark, log_dir, r1).count() == 0
+
+    with pytest.raises(ValueError):
+        tracking.register_model(spark, log_dir, r1, "vol-clf", stage="Prod")
+
+
 def test_run_inference_stamps_promoted_version(spark, sf_dir, tmp_path):
     preds = mlpredict.run_inference(
         spark,
