@@ -452,3 +452,155 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         count_pii("text").alias("n_pii"),
         (count_pii("text") > 0).alias("has_pii"),
     )
+
+
+_REPETITION_ORACLE = """
+WITH bg AS (
+  SELECT doc_id,
+         UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(STRING_SPLIT(text, ' ')) - 1),
+         i -> STRING_SPLIT(text, ' ')[i] || ' ' || STRING_SPLIT(text, ' ')[i + 1])) AS bigram
+  FROM documents
+),
+cnt AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+agg AS (SELECT doc_id, MAX(c) AS top_bigram_n, SUM(c) AS n_bigrams FROM cnt GROUP BY 1)
+SELECT doc_id,
+       CAST(top_bigram_n AS BIGINT) AS top_bigram_n,
+       CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       ROUND(CAST(top_bigram_n AS DOUBLE) / n_bigrams, 4) AS top_bigram_frac,
+       CASE WHEN CAST(top_bigram_n AS DOUBLE) / n_bigrams >= 0.2 THEN 1 ELSE 0 END
+         AS is_repetitive
+FROM agg"""
+
+
+@register("text_repetition_filter", oracle=_REPETITION_ORACLE)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-n-gram quality rule (the Gopher/MassiveText family:
+    drop docs whose most frequent n-gram occupies too much of the
+    text — boilerplate, keyword stuffing, decoding loops). Per doc:
+    total bigrams, the top bigram's count, its fraction, and the
+    ≥0.2 repetition flag.
+
+    Scale: explode is per-doc bounded; both aggregations are
+    map-side-combinable counts keyed by (doc_id, bigram) then doc_id,
+    so the shuffle carries one row per DISTINCT bigram per doc, not
+    one per token. All exact integers until the final rounded ratio.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bg = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(split(text, ' ')) - 2),"
+                " i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i + 1]))"
+            )
+        ).alias("bigram"),
+    )
+    cnt = bg.groupBy("doc_id", "bigram").count()
+    agg = cnt.groupBy("doc_id").agg(
+        F.max("count").alias("top_bigram_n"), F.sum("count").alias("n_bigrams")
+    )
+    frac = F.col("top_bigram_n").cast("double") / F.col("n_bigrams")
+    return agg.select(
+        "doc_id",
+        "top_bigram_n",
+        "n_bigrams",
+        F.round(frac, 4).alias("top_bigram_frac"),
+        F.when(frac >= 0.2, 1).otherwise(0).alias("is_repetitive"),
+    )
+
+
+_MIX_ORACLE = """
+WITH b AS (
+  SELECT doc_id, source,
+         CAST(STRPOS('0123456789abcdef', SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+              AS BIGINT) * 16
+         + CAST(STRPOS('0123456789abcdef', SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1
+              AS BIGINT) AS bucket,
+         CASE WHEN CAST(REGEXP_EXTRACT(source, '(\\d+)$', 1) AS INT) % 2 = 0
+              THEN 230 ELSE 77 END AS rate_bucket
+  FROM documents
+)
+SELECT doc_id, source, bucket, rate_bucket
+FROM b WHERE bucket < rate_bucket"""
+
+
+@register("sample_weighted_mix", oracle=_MIX_ORACLE)
+def sample_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted corpus mixing: per-source sampling rates (here ~90% for
+    even-numbered sources, ~30% for odd — the up/down-weighting a
+    pre-training data recipe applies per domain), decided by the same
+    deterministic MD5 bucket as `sample_hash_split` compared against a
+    per-source threshold.
+
+    Replay-safe like every sampler here: a doc's keep/drop decision is
+    a pure function of its id, stable under re-runs and incremental
+    appends, and the SAME doc is kept at every mixing epoch — change
+    the rate and the kept set only grows/shrinks monotonically
+    (threshold semantics), which makes ablations comparable.
+
+    Scale: pure per-row expressions, no shuffle; the keep filter
+    reaches the scan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    hx = F.md5(F.col("doc_id").cast("string"))
+    digit = lambda i: (  # noqa: E731
+        F.instr(F.lit("0123456789abcdef"), F.substring(hx, i, 1)) - 1
+    )
+    bucket = (digit(1) * 16 + digit(2)).cast("long")
+    suffix = F.regexp_extract("source", r"(\d+)$", 1).cast("int")
+    rate_bucket = F.when(suffix % 2 == 0, 230).otherwise(77)
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            bucket.alias("bucket"),
+            rate_bucket.alias("rate_bucket"),
+        )
+        .filter(F.col("bucket") < F.col("rate_bucket"))
+    )
+
+
+_COMMONNESS_ORACLE = """
+WITH words AS (
+  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents
+),
+freq AS (SELECT w, COUNT(*) AS cf FROM words GROUP BY 1)
+SELECT doc_id,
+       CAST(SUM(cf) AS BIGINT) AS sum_cf,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(CAST(SUM(cf) AS DOUBLE) / COUNT(*), 4) AS mean_token_freq
+FROM words JOIN freq USING (w)
+GROUP BY doc_id"""
+
+
+@register("text_commonness_score", oracle=_COMMONNESS_ORACLE)
+def text_commonness_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency fluency proxy (the cheap stand-in for an
+    n-gram-LM perplexity filter): per doc, the mean corpus frequency
+    of its tokens. Gibberish / OCR noise is built from globally rare
+    tokens and scores low; natural text scores high. Two passes over
+    the same token stream: a vocabulary-sized frequency table, joined
+    back token-by-token.
+
+    Scale: the frequency table is vocab-sized (heavy-hitter skewed,
+    but map-side combine collapses per-partition duplicates before the
+    shuffle). The join back is left to Catalyst/AQE: broadcast while
+    the vocab fits, sort-merge beyond — no forced strategy. Exact
+    BIGINT sums until the final rounded mean.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    freq = words.groupBy("w").agg(F.count("*").alias("cf"))
+    return (
+        words.join(freq, "w")
+        .groupBy("doc_id")
+        .agg(F.sum("cf").alias("sum_cf"), F.count("*").alias("n_tokens"))
+        .select(
+            "doc_id",
+            "sum_cf",
+            "n_tokens",
+            F.round(F.col("sum_cf").cast("double") / F.col("n_tokens"), 4).alias(
+                "mean_token_freq"
+            ),
+        )
+    )
