@@ -254,3 +254,169 @@ def embedding_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         (F.sum("bp").cast("double") / F.count("*") / 10000.0).alias("centroid"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) ANN — the compressed-domain scale path
+# ---------------------------------------------------------------------------
+
+_PQ_M, _PQ_K, _PQ_DSUB = 8, 4, 8  # 64 dims = 8 subspaces x 8 dims, 4 codes each
+
+
+def _pq_codebooks() -> list[list[list[int]]]:
+    """Seeded integer sub-codebooks, identical literals in both engines
+    (same fixed-LCG technique as `dedup._hyperplanes`). Components span
+    the quantized-vector range (±10⁴) so code assignment exercises real
+    geometry; every distance term stays an exact integer in double.
+    Production fits these per-subspace with k-means — the plumbing
+    (encode pass, ADC scoring join) is identical either way.
+    """
+    state = 987654321
+    books = []
+    for _ in range(_PQ_M):
+        cents = []
+        for _ in range(_PQ_K):
+            row = []
+            for _ in range(_PQ_DSUB):
+                state = (1103515245 * state + 12345) % (2**31)
+                row.append((state % 20001) - 10000)
+            cents.append(row)
+        books.append(cents)
+    return books
+
+
+_PQ_BOOKS = _pq_codebooks()
+_PQ_CC = [  # per (m, k): centroid self dot product, a plain int constant
+    [sum(c * c for c in cent) for cent in book] for book in _PQ_BOOKS
+]
+
+
+def _pq_spark_dot(m: int, cent: list[int], vec_col: str) -> str:
+    s = m * _PQ_DSUB + 1
+    lits = ", ".join(str(c) for c in cent)
+    return (
+        f"aggregate(zip_with(slice({vec_col}, {s}, {_PQ_DSUB}),"
+        f" CAST(array({lits}) AS array<double>),"
+        " (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+
+
+def _pq_duck_dot(m: int, cent: list[int], vec_col: str) -> str:
+    s = m * _PQ_DSUB + 1
+    lits = ", ".join(str(c) for c in cent)
+    return f"LIST_DOT_PRODUCT({vec_col}[{s}:{s + _PQ_DSUB - 1}], [{lits}])"
+
+
+def _pq_oracle() -> str:
+    # candidate codes: argmin_k (cc_k - 2*dot(vm, c_k)); lowest k on ties
+    code_cols = []
+    for m in range(_PQ_M):
+        scores = [
+            f"({_PQ_CC[m][k]} - 2 * {_pq_duck_dot(m, _PQ_BOOKS[m][k], 'v')})"
+            for k in range(_PQ_K)
+        ]
+        conds = []
+        for k in range(_PQ_K - 1):
+            ands = " AND ".join(
+                f"{scores[k]} <= {scores[j]}" for j in range(k + 1, _PQ_K)
+            )
+            conds.append(f"WHEN {ands} THEN {k}")
+        code_cols.append(f"CASE {' '.join(conds)} ELSE {_PQ_K - 1} END AS code{m}")
+    # ADC: per pair, sum the query-to-chosen-centroid terms by code CASE
+    terms = []
+    for m in range(_PQ_M):
+        branches = " ".join(
+            f"WHEN {k} THEN ({_PQ_CC[m][k]} - 2 * {_pq_duck_dot(m, _PQ_BOOKS[m][k], 'q.qv')})"
+            for k in range(_PQ_K)
+        )
+        terms.append(f"(CASE a.code{m} {branches} END)")
+    adc = " + ".join(terms)
+    codes = ",\n         ".join(code_cols)
+    return f"""
+WITH sc AS (
+  SELECT vec_id,
+         LIST_TRANSFORM(embedding, e -> ROUND(CAST(e AS DOUBLE) * 10000, 0)) AS v
+  FROM embeddings
+),
+codes AS (
+  SELECT vec_id, v,
+         {codes}
+  FROM sc
+),
+q AS (
+  SELECT vec_id AS q_id, v AS qv, LIST_DOT_PRODUCT(v, v) AS qn
+  FROM sc WHERE vec_id % 100 = 0
+),
+pairs AS (
+  SELECT q.q_id, a.vec_id, CAST(q.qn + {adc} AS BIGINT) AS adc_dist
+  FROM q, codes a WHERE a.vec_id <> q.q_id
+)
+SELECT q_id, vec_id, adc_dist FROM (
+  SELECT q_id, vec_id, adc_dist,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc_dist, vec_id) AS rn
+  FROM pairs
+) WHERE rn <= 5"""
+
+
+@register("similarity_pq_topk", oracle=_pq_oracle())
+def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (the Jégou-style compressed-domain
+    path): 64-dim vectors → 8 sub-codes of 2 bits (argmin over 4
+    seeded sub-centroids, exact integer arithmetic), queries score
+    candidates by ASYMMETRIC distance — 8 table lookups + adds per
+    pair instead of a 64-mult dot product.
+
+    Why this is the 100 TB shape: the encode pass reads the corpus
+    once and emits 8 small ints per vector (8 bytes vs 256 — a 32×
+    memory cut, the difference between spilling and RAM-resident
+    candidates); the per-query lookup tables are built once per query
+    against the CODEBOOK (constant size), never the corpus; and the
+    scoring join streams code tuples with no shuffle of the big side
+    (queries broadcast, same as brute force but ~8× less arithmetic
+    per pair and far smaller rows). Recall lost to 2-bit codes is the
+    standard PQ trade — production raises K and adds an IVF coarse
+    stage (see similarity_ivf_topk) in front.
+
+    Determinism: codebooks are integer literals mirrored verbatim in
+    the DuckDB oracle; every score is an exact integer in double, so
+    argmin and top-k order match bit-for-bit cross-engine.
+    """
+    vecs = _scaled_vectors(spark, sf_dir)
+    code_exprs = []
+    for m in range(_PQ_M):
+        structs = ", ".join(
+            f"named_struct('d', {_PQ_CC[m][k]} - 2 * {_pq_spark_dot(m, _PQ_BOOKS[m][k], 'v')},"
+            f" 'k', {k})"
+            for k in range(_PQ_K)
+        )
+        code_exprs.append(F.expr(f"array_sort(array({structs}))[0].k").alias(f"code{m}"))
+    codes = vecs.select("vec_id", "v", *code_exprs)
+
+    lut_exprs = []
+    for m in range(_PQ_M):
+        entries = ", ".join(
+            f"{_PQ_CC[m][k]} - 2 * {_pq_spark_dot(m, _PQ_BOOKS[m][k], 'qv')}"
+            for k in range(_PQ_K)
+        )
+        lut_exprs.append(F.expr(f"array({entries})").alias(f"lut{m}"))
+    q = (
+        vecs.filter(F.col("vec_id") % 100 == 0)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+        )
+        .select("q_id", "qn", *lut_exprs)
+    )
+
+    pairs = codes.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+    adc = F.col("qn")
+    for m in range(_PQ_M):
+        adc = adc + F.element_at(f"lut{m}", F.col(f"code{m}") + 1)
+    scored = pairs.select("q_id", "vec_id", adc.cast("long").alias("adc_dist"))
+    w = Window.partitionBy("q_id").orderBy("adc_dist", "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("q_id", "vec_id", "adc_dist")
+    )

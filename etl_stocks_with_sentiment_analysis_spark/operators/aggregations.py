@@ -512,3 +512,22 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.count("*").alias("n_events"),
     )
+
+
+@register("agg_approx_quantiles", oracle=None)  # sketch ≠ SQL-reproducible
+def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate p50/p90/p99 of event value per event_type via
+    `percentile_approx` (Greenwald-Khanna sketch, accuracy 10000).
+    The scale counterpart of `agg_quantiles`: exact percentiles sort
+    every group; the GK sketch is constant-memory per group and
+    map-side mergeable, so a 100 TB percentile dashboard costs one
+    combinable agg. Rows-only key (sketch internals are
+    engine-specific); the rank-error bound vs the exact quantile is
+    asserted in tests/test_analytics.py."""
+    from ..sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("approx_pcts"),
+        F.count("*").alias("n_events"),
+    )

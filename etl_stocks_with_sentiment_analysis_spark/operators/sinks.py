@@ -435,3 +435,50 @@ def compact(spark: SparkSession, path: str, n_files: int) -> None:
         raise
     shutil.rmtree(old, ignore_errors=True)
     shutil.rmtree(tmp, ignore_errors=True)
+
+
+def clustered_write(
+    df: DataFrame, path: str, cluster_cols: list[str], n_files: int
+) -> None:
+    """Range-clustered parquet layout: `repartitionByRange` on the
+    cluster key so each output file owns a DISJOINT key range, then
+    `sortWithinPartitions` so row groups inside a file are ordered too.
+
+    This is the scan-side half of a 100 TB design: parquet footers
+    store per-row-group min/max for every column, and a point/range
+    predicate on the cluster key then prunes whole FILES (disjoint
+    ranges → at most one or two files match) before any row is read —
+    the poor man's Z-order, adequate for single-key clustering. The
+    writer itself costs one range-exchange (sampled boundaries, even
+    output sizes) — the same shuffle a sorted table write pays in any
+    warehouse.
+
+    Verified in tests/test_sinks.py by reading the parquet footers:
+    file-level [min, max] intervals of the cluster key must not
+    overlap.
+    """
+    (
+        df.repartitionByRange(n_files, *cluster_cols)
+        .sortWithinPartitions(*cluster_cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def retention_sweep(path: str, partition_col: str, keep_from: str) -> list[str]:
+    """Partition-TTL maintenance: drop every `partition_col=<value>`
+    directory with value < ``keep_from`` (lexicographic — ISO dates
+    compare correctly). The delete-side companion of `compact()`: a
+    retention policy over a date-partitioned sink is pure partition-
+    directory removal — no scan, no rewrite of surviving data, each
+    removal atomic at the directory level — which is what makes
+    expiring a year of a 100 TB sink an O(partitions) metadata job
+    instead of an O(table) rewrite. Returns the dropped values.
+    """
+    dropped = []
+    prefix = f"{partition_col}="
+    for entry in sorted(os.listdir(path)):
+        if entry.startswith(prefix) and entry[len(prefix):] < keep_from:
+            shutil.rmtree(os.path.join(path, entry))
+            dropped.append(entry[len(prefix):])
+    return dropped

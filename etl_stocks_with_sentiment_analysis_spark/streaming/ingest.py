@@ -179,10 +179,15 @@ def run_incremental_daily(
 def run_dedup_stream(
     spark: SparkSession, sf_dir: str, query_name: str = "dedup_events"
 ):
-    """Streaming dropDuplicates with watermark — S3's idempotent-replay
-    semantics as bounded streaming state."""
+    """Streaming dedup with TRULY bounded state — S3's idempotent-replay
+    semantics. Plain `dropDuplicates(["event_id"])` would keep every id
+    seen forever (the watermark only evicts dedup state when the
+    event-time column is part of the key), so at 100 TB the state store
+    grows without bound; `dropDuplicatesWithinWatermark` keys state by
+    id but expires entries once the watermark passes their event time —
+    the replay window any at-least-once source actually needs."""
     ev = stream_events(spark, sf_dir).withWatermark("ts", "1 day")
-    deduped = ev.dropDuplicates(["event_id"])
+    deduped = ev.dropDuplicatesWithinWatermark(["event_id"])
     return (
         deduped.writeStream.outputMode("append")
         .format("memory")

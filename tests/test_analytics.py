@@ -191,3 +191,28 @@ def test_decontaminate_flags_planted_leak(spark, sf_dir):
     out = dedup_decontaminate(spark, sf_dir).orderBy("doc_id").toPandas()
     assert (out["n_shared_shingles"] > 0).all()
     assert (out["n_eval_docs"] > 0).all()
+
+
+def test_approx_quantiles_rank_error_bound(spark, sf_dir):
+    """GK sketch guarantee: each reported value's true rank is within
+    1/accuracy of the requested quantile's rank."""
+    from etl_stocks_with_sentiment_analysis_spark.operators.aggregations import (
+        agg_approx_quantiles,
+    )
+    from etl_stocks_with_sentiment_analysis_spark.sources import load_table
+
+    approx = {
+        r["event_type"]: r["approx_pcts"]
+        for r in agg_approx_quantiles(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    for etype, (p50, p90, p99) in approx.items():
+        vals = sorted(
+            r["value"] for r in ev.filter(F.col("event_type") == etype).collect()
+        )
+        n = len(vals)
+        for q, got in ((0.5, p50), (0.9, p90), (0.99, p99)):
+            import bisect
+
+            rank = bisect.bisect_right(vals, got) / n
+            assert abs(rank - q) <= 1 / 10000 + 2 / n, (etype, q, rank)

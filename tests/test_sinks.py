@@ -216,3 +216,50 @@ def test_scd2_invariants(spark, sf_dir):
     assert out.filter(
         ~F.col("is_current") & (F.col("valid_from") >= F.col("valid_to"))
     ).count() == 0
+
+
+def test_clustered_write_yields_disjoint_file_ranges(spark, sf_dir, tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    from etl_stocks_with_sentiment_analysis_spark.operators.sinks import clustered_write
+    from etl_stocks_with_sentiment_analysis_spark.plans import panel
+
+    target = str(tmp_path / "clustered")
+    px = panel.prices(spark, sf_dir)
+    clustered_write(px, target, ["ticker"], n_files=8)
+
+    ranges = []
+    for fname in os.listdir(target):
+        if not fname.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(target, fname)).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = next(
+                md.row_group(rg).column(i)
+                for i in range(md.num_columns)
+                if md.row_group(rg).column(i).path_in_schema == "ticker"
+            )
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) >= 2  # range partitioner actually split the key space
+    ranges.sort()
+    for (lo_a, hi_a), (lo_b, hi_b) in zip(ranges, ranges[1:]):
+        assert hi_a <= lo_b  # disjoint: a point predicate prunes to ~1 file
+
+    # row count survives the re-layout
+    assert spark.read.parquet(target).count() == px.count()
+
+
+def test_retention_sweep_drops_only_expired_partitions(spark, rows, tmp_path):
+    target = str(tmp_path / "sink")
+    sinks.upsert(spark, target, rows, ["ticker", "date"], partition_col="date")
+    dropped = sinks.retention_sweep(target, "date", keep_from="2024-01-02")
+    assert dropped == ["2024-01-01"]
+    out = spark.read.parquet(target)
+    assert {str(r["date"]) for r in out.collect()} == {"2024-01-02"}
+    # idempotent: second sweep is a no-op
+    assert sinks.retention_sweep(target, "date", keep_from="2024-01-02") == []
