@@ -285,3 +285,51 @@ def events_error_rate_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
         err_bp.alias("err_bp"),
         (err_bp > _ERR_ALERT_BP).alias("is_alert"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-sequence paths (Markov transition counts)
+# ---------------------------------------------------------------------------
+
+_PATHS_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS next_type
+  FROM events
+)
+SELECT event_type AS from_type, next_type AS to_type,
+       COUNT(*) AS n_transitions
+FROM seq WHERE next_type IS NOT NULL
+GROUP BY 1, 2"""
+
+
+@register("events_top_paths", oracle=_PATHS_ORACLE)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition counts (first-order Markov
+    matrix) — the sequence-mining primitive behind journey analysis,
+    next-action prediction features, and bot detection (self-loop
+    heavy users).
+
+    Scale: one window shuffle keyed by user_id (high-cardinality),
+    then a map-side-combinable count to a (types × types)-bounded
+    result — the output is independent of event volume. Ordering ties
+    inside a user's same-timestamp burst break on event_id, so the
+    transition set is deterministic cross-engine.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+    return (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count("*").alias("n_transitions"))
+    )

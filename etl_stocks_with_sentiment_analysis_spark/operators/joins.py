@@ -314,3 +314,53 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_join(li, nat, ["skew_key"], "inner", n_salt=8).select(
         "l_orderkey", "l_linenumber", "nation_name"
     )
+
+
+def bucketed_colocate_join(
+    spark: SparkSession,
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    n_buckets: int = 8,
+    table_prefix: str = "bkt_colocate",
+) -> DataFrame:
+    """Shuffle-FREE equi-join via bucketed tables: both sides are
+    written `bucketBy(n, keys).sortBy(keys)` into the warehouse, so
+    matching keys land in the same bucket file on both sides and the
+    join needs NO Exchange — each task zips bucket i with bucket i.
+
+    This is the 100 TB answer for a fact-fact join that recurs every
+    day (events×orders, train×features): pay the layout shuffle once
+    at write time, then every subsequent join of any two tables
+    bucketed on the same key count is exchange-less. Contrast
+    `salted_join` (one-off skew) and broadcast (small dims) — bucketing
+    is for the big-big recurring case. tests/test_scale.py asserts the
+    physical plan of the joined read contains no Exchange operator.
+
+    Spark requires `spark.sql.sources.bucketing.enabled` (default on)
+    and equal bucket counts; `sortBy` additionally removes the
+    per-bucket Sort from the merge join.
+    """
+    import os
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    lt, rt = f"{table_prefix}_l", f"{table_prefix}_r"
+    for df, name in ((left, lt), (right, rt)):
+        # a table dir can outlive the catalog entry (fresh session over an
+        # old warehouse); drop both so the managed write never collides
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(os.path.join(warehouse, name), ignore_errors=True)
+        (
+            df.write.bucketBy(n_buckets, *keys)
+            .sortBy(*keys)
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(name)
+        )
+    # MERGE hint: this helper's contract is the big-big co-located merge
+    # join. Without it, a small-side Catalyst estimate picks broadcast and
+    # "Bucketed: false (disabled by query planner)" — correct for a dim
+    # table, but then you didn't need bucketing; at fact-fact scale SMJ
+    # is what the planner picks anyway and the hint is a no-op.
+    return spark.table(lt).hint("merge").join(spark.table(rt), keys)

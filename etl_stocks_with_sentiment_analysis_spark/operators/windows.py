@@ -574,3 +574,54 @@ def window_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("z"),
         (F.abs(z) > 3).alias("is_anomaly"),
     )
+
+
+_RESAMPLE_ORACLE = panel.sql_with(
+    panel.PRICES_CTE,
+    """b AS (SELECT ticker, MIN(date) AS d0, MAX(date) AS d1 FROM prices GROUP BY 1)""",
+    """cal AS (
+  SELECT ticker, CAST(UNNEST(GENERATE_SERIES(d0, d1, INTERVAL 1 DAY)) AS DATE) AS date
+  FROM b
+)""",
+    body="""
+SELECT c.ticker, c.date, p.close AS close_raw,
+       LAST_VALUE(p.close IGNORE NULLS) OVER (
+         PARTITION BY c.ticker ORDER BY c.date ROWS UNBOUNDED PRECEDING
+       ) AS close_ffill,
+       p.close IS NULL AS is_gap
+FROM cal c LEFT JOIN prices p ON p.ticker = c.ticker AND p.date = c.date""",
+)
+
+
+@register("window_resample_ffill", oracle=_RESAMPLE_ORACLE)
+def window_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar resample + forward-fill (pandas `asfreq('D').ffill()`
+    analog): densify each ticker's history to EVERY calendar day
+    between its first and last observation, carrying the last known
+    close across gaps (weekends, halts) and flagging filled rows.
+    The gap-fill primitive every daily-panel feature pipeline needs
+    before fixed-stride windows are meaningful.
+
+    Scale: the calendar explode is per-ticker bounded (days in range,
+    not table size); the densify join is on (ticker, date); the fill
+    is one `last(ignorenulls)` running window sharing the panel's
+    canonical (ticker × date) partitioning. No value arithmetic —
+    closes pass through untouched, so cross-engine equality is exact.
+    """
+    px = panel.prices(spark, sf_dir).select("ticker", "date", "close")
+    bounds = px.groupBy("ticker").agg(
+        F.min("date").alias("d0"), F.max("date").alias("d1")
+    )
+    cal = bounds.select(
+        "ticker",
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("date"),
+    )
+    filled = cal.join(px, ["ticker", "date"], "left")
+    wfill = W().rowsBetween(Window.unboundedPreceding, 0)
+    return filled.select(
+        "ticker",
+        "date",
+        F.col("close").alias("close_raw"),
+        F.last("close", ignorenulls=True).over(wfill).alias("close_ffill"),
+        F.col("close").isNull().alias("is_gap"),
+    )

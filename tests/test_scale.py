@@ -167,3 +167,25 @@ def test_standard_scaler_fit_stats_and_plan_shape(spark, sf_dir):
     assert abs(stats["sd"] - 1.0) < 1e-3  # quantized at 1/10000 -> ~1
     n_test = df.filter("NOT is_train").count()
     assert n_test > 0
+
+
+def test_bucketed_colocate_join_has_no_exchange(spark, sf_dir):
+    """Bucket-aligned tables must merge-join with zero Exchange (and,
+    with sortBy, zero per-bucket Sort) in the physical plan."""
+    from etl_stocks_with_sentiment_analysis_spark.operators.joins import (
+        bucketed_colocate_join,
+    )
+    from etl_stocks_with_sentiment_analysis_spark.plans import panel
+
+    px = panel.prices(spark, sf_dir).select("ticker", "date", "close")
+    ex = panel.explanations(spark, sf_dir).select("ticker", "date", "topic")
+    joined = bucketed_colocate_join(spark, px, ex, ["ticker", "date"], n_buckets=4)
+
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    # and it is a real merge join over bucket files, not a broadcast
+    assert "SortMergeJoin" in plan, plan
+
+    # semantics unchanged vs a plain join
+    expected = px.join(ex, ["ticker", "date"]).count()
+    assert joined.count() == expected
