@@ -604,3 +604,63 @@ def text_commonness_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_PACK_ORACLE = """
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(LIST_SUM(LIST_TRANSFORM(STRING_SPLIT(text, ' '),
+              w -> CAST(CEIL(LENGTH(w) / 4.0) AS BIGINT))) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING
+         ) AS cum
+  FROM t
+)
+SELECT doc_id, source, n_tokens,
+       CAST((cum - n_tokens) // 512 AS BIGINT) AS bin_id,
+       CAST((cum - n_tokens) % 512 AS BIGINT) AS bin_offset
+FROM c"""
+
+
+@register("pipeline_sequence_pack", oracle=_PACK_ORACLE)
+def pipeline_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (concatenate-and-chunk): assign each document
+    its starting (bin, offset) in the fixed-length (512-token)
+    training sequences a pre-training loader feeds the model — the
+    layout step between tokenization and batch sampling. Token counts
+    use the same BPE-ish estimate as `text_token_count`.
+
+    Packing is inherently a running sum, but it is partitioned BY
+    SOURCE SHARD (deterministic doc_id order within each), exactly how
+    real corpus packing runs per input shard — so the window
+    partitions by a parallel key and no global single-partition funnel
+    exists. All-integer arithmetic ⇒ exact cross-engine.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.expr(
+            "aggregate(transform(split(text, ' '), w -> CAST(ceil(length(w) / 4.0) AS LONG)),"
+            " CAST(0 AS LONG), (a, x) -> a + x)"
+        ).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = t.withColumn("cum", F.sum("n_tokens").over(w))
+    return c.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.expr("CAST((cum - n_tokens) DIV 512 AS LONG)").alias("bin_id"),
+        F.expr("CAST((cum - n_tokens) % 512 AS LONG)").alias("bin_offset"),
+    )
