@@ -164,6 +164,13 @@ def explanations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
+    # MIN over the first-char ASCII code, not the string: both columns
+    # are prefix-ordered ('F'<'O'<'P'; '1-URGENT'<'2-HIGH'<...), so the
+    # code min picks the same value — but an INT agg buffer runs in
+    # HashAggregate where min(string) falls back to SortAggregate
+    # (sort-per-partition before the partial agg). Measured at sf0.1:
+    # ~1.2s vs ~1.6s for this subplan. Output decodes to the identical
+    # sentiment/topic strings, so every oracle is unchanged.
     base = (
         li.filter(F.col("l_orderkey") % 5 < 4)
         .join(orders, li.l_orderkey == orders.o_orderkey)
@@ -172,19 +179,19 @@ def explanations(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_shipdate").cast("date").alias("date"),
         )
         .agg(
-            F.min("o_orderstatus").alias("status"),
-            F.min("o_orderpriority").alias("priority"),
+            F.min(F.ascii(F.substring("o_orderstatus", 1, 1))).alias("status_c"),
+            F.min(F.ascii(F.substring("o_orderpriority", 1, 1))).alias("priority_c"),
         )
     )
     topic = (
-        F.when(F.col("priority") == "1-URGENT", "earnings")
-        .when(F.col("priority") == "2-HIGH", "macro")
-        .when(F.col("priority") == "3-MEDIUM", "company-specific")
+        F.when(F.col("priority_c") == F.lit(ord("1")), "earnings")
+        .when(F.col("priority_c") == F.lit(ord("2")), "macro")
+        .when(F.col("priority_c") == F.lit(ord("3")), "company-specific")
         .otherwise("speculation")
     )
     sentiment = (
-        F.when(F.col("status") == "O", "Positive")
-        .when(F.col("status") == "F", "Negative")
+        F.when(F.col("status_c") == F.lit(ord("O")), "Positive")
+        .when(F.col("status_c") == F.lit(ord("F")), "Negative")
         .otherwise("Neutral")
     )
     return base.select(
