@@ -118,3 +118,77 @@ def streaming_stateful_running_total(
         F.count("*").over(w).alias("running_n"),
         (F.sum(cents).over(w).cast("double") / 100.0).alias("running_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas twin — the modern arbitrary-state API
+# ---------------------------------------------------------------------------
+
+try:  # Spark 4.x API; import-gated so older runtimes keep the legacy path.
+    # The state-server protocol additionally needs google.protobuf (not in
+    # this image) — without it the driver-side state worker crashes at
+    # query start, so probe it here and fall back to the legacy twin.
+    from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _RunningTotalProcessor(StatefulProcessor):
+        """Same semantics as `_running_total`, expressed against the
+        transformWithState handle: state is a named ValueState (the
+        API also offers List/Map state, timers, and per-state TTL —
+        the pieces a long-running 100 TB stream needs for state
+        hygiene that the legacy applyInPandasWithState API lacks)."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, cents = self._totals.get() if self._totals.exists() else (0, 0)
+            pdf = pd.concat(list(rows)).sort_values(["ts", "event_id"])
+            out_n, out_v = [], []
+            for v in pdf["value"]:
+                n += 1
+                cents += _cents(float(v))
+                out_n.append(n)
+                out_v.append(cents / 100.0)
+            pdf = pdf.assign(running_n=out_n, running_value=out_v)
+            self._totals.update((n, cents))
+            yield pdf[["user_id", "ts", "event_id", "running_n", "running_value"]]
+
+        def close(self) -> None:
+            pass
+
+    HAS_TWS = True
+except ImportError:  # pragma: no cover
+    HAS_TWS = False
+
+
+def run_running_total_stream_tws(
+    spark: SparkSession, sf_dir: str, query_name: str = "running_total_tws"
+):
+    """The transformWithStateInPandas path (RocksDB state store — the
+    API requires it; also the provider any stateful 100 TB stream
+    should run, since HDFS-backed state lives on the executor heap
+    while RocksDB spills to local disk with changelog checkpointing).
+    tests/test_streaming.py asserts this twin, the legacy twin, and
+    the batch window produce identical rows."""
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    ev = stream_events(spark, sf_dir).select("user_id", "ts", "event_id", "value")
+    out = ev.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_RunningTotalProcessor(),
+        outputStructType=OUT_SCHEMA,
+        outputMode="append",
+        timeMode="None",
+    )
+    return (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -75,3 +75,30 @@ def test_incremental_upsert_materializes_and_is_idempotent(spark, sf_dir, tmp_pa
     q2 = ingest.run_incremental_upsert(spark, sf_dir, target, query_name="t_up2")
     q2.awaitTermination(120)
     assert snapshot() == batch
+
+
+def test_transform_with_state_matches_batch(spark, sf_dir):
+    from etl_stocks_with_sentiment_analysis_spark.streaming import stateful
+
+    if not stateful.HAS_TWS:
+        import pytest
+
+        pytest.skip("transformWithState API not available")
+    q = stateful.run_running_total_stream_tws(spark, sf_dir, query_name="t_tws")
+    q.awaitTermination()
+    got = spark.sql(
+        "SELECT * FROM t_tws ORDER BY user_id, ts, event_id"
+    ).collect()
+    batch = (
+        stateful.streaming_stateful_running_total(spark, sf_dir)
+        .orderBy("user_id", "ts", "event_id")
+        .collect()
+    )
+    assert len(got) == len(batch) > 0
+    for g, b in zip(got, batch):
+        assert (g["user_id"], g["event_id"], g["running_n"]) == (
+            b["user_id"],
+            b["event_id"],
+            b["running_n"],
+        )
+        assert g["running_value"] == b["running_value"]  # exact cents math
