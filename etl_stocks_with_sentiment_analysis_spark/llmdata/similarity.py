@@ -263,58 +263,35 @@ def embedding_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PQ_M, _PQ_K, _PQ_DSUB = 8, 4, 8  # 64 dims = 8 subspaces x 8 dims, 4 codes each
 
 
-def _pq_codebooks() -> list[list[list[int]]]:
-    """Seeded integer sub-codebooks, identical literals in both engines
-    (same fixed-LCG technique as `dedup._hyperplanes`). Components span
-    the quantized-vector range (±10⁴) so code assignment exercises real
-    geometry; every distance term stays an exact integer in double.
-    Production fits these per-subspace with k-means — the plumbing
-    (encode pass, ADC scoring join) is identical either way.
-    """
-    state = 987654321
-    books = []
-    for _ in range(_PQ_M):
-        cents = []
-        for _ in range(_PQ_K):
-            row = []
-            for _ in range(_PQ_DSUB):
-                state = (1103515245 * state + 12345) % (2**31)
-                row.append((state % 20001) - 10000)
-            cents.append(row)
-        books.append(cents)
-    return books
-
-
-_PQ_BOOKS = _pq_codebooks()
-_PQ_CC = [  # per (m, k): centroid self dot product, a plain int constant
-    [sum(c * c for c in cent) for cent in book] for book in _PQ_BOOKS
-]
-
-
-def _pq_spark_dot(m: int, cent: list[int], vec_col: str) -> str:
+def _sub_dot(a: str, b: str, m: int) -> str:
+    """Exact dot product of subspace m of two integer-valued array
+    columns (Spark SQL expression)."""
     s = m * _PQ_DSUB + 1
-    lits = ", ".join(str(c) for c in cent)
     return (
-        f"aggregate(zip_with(slice({vec_col}, {s}, {_PQ_DSUB}),"
-        f" CAST(array({lits}) AS array<double>),"
+        f"aggregate(zip_with(slice({a}, {s}, {_PQ_DSUB}),"
+        f" slice({b}, {s}, {_PQ_DSUB}),"
         " (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
     )
 
 
-def _pq_duck_dot(m: int, cent: list[int], vec_col: str) -> str:
+def _duck_sub_dot(a: str, b: str, m: int) -> str:
     s = m * _PQ_DSUB + 1
-    lits = ", ".join(str(c) for c in cent)
-    return f"LIST_DOT_PRODUCT({vec_col}[{s}:{s + _PQ_DSUB - 1}], [{lits}])"
+    e = s + _PQ_DSUB - 1
+    return f"LIST_DOT_PRODUCT({a}[{s}:{e}], {b}[{s}:{e}])"
+
+
+def _pq_score(dot, m: int, k: int, vec: str) -> str:
+    """Per-(subspace, code) assignment score cc - 2*v·c — the argmin-
+    equivalent of the true L2² distance (the common ||v_m||² term is
+    dropped; see tests/test_new_op_properties.py for the property)."""
+    c = f"cv{k}"
+    return f"(({dot(c, c, m)}) - 2 * ({dot(vec, c, m)}))"
 
 
 def _pq_oracle() -> str:
-    # candidate codes: argmin_k (cc_k - 2*dot(vm, c_k)); lowest k on ties
     code_cols = []
     for m in range(_PQ_M):
-        scores = [
-            f"({_PQ_CC[m][k]} - 2 * {_pq_duck_dot(m, _PQ_BOOKS[m][k], 'v')})"
-            for k in range(_PQ_K)
-        ]
+        scores = [_pq_score(_duck_sub_dot, m, k, "v") for k in range(_PQ_K)]
         conds = []
         for k in range(_PQ_K - 1):
             ands = " AND ".join(
@@ -322,26 +299,31 @@ def _pq_oracle() -> str:
             )
             conds.append(f"WHEN {ands} THEN {k}")
         code_cols.append(f"CASE {' '.join(conds)} ELSE {_PQ_K - 1} END AS code{m}")
-    # ADC: per pair, sum the query-to-chosen-centroid terms by code CASE
     terms = []
     for m in range(_PQ_M):
         branches = " ".join(
-            f"WHEN {k} THEN ({_PQ_CC[m][k]} - 2 * {_pq_duck_dot(m, _PQ_BOOKS[m][k], 'q.qv')})"
+            f"WHEN {k} THEN {_pq_score(_duck_sub_dot, m, k, 'q.qv')}"
             for k in range(_PQ_K)
         )
         terms.append(f"(CASE a.code{m} {branches} END)")
     adc = " + ".join(terms)
     codes = ",\n         ".join(code_cols)
+    anchors = ",\n".join(
+        f"a{k} AS (SELECT v AS cv{k} FROM sc WHERE vec_id = {k + 1})"
+        for k in range(_PQ_K)
+    )
+    anchor_tables = ", ".join(f"a{k}" for k in range(_PQ_K))
     return f"""
 WITH sc AS (
   SELECT vec_id,
          LIST_TRANSFORM(embedding, e -> ROUND(CAST(e AS DOUBLE) * 10000, 0)) AS v
   FROM embeddings
 ),
+{anchors},
 codes AS (
   SELECT vec_id, v,
          {codes}
-  FROM sc
+  FROM sc, {anchor_tables}
 ),
 q AS (
   SELECT vec_id AS q_id, v AS qv, LIST_DOT_PRODUCT(v, v) AS qn
@@ -349,7 +331,7 @@ q AS (
 ),
 pairs AS (
   SELECT q.q_id, a.vec_id, CAST(q.qn + {adc} AS BIGINT) AS adc_dist
-  FROM q, codes a WHERE a.vec_id <> q.q_id
+  FROM q, codes a, {anchor_tables} WHERE a.vec_id <> q.q_id
 )
 SELECT q_id, vec_id, adc_dist FROM (
   SELECT q_id, vec_id, adc_dist,
@@ -361,42 +343,60 @@ SELECT q_id, vec_id, adc_dist FROM (
 @register("similarity_pq_topk", oracle=_pq_oracle())
 def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (the Jégou-style compressed-domain
-    path): 64-dim vectors → 8 sub-codes of 2 bits (argmin over 4
-    seeded sub-centroids, exact integer arithmetic), queries score
-    candidates by ASYMMETRIC distance — 8 table lookups + adds per
-    pair instead of a 64-mult dot product.
+    path): 64-dim vectors → 8 sub-codes of 2 bits, queries score
+    candidates by ASYMMETRIC distance — 8 code-table lookups + adds
+    per pair instead of a 64-mult dot product.
+
+    Sub-codebooks are anchored on DATA vectors (the subvectors of
+    vec_id 1–4, the same fixed-anchor device as
+    `similarity_ivf_topk`'s coarse centroids), so code assignment
+    follows the real embedding distribution — random-span codebooks
+    quantize to noise and measured recall collapses to ~0 (the pytest
+    recall floor in tests/test_analytics.py guards this). Measured
+    recall@5 on the synthetic corpus is ~0.08 vs ~0.01 random: real
+    signal, deliberately far from production quality — near-uniform
+    64-d vectors concentrate distances, which no 16-bit code can rank
+    finely. Production raises K to 256 per subspace via k-means and
+    re-ranks a PQ shortlist exactly; every other part of the pipeline
+    (encode pass, LUT build, scoring join) is identical.
 
     Why this is the 100 TB shape: the encode pass reads the corpus
     once and emits 8 small ints per vector (8 bytes vs 256 — a 32×
-    memory cut, the difference between spilling and RAM-resident
-    candidates); the per-query lookup tables are built once per query
+    memory cut); the per-query lookup tables are built once per query
     against the CODEBOOK (constant size), never the corpus; and the
-    scoring join streams code tuples with no shuffle of the big side
-    (queries broadcast, same as brute force but ~8× less arithmetic
-    per pair and far smaller rows). Recall lost to 2-bit codes is the
-    standard PQ trade — production raises K and adds an IVF coarse
-    stage (see similarity_ivf_topk) in front.
+    scoring join broadcasts queries over code tuples with no shuffle
+    of the big side, at ~8× less arithmetic per pair than brute force.
 
-    Determinism: codebooks are integer literals mirrored verbatim in
-    the DuckDB oracle; every score is an exact integer in double, so
-    argmin and top-k order match bit-for-bit cross-engine.
+    Determinism: anchors and vectors are 1e-4-quantized integers, all
+    scores exact integer sums in double ⇒ argmin and top-k order match
+    the DuckDB oracle bit-for-bit.
     """
     vecs = _scaled_vectors(spark, sf_dir)
+    cb = (
+        vecs.filter(F.col("vec_id").isin(*range(1, _PQ_K + 1)))
+        .groupBy()
+        .agg(
+            *[
+                F.max(F.when(F.col("vec_id") == k + 1, F.col("v"))).alias(f"cv{k}")
+                for k in range(_PQ_K)
+            ]
+        )
+    )
     code_exprs = []
     for m in range(_PQ_M):
         structs = ", ".join(
-            f"named_struct('d', {_PQ_CC[m][k]} - 2 * {_pq_spark_dot(m, _PQ_BOOKS[m][k], 'v')},"
-            f" 'k', {k})"
+            f"named_struct('d', {_pq_score(_sub_dot, m, k, 'v')}, 'k', {k})"
             for k in range(_PQ_K)
         )
-        code_exprs.append(F.expr(f"array_sort(array({structs}))[0].k").alias(f"code{m}"))
-    codes = vecs.select("vec_id", "v", *code_exprs)
+        code_exprs.append(
+            F.expr(f"array_sort(array({structs}))[0].k").alias(f"code{m}")
+        )
+    codes = vecs.join(F.broadcast(cb)).select("vec_id", "v", *code_exprs)
 
     lut_exprs = []
     for m in range(_PQ_M):
         entries = ", ".join(
-            f"{_PQ_CC[m][k]} - 2 * {_pq_spark_dot(m, _PQ_BOOKS[m][k], 'qv')}"
-            for k in range(_PQ_K)
+            _pq_score(_sub_dot, m, k, "qv") for k in range(_PQ_K)
         )
         lut_exprs.append(F.expr(f"array({entries})").alias(f"lut{m}"))
     q = (
@@ -406,6 +406,7 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v").alias("qv"),
             F.col("nrm").alias("qn"),
         )
+        .join(F.broadcast(cb))
         .select("q_id", "qn", *lut_exprs)
     )
 

