@@ -102,3 +102,86 @@ def test_transform_with_state_matches_batch(spark, sf_dir):
             b["running_n"],
         )
         assert g["running_value"] == b["running_value"]  # exact cents math
+
+
+def test_watermark_drops_late_data_in_append_mode(spark, tmp_path):
+    """Real watermark semantics, not just the twin-parity claim: a
+    1-day watermark must finalize a day's window once the stream has
+    seen events a day past it, and an event arriving for that closed
+    window afterwards must be DROPPED (append mode emits each window
+    once, state for expired windows is evicted). maxFilesPerTrigger=1
+    forces one micro-batch per file so the watermark actually advances
+    between the on-time and late files."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_stocks_with_sentiment_analysis_spark.streaming.ingest import _daily_agg
+
+    def events_file(path, rows):
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        )
+        pq.write_table(tbl, str(path))
+
+    d = datetime.datetime
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    # file 1: two on-time day-1 events; file 2: day-3 event (advances
+    # the watermark past day 1); file 3: a LATE day-1 event
+    events_file(src / "a_batch1.parquet", [
+        (1, d(2024, 1, 1, 10), 1, "click", 1.0),
+        (2, d(2024, 1, 1, 11), 2, "click", 2.0),
+    ])
+    events_file(src / "b_batch2.parquet", [(3, d(2024, 1, 3, 9), 3, "click", 4.0)])
+    # spacer: the watermark computed from a batch only takes effect in
+    # the NEXT batch, so the late file must arrive two batches after
+    # the day-3 event that advances it
+    events_file(src / "c_batch3.parquet", [(5, d(2024, 1, 3, 10), 5, "click", 16.0)])
+    events_file(src / "d_batch4.parquet", [(4, d(2024, 1, 1, 12), 4, "click", 8.0)])
+    # the file source orders by modification time — pin it so the late
+    # file really arrives AFTER the watermark-advancing ones
+    import os
+    import time
+
+    now = time.time()
+    for i, fname in enumerate(["a_batch1", "b_batch2", "c_batch3", "d_batch4"]):
+        os.utime(src / f"{fname}.parquet", (now + 10 * i, now + 10 * i))
+
+    from etl_stocks_with_sentiment_analysis_spark.sources.readers import (
+        normalize_event_ts,
+    )
+
+    schema = spark.read.parquet(str(src)).schema
+    stream = normalize_event_ts(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(str(src))
+    )
+    agg = _daily_agg(stream.withWatermark("ts", "1 day"), streaming=True)
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_late")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = {
+        str(r["day"]): (r["n_events"], r["total_value"])
+        for r in spark.sql("SELECT * FROM t_late").collect()
+    }
+    # day-1 window finalized from the on-time file only: the late 8.0
+    # event is gone; the day-3 window stays open (nothing past its
+    # watermark yet) and is not emitted in append mode.
+    assert out.get("2024-01-01") == (2, 3.0), out
+    assert "2024-01-03" not in out
