@@ -574,3 +574,176 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("eval_doc_id").alias("n_eval_docs"),
         )
     )
+
+
+_CONTAINMENT_ORACLE = """
+WITH words AS (
+  SELECT DISTINCT doc_id, source, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents
+),
+wc AS (SELECT doc_id, COUNT(*) AS n FROM words GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter_n
+  FROM words a JOIN words b
+    ON a.w = b.w AND a.source = b.source
+   AND b.doc_id - a.doc_id BETWEEN 1 AND 20
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, inter_n,
+       ROUND(CAST(inter_n AS DOUBLE) / ca.n, 4) AS containment_a_in_b
+FROM inter
+JOIN wc ca ON ca.doc_id = doc_a
+WHERE CAST(inter_n AS DOUBLE) / ca.n >= 0.8"""
+
+
+@register("dedup_shingle_containment", oracle=_CONTAINMENT_ORACLE)
+def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment (asymmetric Jaccard, |A∩B|/|A|): catches
+    SUB-document duplication — doc A quoted or embedded wholesale
+    inside a larger doc B — which symmetric Jaccard misses because the
+    union is dominated by B's extra text. The standard second pass of
+    a corpus dedup stack (Broder's containment, quote/boilerplate
+    mining).
+
+    Same inverted-index frame as `dedup_ngram_jaccard`: DISTINCT
+    (doc, word) projection, word-keyed join bounded to a doc_id
+    neighborhood of 20 (the unbounded variant delegates to LSH), one
+    count per candidate pair, then a single per-doc size join — only
+    |A| is needed, so the second size join drops relative to the
+    Jaccard op.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("w")
+    ).distinct()
+    wc = words.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = words.select(
+        F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"), "w"
+    )
+    b = words.select(
+        F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"), "w"
+    )
+    inter = (
+        a.join(
+            b,
+            (a.w == b.w)
+            & (a.src_a == b.src_b)
+            & (F.col("doc_b") - F.col("doc_a")).between(1, 20),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter_n"))
+    )
+    cont = F.col("inter_n").cast("double") / F.col("n")
+    return (
+        inter.join(wc.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .filter(cont >= 0.8)
+        .select(
+            "doc_a", "doc_b", "inter_n", F.round(cont, 4).alias("containment_a_in_b")
+        )
+    )
+
+
+_MH_EST_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents
+  WHERE LEN(STRING_SPLIT(text, ' ')) >= 3
+),
+shingle AS (
+  SELECT DISTINCT doc_id, sh FROM (
+    SELECT doc_id,
+           UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(ws) - 2),
+                  i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])) AS sh
+    FROM tok
+  )
+),
+mh AS (
+  SELECT doc_id, s, MIN(MD5(CAST(s AS VARCHAR) || '|' || sh)) AS h
+  FROM shingle, GENERATE_SERIES(0, {_N_SEEDS - 1}) AS g(s)
+  GROUP BY doc_id, s
+),
+bands AS (
+  SELECT doc_id, s // {_BAND_ROWS} AS band, STRING_AGG(h, ',' ORDER BY s) AS sig
+  FROM mh GROUP BY doc_id, s // {_BAND_ROWS}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(SUM(CASE WHEN ma.h = mb.h THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+       ROUND(SUM(CASE WHEN ma.h = mb.h THEN 1 ELSE 0 END) / {_N_SEEDS}.0, 4)
+         AS est_jaccard
+FROM cand c
+JOIN mh ma ON ma.doc_id = c.doc_a
+JOIN mh mb ON mb.doc_id = c.doc_b AND mb.s = ma.s
+GROUP BY 1, 2"""
+
+
+@register("dedup_minhash_estimate", oracle=_MH_EST_ORACLE)
+def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard ESTIMATION from the minhash signatures themselves
+    (P[min-hash collision] = J, Broder): for each LSH candidate pair,
+    the fraction of the 8 per-seed minima that agree. This is the
+    verify-stage of the standard dedup stack — banding recalls
+    candidates, the signature estimate scores them WITHOUT touching
+    document text again, so the verify pass runs on (doc, 8-hash)
+    tuples (~100 bytes) instead of documents (~KBs): at 100 TB the
+    re-read this avoids is the difference between a metadata-sized
+    join and a second corpus scan.
+
+    Estimate is an exact rational (n_agree / 8) ⇒ cross-engine stable.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.split("text", " ").alias("ws")).filter(
+        F.size("ws") >= 3
+    )
+    shingle = tok.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(0, size(ws) - 3),"
+                    " i -> concat_ws(' ', ws[i], ws[i + 1], ws[i + 2]))"
+                )
+            )
+        ).alias("sh"),
+    )
+    mh = shingle.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("sh")))).alias(f"h{s}")
+            for s in range(_N_SEEDS)
+        ]
+    )
+    n_bands = _N_SEEDS // _BAND_ROWS
+    stack_args = ", ".join(
+        f"{b}, concat_ws(',', "
+        + ", ".join(f"h{s}" for s in range(b * _BAND_ROWS, (b + 1) * _BAND_ROWS))
+        + ")"
+        for b in range(n_bands)
+    )
+    bands = mh.select(
+        "doc_id", F.expr(f"stack({n_bands}, {stack_args})").alias("band", "sig")
+    )
+    cand = (
+        bands.select(F.col("doc_id").alias("doc_a"), "band", "sig")
+        .join(bands.select(F.col("doc_id").alias("doc_b"), "band", "sig"), ["band", "sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ma = mh.select("doc_id", *[F.col(f"h{s}").alias(f"a{s}") for s in range(_N_SEEDS)])
+    mb = mh.select("doc_id", *[F.col(f"h{s}").alias(f"b{s}") for s in range(_N_SEEDS)])
+    n_agree = sum(
+        F.when(F.col(f"a{s}") == F.col(f"b{s}"), 1).otherwise(0)
+        for s in range(_N_SEEDS)
+    )
+    return (
+        cand.join(ma.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(mb.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            n_agree.cast("long").alias("n_agree"),
+            F.round(n_agree / F.lit(float(_N_SEEDS)), 4).alias("est_jaccard"),
+        )
+    )
