@@ -104,6 +104,8 @@ def upsert(
     """
     if partition_col is not None and partition_col not in keys:
         raise ValueError(f"partition_col {partition_col!r} must be one of keys {keys}")
+    if _exists(spark, target):
+        recover_interrupted_commit(target)
     if not _exists(spark, target):
         w = incoming.write.mode("overwrite")
         if partition_col:
@@ -145,6 +147,47 @@ def upsert(
             _swap_dirs([(staged_path, target)])
     finally:
         shutil.rmtree(staged_path, ignore_errors=True)
+
+
+def recover_interrupted_commit(target: str) -> list[str]:
+    """Self-heal a sink after a commit killed mid-`_swap_dirs`.
+
+    A kill can leave two states per touched directory: (a) backup
+    `X__old` present AND live `X` present — the new data landed, the
+    backup is stale garbage (it would also make the NEXT commit's
+    backup rename fail with ENOTEMPTY), so delete it; (b) backup
+    present and live dir MISSING — killed between the two renames, so
+    restore the backup (the old data is the last complete state).
+    Called automatically at the start of every `upsert`; idempotent.
+    Returns the paths acted on.
+    """
+    healed = []
+    root, name = os.path.split(target.rstrip("/"))
+    for entry in os.listdir(root or "."):
+        if not entry.endswith("__old"):
+            continue
+        live_name = entry[: -len("__old")]
+        if live_name != name:
+            continue
+        backup = os.path.join(root, entry)
+        live = os.path.join(root, live_name)
+        if os.path.exists(live):
+            shutil.rmtree(backup, ignore_errors=True)
+        else:
+            os.rename(backup, live)
+        healed.append(live)
+    if os.path.isdir(target):
+        for entry in sorted(os.listdir(target)):
+            if not entry.endswith("__old"):
+                continue
+            backup = os.path.join(target, entry)
+            live = os.path.join(target, entry[: -len("__old")])
+            if os.path.exists(live):
+                shutil.rmtree(backup, ignore_errors=True)
+            else:
+                os.rename(backup, live)
+            healed.append(live)
+    return healed
 
 
 def _swap_dirs(moves: list[tuple[str, str]]) -> None:

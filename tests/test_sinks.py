@@ -263,3 +263,32 @@ def test_retention_sweep_drops_only_expired_partitions(spark, rows, tmp_path):
     assert {str(r["date"]) for r in out.collect()} == {"2024-01-02"}
     # idempotent: second sweep is a no-op
     assert sinks.retention_sweep(target, "date", keep_from="2024-01-02") == []
+
+
+def test_upsert_self_heals_interrupted_commit(spark, rows, tmp_path):
+    """A kill between the backup rename and the install rename leaves a
+    partition as `X__old` only; the next upsert must restore it before
+    merging, and a stale backup next to a live dir must be cleared."""
+    import os
+    import shutil
+
+    target = str(tmp_path / "sink")
+    sinks.upsert(spark, target, rows, ["ticker", "date"], partition_col="date")
+
+    # simulate kill state (b): live dir missing, only backup present
+    live = os.path.join(target, "date=2024-01-01")
+    os.rename(live, live + "__old")
+    # simulate stale state (a) on the other partition: backup AND live
+    live2 = os.path.join(target, "date=2024-01-02")
+    shutil.copytree(live2, live2 + "__old")
+
+    clash = spark.createDataFrame(
+        [(1, "2024-01-02", "NEW")], "ticker INT, date STRING, val STRING"
+    )
+    sinks.upsert(spark, target, clash, ["ticker", "date"], partition_col="date")
+
+    out = {(r["ticker"], str(r["date"]), r["val"]) for r in spark.read.parquet(target).collect()}
+    assert (1, "2024-01-01", "a") in out  # restored from backup
+    assert (2, "2024-01-01", "c") in out
+    assert (1, "2024-01-02", "NEW") in out  # merge applied after heal
+    assert [d for d in os.listdir(target) if d.endswith("__old")] == []
