@@ -333,3 +333,35 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_transitions"))
     )
+
+
+@register("events_dau_wau_hll", oracle=None)  # sketch ≠ SQL-reproducible
+def events_dau_wau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU + trailing-7-day WAU via Apache DataSketches HLL
+    (`hll_sketch_agg` / `hll_union_agg` / `hll_sketch_estimate`).
+
+    THE canonical pre-aggregated-distinct pattern at 100 TB: one scan
+    builds a constant-size sketch PER DAY; weekly/monthly actives are
+    sketch UNIONS over the tiny per-day table — raw user ids are
+    never re-scanned or re-shuffled for the rollup, which is exactly
+    what COUNT(DISTINCT) over a window cannot avoid. Rows-only key
+    (sketch binaries are engine-specific); the estimate error bound vs
+    exact distinct counts is asserted in tests/test_analytics.py.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.hll_sketch_agg("user_id", 14).alias("sketch"),
+        F.count("*").alias("n_events"),
+    )
+    w7 = (
+        Window.orderBy(F.col("day").cast("timestamp").cast("long"))
+        .rangeBetween(-6 * 86400, 0)
+    )
+    return daily.select(
+        "day",
+        "n_events",
+        F.hll_sketch_estimate("sketch").alias("dau_est"),
+        F.hll_sketch_estimate(F.hll_union_agg("sketch").over(w7)).alias("wau_est"),
+    ).orderBy("day")

@@ -242,3 +242,33 @@ def test_pq_ann_recall_floor_vs_random(spark, sf_dir):
     recall = hits / sum(len(t) for t in truth.values())
     random_expected = 5 / n_candidates  # ~0.01
     assert recall >= 5 * random_expected, (recall, random_expected)
+
+
+def test_hll_dau_wau_error_bound(spark, sf_dir):
+    """HLL(lgK=14) relative error is ~0.8%; assert every DAU/WAU
+    estimate is within 2% of the exact distinct count."""
+    from etl_stocks_with_sentiment_analysis_spark.operators.analytics import (
+        events_dau_wau_hll,
+    )
+    from etl_stocks_with_sentiment_analysis_spark.sources import load_table
+
+    est = {str(r["day"]): (r["dau_est"], r["wau_est"]) for r in
+           events_dau_wau_hll(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    )
+    rows = ev.collect()
+    by_day = {}
+    for r in rows:
+        by_day.setdefault(r["day"], set()).add(r["user_id"])
+    import datetime
+
+    for day, (dau, wau) in est.items():
+        d = datetime.date.fromisoformat(day)
+        exact_dau = len(by_day[d])
+        exact_wau = len(
+            set().union(*(by_day.get(d - datetime.timedelta(days=i), set())
+                          for i in range(7)))
+        )
+        assert abs(dau - exact_dau) <= max(2, 0.02 * exact_dau), (day, dau, exact_dau)
+        assert abs(wau - exact_wau) <= max(2, 0.02 * exact_wau), (day, wau, exact_wau)
