@@ -664,3 +664,51 @@ def pipeline_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST((cum - n_tokens) DIV 512 AS LONG)").alias("bin_id"),
         F.expr("CAST((cum - n_tokens) % 512 AS LONG)").alias("bin_offset"),
     )
+
+
+_BUDGET_ORACLE = """
+SELECT COALESCE(source, '<all>') AS source,
+       COALESCE(lang, '<all>') AS lang,
+       CAST(COUNT(doc_id) AS BIGINT) AS n_docs,
+       CAST(SUM(LIST_SUM(LIST_TRANSFORM(STRING_SPLIT(text, ' '),
+            w -> CAST(CEIL(LENGTH(w) / 4.0) AS BIGINT)))) AS BIGINT) AS n_tokens,
+       CAST(GROUPING(source) * 2 + GROUPING(lang) AS BIGINT) AS agg_level
+FROM documents
+GROUP BY ROLLUP (source, lang)"""
+
+
+@register("corpus_token_budget", oracle=_BUDGET_ORACLE)
+def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget report: docs and (BPE-estimate) tokens by source,
+    source×lang, and grand total in ONE ROLLUP pass — the table a
+    pre-training data recipe is budgeted from (domain mixing weights
+    are set against exactly these totals, cf. `sample_weighted_mix`).
+
+    Scale: Catalyst expands the rollup but keeps partial aggregation,
+    so the corpus shuffles once (combined per source×lang), not once
+    per level. `GROUPING()` distinguishes subtotal rows from real
+    NULL-valued groups — never NULL-sniffing.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = F.expr(
+        "aggregate(transform(split(text, ' '), w -> CAST(ceil(length(w) / 4.0) AS LONG)),"
+        " CAST(0 AS LONG), (a, x) -> a + x)"
+    )
+    return (
+        docs.select("source", "lang", "doc_id", tokens.alias("toks"))
+        .rollup("source", "lang")
+        .agg(
+            F.count("doc_id").alias("n_docs"),
+            F.sum("toks").alias("n_tokens"),
+            (F.grouping("source") * 2 + F.grouping("lang"))
+            .cast("long")
+            .alias("agg_level"),
+        )
+        .select(
+            F.coalesce("source", F.lit("<all>")).alias("source"),
+            F.coalesce("lang", F.lit("<all>")).alias("lang"),
+            "n_docs",
+            "n_tokens",
+            "agg_level",
+        )
+    )
