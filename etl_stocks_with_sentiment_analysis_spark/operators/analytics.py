@@ -348,20 +348,27 @@ def events_dau_wau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sketch binaries are engine-specific); the estimate error bound vs
     exact distinct counts is asserted in tests/test_analytics.py.
     """
-    from pyspark.sql import Window
-
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
         F.hll_sketch_agg("user_id", 14).alias("sketch"),
         F.count("*").alias("n_events"),
     )
-    w7 = (
-        Window.orderBy(F.col("day").cast("timestamp").cast("long"))
-        .rangeBetween(-6 * 86400, 0)
+    # Trailing-7-day union as a day-range self-join of the PER-DAY
+    # table (one row per calendar day — bounded regardless of event
+    # volume), NOT a global rangeBetween window, which would funnel
+    # through a single partition; the union agg shuffles on day.
+    dau = daily.select(
+        "day", "n_events", F.hll_sketch_estimate("sketch").alias("dau_est")
     )
-    return daily.select(
-        "day",
-        "n_events",
-        F.hll_sketch_estimate("sketch").alias("dau_est"),
-        F.hll_sketch_estimate(F.hll_union_agg("sketch").over(w7)).alias("wau_est"),
-    ).orderBy("day")
+    a = daily.select(F.col("day").alias("day"))
+    b = daily.select(F.col("day").alias("bday"), "sketch")
+    wau = (
+        a.join(
+            b,
+            (F.col("bday") >= F.date_sub(F.col("day"), 6))
+            & (F.col("bday") <= F.col("day")),
+        )
+        .groupBy("day")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("wau_est"))
+    )
+    return dau.join(wau, "day").orderBy("day")
