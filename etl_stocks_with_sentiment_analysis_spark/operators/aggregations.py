@@ -531,3 +531,56 @@ def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("approx_pcts"),
         F.count("*").alias("n_events"),
     )
+
+
+_PROFILE_COLS = ("doc_id", "text", "lang", "source", "n_chars")
+
+_PROFILE_ORACLE = (
+    "WITH p AS (SELECT COUNT(*) AS n_rows, "
+    + ", ".join(
+        f"COUNT({c}) AS nn_{c}, COUNT(DISTINCT {c}) AS nd_{c}"
+        for c in _PROFILE_COLS
+    )
+    + " FROM documents)\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS column_name, n_rows, nn_{c} AS n_nonnull,"
+        f" CAST(n_rows - nn_{c} AS BIGINT) AS n_null, nd_{c} AS n_distinct FROM p"
+        for c in _PROFILE_COLS
+    )
+)
+
+
+@register("agg_null_profile", oracle=_PROFILE_ORACLE)
+def agg_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling audit: rows / non-null / null / exact distinct
+    per column, one output row per column — the table-health scan a
+    data platform runs on every new corpus drop (ANALYZE-style stats,
+    null-rate regressions, key-uniqueness checks: doc_id is a key iff
+    n_distinct = n_nonnull = n_rows).
+
+    One aggregation over the table computes every column's counts
+    together (Catalyst expands multi-DISTINCT into one Expand + two
+    aggs — still a single scan); the single result row is unpivoted
+    to the per-column report with stack(). At 100 TB prefer
+    approx_count_distinct per column (see agg_approx_distinct) —
+    exact multi-DISTINCT's Expand multiplies shuffle rows by the
+    column count; kept exact here for the cross-engine hash.
+    """
+    from ..sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    row = docs.agg(
+        F.count("*").alias("n_rows"),
+        *[F.count(c).alias(f"nn_{c}") for c in _PROFILE_COLS],
+        *[F.countDistinct(c).alias(f"nd_{c}") for c in _PROFILE_COLS],
+    )
+    stack_args = ", ".join(
+        f"'{c}', nn_{c}, CAST(n_rows - nn_{c} AS LONG), nd_{c}"
+        for c in _PROFILE_COLS
+    )
+    return row.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args})"
+        ).alias("column_name", "n_nonnull", "n_null", "n_distinct"),
+        "n_rows",
+    ).select("column_name", "n_rows", "n_nonnull", "n_null", "n_distinct")

@@ -443,3 +443,42 @@ def fn_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_JSON_VALID_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN JSON_VALID(props)
+                      AND JSON_EXTRACT(props, '$.k') IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+       CAST(SUM(CASE WHEN JSON_VALID(props)
+                      AND JSON_EXTRACT(props, '$.k') IS NOT NULL
+                     THEN 0 ELSE 1 END) AS BIGINT) AS n_invalid
+FROM events
+GROUP BY event_type"""
+
+
+@register("json_validity_scan", oracle=_JSON_VALID_ORACLE)
+def json_validity_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-validity audit of the JSON payload column: per
+    event_type, how many props blobs parse AND carry the expected
+    `k` field — the data-quality gate an ingest pipeline runs before
+    trusting semi-structured payloads downstream.
+
+    `get_json_object` returns NULL for malformed JSON or a missing
+    path (same semantics DuckDB's JSON_VALID + JSON_EXTRACT compose
+    to), so validity is a pure per-row expression; the count rolls up
+    map-side. At 100 TB this is one codegen'd scan — the alternative
+    (from_json with a strict schema + corrupt-record column) costs
+    the same scan but materializes parsed structs; use that when the
+    payload is consumed, this when only auditing.
+    """
+    from ..sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    valid = F.get_json_object("props", "$.k").isNotNull()
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.when(valid, 1).otherwise(0)).alias("n_valid"),
+        F.sum(F.when(valid, 0).otherwise(1)).alias("n_invalid"),
+    )

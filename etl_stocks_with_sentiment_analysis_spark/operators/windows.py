@@ -625,3 +625,47 @@ def window_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("close", ignorenulls=True).over(wfill).alias("close_ffill"),
         F.col("close").isNull().alias("is_gap"),
     )
+
+
+_VWAP_ORACLE = panel.sql_with(
+    panel.PRICES_CTE,
+    """c AS (
+  SELECT ticker, date, close, volume,
+         CAST(ROUND(close * 100, 0) AS BIGINT) AS close_c
+  FROM prices
+)""",
+    body="""
+SELECT ticker, date, close, volume,
+       CAST(SUM(close_c * volume) OVER w AS DOUBLE)
+         / (100.0 * SUM(volume) OVER w) AS running_vwap
+FROM c
+WINDOW w AS (PARTITION BY ticker ORDER BY date ROWS UNBOUNDED PRECEDING)""",
+)
+
+
+@register("window_running_vwap", oracle=_VWAP_ORACLE)
+def window_running_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running volume-weighted average price per ticker — the
+    execution-quality benchmark every trading system computes
+    (pandas `(p*v).cumsum()/v.cumsum()` analog).
+
+    Determinism: numerator accumulates integer cents×volume (exact
+    BIGINT — |close_c·vol| ≤ 1e6·1e4 and the panel's ~2.5k-row
+    history keeps the sum < 2^53 with 10⁴× headroom), denominator is
+    an integer volume sum; ONE final double division from identical
+    integers. Two running sums share the panel's canonical window
+    exchange.
+    """
+    c = F.round(F.col("close") * 100, 0).cast("long")
+    wcum = W().rowsBetween(Window.unboundedPreceding, 0)
+    px = panel.prices(spark, sf_dir)
+    return px.select(
+        "ticker",
+        "date",
+        "close",
+        "volume",
+        (
+            F.sum(c * F.col("volume")).over(wcum).cast("double")
+            / (100.0 * F.sum("volume").over(wcum))
+        ).alias("running_vwap"),
+    )
