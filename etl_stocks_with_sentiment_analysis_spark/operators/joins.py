@@ -364,3 +364,76 @@ def bucketed_colocate_join(
     # table, but then you didn't need bucketing; at fact-fact scale SMJ
     # is what the planner picks anyway and the hint is a no-op.
     return spark.table(lt).hint("merge").join(spark.table(rt), keys)
+
+
+_ASOF_TOL_DAYS = 7
+
+_ASOF_TOL_ORACLE = panel.sql_with(
+    panel.PRICES_CTE,
+    panel.EXPLANATIONS_CTE,
+    body=f"""
+SELECT ticker, date, close,
+       CASE WHEN stale THEN NULL ELSE sentiment END AS sentiment,
+       CASE WHEN stale THEN NULL ELSE topic END AS topic,
+       CASE WHEN stale THEN NULL ELSE asof_date END AS asof_date
+FROM (
+  SELECT p.ticker, p.date, p.close, e.sentiment, e.topic, e.date AS asof_date,
+         e.date IS NULL OR p.date - e.date > {_ASOF_TOL_DAYS} AS stale
+  FROM prices p ASOF LEFT JOIN explanations e
+    ON p.ticker = e.ticker AND e.date <= p.date
+)""",
+)
+
+
+@register("join_asof_tolerance", oracle=_ASOF_TOL_ORACLE)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a STALENESS BOUND (pandas `merge_asof(...,
+    tolerance=7d)`): the latest explanation at or before each price
+    date counts only if it is at most 7 days old — an enrichment older
+    than the bound is worse than none (stale news must not label
+    today's move).
+
+    Same scale shape as `join_asof_latest_explanation` (union-merge,
+    one window exchange, never the O(n·m) range join); the tolerance
+    is a pure post-window expression, so the bound costs nothing.
+    """
+    from pyspark.sql import Window
+
+    p = panel.prices(spark, sf_dir).select(
+        "ticker", "date", "close",
+        F.lit(1).alias("is_price"),
+        F.lit(None).cast("string").alias("sentiment"),
+        F.lit(None).cast("string").alias("topic"),
+        F.lit(None).cast("date").alias("edate"),
+    )
+    e = panel.explanations(spark, sf_dir).select(
+        "ticker", "date",
+        F.lit(None).cast("double").alias("close"),
+        F.lit(0).alias("is_price"),
+        "sentiment", "topic",
+        F.col("date").alias("edate"),
+    )
+    w = (
+        Window.partitionBy("ticker")
+        .orderBy("date", "is_price")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    u = p.unionByName(e)
+    carried = (
+        u.select(
+            "ticker", "date", "close", "is_price",
+            F.last("sentiment", ignorenulls=True).over(w).alias("sentiment"),
+            F.last("topic", ignorenulls=True).over(w).alias("topic"),
+            F.last("edate", ignorenulls=True).over(w).alias("asof_date"),
+        )
+        .filter(F.col("is_price") == 1)
+        .drop("is_price")
+    )
+    fresh = F.datediff(F.col("date"), F.col("asof_date")) <= _ASOF_TOL_DAYS
+    keep = lambda c: F.when(fresh, F.col(c)).otherwise(F.lit(None))  # noqa: E731
+    return carried.select(
+        "ticker", "date", "close",
+        keep("sentiment").alias("sentiment"),
+        keep("topic").alias("topic"),
+        keep("asof_date").alias("asof_date"),
+    )
