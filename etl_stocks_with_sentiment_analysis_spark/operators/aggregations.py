@@ -584,3 +584,41 @@ def agg_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("column_name", "n_nonnull", "n_null", "n_distinct"),
         "n_rows",
     ).select("column_name", "n_rows", "n_nonnull", "n_null", "n_distinct")
+
+
+_HHI_ORACLE = panel.sql_with(
+    panel.PRICES_CTE,
+    body="""
+SELECT date,
+       COUNT(*) AS n_tickers,
+       CAST(SUM(volume) AS BIGINT) AS total_volume,
+       ROUND(CAST(SUM(volume * volume) AS DOUBLE)
+             / (CAST(SUM(volume) AS DOUBLE) * CAST(SUM(volume) AS DOUBLE)), 6)
+         AS hhi
+FROM prices
+GROUP BY date""",
+)
+
+
+@register("agg_hhi_concentration", oracle=_HHI_ORACLE)
+def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily volume concentration via the Herfindahl–Hirschman index:
+    HHI = Σ(vᵢ/Σv)² = Σvᵢ² / (Σv)² — 1/n for perfectly even flow, →1
+    when one instrument dominates. The market-structure health metric
+    (and, over corpus sources, the same formula audits training-data
+    domain concentration).
+
+    Two exact BIGINT sums (Σv, Σv²) per date — one map-side-combinable
+    agg, no window, no join; the division happens once on identical
+    integers so the rounded double hash-matches cross-engine.
+    """
+    px = panel.prices(spark, sf_dir)
+    sv = F.sum("volume")
+    svv = F.sum(F.col("volume") * F.col("volume"))
+    return px.groupBy("date").agg(
+        F.count("*").alias("n_tickers"),
+        sv.alias("total_volume"),
+        F.round(
+            svv.cast("double") / (sv.cast("double") * sv.cast("double")), 6
+        ).alias("hhi"),
+    )

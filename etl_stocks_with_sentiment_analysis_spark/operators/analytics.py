@@ -372,3 +372,55 @@ def events_dau_wau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("wau_est"))
     )
     return dau.join(wau, "day").orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# Inter-arrival statistics (per-user event cadence)
+# ---------------------------------------------------------------------------
+
+_INTERARRIVAL_ORACLE = """
+WITH gaps AS (
+  SELECT user_id,
+         EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         )) AS gap_us
+  FROM events
+)
+SELECT user_id,
+       COUNT(gap_us) AS n_gaps,
+       CAST(SUM(gap_us) AS BIGINT) AS total_gap_us,
+       CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+       CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+       CAST(PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY gap_us) AS BIGINT)
+         AS median_gap_us
+FROM gaps WHERE gap_us IS NOT NULL
+GROUP BY user_id"""
+
+
+@register("events_interarrival_stats", oracle=_INTERARRIVAL_ORACLE)
+def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival cadence (count / total / min / max /
+    median gap in exact microseconds) — the behavioural fingerprint
+    behind bot detection (impossibly regular or sub-second cadence),
+    engagement scoring, and arrival-process modeling.
+
+    One lag window + one agg, both keyed by user_id (high-cardinality,
+    map-side combinable); PERCENTILE_DISC picks an actual gap value so
+    the median is exactly reproducible cross-engine (same rationale as
+    agg_quantiles).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    gaps = ev.select("user_id", gap.alias("gap_us")).filter(
+        F.col("gap_us").isNotNull()
+    )
+    return gaps.groupBy("user_id").agg(
+        F.count("gap_us").alias("n_gaps"),
+        F.sum("gap_us").alias("total_gap_us"),
+        F.min("gap_us").alias("min_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY gap_us)")
+        .cast("long")
+        .alias("median_gap_us"),
+    )

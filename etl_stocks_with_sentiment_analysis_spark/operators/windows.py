@@ -669,3 +669,73 @@ def window_running_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (100.0 * F.sum("volume").over(wcum))
         ).alias("running_vwap"),
     )
+
+
+_STREAK_ORACLE = panel.sql_with(
+    *panel.PANEL_CHG,
+    """d AS (
+  SELECT ticker, date,
+         CASE WHEN pct_change < 0 THEN 1 ELSE 0 END AS is_down,
+         ROW_NUMBER() OVER (PARTITION BY ticker ORDER BY date) AS rn,
+         ROW_NUMBER() OVER (
+           PARTITION BY ticker, CASE WHEN pct_change < 0 THEN 1 ELSE 0 END
+           ORDER BY date
+         ) AS rk
+  FROM changes WHERE pct_change IS NOT NULL
+)""",
+    """runs AS (
+  SELECT ticker, MIN(date) AS streak_start, MAX(date) AS streak_end,
+         COUNT(*) AS streak_len
+  FROM d WHERE is_down = 1
+  GROUP BY ticker, rn - rk
+)""",
+    body="""
+SELECT ticker, streak_start, streak_end, streak_len FROM (
+  SELECT ticker, streak_start, streak_end, streak_len,
+         ROW_NUMBER() OVER (
+           PARTITION BY ticker ORDER BY streak_len DESC, streak_start
+         ) AS pick
+  FROM runs
+) WHERE pick = 1""",
+)
+
+
+@register("window_losing_streaks", oracle=_STREAK_ORACLE)
+def window_losing_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-down-day run per ticker — the
+    gaps-and-islands pattern (run-length encoding via the rn − rk
+    difference trick): two row_numbers over the SAME partition key
+    (ticker), differing only in the sub-partition flag, make each
+    maximal run a constant group id; one grouped agg then one
+    per-ticker top-1 window.
+
+    Scale: every window/agg partitions by ticker — three stages share
+    the panel's canonical exchange; nothing global, run groups are
+    per-ticker bounded. Drawdown-duration, outage-streak, and
+    session-gap analyses are this exact shape.
+    """
+    chg = panel.changes(spark, sf_dir).filter(F.col("pct_change").isNotNull())
+    is_down = F.when(F.col("pct_change") < 0, 1).otherwise(0)
+    d = chg.select("ticker", "date", is_down.alias("is_down"))
+    rn = F.row_number().over(W())
+    rk = F.row_number().over(
+        Window.partitionBy("ticker", "is_down").orderBy("date")
+    )
+    runs = (
+        d.select("ticker", "date", "is_down", (rn - rk).alias("grp"))
+        .filter(F.col("is_down") == 1)
+        .groupBy("ticker", "grp")
+        .agg(
+            F.min("date").alias("streak_start"),
+            F.max("date").alias("streak_end"),
+            F.count("*").alias("streak_len"),
+        )
+    )
+    pick = Window.partitionBy("ticker").orderBy(
+        F.desc("streak_len"), "streak_start"
+    )
+    return (
+        runs.withColumn("pick", F.row_number().over(pick))
+        .filter(F.col("pick") == 1)
+        .select("ticker", "streak_start", "streak_end", "streak_len")
+    )
