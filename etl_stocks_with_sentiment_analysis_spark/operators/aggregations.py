@@ -622,3 +622,43 @@ def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             svv.cast("double") / (sv.cast("double") * sv.cast("double")), 6
         ).alias("hhi"),
     )
+
+
+_MODE_ORACLE = panel.sql_with(
+    panel.PRICES_CTE,
+    panel.EXPLANATIONS_CTE,
+    """cnt AS (
+  SELECT ticker, topic, COUNT(*) AS n FROM explanations GROUP BY 1, 2
+)""",
+    body="""
+SELECT ticker, topic AS mode_topic, n AS n_days FROM (
+  SELECT ticker, topic, n,
+         ROW_NUMBER() OVER (PARTITION BY ticker ORDER BY n DESC, topic) AS rk
+  FROM cnt
+) WHERE rk = 1""",
+)
+
+
+@register("agg_mode_topic", oracle=_MODE_ORACLE)
+def agg_mode_topic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group MODE: each ticker's most frequent
+    enrichment topic. Built as count + top-1 window with an explicit
+    value tie-break instead of the engine `mode()` aggregate, whose
+    tie behavior is engine-arbitrary — an operator that silently
+    disagrees between engines (or between runs at different
+    parallelism) is not usable in a replayable pipeline.
+
+    Scale: the count collapses to (groups × distinct values) rows
+    map-side; the top-1 window runs on that reduced frame, never the
+    raw table.
+    """
+    from pyspark.sql import Window
+
+    e = panel.explanations(spark, sf_dir)
+    cnt = e.groupBy("ticker", "topic").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("ticker").orderBy(F.desc("n"), "topic")
+    return (
+        cnt.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("ticker", F.col("topic").alias("mode_topic"), F.col("n").alias("n_days"))
+    )

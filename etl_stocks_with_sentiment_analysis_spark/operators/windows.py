@@ -739,3 +739,34 @@ def window_losing_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pick") == 1)
         .select("ticker", "streak_start", "streak_end", "streak_len")
     )
+
+
+_RANKNORM_ORACLE = panel.sql_with(
+    panel.PRICES_CTE,
+    body="""
+SELECT ticker, date, volume,
+       ROUND(PERCENT_RANK() OVER w, 6) AS volume_pct_rank,
+       ROUND(CUME_DIST() OVER w, 6) AS volume_cume_dist
+FROM prices
+WINDOW w AS (PARTITION BY ticker ORDER BY volume, date)""",
+)
+
+
+@register("window_rank_normalize", oracle=_RANKNORM_ORACLE)
+def window_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank normalization of volume per ticker: PERCENT_RANK (uniform
+    [0,1] feature regardless of distribution — the rank-gauss /
+    quantile-transform family of feature engineering) and CUME_DIST
+    (empirical CDF value). Deterministic tie-break on date inside the
+    ordering. One window exchange on the panel key; both functions
+    share the frame. Rank ratios are exact small-integer divisions ⇒
+    rounded doubles match cross-engine.
+    """
+    w = Window.partitionBy("ticker").orderBy("volume", "date")
+    return panel.prices(spark, sf_dir).select(
+        "ticker",
+        "date",
+        "volume",
+        F.round(F.percent_rank().over(w), 6).alias("volume_pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("volume_cume_dist"),
+    )
