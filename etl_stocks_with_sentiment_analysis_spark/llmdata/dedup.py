@@ -747,3 +747,96 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(n_agree / F.lit(float(_N_SEEDS)), 4).alias("est_jaccard"),
         )
     )
+
+
+_STACK_MIN_AGREE = 6  # est_jaccard >= 6/8 = 0.75
+
+_STACK_ORACLE = f"""
+WITH RECURSIVE tok AS (
+  SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents
+  WHERE LEN(STRING_SPLIT(text, ' ')) >= 3
+),
+shingle AS (
+  SELECT DISTINCT doc_id, sh FROM (
+    SELECT doc_id,
+           UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(ws) - 2),
+                  i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])) AS sh
+    FROM tok
+  )
+),
+mh AS (
+  SELECT doc_id, s, MIN(MD5(CAST(s AS VARCHAR) || '|' || sh)) AS h
+  FROM shingle, GENERATE_SERIES(0, {_N_SEEDS - 1}) AS g(s)
+  GROUP BY doc_id, s
+),
+bands AS (
+  SELECT doc_id, s // {_BAND_ROWS} AS band, STRING_AGG(h, ',' ORDER BY s) AS sig
+  FROM mh GROUP BY doc_id, s // {_BAND_ROWS}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+scored AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c
+  JOIN mh ma ON ma.doc_id = c.doc_a
+  JOIN mh mb ON mb.doc_id = c.doc_b AND mb.s = ma.s
+  GROUP BY 1, 2
+  HAVING SUM(CASE WHEN ma.h = mb.h THEN 1 ELSE 0 END) >= {_STACK_MIN_AGREE}
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM scored
+  UNION ALL SELECT doc_b, doc_a FROM scored
+),
+nodes AS (SELECT DISTINCT a AS doc_id FROM edges),
+reach(doc_id, r) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.doc_id = e.b
+),
+lbl AS (SELECT doc_id, MIN(r) AS lbl FROM reach GROUP BY doc_id),
+labeled AS (
+  SELECT d.doc_id, COALESCE(l.lbl, d.doc_id) AS lbl
+  FROM documents d LEFT JOIN lbl l ON l.doc_id = d.doc_id
+)
+SELECT lbl AS kept_doc_id, COUNT(*) AS cluster_size
+FROM labeled GROUP BY lbl"""
+
+
+@register("pipeline_dedup_stack", oracle=_STACK_ORACLE)
+def pipeline_dedup_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full near-dup stack END-TO-END, one lineage — exactly the
+    passes a production corpus dedup runs, composed from this
+    package's verified parts:
+
+    1. recall: MinHash-LSH banding proposes candidate pairs
+       (`dedup_minhash_lsh`'s frame);
+    2. precision: Broder signature agreement keeps pairs with
+       est_jaccard ≥ 0.75 (`dedup_minhash_estimate`, no text re-read);
+    3. clustering: min-label connected components over the kept
+       edges (bounded-lineage iterative loop, `connected_components`);
+    4. canonicalization: every document maps to its cluster minimum;
+       output is the kept corpus — one row per canonical doc with its
+       cluster size (singletons included, size 1).
+
+    Total cost at 100 TB: the corpus is read ONCE (stage 1); stages
+    2-4 operate on signatures, pair lists, and label frames — all
+    metadata-sized relative to the corpus. Oracle: the same stack as
+    one recursive-CTE SQL statement.
+    """
+    est = dedup_minhash_estimate(spark, sf_dir).filter(
+        F.col("n_agree") >= _STACK_MIN_AGREE
+    )
+    edges = est.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")).unionAll(
+        est.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+    )
+    labels = connected_components(edges)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    labeled = docs.join(labels, "doc_id", "left").select(
+        "doc_id", F.coalesce("lbl", "doc_id").alias("lbl")
+    )
+    return labeled.groupBy(F.col("lbl").alias("kept_doc_id")).agg(
+        F.count("*").alias("cluster_size")
+    )
