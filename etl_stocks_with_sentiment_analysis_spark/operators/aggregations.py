@@ -496,40 +496,123 @@ def agg_calibration_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_distinct", oracle=None)  # sketch ≠ SQL-reproducible
+_APPROX_DISTINCT_ORACLE = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS n_exact,
+       COUNT(*) AS n_events,
+       CAST(1 AS BIGINT) AS within_bound
+FROM events GROUP BY event_type"""
+
+
+@register("agg_approx_distinct", oracle=_APPROX_DISTINCT_ORACLE)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct-user counts per event_type
     (`approx_count_distinct`, rsd 2%). THE scale answer for
     count-distinct over 100 TB: constant-size sketch per group,
     map-side mergeable, no shuffle of raw user ids — the exact
-    variant shuffles every distinct (group, user) pair. Rows-only key
-    (sketch estimates are engine-specific); the error bound vs the
-    exact count is asserted in tests/test_analytics.py."""
+    variant shuffles every distinct (group, user) pair.
+
+    Self-verifying key: the sketch estimate itself is engine-specific,
+    so the output carries the EXACT count plus the deterministic
+    boolean ``|approx − exact| ≤ max(3, 5%·exact)`` (HLL++ at rsd 2%
+    stays within 5% with overwhelming margin, and the sketch is
+    deterministic for fixed data). The DuckDB oracle reproduces the
+    exact count and asserts the bound literally — the key is
+    exact-oracle checkable while still exercising the sketch."""
     from ..sources import load_table
 
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
+    agg = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("n_exact"),
         F.count("*").alias("n_events"),
+    )
+    within = (
+        F.abs(F.col("approx_users") - F.col("n_exact"))
+        <= F.greatest(F.lit(3.0), 0.05 * F.col("n_exact"))
+    )
+    return agg.select(
+        "event_type",
+        "n_exact",
+        "n_events",
+        within.cast("long").alias("within_bound"),
     )
 
 
-@register("agg_approx_quantiles", oracle=None)  # sketch ≠ SQL-reproducible
+_APPROX_QUANT_ORACLE = """
+SELECT event_type,
+       PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY value) AS p50_exact,
+       PERCENTILE_DISC(0.9) WITHIN GROUP (ORDER BY value) AS p90_exact,
+       PERCENTILE_DISC(0.99) WITHIN GROUP (ORDER BY value) AS p99_exact,
+       COUNT(value) AS n_vals,
+       CAST(1 AS BIGINT) AS within_bound
+FROM events GROUP BY event_type"""
+
+
+@register("agg_approx_quantiles", oracle=_APPROX_QUANT_ORACLE)
 def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate p50/p90/p99 of event value per event_type via
     `percentile_approx` (Greenwald-Khanna sketch, accuracy 10000).
     The scale counterpart of `agg_quantiles`: exact percentiles sort
     every group; the GK sketch is constant-memory per group and
     map-side mergeable, so a 100 TB percentile dashboard costs one
-    combinable agg. Rows-only key (sketch internals are
-    engine-specific); the rank-error bound vs the exact quantile is
-    asserted in tests/test_analytics.py."""
+    combinable agg.
+
+    Self-verifying key: GK guarantees the returned value's rank is
+    within ε·n (ε = 1/accuracy) of the target rank. The plan joins the
+    tiny per-group estimate table back (broadcast) to count values
+    strictly-below / at-or-below each estimate and emits the
+    deterministic rank-bound boolean;
+    the exposed columns are the EXACT discrete percentiles (actual
+    data values — cross-engine reproducible, same rationale as
+    agg_quantiles) plus ``within_bound``, which the DuckDB oracle
+    asserts literally."""
     from ..sources import load_table
 
-    ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("approx_pcts"),
-        F.count("*").alias("n_events"),
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    ev.createOrReplaceTempView("ev_approx_q")
+    est = spark.sql(
+        """
+        SELECT event_type,
+               percentile_approx(value, 0.5, 10000) AS a50,
+               percentile_approx(value, 0.9, 10000) AS a90,
+               percentile_approx(value, 0.99, 10000) AS a99,
+               PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY value) AS p50_exact,
+               PERCENTILE_DISC(0.9) WITHIN GROUP (ORDER BY value) AS p90_exact,
+               PERCENTILE_DISC(0.99) WITHIN GROUP (ORDER BY value) AS p99_exact,
+               COUNT(value) AS n_vals
+        FROM ev_approx_q GROUP BY event_type"""
+    )
+
+    def _rank_cols(q: str):
+        lt = F.sum(F.when(F.col("value") < F.col(f"a{q}"), 1).otherwise(0))
+        le = F.sum(F.when(F.col("value") <= F.col(f"a{q}"), 1).otherwise(0))
+        return lt.alias(f"lt{q}"), le.alias(f"le{q}")
+
+    ranked = (
+        ev.join(F.broadcast(est), "event_type")
+        .groupBy("event_type")
+        .agg(
+            *[c for q in ("50", "90", "99") for c in _rank_cols(q)],
+            F.first("p50_exact").alias("p50_exact"),
+            F.first("p90_exact").alias("p90_exact"),
+            F.first("p99_exact").alias("p99_exact"),
+            F.first("n_vals").alias("n_vals"),
+        )
+    )
+    eps = 2e-4  # 2× the GK guarantee (ε = 1/accuracy) for float slack
+    within = F.lit(True)
+    for q, frac in (("50", 0.5), ("90", 0.9), ("99", 0.99)):
+        lo = (frac - eps) * F.col("n_vals") - 1
+        hi = (frac + eps) * F.col("n_vals") + 1
+        within = within & (F.col(f"le{q}") >= lo) & (F.col(f"lt{q}") <= hi)
+    return ranked.select(
+        "event_type",
+        "p50_exact",
+        "p90_exact",
+        "p99_exact",
+        "n_vals",
+        within.cast("long").alias("within_bound"),
     )
 
 

@@ -335,7 +335,24 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("events_dau_wau_hll", oracle=None)  # sketch ≠ SQL-reproducible
+_DAU_WAU_ORACLE = """
+WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+     days AS (SELECT DISTINCT day FROM du),
+     nev AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+             FROM events GROUP BY 1),
+     dau AS (SELECT day, COUNT(*) AS dau_exact FROM du GROUP BY day),
+     wau AS (SELECT d.day, COUNT(DISTINCT u.user_id) AS wau_exact
+             FROM days d
+             JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+             GROUP BY d.day)
+SELECT d.day, n.n_events, d.dau_exact, w.wau_exact,
+       CAST(1 AS BIGINT) AS dau_within, CAST(1 AS BIGINT) AS wau_within
+FROM dau d
+JOIN wau w ON d.day = w.day
+JOIN nev n ON d.day = n.day"""
+
+
+@register("events_dau_wau_hll", oracle=_DAU_WAU_ORACLE)
 def events_dau_wau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DAU + trailing-7-day WAU via Apache DataSketches HLL
     (`hll_sketch_agg` / `hll_union_agg` / `hll_sketch_estimate`).
@@ -344,34 +361,75 @@ def events_dau_wau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     builds a constant-size sketch PER DAY; weekly/monthly actives are
     sketch UNIONS over the tiny per-day table — raw user ids are
     never re-scanned or re-shuffled for the rollup, which is exactly
-    what COUNT(DISTINCT) over a window cannot avoid. Rows-only key
-    (sketch binaries are engine-specific); the estimate error bound vs
-    exact distinct counts is asserted in tests/test_analytics.py.
+    what COUNT(DISTINCT) over a window cannot avoid.
+
+    Self-verifying key: sketch binaries/estimates are engine-specific,
+    so the output exposes the EXACT per-day and trailing-7-day
+    distinct counts plus deterministic ``|est − exact| ≤ max(3,
+    5%·exact)`` booleans for both estimates (lgConfigK=14 → rsd
+    ≈0.8%; 5% is a ≫5σ margin, and the sketch is deterministic for
+    fixed data). The DuckDB oracle reproduces the exact counts and
+    asserts both bounds literally. The exact WAU here exists to CHECK
+    the sketch — at 100 TB only the sketch-union path would run.
     """
     ev = load_table(spark, sf_dir, "events")
-    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+    du = ev.select(F.col("ts").cast("date").alias("day"), "user_id")
+    daily = du.groupBy("day").agg(
         F.hll_sketch_agg("user_id", 14).alias("sketch"),
+        F.countDistinct("user_id").alias("dau_exact"),
         F.count("*").alias("n_events"),
+    )
+    dau = daily.select(
+        "day",
+        "n_events",
+        "dau_exact",
+        F.hll_sketch_estimate("sketch").alias("dau_est"),
     )
     # Trailing-7-day union as a day-range self-join of the PER-DAY
     # table (one row per calendar day — bounded regardless of event
     # volume), NOT a global rangeBetween window, which would funnel
     # through a single partition; the union agg shuffles on day.
-    dau = daily.select(
-        "day", "n_events", F.hll_sketch_estimate("sketch").alias("dau_est")
-    )
     a = daily.select(F.col("day").alias("day"))
     b = daily.select(F.col("day").alias("bday"), "sketch")
-    wau = (
-        a.join(
-            b,
-            (F.col("bday") >= F.date_sub(F.col("day"), 6))
-            & (F.col("bday") <= F.col("day")),
-        )
+    in_window = (F.col("bday") >= F.date_sub(F.col("day"), 6)) & (
+        F.col("bday") <= F.col("day")
+    )
+    wau_est = (
+        a.join(b, in_window)
         .groupBy("day")
         .agg(F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("wau_est"))
     )
-    return dau.join(wau, "day").orderBy("day")
+    # Exact trailing-7-day distinct: same bounded day-range join over
+    # the distinct (day, user) pairs — verification scaffolding only.
+    pairs = du.distinct()
+    wau_exact = (
+        a.join(
+            pairs.select(F.col("day").alias("bday"), "user_id"),
+            in_window,
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("wau_exact"))
+    )
+
+    def _within(est: str, exact: str):
+        return (
+            F.abs(F.col(est) - F.col(exact))
+            <= F.greatest(F.lit(3.0), 0.05 * F.col(exact))
+        ).cast("long")
+
+    return (
+        dau.join(wau_est, "day")
+        .join(wau_exact, "day")
+        .select(
+            "day",
+            "n_events",
+            "dau_exact",
+            "wau_exact",
+            _within("dau_est", "dau_exact").alias("dau_within"),
+            _within("wau_est", "wau_exact").alias("wau_within"),
+        )
+        .orderBy("day")
+    )
 
 
 # ---------------------------------------------------------------------------
