@@ -74,7 +74,10 @@ def main() -> None:
             }
         )
     )
-    sys.exit(0)
+    # Nonzero exit when any headline query errored: gate scripts check
+    # the exit status, not just the JSON `errors` field. The JSON line
+    # above still prints either way so the driver records partial runs.
+    sys.exit(1 if errors else 0)
 
 
 if __name__ == "__main__":

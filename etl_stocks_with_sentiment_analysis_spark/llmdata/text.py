@@ -486,7 +486,10 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     one per token. All exact integers until the final rounded ratio.
     """
     docs = load_table(spark, sf_dir, "documents")
-    bg = docs.select(
+    # <2 tokens → 0 bigrams. Without the guard Spark's sequence(0, -1)
+    # yields the DESCENDING [0, -1] (spurious rows) while the oracle's
+    # GENERATE_SERIES(1, 0) is empty — cross-engine mismatch.
+    bg = docs.filter(F.size(F.split("text", " ")) >= 2).select(
         "doc_id",
         F.explode(
             F.expr(

@@ -399,19 +399,24 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
+    # The enrichment fields travel as ONE struct through ONE
+    # last(ignorenulls) window: three independent windows could mix
+    # fields from different source rows whenever an explanation has a
+    # NULL field or two explanations tie on (ticker, date) — the
+    # oracle's ASOF join always carries a single row.
+    _ENR_T = "struct<sentiment:string,topic:string,edate:date>"
     p = panel.prices(spark, sf_dir).select(
         "ticker", "date", "close",
         F.lit(1).alias("is_price"),
-        F.lit(None).cast("string").alias("sentiment"),
-        F.lit(None).cast("string").alias("topic"),
-        F.lit(None).cast("date").alias("edate"),
+        F.lit(None).cast(_ENR_T).alias("enr"),
     )
     e = panel.explanations(spark, sf_dir).select(
         "ticker", "date",
         F.lit(None).cast("double").alias("close"),
         F.lit(0).alias("is_price"),
-        "sentiment", "topic",
-        F.col("date").alias("edate"),
+        F.struct(
+            F.col("sentiment"), F.col("topic"), F.col("date").alias("edate")
+        ).alias("enr"),
     )
     w = (
         Window.partitionBy("ticker")
@@ -422,18 +427,16 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     carried = (
         u.select(
             "ticker", "date", "close", "is_price",
-            F.last("sentiment", ignorenulls=True).over(w).alias("sentiment"),
-            F.last("topic", ignorenulls=True).over(w).alias("topic"),
-            F.last("edate", ignorenulls=True).over(w).alias("asof_date"),
+            F.last("enr", ignorenulls=True).over(w).alias("enr"),
         )
         .filter(F.col("is_price") == 1)
         .drop("is_price")
     )
-    fresh = F.datediff(F.col("date"), F.col("asof_date")) <= _ASOF_TOL_DAYS
-    keep = lambda c: F.when(fresh, F.col(c)).otherwise(F.lit(None))  # noqa: E731
+    fresh = F.datediff(F.col("date"), F.col("enr.edate")) <= _ASOF_TOL_DAYS
+    keep = lambda c: F.when(fresh, F.col(f"enr.{c}")).otherwise(F.lit(None))  # noqa: E731
     return carried.select(
         "ticker", "date", "close",
         keep("sentiment").alias("sentiment"),
         keep("topic").alias("topic"),
-        keep("asof_date").alias("asof_date"),
+        keep("edate").alias("asof_date"),
     )

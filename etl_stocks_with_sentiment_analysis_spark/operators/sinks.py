@@ -104,8 +104,12 @@ def upsert(
     """
     if partition_col is not None and partition_col not in keys:
         raise ValueError(f"partition_col {partition_col!r} must be one of keys {keys}")
-    if _exists(spark, target):
-        recover_interrupted_commit(target)
+    # Unconditional: the unpartitioned crash state this must heal (killed
+    # after `target` → `target__old` but before staging moved in) leaves
+    # the live dir MISSING — gating recovery on _exists(target) would
+    # skip it, take the fresh-write path, and silently drop the old
+    # table (plus leave a stale __old that breaks the next commit).
+    recover_interrupted_commit(target)
     if not _exists(spark, target):
         w = incoming.write.mode("overwrite")
         if partition_col:
@@ -163,6 +167,8 @@ def recover_interrupted_commit(target: str) -> list[str]:
     """
     healed = []
     root, name = os.path.split(target.rstrip("/"))
+    if not os.path.isdir(root or "."):
+        return healed  # brand-new target in a not-yet-created parent
     for entry in os.listdir(root or "."):
         if not entry.endswith("__old"):
             continue

@@ -120,6 +120,44 @@ def test_approx_distinct_within_rsd_bound(spark, sf_dir):
         assert rows[et]["within_bound"] == 1
 
 
+def test_repetition_filter_short_docs_match_duckdb(spark, tmp_path):
+    """Docs with <2 tokens have 0 bigrams and must be absent from the
+    output in BOTH engines (Spark's sequence(0,-1) would otherwise emit
+    the descending [0,-1] and fabricate rows the oracle lacks). The
+    gate corpus's min doc length hides this; inject short docs."""
+    import duckdb
+    import pandas as pd
+
+    from etl_stocks_with_sentiment_analysis_spark.llmdata.text import (
+        _REPETITION_ORACLE,
+        text_repetition_filter,
+    )
+
+    rows = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": ["one", "two tokens", "", "a b a b a b"],
+            "lang": ["en"] * 4,
+            "source": ["s0"] * 4,
+            "n_chars": [3, 10, 0, 11],
+        }
+    )
+    sf = str(tmp_path)
+    spark.createDataFrame(rows).coalesce(1).write.parquet(f"{sf}/documents.parquet")
+    got = (
+        text_repetition_filter(spark, sf)
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.register("documents", rows)
+    want = con.sql(_REPETITION_ORACLE + " ORDER BY doc_id").df()
+    assert got["doc_id"].tolist() == want["doc_id"].tolist() == [2, 4]
+    assert got["n_bigrams"].tolist() == want["n_bigrams"].tolist()
+    assert got["top_bigram_n"].tolist() == want["top_bigram_n"].tolist()
+    assert got["is_repetitive"].tolist() == want["is_repetitive"].tolist()
+
+
 def test_tfidf_topk_per_doc_bounded_and_ranked(spark, sf_dir):
     from etl_stocks_with_sentiment_analysis_spark.llmdata.text import (
         _TFIDF_K,

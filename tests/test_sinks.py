@@ -265,6 +265,35 @@ def test_retention_sweep_drops_only_expired_partitions(spark, rows, tmp_path):
     assert sinks.retention_sweep(target, "date", keep_from="2024-01-02") == []
 
 
+def test_upsert_self_heals_whole_table_crash_with_target_missing(
+    spark, rows, tmp_path
+):
+    """Unpartitioned commit killed after `target` → `target__old` but
+    before staging moved in: the live dir is MISSING. The next upsert
+    must restore the backup and merge into it — not take the
+    fresh-write path (which would silently drop the old table and
+    leave a stale __old that breaks the commit after that)."""
+    import os
+
+    target = str(tmp_path / "sink")
+    sinks.upsert(spark, target, rows, ["ticker", "date"])
+    os.rename(target, target + "__old")  # simulate the kill state
+
+    clash = spark.createDataFrame(
+        [(1, "2024-01-02", "NEW")], "ticker INT, date STRING, val STRING"
+    )
+    sinks.upsert(spark, target, clash, ["ticker", "date"])
+
+    out = {
+        (r["ticker"], str(r["date"]), r["val"])
+        for r in spark.read.parquet(target).collect()
+    }
+    assert (1, "2024-01-01", "a") in out  # old table survived
+    assert (2, "2024-01-01", "c") in out
+    assert (1, "2024-01-02", "NEW") in out  # merge applied after heal
+    assert not os.path.exists(target + "__old")
+
+
 def test_upsert_self_heals_interrupted_commit(spark, rows, tmp_path):
     """A kill between the backup rename and the install rename leaves a
     partition as `X__old` only; the next upsert must restore it before
