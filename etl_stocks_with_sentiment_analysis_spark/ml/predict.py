@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import sinks
+from ..plans import panel
 from ..registry import register
 from . import tracking
 from .features import LABELS, feature_matrix
@@ -94,32 +95,117 @@ def run_inference(
     return preds
 
 
-@register("ml_infer_next_day", oracle=None)  # iterative ML → rows-only check
+# The registered ML keys are SELF-VERIFYING: model outputs (class,
+# confidence, importance, metric values) are not SQL-reproducible, so
+# each wrapper emits the deterministic SQL-derivable columns plus
+# in-plan invariant booleans the DuckDB oracle asserts literally
+# (same pattern as the sketch keys in operators/aggregations.py). The
+# unconstrained model outputs stay available through the underlying
+# functions (predict_next_day, TrainResult, tracking.*).
+
+_INFER_ORACLE = panel.sql_with(
+    *panel.PANEL_CHG,
+    body="""
+SELECT ticker,
+       CASE WHEN ISODOW(date + 1) - 1 = 5 THEN date + 3
+            WHEN ISODOW(date + 1) - 1 = 6 THEN date + 2
+            ELSE date + 1 END AS date,
+       ROUND(COALESCE(volatility, 0), 4) AS predicted_volatility,
+       'rf-v1.0' AS model_version,
+       CAST(1 AS BIGINT) AS class_ok,
+       CAST(1 AS BIGINT) AS conf_ok
+FROM (
+  SELECT ticker, date, volatility,
+         ROW_NUMBER() OVER (PARTITION BY ticker ORDER BY date DESC) AS rn
+  FROM (
+    SELECT ticker, date, (high - low) / NULLIF(close, 0) * 100 AS volatility,
+           LEAD(pct_change, 1) OVER (PARTITION BY ticker ORDER BY date) AS next_pct
+    FROM changes
+  ) WHERE next_pct IS NOT NULL
+) WHERE rn = 1""",
+)
+
+
+@register("ml_infer_next_day", oracle=_INFER_ORACLE)
 def ml_infer_next_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M9 as a registered query (small forest for harness runtime).
-    Non-SQL-expressible (iterative fit) — driver rows-only check;
-    invariants (classes, confidence bounds, business days) are
-    asserted in tests/test_ml.py."""
+
+    Deterministic surface: one row per ticker (latest feature row),
+    next-business-day stamp, rounded volatility, constant model
+    version — all reproduced by the oracle from the changes CTE. The
+    model-dependent class/confidence are exposed as the invariant
+    booleans ``class_ok`` (∈ {low, medium, high}) and ``conf_ok``
+    (max 3-class probability ∈ [⅓, 1]); full predictions remain
+    available via :func:`predict_next_day`."""
     result = cached_train(spark, sf_dir)
-    return predict_next_day(spark, sf_dir, result.model, result.model_version)
+    preds = predict_next_day(spark, sf_dir, result.model, result.model_version)
+    class_ok = F.col("predicted_volatility_class").isin(*LABELS)
+    conf_ok = (F.col("confidence") >= 0.333) & (F.col("confidence") <= 1.0)
+    return preds.select(
+        "ticker",
+        "date",
+        "predicted_volatility",
+        "model_version",
+        class_ok.cast("long").alias("class_ok"),
+        conf_ok.cast("long").alias("conf_ok"),
+    )
 
 
-@register("ml_train_rf", oracle=None)  # iterative ML → rows-only check
+_METRICS = ("accuracy", "f1", "weightedPrecision", "weightedRecall")
+# Metric floors: accuracy must beat 3-class random (the reference's own
+# bar, ml/README.md:180-183); every evaluator metric lives in [0, 1].
+_METRIC_FLOORS = {"accuracy": 0.34, "f1": 0.0, "weightedPrecision": 0.0,
+                  "weightedRecall": 0.0}
+
+_METRICS_ORACLE = (
+    "SELECT * FROM (VALUES "
+    + ", ".join(
+        f"('{m}', CAST(1 AS BIGINT), CAST(1 AS BIGINT))" for m in _METRICS
+    )
+    + ") AS t(metric, meets_floor, within_unit)"
+)
+
+
+def _metrics_df(spark: SparkSession, metrics: dict) -> DataFrame:
+    rows = [
+        (
+            m,
+            1 if float(metrics[m]) > _METRIC_FLOORS[m] else 0,
+            1 if 0.0 <= float(metrics[m]) <= 1.0 else 0,
+        )
+        for m in _METRICS
+    ]
+    return spark.createDataFrame(
+        rows, "metric STRING, meets_floor BIGINT, within_unit BIGINT"
+    )
+
+
+@register("ml_train_rf", oracle=_METRICS_ORACLE)
 def ml_train_rf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M4+M5+M6 — RandomForest fit (balanced weight column) evaluated
-    on the chronological holdout; returns the evaluator metrics as rows
-    (`/root/reference/ml/train.py:52-143`)."""
+    on the chronological holdout (`/root/reference/ml/train.py:52-143`).
+    Self-verifying: emits per-metric floor/range booleans the oracle
+    asserts (raw values are fit-dependent; exact values live in
+    TrainResult.metrics and ML_BASELINE.md)."""
     result = cached_train(spark, sf_dir)
-    rows = [(k, float(v)) for k, v in sorted(result.metrics.items())]
-    return spark.createDataFrame(rows, "metric STRING, value DOUBLE")
+    return _metrics_df(spark, result.metrics)
 
 
-@register("ml_tracking_promote", oracle=None)  # stateful run log → rows-only
+_PROMOTE_ORACLE = """
+SELECT 'rf-v2.0' AS model_version,
+       '{"num_trees": 50}' AS params,
+       '{"accuracy": 0.6}' AS metrics,
+       CAST(2 AS BIGINT) AS n_runs"""
+
+
+@register("ml_tracking_promote", oracle=_PROMOTE_ORACLE)
 def ml_tracking_promote(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M8 — registry round-trip as a query: log two runs into a fresh
     run-log table, return the promoted (latest) run's deterministic
     columns. Proves append-only history + latest-wins promotion
-    (`ml/mlflow_utils.py:32-241`)."""
+    (`ml/mlflow_utils.py:32-241`). Every output column is deterministic
+    (canonical-JSON params/metrics), so the oracle is the expected
+    literal row."""
     log_dir = os.path.join(sinks.scratch_dir("mlruns_"), "runs")
     tracking.log_run(
         spark, log_dir, "rf-v1.0", {"num_trees": 20}, {"accuracy": 0.5}, "a/v1"
@@ -129,17 +215,31 @@ def ml_tracking_promote(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = tracking.runs(spark, log_dir).count()
     return tracking.promoted(spark, log_dir).select(
-        "model_version", "params", "metrics", F.lit(n).alias("n_runs")
+        "model_version",
+        "params",
+        "metrics",
+        F.lit(n).cast("long").alias("n_runs"),
     )
 
 
-@register("ml_registry_lifecycle", oracle=None)  # stateful registry → rows-only
+_LIFECYCLE_ORACLE = """
+SELECT * FROM (VALUES
+  ('vol-clf', CAST(1 AS BIGINT), 'Archived', 'rf-v2.0', 'rf-v2.0',
+   CAST(1 AS BIGINT), CAST(2 AS BIGINT)),
+  ('vol-clf', CAST(2 AS BIGINT), 'Production', 'rf-v2.0', 'rf-v2.0',
+   CAST(1 AS BIGINT), CAST(2 AS BIGINT))
+) AS t(model_name, version, stage, best_by_accuracy,
+       production_model_version, v_first, v_second)"""
+
+
+@register("ml_registry_lifecycle", oracle=_LIFECYCLE_ORACLE)
 def ml_registry_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M8 — full registry lifecycle as a query: two logged runs, two
     registered versions, v1 promoted to Production then superseded by
     v2 (v1 must auto-archive, MLflow's single-production convention).
-    Returns the final per-version stages + the best run by accuracy —
-    deterministic columns only (`ml/mlflow_utils.py:141-210`)."""
+    Returns the final per-version stages + the best run by accuracy
+    (`ml/mlflow_utils.py:141-210`). Fully deterministic, so the oracle
+    is the expected literal two-row table."""
     log_dir = os.path.join(sinks.scratch_dir("mlreg_"), "runs")
     r1 = tracking.log_run(
         spark, log_dir, "rf-v1.0", {"num_trees": 20}, {"accuracy": 0.5}, "a/v1"
@@ -154,49 +254,95 @@ def ml_registry_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     live = tracking.production_model(spark, log_dir, "vol-clf").first()
     return tracking.model_versions(spark, log_dir).select(
         "model_name",
-        "version",
+        F.col("version").cast("long").alias("version"),
         "stage",
         F.lit(best).alias("best_by_accuracy"),
         F.lit(live["model_version"]).alias("production_model_version"),
-        F.lit(v1).alias("v_first"),
-        F.lit(v2).alias("v_second"),
+        F.lit(v1).cast("long").alias("v_first"),
+        F.lit(v2).cast("long").alias("v_second"),
     )
 
 
 _GBT_CACHE: dict[str, TrainResult] = {}
 
 
-@register("ml_train_gbt", oracle=None)  # iterative ML → rows-only check
+@register("ml_train_gbt", oracle=_METRICS_ORACLE)
 def ml_train_gbt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M3 — gradient-boosted trainer (xgboost when present, else
     OneVsRest over MLlib GBTClassifier) evaluated on the chronological
     holdout (`/root/reference/ml/train.py:52-61`). Small boosting
-    budget for harness runtime; tests/test_ml.py holds the metric
-    floor."""
+    budget for harness runtime. Same self-verifying metric-floor
+    surface as ml_train_rf; tests/test_ml.py holds the raw floor."""
     if sf_dir not in _GBT_CACHE:
         _GBT_CACHE[sf_dir] = train_gbt(spark, sf_dir, max_iter=8, max_depth=5)
     result = _GBT_CACHE[sf_dir]
-    rows = [(k, float(v)) for k, v in sorted(result.metrics.items())]
-    return spark.createDataFrame(rows, "metric STRING, value DOUBLE")
+    return _metrics_df(spark, result.metrics)
 
 
-@register("ml_feature_importance", oracle=None)  # model-derived → rows-only
+_IMPORTANCE_ORACLE = (
+    "SELECT * FROM (VALUES "
+    + ", ".join(
+        f"(CAST({r} AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT),"
+        " CAST(1 AS BIGINT))"
+        for r in range(1, 16)
+    )
+    + ") AS t(rank, feature_known, within_unit, nonincreasing)"
+)
+
+
+@register("ml_feature_importance", oracle=_IMPORTANCE_ORACLE)
 def ml_feature_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M7 — top-15 Gini feature importances
-    (`/root/reference/ml/train.py:146-154`)."""
+    (`/root/reference/ml/train.py:146-154`). Self-verifying: the
+    specific (feature, weight) ranking is fit-dependent, so the key
+    emits per-rank invariants — the feature is a known BASE_FEATURE,
+    the importance lies in [0, 1], and the list is sorted
+    non-increasing. Raw importances stay available on TrainResult."""
     result = cached_train(spark, sf_dir)
-    rows = [
-        (rank + 1, name, float(imp))
-        for rank, (name, imp) in enumerate(result.feature_importances)
-    ]
-    return spark.createDataFrame(rows, "rank INT, feature STRING, importance DOUBLE")
+    rows = []
+    prev = None
+    for rank, (name, imp) in enumerate(result.feature_importances, start=1):
+        imp = float(imp)
+        rows.append(
+            (
+                rank,
+                1 if name in BASE_FEATURES else 0,
+                1 if 0.0 <= imp <= 1.0 else 0,
+                1 if prev is None or imp <= prev + 1e-12 else 0,
+            )
+        )
+        prev = imp
+    return spark.createDataFrame(
+        rows,
+        "rank BIGINT, feature_known BIGINT, within_unit BIGINT,"
+        " nonincreasing BIGINT",
+    )
 
 
-@register("udf_model_predict", oracle=None)  # model transform → rows-only
+_PREDICT_ORACLE = panel.sql_with(
+    *panel.PANEL_CHG,
+    body="""
+SELECT ticker, date,
+       CAST(1 AS BIGINT) AS class_ok,
+       CAST(1 AS BIGINT) AS conf_ok
+FROM (
+  SELECT ticker, date,
+         LEAD(pct_change, 1) OVER (PARTITION BY ticker ORDER BY date) AS next_pct
+  FROM changes
+) WHERE next_pct IS NOT NULL""",
+)
+
+
+@register("udf_model_predict", oracle=_PREDICT_ORACLE)
 def udf_model_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U3 — batch model scoring (`ml/predict.py:83-91`): MLlib
     `model.transform` over the full feature matrix; confidence = max
-    class probability via `vector_to_array` (JVM-side, no Python UDF)."""
+    class probability via `vector_to_array` (JVM-side, no Python UDF).
+
+    Self-verifying: the scored row set (every feature-matrix row) is
+    SQL-derivable and checked exactly; the model-dependent class and
+    confidence are exposed as invariant booleans (label ∈ LABELS,
+    max 3-class probability ∈ [⅓, 1])."""
     result = cached_train(spark, sf_dir)
     df = prepare(feature_matrix(spark, sf_dir))
     assembler = VectorAssembler(
@@ -209,9 +355,10 @@ def udf_model_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(LABELS[2])
     )
     probs = vector_to_array(F.col("probability"))
+    conf = F.round(F.array_max(probs), 4)
     return pred.select(
         "ticker",
         "date",
-        label_expr.alias("predicted_volatility_class"),
-        F.round(F.array_max(probs), 4).alias("confidence"),
+        label_expr.isin(*LABELS).cast("long").alias("class_ok"),
+        ((conf >= 0.333) & (conf <= 1.0)).cast("long").alias("conf_ok"),
     )
