@@ -140,14 +140,108 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_features", oracle=None)  # Python stage → rows-only check
+# --- Real in-image codec: binary PPM (P6) ----------------------------
+# The container ships no PIL/ffmpeg, but PPM is an uncompressed format
+# a few lines of stdlib Python decode for real: "P6\n{w} {h}\n255\n"
+# followed by w*h*3 raw RGB bytes. The ingest below builds a genuine
+# PPM image per document JVM-side (dimensions derived from the text
+# length, pixel bytes = the text's leading bytes padded with '.'), and
+# the mapInPandas stage PARSES the format — magic, dimensions, maxval,
+# pixel array — rather than faking it. This removes the PIL gate: the
+# decode slot is exercised end-to-end in every environment.
+
+_PPM_DIMS = "((length(text) % 13 + 4) * (length(text) % 7 + 3) * 3)"
+
+
+def with_ppm_payload(docs: DataFrame) -> DataFrame:
+    """Encode each document as a real binary PPM (P6) image."""
+    header = F.concat_ws(
+        "",
+        F.lit("P6\n"),
+        (F.length("text") % 13 + 4).cast("string"),
+        F.lit(" "),
+        (F.length("text") % 7 + 3).cast("string"),
+        F.lit("\n255\n"),
+    )
+    pixels = F.expr(f"rpad(substr(text, 1, {_PPM_DIMS}), {_PPM_DIMS}, '.')")
+    return docs.select(
+        "doc_id", F.encode(F.concat(header, pixels), "UTF-8").alias("payload")
+    )
+
+
+def decode_ppm(payload: bytes) -> dict:
+    """Real pure-Python PPM (P6) decoder: validates the magic, parses
+    dimensions and maxval from the header, slices the pixel array, and
+    derives pixel statistics. Raises on malformed input like any
+    decoder."""
+    if not payload or not payload.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) payload")
+    magic, dims, maxval_s, pixels = payload.split(b"\n", 3)
+    w, h = (int(t) for t in dims.split())
+    maxval = int(maxval_s)
+    n = w * h * 3
+    if len(pixels) < n:
+        raise ValueError(f"truncated pixel array: {len(pixels)} < {n}")
+    px = pixels[:n]
+    return {
+        "width": w,
+        "height": h,
+        "maxval": maxval,
+        "n_pixel_bytes": n,
+        "pixel_sum": sum(px),
+    }
+
+
+_FEATURES_ORACLE = """
+WITH p AS (
+  SELECT doc_id,
+         LENGTH(text) % 13 + 4 AS w,
+         LENGTH(text) % 7 + 3 AS h,
+         RPAD(SUBSTR(text, 1, (LENGTH(text) % 13 + 4) * (LENGTH(text) % 7 + 3) * 3),
+              CAST((LENGTH(text) % 13 + 4) * (LENGTH(text) % 7 + 3) * 3 AS INTEGER),
+              '.') AS px
+  FROM documents
+)
+SELECT doc_id,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       CAST(255 AS BIGINT) AS maxval,
+       CAST(w * h * 3 AS BIGINT) AS n_pixel_bytes,
+       CAST(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, w * h * 3),
+            i -> UNICODE(SUBSTR(px, i, 1)))) AS BIGINT) AS pixel_sum
+FROM p"""
+
+
+@register("multimodal_features", oracle=_FEATURES_ORACLE)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end binary→features pipeline through mapInPandas (the
-    decode step is the documented stub). Rows-only driver check; exact
-    equivalence with a relational oracle is asserted in
-    tests/test_multimodal.py."""
+    """End-to-end binary→features pipeline: encode each doc as a real
+    PPM image (JVM-side), then an Arrow-batched mapInPandas stage
+    decodes the format for real (header parse + pixel slice) and emits
+    per-image features. The DuckDB oracle reproduces every feature
+    from the same deterministic encoding (ASCII docs ⇒ byte values =
+    codepoints), so the whole Python decode stage is hash-verified —
+    no stub, no PIL gate."""
+    schema = (
+        "doc_id BIGINT, width BIGINT, height BIGINT, maxval BIGINT,"
+        " n_pixel_bytes BIGINT, pixel_sum BIGINT"
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decode_ppm(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "width": [f["width"] for f in feats],
+                    "height": [f["height"] for f in feats],
+                    "maxval": [f["maxval"] for f in feats],
+                    "n_pixel_bytes": [f["n_pixel_bytes"] for f in feats],
+                    "pixel_sum": [f["pixel_sum"] for f in feats],
+                }
+            )
+
     docs = load_table(spark, sf_dir, "documents")
-    return extract_features(with_binary_payload(docs))
+    return with_ppm_payload(docs).mapInPandas(gen, schema)
 
 
 _RESIZE_CAP = 256

@@ -42,6 +42,39 @@ def test_decode_stub_is_deterministic_and_guards():
         multimodal.decode_stub(None)
 
 
+def test_real_decode_on_generated_ppms(spark):
+    """The pure-Python PPM decoder runs UNGATED in every environment:
+    generate real P6 blobs, push them through the same mapInPandas
+    plumbing, and recover dimensions + pixel stats per image."""
+    def ppm(w, h, val):
+        return b"P6\n%d %d\n255\n" % (w, h) + bytes([val]) * (w * h * 3)
+
+    rows = [(1, ppm(8, 4, 7)), (2, ppm(16, 2, 200))]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, payload BINARY")
+    schema = "doc_id BIGINT, width BIGINT, height BIGINT, pixel_sum BIGINT"
+
+    def gen(batches):
+        for pdf in batches:
+            feats = [multimodal.decode_ppm(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "width": [f["width"] for f in feats],
+                    "height": [f["height"] for f in feats],
+                    "pixel_sum": [f["pixel_sum"] for f in feats],
+                }
+            )
+
+    out = {r["doc_id"]: r for r in df.mapInPandas(gen, schema).collect()}
+    assert out[1]["width"] == 8 and out[1]["height"] == 4
+    assert out[1]["pixel_sum"] == 8 * 4 * 3 * 7
+    assert out[2]["width"] == 16 and out[2]["pixel_sum"] == 16 * 2 * 3 * 200
+    with pytest.raises(ValueError):
+        multimodal.decode_ppm(b"PNG not a ppm")
+    with pytest.raises(ValueError):
+        multimodal.decode_ppm(b"P6\n4 4\n255\n" + b"x" * 5)  # truncated
+
+
 @pytest.mark.skipif(not multimodal.HAS_PIL, reason="PIL not in this image")
 def test_real_decode_on_generated_pngs(spark):
     """When PIL is present, the SAME mapInPandas plumbing decodes real
