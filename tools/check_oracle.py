@@ -154,6 +154,16 @@ def main() -> int:
         f"\n== pass={n_pass} soft={n_soft} fail={n_fail} rows-only={n_noracle} "
         f"of {len(keys)}"
     )
+    # Registry-wide totals (independent of any key subset run): the
+    # numbers COVERAGE.md publishes, printed here so every gate run
+    # re-states them and drift is visible immediately.
+    print(f"== registry: {len(qs)} keys, {len(oracles)} exact oracles, "
+          f"{len(qs) - len(oracles)} rows-only")
+    results["_registry"] = {
+        "keys": len(qs),
+        "exact_oracles": len(oracles),
+        "rows_only": len(qs) - len(oracles),
+    }
     if args.json:
         import json
 
