@@ -335,29 +335,39 @@ def _neighborhood_intersections(words: DataFrame) -> DataFrame:
     doc_id-neighborhood (1..20) family: per candidate (doc_a, doc_b)
     pair within a source, the number of shared distinct words.
 
-    Bucketed range join: probe side a emits (w, source, g) for its own
-    bucket g = doc_a DIV 20 AND g+1, build side b hashes once on its
-    own bucket — so the equi-join key contains the bucket and each
-    hash bucket is ≤20 docs per source no matter how large the corpus
-    grows; the exact BETWEEN residual keeps semantics identical.
+    Bucketed range join over POSTING LISTS: docs sharing a word are
+    first collapsed to one sorted posting list per (word, source,
+    g = doc_id DIV 20) bucket, so the self-join shuffles one short
+    array row per key instead of one row per (doc, word) occurrence
+    (~20x fewer join rows, smaller hash tables). The probe side emits
+    each list under its own bucket g AND g+1 (two-bucket range-join
+    trick); candidate pairs are then generated entirely JVM-side with
+    nested higher-order transforms and the exact `y - x BETWEEN 1 AND
+    20` residual, keeping semantics identical to the per-row join.
+    Each bucket holds <=20 docs per source regardless of corpus size,
+    so per-key join work stays constant as the corpus grows.
     """
-    a = words.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("source").alias("src"),
+    posting = words.groupBy(
+        F.col("source").alias("src"), "w", F.expr("doc_id DIV 20").alias("g")
+    ).agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+    a = posting.select(
+        "src",
         "w",
-        F.explode(
-            F.array(F.expr("doc_id DIV 20"), F.expr("doc_id DIV 20 + 1"))
-        ).alias("g"),
+        F.explode(F.array(F.col("g"), F.col("g") + F.lit(1))).alias("g"),
+        F.col("ds").alias("ds_a"),
     )
-    b = words.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("source").alias("src"),
-        "w",
-        F.expr("doc_id DIV 20").alias("g"),
+    b = posting.select("src", "w", "g", F.col("ds").alias("ds_b"))
+    pairs = F.explode(
+        F.expr(
+            "flatten(transform(ds_a, x ->"
+            " transform(filter(ds_b, y -> y - x BETWEEN 1 AND 20),"
+            " y -> struct(x AS doc_a, y AS doc_b))))"
+        )
     )
     return (
-        a.join(b, ["w", "src", "g"])
-        .filter((F.col("doc_b") - F.col("doc_a")).between(1, 20))
+        a.join(b, ["src", "w", "g"])
+        .select(pairs.alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("inter_n"))
     )

@@ -409,6 +409,11 @@ SELECT ticker, date, ema / 100.0 AS ema FROM ema"""
 )
 
 
+# Hard bound on the JVM-fold group size: ~4x any plausible trading-day
+# history (the fold is O(n^2) element copies per group — see docstring).
+_EMA_MAX_GROUP = 10_000
+
+
 @register("window_ema", oracle=_EMA_ORACLE)
 def window_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponential moving average, alpha = 1/8 (pandas `ewm(alpha=...)
@@ -431,7 +436,9 @@ def window_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     (~2.5k rows/ticker at any SF — ~40 KB of struct array), so the
     collect_list never approaches task-memory limits; array append in
     the fold is O(n²) element copies = ~3M doubles/ticker, noise next
-    to the shuffle.
+    to the shuffle. A loud in-plan guard (raise_error past
+    _EMA_MAX_GROUP rows/group) makes the bound explicit rather than a
+    silent degradation if the key ever stops being calendar-bounded.
     """
     px = panel.prices(spark, sf_dir).select(
         "ticker",
@@ -440,6 +447,20 @@ def window_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hist = px.groupBy("ticker").agg(
         F.array_sort(F.collect_list(F.struct("date", "c"))).alias("h")
+    )
+    # The fold below copies the accumulator array per element (O(n^2)
+    # element copies per group). That is noise for calendar-bounded
+    # histories but would silently degrade if the group key ever became
+    # high-cardinality-per-group, so fail loudly past the bound instead.
+    hist = hist.withColumn(
+        "h",
+        F.expr(
+            f"CASE WHEN size(h) <= {_EMA_MAX_GROUP} THEN h"
+            " ELSE raise_error(concat('window_ema: per-ticker history of ',"
+            " CAST(size(h) AS STRING),"
+            f" ' rows exceeds the O(n^2) fold bound {_EMA_MAX_GROUP};"
+            " switch to the applyInPandas EMA for this shape')) END"
+        ),
     )
     ema_arr = F.aggregate(
         F.col("h"),
