@@ -7,7 +7,7 @@ whole-stage codegen and is bounded by parquet scan throughput.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -714,4 +714,117 @@ def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tokens",
             "agg_level",
         )
+    )
+
+
+_BOILER_ORACLE = """
+WITH tok AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents),
+seg AS (
+  SELECT doc_id, z.idx AS idx, z.s AS s FROM (
+    SELECT doc_id,
+           UNNEST(LIST_TRANSFORM(
+             GENERATE_SERIES(0, CAST(CEIL(LEN(ws) / 10.0) AS INT) - 1),
+             i -> STRUCT_PACK(idx := i,
+                              s := ARRAY_TO_STRING(ws[i*10+1:i*10+10], ' '))))
+             AS z
+    FROM tok
+  )
+),
+freq AS (SELECT s, COUNT(DISTINCT doc_id) AS df FROM seg GROUP BY s)
+SELECT seg.doc_id,
+       COUNT(*) AS n_segments,
+       CAST(SUM(CASE WHEN df >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_boilerplate,
+       COALESCE(STRING_AGG(CASE WHEN df < 3 THEN s END, ' ' ORDER BY idx), '')
+         AS clean_text
+FROM seg JOIN freq USING (s)
+GROUP BY seg.doc_id"""
+
+
+@register("text_boilerplate_strip", oracle=_BOILER_ORACLE)
+def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line/paragraph-level boilerplate removal (the CCNet recipe:
+    dedup at sub-document granularity so headers, footers, and license
+    blocks repeated across pages disappear while unique prose stays).
+    The synthetic docs have no newlines, so the unit is a fixed
+    10-word segment; a segment is boilerplate when it appears in >= 3
+    distinct docs corpus-wide. Output per doc: segment counts and the
+    reconstructed text with boilerplate removed, in original order.
+
+    Scale: one explode to (doc, idx, segment) rows, one groupBy on the
+    segment string for document frequency (map-side partial combine),
+    one shuffle join back on segment, one groupBy doc to rebuild. The
+    df table is NOT broadcast — it is O(corpus tokens / 10) rows. The
+    order-preserving rebuild sorts each doc's (idx, seg) structs
+    inside the row (array_sort), never a global sort.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    segs = F.expr(
+        "transform(sequence(0, CAST(ceil(size(split(text, ' ')) / 10.0) AS INT) - 1),"
+        " i -> struct(i AS idx,"
+        " concat_ws(' ', slice(split(text, ' '), i * 10 + 1, 10)) AS s))"
+    )
+    sd = docs.select("doc_id", F.explode(segs).alias("z")).select(
+        "doc_id", F.col("z.idx").alias("idx"), F.col("z.s").alias("s")
+    )
+    freq = sd.groupBy("s").agg(F.countDistinct("doc_id").alias("df"))
+    return (
+        sd.join(freq, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.sum((F.col("df") >= 3).cast("long")).alias("n_boilerplate"),
+            F.array_sort(
+                F.collect_list(F.when(F.col("df") < 3, F.struct("idx", "s")))
+            ).alias("kept"),
+        )
+        .select(
+            "doc_id",
+            "n_segments",
+            "n_boilerplate",
+            F.array_join(F.expr("transform(kept, x -> x.s)"), " ").alias(
+                "clean_text"
+            ),
+        )
+    )
+
+
+_SHUFFLE_ORACLE = """
+WITH h AS (
+  SELECT doc_id, MD5(CAST(doc_id AS VARCHAR)) AS hx FROM documents
+)
+SELECT doc_id,
+       CAST(STRPOS('0123456789abcdef', SUBSTR(hx, 1, 1)) - 1 AS BIGINT)
+         AS shard_id,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY SUBSTR(hx, 1, 1) ORDER BY hx, doc_id) AS BIGINT)
+         AS pos_in_shard
+FROM h"""
+
+
+@register("corpus_shuffle_shard", oracle=_SHUFFLE_ORACLE)
+def corpus_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle for training-epoch order:
+    every doc gets a shard (first MD5 hex digit, 16 shards) and a
+    position within its shard (rank by full MD5, doc_id tiebreak).
+    Reading shards round-robin yields a reproducible pseudo-random
+    permutation of the corpus — the standard seeded-shuffle shape for
+    a pre-training dataloader, without ever materializing a global
+    sort.
+
+    Scale: NO global ORDER BY — the only wide op is one window
+    partitioned by shard (16 balanced partitions of ~N/16 each; for a
+    1000-executor run raise the digit count to keep shards
+    executor-sized). MD5 is identical across engines, so the oracle
+    reproduces the permutation bit-for-bit.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select("doc_id", F.md5(F.col("doc_id").cast("string")).alias("hx"))
+    shard_chr = F.substring("hx", 1, 1)
+    w = Window.partitionBy(shard_chr).orderBy("hx", "doc_id")
+    return h.select(
+        "doc_id",
+        (F.instr(F.lit("0123456789abcdef"), shard_chr) - 1)
+        .cast("long")
+        .alias("shard_id"),
+        F.row_number().over(w).cast("long").alias("pos_in_shard"),
     )

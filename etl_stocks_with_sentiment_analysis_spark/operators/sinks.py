@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from ..plans import panel
 from ..registry import register
+from ..sources import load_table
 
 # ---------------------------------------------------------------------------
 # Library writers
@@ -531,3 +532,57 @@ def retention_sweep(path: str, partition_col: str, keep_from: str) -> list[str]:
             shutil.rmtree(os.path.join(path, entry))
             dropped.append(entry[len(prefix):])
     return dropped
+
+
+def compact_small_files(
+    spark: SparkSession, src: str, out: str, rows_per_file: int
+) -> int:
+    """Bin-pack a fragmented parquet directory into ceil(n/rows_per_file)
+    files (the OPTIMIZE/compaction maintenance job every streaming or
+    incremental sink needs, or small files throttle the NameNode and
+    every downstream scan). Uses coalesce, not repartition: compaction
+    must not pay a shuffle — tasks concatenate input splits. Returns
+    the file count written."""
+    df = spark.read.parquet(src)
+    n = df.count()
+    n_files = max(1, -(-n // rows_per_file))
+    df.coalesce(n_files).write.mode("overwrite").parquet(out)
+    return sum(
+        1 for f in os.listdir(out) if f.startswith("part-") and f.endswith(".parquet")
+    )
+
+
+_S10_ORACLE = """
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents,
+       COUNT(DISTINCT event_type) AS n_event_types,
+       TRUE AS files_ok
+FROM events"""
+
+
+@register("sink_compact", oracle=_S10_ORACLE)
+def sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction sink: events are first written deliberately
+    fragmented (64 files), then compacted to row-count-targeted files
+    with `compact_small_files`. The returned frame verifies BOTH data
+    identity (count + exact-cents checksum + type cardinality vs the
+    original table) and the compaction itself (`files_ok`: written file
+    count equals the bin-pack target — computed from row counts, so it
+    is deterministic across environments, unlike byte-size targets).
+    """
+    base = scratch_dir("s10_")
+    frag, packed = os.path.join(base, "frag"), os.path.join(base, "compact")
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    events.repartition(64).write.mode("overwrite").parquet(frag)
+    rows_per_file = 2000
+    got = compact_small_files(spark, frag, packed, rows_per_file)
+    n = spark.read.parquet(packed).count()
+    want = max(1, -(-n // rows_per_file))
+    return spark.read.parquet(packed).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("value_cents"),
+        F.countDistinct("event_type").alias("n_event_types"),
+        F.lit(got == want).alias("files_ok"),
+    )

@@ -133,3 +133,70 @@ def source_backup_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ticker LONG, date DATE, sentiment STRING, topic STRING, explanation STRING"
     )
     return spark.read.csv(target, header=True, schema=schema)
+
+
+_CDC_ORACLE = """
+WITH old AS (
+  SELECT o_orderkey,
+         CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % 11 != 0
+),
+new AS (
+  SELECT o_orderkey,
+         CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+           + CASE WHEN o_orderkey % 7 = 0 THEN 100 ELSE 0 END AS cents
+  FROM orders WHERE o_orderkey % 13 != 0
+)
+SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+       CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+            WHEN n.o_orderkey IS NULL THEN 'delete'
+            ELSE 'update' END AS change_type,
+       o.cents AS old_price_cents,
+       n.cents AS new_price_cents
+FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL OR o.cents != n.cents"""
+
+
+@register("source_snapshot_diff", oracle=_CDC_ORACLE)
+def source_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture between two table snapshots — the incremental
+    ingest primitive: given yesterday's and today's full extracts,
+    emit only the delta (insert / update / delete per key) so the 100 TB
+    downstream reprocesses the changed slice, not the world. Snapshots
+    are derived deterministically from `orders` (keys % 11 arrive only
+    in the new extract, keys % 13 were dropped from it, keys % 7 had
+    their price bumped one dollar); unchanged rows are filtered out.
+
+    Scale: one full-outer shuffle join on the snapshot key plus the
+    change classification — the canonical CDC diff. Both sides hash on
+    the same key, so with bucketed snapshot tables this is a
+    zero-exchange merge; value comparison is on exact integer cents
+    (never raw-double equality across engines).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    old = orders.filter(F.col("o_orderkey") % 11 != 0).select(
+        "o_orderkey", cents.alias("old_price_cents")
+    )
+    new = orders.filter(F.col("o_orderkey") % 13 != 0).select(
+        "o_orderkey",
+        (
+            cents
+            + F.when(F.col("o_orderkey") % 7 == 0, F.lit(100)).otherwise(F.lit(0))
+        ).alias("new_price_cents"),
+    )
+    joined = old.join(new, "o_orderkey", "full_outer")
+    change = (
+        F.when(F.col("old_price_cents").isNull(), F.lit("insert"))
+        .when(F.col("new_price_cents").isNull(), F.lit("delete"))
+        .otherwise(F.lit("update"))
+    )
+    return (
+        joined.withColumn("change_type", change)
+        .filter(
+            F.col("old_price_cents").isNull()
+            | F.col("new_price_cents").isNull()
+            | (F.col("old_price_cents") != F.col("new_price_cents"))
+        )
+        .select("o_orderkey", "change_type", "old_price_cents", "new_price_cents")
+    )
