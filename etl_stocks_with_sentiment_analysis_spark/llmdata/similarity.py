@@ -94,7 +94,15 @@ WITH sc AS (
          LIST_TRANSFORM(embedding, e -> ROUND(CAST(e AS DOUBLE) * 10000, 0)) AS v
   FROM embeddings
 ),
-cents AS (SELECT vec_id AS cent_id, v AS cv FROM sc WHERE vec_id IN (1, 2, 3, 4)),
+par AS (
+  SELECT GREATEST(1, COUNT(*) // GREATEST(4,
+           CAST(POWER(2, (LENGTH(BIN(COUNT(*))) - 1) // 2) AS BIGINT)))
+         AS stride
+  FROM sc
+),
+cents AS (
+  SELECT vec_id AS cent_id, v AS cv FROM sc, par WHERE vec_id % stride = 1
+),
 assign AS (
   SELECT vec_id, v, cent_id FROM (
     SELECT s.vec_id, s.v, c.cent_id,
@@ -122,16 +130,29 @@ SELECT q_id, vec_id, ROUND(cosine, 6) AS cosine FROM (
 
 @register("similarity_ivf_topk", oracle=_IVF_ORACLE)
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: assign every vector to its nearest of 4 fixed
-    centroids (L2², exact integer arithmetic), then each query probes
-    only its own cluster for cosine top-3.
+    """IVF-style ANN with a √N-scaled codebook: nlist = 2^((bitlen(N)-1)
+    div 2) centroids (the standard IVF sizing rule — nlist ≈ √N keeps
+    BOTH the assignment pass, O(N·nlist), and the probe pass,
+    O(Q·N/nlist), at ~N^1.5 instead of N² as the corpus grows).
+    Centroids are every stride-th vec_id (stride = N div nlist), an
+    id-shift-robust deterministic pick; assignment is exact integer
+    L2², probes search only the query's own cluster for cosine top-3.
 
-    Scale: the assignment pass is a broadcast join against centroids;
-    the probe join shuffles on cent_id — candidate volume per query
-    drops by ~n_clusters vs brute force.
+    The nlist formula is pure integer arithmetic (Python bit_length ==
+    SQL LENGTH(BIN(n))), so the DuckDB oracle derives the identical
+    codebook from the data alone — no floats, no seeds.
+
+    Scale: assignment is a broadcast join against the √N-sized codebook
+    folded by a map-side-combined min(struct) aggregation (the shuffle
+    carries N rows, not N·nlist); the probe join is an equi-join on
+    cent_id with no forced broadcast, so AQE picks broadcast while the
+    query side fits and shuffles on cent_id beyond that.
     """
     vecs = _scaled_vectors(spark, sf_dir)
-    cents = vecs.filter(F.col("vec_id").isin(1, 2, 3, 4)).select(
+    n = vecs.count()
+    nlist = max(4, 2 ** ((n.bit_length() - 1) // 2))
+    stride = max(1, n // nlist)
+    cents = vecs.filter(F.col("vec_id") % stride == 1).select(
         F.col("vec_id").alias("cent_id"),
         F.col("v").alias("cv"),
         F.col("nrm").alias("cnrm"),
@@ -142,11 +163,16 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         - 2 * F.expr(_DOT.format(a="v", b="cv"))
         + F.col("cnrm")
     )
-    w_assign = Window.partitionBy("vec_id").orderBy(dist.asc(), "cent_id")
     assign = (
-        crossed.withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "v", "nrm", "cent_id")
+        crossed.groupBy("vec_id")
+        .agg(
+            F.min(F.struct(dist.alias("d"), F.col("cent_id").alias("cent_id"))).alias(
+                "m"
+            ),
+            F.first("v").alias("v"),
+            F.first("nrm").alias("nrm"),
+        )
+        .select("vec_id", "v", "nrm", F.col("m.cent_id").alias("cent_id"))
     )
     q = assign.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("q_id"),
@@ -155,7 +181,7 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cent_id").alias("q_cent"),
     )
     pairs = assign.join(
-        F.broadcast(q),
+        q,
         (F.col("cent_id") == F.col("q_cent")) & (F.col("vec_id") != F.col("q_id")),
     )
     cosine = F.expr(_DOT.format(a="qv", b="v")) / F.sqrt(F.col("qn") * F.col("nrm"))
