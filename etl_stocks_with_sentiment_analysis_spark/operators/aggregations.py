@@ -745,3 +745,47 @@ def agg_mode_topic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .select("ticker", F.col("topic").alias("mode_topic"), F.col("n").alias("n_days"))
     )
+
+
+_CUBE_ORACLE = """
+SELECT COALESCE(source, '<all>') AS source,
+       COALESCE(lang, '<all>') AS lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(GROUPING(source) * 2 + GROUPING(lang) AS BIGINT) AS agg_level
+FROM documents
+GROUP BY CUBE (source, lang)"""
+
+
+@register("agg_cube_source_lang", oracle=_CUBE_ORACLE)
+def agg_cube_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation — all four grouping sets (source×lang, source,
+    lang, grand total) in one pass; the cross-dimension complement of
+    `rollup_time_hierarchy` / `corpus_token_budget`'s hierarchies.
+    `GROUPING()` bits distinguish subtotal rows from genuine NULL
+    groups, never NULL-sniffing.
+
+    Scale: Catalyst expands the cube but keeps partial aggregation per
+    grouping set, so the corpus shuffles the combined per-set partials
+    once — not one job per set, and never a re-scan per level.
+    """
+    from ..sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.cube("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            (F.grouping("source") * 2 + F.grouping("lang"))
+            .cast("long")
+            .alias("agg_level"),
+        )
+        .select(
+            F.coalesce("source", F.lit("<all>")).alias("source"),
+            F.coalesce("lang", F.lit("<all>")).alias("lang"),
+            "n_docs",
+            "total_chars",
+            "agg_level",
+        )
+    )

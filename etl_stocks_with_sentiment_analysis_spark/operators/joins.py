@@ -440,3 +440,42 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         keep("topic").alias("topic"),
         keep("edate").alias("asof_date"),
     )
+
+
+@register(
+    "join_semi_with_lineitems",
+    oracle="""
+SELECT o_orderkey,
+       CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS total_cents
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+  AND o_orderstatus = 'O'""",
+)
+def join_semi_with_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-SEMI join — existence filtering without duplication: open
+    orders that have at least one lineitem, emitted once regardless of
+    how many lineitems match (the EXISTS shape; complement of
+    `join_anti_unprocessed`).
+
+    Scale: Spark's LeftSemi keeps only the probe side's columns, so
+    the build side is reduced to its join key before the shuffle, and
+    the output never multiplies rows — the safe way to filter a fact
+    table by another fact table's keys. With AQE the key-only build
+    side is usually small enough to broadcast after pre-aggregation.
+    """
+    from ..sources import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey")
+    )
+    return (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .join(lineitem, "o_orderkey", "left_semi")
+        .select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100, 0)
+            .cast("long")
+            .alias("total_cents"),
+        )
+    )

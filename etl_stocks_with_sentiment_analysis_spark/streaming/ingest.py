@@ -230,3 +230,70 @@ def run_incremental_upsert(
         .queryName(query_name)
         .start()
     )
+
+
+def _attribute(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
+    """Shared click→purchase attribution for batch and streaming: each
+    purchase is credited to every click by the same user in the
+    preceding hour. Equi-key on user_id with a time-range residual —
+    per-user event counts are bounded, so the joined volume stays
+    linear in events; exact integer microseconds for the latency."""
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("purchase_cents"),
+    )
+    joined = c.join(
+        p,
+        [
+            c["user_id"] == p["user_id"],
+            p["p_ts"] >= c["c_ts"],
+            p["p_ts"] <= c["c_ts"] + F.expr("INTERVAL 1 HOUR"),
+        ],
+    )
+    return joined.select(
+        "click_id",
+        "purchase_id",
+        c["user_id"].alias("user_id"),
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("micros_to_purchase"),
+        "purchase_cents",
+    )
+
+
+@register(
+    "streaming_interval_join",
+    oracle="""
+SELECT c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       c.user_id,
+       CAST(EPOCH_US(p.ts) - EPOCH_US(c.ts) AS BIGINT) AS micros_to_purchase,
+       CAST(ROUND(p.value * 100, 0) AS BIGINT) AS purchase_cents
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR""",
+)
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (batch twin): click→purchase
+    attribution within a 1-hour window per user. The true streaming
+    path — two watermarked streams, inner join with an event-time
+    range condition so state for both sides is bounded and expired —
+    is driven in tests/test_streaming.py and asserted row-equal to
+    this plan on the same files.
+
+    Scale: the batch twin is an equi-join on user_id with a range
+    residual (never a pure range join); streaming state is bounded by
+    the watermark delay × per-user rate. This is the Structured
+    Streaming join pattern for attribution/funnel stitching at scale.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return _attribute(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )

@@ -185,3 +185,47 @@ def test_watermark_drops_late_data_in_append_mode(spark, tmp_path):
     # watermark yet) and is not emitted in append mode.
     assert out.get("2024-01-01") == (2, 3.0), out
     assert "2024-01-03" not in out
+
+
+def test_streaming_interval_join_matches_batch(spark, sf_dir, tmp_path):
+    """True stream-stream interval join: two watermarked readStream
+    sides joined on user_id + 1-hour event-time range, asserted
+    row-equal to the registered batch twin over the same events."""
+    from etl_stocks_with_sentiment_analysis_spark.sources.readers import (
+        normalize_event_ts,
+    )
+    from etl_stocks_with_sentiment_analysis_spark.streaming.ingest import (
+        _attribute,
+        streaming_interval_join,
+    )
+
+    src = str(tmp_path / "ev_src")
+    load_table(spark, sf_dir, "events").coalesce(4).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = normalize_event_ts(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(src)
+    )
+    clicks = stream.filter(F.col("event_type") == "click").withWatermark(
+        "ts", "2 hours"
+    )
+    purchases = stream.filter(F.col("event_type") == "purchase").withWatermark(
+        "ts", "2 hours"
+    )
+    q = (
+        _attribute(clicks, purchases)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_attr")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        tuple(r) for r in spark.sql("SELECT * FROM t_attr").collect()
+    }
+    batch = {tuple(r) for r in streaming_interval_join(spark, sf_dir).collect()}
+    assert streamed == batch
+    assert len(batch) > 0
