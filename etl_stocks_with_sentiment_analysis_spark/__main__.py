@@ -4,6 +4,7 @@
 
     python -m etl_stocks_with_sentiment_analysis_spark run-pipeline [--sf-dir D]
     python -m etl_stocks_with_sentiment_analysis_spark views [--sf-dir D] [--query SQL]
+    python -m etl_stocks_with_sentiment_analysis_spark dashboard [--sf-dir D]
     python -m etl_stocks_with_sentiment_analysis_spark ml-train [--trees N] [--out PATH]
     python -m etl_stocks_with_sentiment_analysis_spark ml-predict [--out CSV_DIR]
 """
@@ -23,6 +24,9 @@ def main(argv: list[str] | None = None) -> int:
     p_run = sub.add_parser("run-pipeline", help="build the gold fact table (dbt-run analog)")
     p_run.add_argument("--sf-dir", default=DEFAULT_SF)
     p_run.add_argument("--show", type=int, default=5)
+
+    p_dash = sub.add_parser("dashboard", help="render the dashboard as text")
+    p_dash.add_argument("--sf-dir", default=DEFAULT_SF)
 
     p_views = sub.add_parser("views", help="register the 12 dashboard views")
     p_views.add_argument("--sf-dir", default=DEFAULT_SF)
@@ -50,6 +54,10 @@ def main(argv: list[str] | None = None) -> int:
         fct = panel.fct_prices_with_grok(spark, args.sf_dir)
         fct.show(args.show, truncate=False)
         print(f"gold rows: {fct.count()}")
+    elif args.cmd == "dashboard":
+        from .dashboard import render_dashboard
+
+        print(render_dashboard(spark, args.sf_dir))
     elif args.cmd == "views":
         from .plans import views
 

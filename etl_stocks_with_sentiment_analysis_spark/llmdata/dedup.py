@@ -440,11 +440,25 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle: DuckDB recursive CTE reachability (exact, same fixpoint).
     """
     pairs = dedup_minhash_lsh(spark, sf_dir)
-    edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")).unionAll(
-        pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
-    )
+    edges = _symmetric_edges(pairs)
     labels = connected_components(edges)
     return labels.select("doc_id", F.col("lbl").alias("canonical_doc_id"))
+
+
+def _symmetric_edges(pairs: DataFrame) -> DataFrame:
+    """Symmetrize a (doc_a, doc_b) pair list into (a, b) edges in ONE
+    pass: explode each pair into both directions instead of unioning
+    the frame with its own reversal — a self-union embeds the (often
+    expensive) pair-generation lineage twice, so its first
+    materialization pays the LSH/signature work double."""
+    return pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")),
+                F.struct(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")),
+            )
+        ).alias("e")
+    ).select("e.a", "e.b")
 
 
 def connected_components(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
@@ -851,9 +865,7 @@ def pipeline_dedup_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = dedup_minhash_estimate(spark, sf_dir).filter(
         F.col("n_agree") >= _STACK_MIN_AGREE
     )
-    edges = est.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")).unionAll(
-        est.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
-    )
+    edges = _symmetric_edges(est)
     labels = connected_components(edges)
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     labeled = docs.join(labels, "doc_id", "left").select(

@@ -141,3 +141,15 @@ def test_compact_small_files_layout_and_identity(spark, tmp_path, rows_per_file)
     back = spark.read.parquet(out)
     assert back.count() == 2500
     assert back.exceptAll(df).count() == 0 and df.exceptAll(back).count() == 0
+
+
+def test_dashboard_renders_all_sections(spark, sf_dir):
+    from etl_stocks_with_sentiment_analysis_spark.dashboard import (
+        SECTIONS,
+        render_dashboard,
+    )
+
+    out = render_dashboard(spark, sf_dir)
+    for title, key, _ in SECTIONS:
+        assert title in out and key in out
+    assert "accuracy_pct" in out  # key-metrics payload actually present
