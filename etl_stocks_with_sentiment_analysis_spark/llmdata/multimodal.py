@@ -179,6 +179,12 @@ def decode_ppm(payload: bytes) -> dict:
     magic, dims, maxval_s, pixels = payload.split(b"\n", 3)
     w, h = (int(t) for t in dims.split())
     maxval = int(maxval_s)
+    if w <= 0 or h <= 0:
+        raise ValueError(f"invalid PPM dimensions {w}x{h}")
+    if not 0 < maxval <= 255:
+        # maxval > 255 means 2-byte samples (a different pixel layout);
+        # refusing beats silently slicing half the array.
+        raise ValueError(f"unsupported PPM maxval {maxval} (need 1..255)")
     n = w * h * 3
     if len(pixels) < n:
         raise ValueError(f"truncated pixel array: {len(pixels)} < {n}")

@@ -138,9 +138,10 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     id-shift-robust deterministic pick; assignment is exact integer
     L2², probes search only the query's own cluster for cosine top-3.
 
-    The nlist formula is pure integer arithmetic (Python bit_length ==
-    SQL LENGTH(BIN(n))), so the DuckDB oracle derives the identical
-    codebook from the data alone — no floats, no seeds.
+    The nlist formula is pure integer arithmetic over length(bin(n))
+    evaluated IN-PLAN from a 1-row count aggregate, so the key is
+    fully lazy and the DuckDB oracle derives the identical codebook
+    from the data alone — no floats, no seeds, no driver-side action.
 
     Scale: assignment is a broadcast join against the √N-sized codebook
     folded by a map-side-combined min(struct) aggregation (the shuffle
@@ -149,13 +150,27 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     query side fits and shuffles on cent_id beyond that.
     """
     vecs = _scaled_vectors(spark, sf_dir)
-    n = vecs.count()
-    nlist = max(4, 2 ** ((n.bit_length() - 1) // 2))
-    stride = max(1, n // nlist)
-    cents = vecs.filter(F.col("vec_id") % stride == 1).select(
-        F.col("vec_id").alias("cent_id"),
-        F.col("v").alias("cv"),
-        F.col("nrm").alias("cnrm"),
+    # stride/nlist derived IN-PLAN from a 1-row aggregate (no eager
+    # driver-side count: the key stays lazy and benchmarks time one
+    # job). Pure integer arithmetic — length(bin(n)) is bitlen(n) in
+    # both engines, pow(2, k<=31) is exact.
+    par = (
+        vecs.agg(F.count("*").alias("n"))
+        .select(
+            F.expr(
+                "greatest(CAST(1 AS BIGINT), n div greatest(CAST(4 AS BIGINT),"
+                " CAST(pow(2, (length(bin(n)) - 1) div 2) AS BIGINT)))"
+            ).alias("stride")
+        )
+    )
+    cents = (
+        vecs.crossJoin(F.broadcast(par))
+        .filter(F.col("vec_id") % F.col("stride") == 1)
+        .select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("cnrm"),
+        )
     )
     crossed = vecs.join(F.broadcast(cents))
     dist = (

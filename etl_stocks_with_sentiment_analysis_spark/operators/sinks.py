@@ -537,16 +537,22 @@ def retention_sweep(path: str, partition_col: str, keep_from: str) -> list[str]:
 def compact_small_files(
     spark: SparkSession, src: str, out: str, rows_per_file: int
 ) -> int:
-    """Bin-pack a fragmented parquet directory into ceil(n/rows_per_file)
-    files (the OPTIMIZE/compaction maintenance job every streaming or
-    incremental sink needs, or small files throttle the NameNode and
-    every downstream scan). Uses coalesce, not repartition: compaction
-    must not pay a shuffle — tasks concatenate input splits. Returns
-    the file count written."""
+    """Bin-pack a fragmented parquet directory into exactly
+    ceil(n/rows_per_file) files (the OPTIMIZE/compaction maintenance
+    job every streaming or incremental sink needs, or small files
+    throttle the NameNode and every downstream scan). Uses
+    round-robin repartition, not coalesce: the parquet scan PACKS
+    small files into few partitions (maxPartitionBytes/openCost), and
+    coalesce can only reduce — it silently misses the target whenever
+    the scan yields fewer partitions than the bin-pack wants. The one
+    shuffle is the price of a guaranteed file count and balanced
+    sizes; it is an elective maintenance job, not a query path (table
+    formats avoid it by assigning input splits per output task).
+    Returns the file count written."""
     df = spark.read.parquet(src)
     n = df.count()
     n_files = max(1, -(-n // rows_per_file))
-    df.coalesce(n_files).write.mode("overwrite").parquet(out)
+    df.repartition(n_files).write.mode("overwrite").parquet(out)
     return sum(
         1 for f in os.listdir(out) if f.startswith("part-") and f.endswith(".parquet")
     )

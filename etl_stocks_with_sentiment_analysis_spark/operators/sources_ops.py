@@ -175,28 +175,36 @@ def source_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     orders = load_table(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    # Classification keys are the JOIN KEYS, never the value columns:
+    # a NULL price on a present key must read as an update candidate,
+    # not an insert/delete (matches the oracle's IS NULL tests).
     old = orders.filter(F.col("o_orderkey") % 11 != 0).select(
-        "o_orderkey", cents.alias("old_price_cents")
+        F.col("o_orderkey").alias("k_old"), cents.alias("old_price_cents")
     )
     new = orders.filter(F.col("o_orderkey") % 13 != 0).select(
-        "o_orderkey",
+        F.col("o_orderkey").alias("k_new"),
         (
             cents
             + F.when(F.col("o_orderkey") % 7 == 0, F.lit(100)).otherwise(F.lit(0))
         ).alias("new_price_cents"),
     )
-    joined = old.join(new, "o_orderkey", "full_outer")
+    joined = old.join(new, old["k_old"] == new["k_new"], "full_outer")
     change = (
-        F.when(F.col("old_price_cents").isNull(), F.lit("insert"))
-        .when(F.col("new_price_cents").isNull(), F.lit("delete"))
+        F.when(F.col("k_old").isNull(), F.lit("insert"))
+        .when(F.col("k_new").isNull(), F.lit("delete"))
         .otherwise(F.lit("update"))
     )
     return (
         joined.withColumn("change_type", change)
         .filter(
-            F.col("old_price_cents").isNull()
-            | F.col("new_price_cents").isNull()
+            F.col("k_old").isNull()
+            | F.col("k_new").isNull()
             | (F.col("old_price_cents") != F.col("new_price_cents"))
         )
-        .select("o_orderkey", "change_type", "old_price_cents", "new_price_cents")
+        .select(
+            F.coalesce("k_old", "k_new").alias("o_orderkey"),
+            "change_type",
+            "old_price_cents",
+            "new_price_cents",
+        )
     )

@@ -73,6 +73,13 @@ def test_real_decode_on_generated_ppms(spark):
         multimodal.decode_ppm(b"PNG not a ppm")
     with pytest.raises(ValueError):
         multimodal.decode_ppm(b"P6\n4 4\n255\n" + b"x" * 5)  # truncated
+    with pytest.raises(ValueError):
+        # 2-byte samples: refusing beats slicing half the pixel array
+        multimodal.decode_ppm(b"P6\n2 2\n65535\n" + b"x" * 24)
+    with pytest.raises(ValueError):
+        multimodal.decode_ppm(b"P6\n2 2\n0\n" + b"x" * 12)  # maxval 0
+    with pytest.raises(ValueError):
+        multimodal.decode_ppm(b"P6\n0 2\n255\n")  # zero width
 
 
 @pytest.mark.skipif(not multimodal.HAS_PIL, reason="PIL not in this image")
