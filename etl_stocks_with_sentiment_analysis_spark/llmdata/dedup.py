@@ -82,17 +82,12 @@ SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id"""
 
 
-@register("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup candidate pairs via MinHash (8 perms) + LSH banding
-    (4 bands × 2 rows). Word-3-shingles → per-seed MD5 minima →
-    band-signature buckets → pairs within a bucket.
-
-    Scale: explode is per-doc bounded; the only shuffles are the
-    (doc, seed) min-agg and the band self-join on (band, sig) —
-    no all-pairs comparison ever happens.
-    """
-    docs = load_table(spark, sf_dir, "documents")
+def _minhash_signatures(docs: DataFrame) -> DataFrame:
+    """Per-doc MinHash signature columns h0..h7: word-3-shingles →
+    per-seed MD5 minima. All seeds as parallel columns: one
+    groupBy(doc_id) computes the 8 minima in a single
+    map-side-combinable pass — no seed explode (8x row inflation
+    avoided) and one shuffle instead of two."""
     tok = docs.select("doc_id", F.split("text", " ").alias("ws")).filter(
         F.size("ws") >= 3
     )
@@ -107,15 +102,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("sh"),
     )
-    # All seeds as parallel columns: one groupBy(doc_id) computes the 8
-    # minima in a single map-side-combinable pass — no seed explode
-    # (8x row inflation avoided) and one shuffle instead of two.
-    mh = shingle.groupBy("doc_id").agg(
+    return shingle.groupBy("doc_id").agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("sh")))).alias(f"h{s}")
             for s in range(_N_SEEDS)
         ]
     )
+
+
+def _band_signatures(mh: DataFrame) -> DataFrame:
+    """LSH banding over signature columns: stack the 4 bands of 2
+    hashes each into (doc_id, band, sig) rows — the join key of every
+    LSH candidate generation (self-join OR new-vs-index probe)."""
     n_bands = _N_SEEDS // _BAND_ROWS
     stack_args = ", ".join(
         f"{b}, concat_ws(',', "
@@ -123,10 +121,24 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         + ")"
         for b in range(n_bands)
     )
-    bands = mh.select(
+    return mh.select(
         "doc_id",
         F.expr(f"stack({n_bands}, {stack_args})").alias("band", "sig"),
     )
+
+
+@register("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs via MinHash (8 perms) + LSH banding
+    (4 bands × 2 rows). Word-3-shingles → per-seed MD5 minima →
+    band-signature buckets → pairs within a bucket.
+
+    Scale: explode is per-doc bounded; the only shuffles are the
+    (doc, seed) min-agg and the band self-join on (band, sig) —
+    no all-pairs comparison ever happens.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bands = _band_signatures(_minhash_signatures(docs))
     a = bands.select(F.col("doc_id").alias("doc_a"), "band", "sig")
     b = bands.select(F.col("doc_id").alias("doc_b"), "band", "sig")
     # Join on (band, sig) — the full bucket key. Joining on band alone
@@ -730,36 +742,8 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Estimate is an exact rational (n_agree / 8) ⇒ cross-engine stable.
     """
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", F.split("text", " ").alias("ws")).filter(
-        F.size("ws") >= 3
-    )
-    shingle = tok.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.expr(
-                    "transform(sequence(0, size(ws) - 3),"
-                    " i -> concat_ws(' ', ws[i], ws[i + 1], ws[i + 2]))"
-                )
-            )
-        ).alias("sh"),
-    )
-    mh = shingle.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("sh")))).alias(f"h{s}")
-            for s in range(_N_SEEDS)
-        ]
-    )
-    n_bands = _N_SEEDS // _BAND_ROWS
-    stack_args = ", ".join(
-        f"{b}, concat_ws(',', "
-        + ", ".join(f"h{s}" for s in range(b * _BAND_ROWS, (b + 1) * _BAND_ROWS))
-        + ")"
-        for b in range(n_bands)
-    )
-    bands = mh.select(
-        "doc_id", F.expr(f"stack({n_bands}, {stack_args})").alias("band", "sig")
-    )
+    mh = _minhash_signatures(docs)
+    bands = _band_signatures(mh)
     cand = (
         bands.select(F.col("doc_id").alias("doc_a"), "band", "sig")
         .join(bands.select(F.col("doc_id").alias("doc_b"), "band", "sig"), ["band", "sig"])
@@ -873,4 +857,92 @@ def pipeline_dedup_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return labeled.groupBy(F.col("lbl").alias("kept_doc_id")).agg(
         F.count("*").alias("cluster_size")
+    )
+
+
+_INCR_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents
+  WHERE LEN(STRING_SPLIT(text, ' ')) >= 3
+),
+shingle AS (
+  SELECT DISTINCT doc_id, sh FROM (
+    SELECT doc_id,
+           UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(ws) - 2),
+                  i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])) AS sh
+    FROM tok
+  )
+),
+mh AS (
+  SELECT doc_id, s, MIN(MD5(CAST(s AS VARCHAR) || '|' || sh)) AS h
+  FROM shingle, GENERATE_SERIES(0, {_N_SEEDS - 1}) AS g(s)
+  GROUP BY doc_id, s
+),
+bands AS (
+  SELECT doc_id, s // {_BAND_ROWS} AS band, STRING_AGG(h, ',' ORDER BY s) AS sig
+  FROM mh GROUP BY doc_id, s // {_BAND_ROWS}
+),
+hits AS (
+  SELECT n.doc_id AS new_doc_id, x.doc_id AS index_doc_id
+  FROM bands n JOIN bands x ON n.band = x.band AND n.sig = x.sig
+  WHERE n.doc_id % 10 = 0 AND x.doc_id % 10 != 0
+  GROUP BY 1, 2
+)
+SELECT t.doc_id AS new_doc_id,
+       CAST(COUNT(h.index_doc_id) AS BIGINT) AS n_index_matches,
+       MIN(h.index_doc_id) AS first_match_doc_id,
+       COUNT(h.index_doc_id) = 0 AS keep
+FROM tok t LEFT JOIN hits h ON h.new_doc_id = t.doc_id
+WHERE t.doc_id % 10 = 0
+GROUP BY t.doc_id"""
+
+
+@register("dedup_incremental_batch", oracle=_INCR_ORACLE)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL dedup — the production mode: a new batch (here
+    doc_id % 10 == 0, the daily-crawl stand-in) is deduped against the
+    existing corpus INDEX (the other 90%) without ever comparing the
+    batch to itself or re-pairing the index. Each new doc comes back
+    with its index-collision count, first colliding index doc, and the
+    keep decision (no LSH collision with the index).
+
+    Scale shape vs the full self-join (`dedup_minhash_lsh`): the probe
+    is ASYMMETRIC — band signatures are computed once over all docs in
+    the same one-pass aggregation, then the batch side (typically a
+    tiny fraction of the corpus) joins against the index side on the
+    full (band, sig) bucket key. In production the index's band table
+    is a materialized incremental artifact (append-only parquet keyed
+    by (band, sig)), so a daily run computes signatures only for the
+    new batch and probes — corpus text is never re-read. Cites the
+    reference's incremental anti-join idea (stock_grok_pipeline.py:
+    191-195: "what still needs enrichment") lifted to similarity
+    space.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % 10 == 0
+    bands = _band_signatures(_minhash_signatures(docs))
+    probe = bands.filter(is_new).select(
+        F.col("doc_id").alias("new_doc_id"), "band", "sig"
+    )
+    index = bands.filter(~is_new).select(
+        F.col("doc_id").alias("index_doc_id"), "band", "sig"
+    )
+    hits = (
+        probe.join(index, ["band", "sig"])
+        .select("new_doc_id", "index_doc_id")
+        .distinct()
+    )
+    new_docs = (
+        docs.filter(is_new)
+        .filter(F.size(F.split("text", " ")) >= 3)
+        .select(F.col("doc_id").alias("new_doc_id"))
+    )
+    return (
+        new_docs.join(hits, "new_doc_id", "left")
+        .groupBy("new_doc_id")
+        .agg(
+            F.count("index_doc_id").alias("n_index_matches"),
+            F.min("index_doc_id").alias("first_match_doc_id"),
+            (F.count("index_doc_id") == 0).alias("keep"),
+        )
     )

@@ -153,3 +153,32 @@ def test_dashboard_renders_all_sections(spark, sf_dir):
     for title, key, _ in SECTIONS:
         assert title in out and key in out
     assert "accuracy_pct" in out  # key-metrics payload actually present
+
+
+def test_incremental_dedup_consistent_with_full_lsh(spark, sf_dir):
+    """Every (new, index) collision the incremental probe reports is
+    also a pair of the full LSH self-join, and vice versa for pairs
+    that straddle the batch/index split — the incremental path must
+    find exactly the cross-split subset of the full pairing."""
+    from etl_stocks_with_sentiment_analysis_spark.llmdata.dedup import (
+        dedup_incremental_batch,
+        dedup_minhash_lsh,
+    )
+
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    cross = pairs.filter(
+        ((F.col("doc_a") % 10 == 0) & (F.col("doc_b") % 10 != 0))
+        | ((F.col("doc_a") % 10 != 0) & (F.col("doc_b") % 10 == 0))
+    )
+    n_cross = cross.count()
+    incr = dedup_incremental_batch(spark, sf_dir)
+    n_hits = int(
+        incr.agg(F.sum("n_index_matches").alias("s")).first()["s"]
+    )
+    assert n_hits == n_cross
+    # keep flag is the complement of having any match
+    bad = incr.filter(
+        (F.col("keep") & (F.col("n_index_matches") > 0))
+        | (~F.col("keep") & (F.col("n_index_matches") == 0))
+    ).count()
+    assert bad == 0
