@@ -487,3 +487,78 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("q_id", "vec_id", "adc_dist")
     )
+
+
+_QUANT_ORACLE = """
+WITH sc AS (
+  SELECT vec_id,
+         LIST_TRANSFORM(embedding,
+           e -> CAST(ROUND(CAST(e AS DOUBLE) * 10000, 0) AS BIGINT)) AS v
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, v,
+         GREATEST(1, LIST_MAX(LIST_TRANSFORM(v, x -> ABS(x)))) AS scale_int
+  FROM sc
+),
+q AS (
+  SELECT vec_id, scale_int,
+         LIST_TRANSFORM(v, x ->
+           CAST(SIGN(x) AS BIGINT) * ((ABS(x) * 127) // scale_int)) AS code
+  FROM s
+)
+SELECT vec_id, scale_int,
+       CAST(LIST_SUM(code) AS BIGINT) AS code_sum,
+       CAST(LIST_SUM(LIST_TRANSFORM(code, c -> ABS(c))) AS BIGINT) AS code_l1,
+       CAST(LIST_MAX(LIST_TRANSFORM(code, c -> ABS(c))) AS BIGINT) AS code_max,
+       LIST_MAX(LIST_TRANSFORM(code, c -> ABS(c))) <= 127 AS within_int8
+FROM q"""
+
+
+@register("embedding_quantize_int8", oracle=_QUANT_ORACLE)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the
+    storage/serving compression a 100 TB vector corpus ships with
+    (4x smaller than fp32, ~1% recall loss at this codebook-free
+    scheme): per-vector scale = max |component|, code = sign·(|v|·127
+    div scale). All arithmetic is exact integers over the engine's
+    standard x10000 quantization, with integer division applied to
+    NON-NEGATIVE operands only (sign re-applied after), because
+    truncating vs flooring division differ between engines on
+    negatives. Emits per-vector code statistics plus the in-plan
+    `within_int8` range proof.
+
+    Scale: pure per-row projection — zero shuffles, whole-stage
+    codegen end-to-end; the natural `mapInPandas` alternative would
+    pay an Arrow round-trip for arithmetic Catalyst does natively.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = (
+        "transform(embedding, e -> CAST(round(CAST(e AS DOUBLE) * 10000, 0) AS BIGINT))"
+    )
+    expr = f"""
+    named_struct(
+      'scale_int', greatest(CAST(1 AS BIGINT), array_max(transform({v}, x -> abs(x)))),
+      'v', {v}
+    )"""
+    q = emb.select("vec_id", F.expr(expr).alias("t")).select(
+        "vec_id",
+        F.col("t.scale_int").alias("scale_int"),
+        F.expr(
+            "transform(t.v, x -> CAST(sign(x) AS BIGINT)"
+            " * ((abs(x) * 127) div t.scale_int))"
+        ).alias("code"),
+    )
+    abscode = "transform(code, c -> abs(c))"
+    return q.select(
+        "vec_id",
+        "scale_int",
+        F.expr("aggregate(code, CAST(0 AS BIGINT), (a, x) -> a + x)").alias(
+            "code_sum"
+        ),
+        F.expr(
+            f"aggregate({abscode}, CAST(0 AS BIGINT), (a, x) -> a + x)"
+        ).alias("code_l1"),
+        F.expr(f"array_max({abscode})").alias("code_max"),
+        (F.expr(f"array_max({abscode})") <= 127).alias("within_int8"),
+    )

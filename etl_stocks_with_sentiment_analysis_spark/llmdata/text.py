@@ -828,3 +828,68 @@ def corpus_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("shard_id"),
         F.row_number().over(w).cast("long").alias("pos_in_shard"),
     )
+
+
+_TEMP_MIX_ORACLE = """
+WITH n AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+m AS (SELECT MIN(n_docs) AS n_min FROM n),
+r AS (
+  SELECT source,
+         CAST(FLOOR(256 * SQRT(CAST(n_min AS DOUBLE) / n_docs)) AS BIGINT)
+           AS thresh
+  FROM n, m
+),
+b AS (
+  SELECT doc_id, source,
+         CAST(STRPOS('0123456789abcdef', SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+              AS BIGINT) * 16
+         + CAST(STRPOS('0123456789abcdef', SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1
+              AS BIGINT) AS bucket
+  FROM documents
+)
+SELECT doc_id, b.source, bucket, thresh
+FROM b JOIN r ON b.source = r.source
+WHERE bucket < thresh"""
+
+
+@register("sample_temperature_mix", oracle=_TEMP_MIX_ORACLE)
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing (T = 2, i.e. alpha = 1/2 — the
+    multilingual-balance recipe): per-source acceptance rate
+    √(n_min/n_source), so the smallest source keeps everything and
+    large sources are downsampled toward equal representation rather
+    than proportional. Membership is the same deterministic MD5
+    bucket-vs-threshold test as `sample_weighted_mix`, but the
+    thresholds are DERIVED FROM THE DATA (source counts) instead of
+    fixed — rerunning after ingest shifts the mix automatically.
+
+    Determinism: n_min/n and sqrt are correctly-rounded IEEE doubles
+    from exact integer inputs, identical in both engines; floor(256·r)
+    converts to an integer threshold once per source.
+
+    Scale: one count-by-source aggregation (tiny), broadcast back onto
+    the corpus scan — the big table is touched once, no shuffle of doc
+    rows at all.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    m = n.agg(F.min("n_docs").alias("n_min"))
+    r = n.crossJoin(F.broadcast(m)).select(
+        "source",
+        F.floor(
+            256 * F.sqrt(F.col("n_min").cast("double") / F.col("n_docs"))
+        )
+        .cast("long")
+        .alias("thresh"),
+    )
+    hx = F.md5(F.col("doc_id").cast("string"))
+    digit = lambda i: (  # noqa: E731
+        F.instr(F.lit("0123456789abcdef"), F.substring(hx, i, 1)) - 1
+    ).cast("long")
+    bucket = digit(1) * 16 + digit(2)
+    return (
+        docs.select("doc_id", "source", bucket.alias("bucket"))
+        .join(F.broadcast(r), "source")
+        .filter(F.col("bucket") < F.col("thresh"))
+        .select("doc_id", "source", "bucket", "thresh")
+    )

@@ -23,6 +23,7 @@ ALLOWED_NESTED_LOOP = {
     "events_dau_wau_hll",  # 1-row sketch-bound crossJoin
     "similarity_bruteforce_topk",  # documented O(Q·N) recall baseline
     "similarity_ivf_topk",  # 1-row stride-parameter crossJoin
+    "sample_temperature_mix",  # 1-row min-source-count crossJoin
     "similarity_pq_topk",  # codebook broadcast (fixed 256-row) + query non-equi
     "topk_skyline",  # dominance over groupBy-aggregated points
 }
