@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.hashing import md5_bucket
 from ..registry import register
 from ..sources import load_table
 
@@ -611,11 +612,7 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         F.size(F.split("text", " ")) >= _DECON_K
     )
-    hx = F.md5(F.col("doc_id").cast("string"))
-    digit = lambda i: (  # noqa: E731
-        F.instr(F.lit("0123456789abcdef"), F.substring(hx, i, 1)) - 1
-    )
-    bucket = digit(1) * 16 + digit(2)
+    bucket = md5_bucket(F.col("doc_id"))
     shingle = F.explode(
         F.expr(
             f"transform(sequence(0, size(split(text, ' ')) - {_DECON_K}),"
@@ -932,11 +929,10 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("new_doc_id", "index_doc_id")
         .distinct()
     )
-    new_docs = (
-        docs.filter(is_new)
-        .filter(F.size(F.split("text", " ")) >= 3)
-        .select(F.col("doc_id").alias("new_doc_id"))
-    )
+    # every eligible new doc (>=3 words) has band rows by construction,
+    # so the universe of new docs comes from the signatures already in
+    # hand — no second read/tokenize of the text column.
+    new_docs = probe.select("new_doc_id").distinct()
     return (
         new_docs.join(hits, "new_doc_id", "left")
         .groupBy("new_doc_id")

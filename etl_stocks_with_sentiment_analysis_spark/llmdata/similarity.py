@@ -533,32 +533,37 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     pay an Arrow round-trip for arithmetic Catalyst does natively.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    v = (
-        "transform(embedding, e -> CAST(round(CAST(e AS DOUBLE) * 10000, 0) AS BIGINT))"
-    )
-    expr = f"""
-    named_struct(
-      'scale_int', greatest(CAST(1 AS BIGINT), array_max(transform({v}, x -> abs(x)))),
-      'v', {v}
-    )"""
-    q = emb.select("vec_id", F.expr(expr).alias("t")).select(
+    scaled = emb.select(
         "vec_id",
-        F.col("t.scale_int").alias("scale_int"),
         F.expr(
-            "transform(t.v, x -> CAST(sign(x) AS BIGINT)"
-            " * ((abs(x) * 127) div t.scale_int))"
-        ).alias("code"),
+            "transform(embedding,"
+            " e -> CAST(round(CAST(e AS DOUBLE) * 10000, 0) AS BIGINT))"
+        ).alias("v"),
     )
-    abscode = "transform(code, c -> abs(c))"
-    return q.select(
+    with_scale = scaled.select(
+        "vec_id",
+        "v",
+        F.expr(
+            "greatest(CAST(1 AS BIGINT), array_max(transform(v, x -> abs(x))))"
+        ).alias("scale_int"),
+    )
+    coded = with_scale.select(
+        "vec_id",
+        "scale_int",
+        F.expr(
+            "transform(v, x -> CAST(sign(x) AS BIGINT)"
+            " * ((abs(x) * 127) div scale_int))"
+        ).alias("code"),
+    ).select(
         "vec_id",
         "scale_int",
         F.expr("aggregate(code, CAST(0 AS BIGINT), (a, x) -> a + x)").alias(
             "code_sum"
         ),
         F.expr(
-            f"aggregate({abscode}, CAST(0 AS BIGINT), (a, x) -> a + x)"
+            "aggregate(transform(code, c -> abs(c)),"
+            " CAST(0 AS BIGINT), (a, x) -> a + x)"
         ).alias("code_l1"),
-        F.expr(f"array_max({abscode})").alias("code_max"),
-        (F.expr(f"array_max({abscode})") <= 127).alias("within_int8"),
+        F.expr("array_max(transform(code, c -> abs(c)))").alias("code_max"),
     )
+    return coded.withColumn("within_int8", F.col("code_max") <= 127)

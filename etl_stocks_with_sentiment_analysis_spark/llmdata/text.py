@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.hashing import md5_bucket
 from ..registry import register
 from ..sources import load_table
 
@@ -216,11 +217,7 @@ def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampling by `split = 'train'` pushes down to the scan.
     """
     docs = load_table(spark, sf_dir, "documents")
-    hx = F.md5(F.col("doc_id").cast("string"))
-    digit = lambda i: (  # noqa: E731
-        F.instr(F.lit("0123456789abcdef"), F.substring(hx, i, 1)) - 1
-    )
-    bucket = digit(1) * 16 + digit(2)
+    bucket = md5_bucket(F.col("doc_id"))
     return docs.select(
         "doc_id",
         "source",
@@ -545,11 +542,7 @@ def sample_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     reaches the scan.
     """
     docs = load_table(spark, sf_dir, "documents")
-    hx = F.md5(F.col("doc_id").cast("string"))
-    digit = lambda i: (  # noqa: E731
-        F.instr(F.lit("0123456789abcdef"), F.substring(hx, i, 1)) - 1
-    )
-    bucket = (digit(1) * 16 + digit(2)).cast("long")
+    bucket = md5_bucket(F.col("doc_id")).cast("long")
     suffix = F.regexp_extract("source", r"(\d+)$", 1).cast("int")
     rate_bucket = F.when(suffix % 2 == 0, 230).otherwise(77)
     return (
@@ -882,11 +875,7 @@ def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("thresh"),
     )
-    hx = F.md5(F.col("doc_id").cast("string"))
-    digit = lambda i: (  # noqa: E731
-        F.instr(F.lit("0123456789abcdef"), F.substring(hx, i, 1)) - 1
-    ).cast("long")
-    bucket = digit(1) * 16 + digit(2)
+    bucket = md5_bucket(F.col("doc_id")).cast("long")
     return (
         docs.select("doc_id", "source", bucket.alias("bucket"))
         .join(F.broadcast(r), "source")
