@@ -229,3 +229,64 @@ def test_streaming_interval_join_matches_batch(spark, sf_dir, tmp_path):
     batch = {tuple(r) for r in streaming_interval_join(spark, sf_dir).collect()}
     assert streamed == batch
     assert len(batch) > 0
+
+
+def test_streaming_checkpoint_resume_exactly_once(spark, tmp_path):
+    """Exactly-once across RESTARTS: two sequential AvailableNow runs
+    share one checkpoint; the second run's input replays event_ids the
+    first run already delivered. The state-store dedup must drop the
+    replays after resume, so the parquet sink holds each event once."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+    import datetime
+
+    src = tmp_path / "src"
+    src.mkdir()
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write(name, rows):
+        papq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                    "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                }
+            ),
+            str(src / name),
+        )
+
+    d = datetime.datetime
+    write("a.parquet", [(1, d(2024, 1, 1, 10), 7), (2, d(2024, 1, 1, 11), 8)])
+    write("b.parquet", [(3, d(2024, 1, 1, 12), 7)])
+
+    schema = spark.read.parquet(str(src)).schema
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .format("parquet")
+            .load(str(src))
+        )
+        q = (
+            stream.dropDuplicates(["event_id"])
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()  # first run: events 1,2,3 delivered
+    assert spark.read.parquet(sink).count() == 3
+    # new backlog arrives; file c REPLAYS event_ids 1 and 3
+    write("c.parquet", [(1, d(2024, 1, 1, 10), 7), (3, d(2024, 1, 1, 12), 7)])
+    write("d.parquet", [(4, d(2024, 1, 2, 9), 9)])
+    run_once()  # resumed from checkpoint — replays must be dropped
+    out = spark.read.parquet(sink)
+    assert out.count() == 4
+    assert sorted(r["event_id"] for r in out.collect()) == [1, 2, 3, 4]
