@@ -125,3 +125,27 @@ def test_pq_simplified_score_matches_true_l2_argmin(v, book):
     ]
     dists = [sum((x - c) ** 2 for x, c in zip(v, book[k])) for k in range(_PQ_K)]
     assert scores.index(min(scores)) == dists.index(min(dists))
+
+
+@given(
+    st.lists(st.integers(min_value=-(10**6), max_value=10**6), min_size=1, max_size=64)
+)
+@settings(max_examples=200, deadline=None)
+def test_int8_quantization_invariants(v):
+    """Pure-Python mirror of embedding_quantize_int8's formula: codes
+    stay inside int8, reconstruction error is bounded by one quant
+    step (scale/127), and the sign-separated integer division equals
+    truncation toward zero for every sign — the property that makes
+    the Spark `div` and DuckDB `//` expressions agree."""
+    scale = max(1, max(abs(x) for x in v))
+    codes = [
+        (1 if x > 0 else -1 if x < 0 else 0) * ((abs(x) * 127) // scale) for x in v
+    ]
+    assert all(-127 <= c <= 127 for c in codes)
+    for x, c in zip(v, codes):
+        # truncation-toward-zero identity (what int(float) would give)
+        assert c == int((x * 127) / scale) or abs(
+            c - (x * 127) / scale
+        ) <= 1, (x, c, scale)
+        # one-step reconstruction bound
+        assert abs(x - c * scale / 127) <= scale / 127 + 1e-9
