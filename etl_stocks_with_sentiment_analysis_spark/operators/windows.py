@@ -791,3 +791,41 @@ def window_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("volume_pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("volume_cume_dist"),
     )
+
+
+@register("window_ema_arrow", oracle=_EMA_ORACLE)
+def window_ema_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`window_ema`'s escape hatch for groups past the JVM fold's
+    _EMA_MAX_GROUP bound: the identical recursion (e·0.875 + c·0.125
+    over cents-quantized closes) as an Arrow-batched applyInPandas
+    grouped map. The Python loop is O(n) per group with NO quadratic
+    array copies, so unbounded per-key history is safe — the trade is
+    one Arrow round-trip per group batch.
+
+    Same oracle as `window_ema`: both twins use exact binary constants
+    and the identical IEEE op sequence, so JVM fold, pandas loop, and
+    DuckDB recursive CTE are bit-identical — switching paths can never
+    change results.
+    """
+    import pandas as pd
+
+    px = panel.prices(spark, sf_dir).select(
+        "ticker",
+        "date",
+        F.round(F.col("close") * 100, 0).cast("long").cast("double").alias("c"),
+    )
+
+    def ema_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("date").reset_index(drop=True)
+        out = []
+        e = None
+        for c in pdf["c"]:
+            e = c if e is None else e * 0.875 + c * 0.125
+            out.append(e / 100.0)
+        return pd.DataFrame(
+            {"ticker": pdf["ticker"], "date": pdf["date"], "ema": out}
+        )
+
+    return px.groupBy("ticker").applyInPandas(
+        ema_group, "ticker LONG, date DATE, ema DOUBLE"
+    )
