@@ -885,13 +885,13 @@ hits AS (
   WHERE n.doc_id % 10 = 0 AND x.doc_id % 10 != 0
   GROUP BY 1, 2
 )
-SELECT t.doc_id AS new_doc_id,
+SELECT d.doc_id AS new_doc_id,
        CAST(COUNT(h.index_doc_id) AS BIGINT) AS n_index_matches,
        MIN(h.index_doc_id) AS first_match_doc_id,
        COUNT(h.index_doc_id) = 0 AS keep
-FROM tok t LEFT JOIN hits h ON h.new_doc_id = t.doc_id
-WHERE t.doc_id % 10 = 0
-GROUP BY t.doc_id"""
+FROM documents d LEFT JOIN hits h ON h.new_doc_id = d.doc_id
+WHERE d.doc_id % 10 = 0
+GROUP BY d.doc_id"""
 
 
 @register("dedup_incremental_batch", oracle=_INCR_ORACLE)
@@ -929,10 +929,11 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("new_doc_id", "index_doc_id")
         .distinct()
     )
-    # every eligible new doc (>=3 words) has band rows by construction,
-    # so the universe of new docs comes from the signatures already in
-    # hand — no second read/tokenize of the text column.
-    new_docs = probe.select("new_doc_id").distinct()
+    # the universe is EVERY new-batch doc, including <3-word docs that
+    # produce no shingles and hence no band rows — those trivially
+    # collide with nothing and come back keep=true. The second scan
+    # reads only the pruned doc_id column, never re-tokenizing text.
+    new_docs = docs.filter(is_new).select(F.col("doc_id").alias("new_doc_id"))
     return (
         new_docs.join(hits, "new_doc_id", "left")
         .groupBy("new_doc_id")

@@ -97,11 +97,13 @@ WITH sc AS (
 par AS (
   SELECT GREATEST(1, COUNT(*) // GREATEST(4,
            CAST(POWER(2, (LENGTH(BIN(COUNT(*))) - 1) // 2) AS BIGINT)))
-         AS stride
+         AS stride,
+         MIN(vec_id) AS min_id
   FROM sc
 ),
 cents AS (
-  SELECT vec_id AS cent_id, v AS cv FROM sc, par WHERE vec_id % stride = 1
+  SELECT vec_id AS cent_id, v AS cv FROM sc, par
+  WHERE vec_id % stride = min_id % stride
 ),
 assign AS (
   SELECT vec_id, v, cent_id FROM (
@@ -134,8 +136,11 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     div 2) centroids (the standard IVF sizing rule — nlist ≈ √N keeps
     BOTH the assignment pass, O(N·nlist), and the probe pass,
     O(Q·N/nlist), at ~N^1.5 instead of N² as the corpus grows).
-    Centroids are every stride-th vec_id (stride = N div nlist), an
-    id-shift-robust deterministic pick; assignment is exact integer
+    Centroids are every stride-th vec_id (stride = N div nlist),
+    anchored at min(vec_id)'s residue so the codebook is provably
+    non-empty for ANY id space — dense, offset, or sparse — and a
+    global id shift never changes which rows are picked relative to
+    the minimum (stride==1 selects every row); assignment is exact integer
     L2², probes search only the query's own cluster for cosine top-3.
 
     The nlist formula is pure integer arithmetic over length(bin(n))
@@ -155,17 +160,18 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # job). Pure integer arithmetic — length(bin(n)) is bitlen(n) in
     # both engines, pow(2, k<=31) is exact.
     par = (
-        vecs.agg(F.count("*").alias("n"))
+        vecs.agg(F.count("*").alias("n"), F.min("vec_id").alias("min_id"))
         .select(
             F.expr(
                 "greatest(CAST(1 AS BIGINT), n div greatest(CAST(4 AS BIGINT),"
                 " CAST(pow(2, (length(bin(n)) - 1) div 2) AS BIGINT)))"
-            ).alias("stride")
+            ).alias("stride"),
+            "min_id",
         )
     )
     cents = (
         vecs.crossJoin(F.broadcast(par))
-        .filter(F.col("vec_id") % F.col("stride") == 1)
+        .filter(F.col("vec_id") % F.col("stride") == F.col("min_id") % F.col("stride"))
         .select(
             F.col("vec_id").alias("cent_id"),
             F.col("v").alias("cv"),

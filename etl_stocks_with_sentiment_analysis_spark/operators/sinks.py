@@ -553,8 +553,14 @@ def compact_small_files(
     n = df.count()
     n_files = max(1, -(-n // rows_per_file))
     df.repartition(n_files).write.mode("overwrite").parquet(out)
-    return sum(
-        1 for f in os.listdir(out) if f.startswith("part-") and f.endswith(".parquet")
+    # count written files THROUGH Spark, not os.listdir: src/out are
+    # Spark-readable URIs (hdfs://, s3a://), so the verification must
+    # go through the same filesystem abstraction as the write
+    return (
+        spark.read.parquet(out)
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .count()
     )
 
 

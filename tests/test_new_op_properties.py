@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+from fractions import Fraction
 
 from hypothesis import given, settings
 from hypothesis import strategies as st
@@ -143,9 +144,8 @@ def test_int8_quantization_invariants(v):
     ]
     assert all(-127 <= c <= 127 for c in codes)
     for x, c in zip(v, codes):
-        # truncation-toward-zero identity (what int(float) would give)
-        assert c == int((x * 127) / scale) or abs(
-            c - (x * 127) / scale
-        ) <= 1, (x, c, scale)
+        # exact truncation-toward-zero identity, in rational arithmetic
+        # so float rounding can't mask a flooring-vs-truncation bug
+        assert c == int(Fraction(x * 127, scale)), (x, c, scale)
         # one-step reconstruction bound
         assert abs(x - c * scale / 127) <= scale / 127 + 1e-9
