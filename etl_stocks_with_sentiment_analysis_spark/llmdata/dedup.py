@@ -20,6 +20,9 @@ Spark and DuckDB); minhash minima are lexicographic string minima.
 
 from __future__ import annotations
 
+import os
+import sys
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -444,13 +447,15 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate pairs — every near-dup cluster collapses to its minimum
     doc_id (the keep-one-copy decision of a corpus pipeline).
 
-    Iterative min-label propagation: each round every node takes the
-    min label of itself and its neighbors; converges in O(component
-    diameter) rounds (dup clusters are near-cliques, so 2-3). The
-    fixpoint test is an exact integer label-sum, monotonically
-    decreasing. At web scale the same loop with the large-star/
-    small-star transforms is the standard MapReduce CC algorithm.
-    Oracle: DuckDB recursive CTE reachability (exact, same fixpoint).
+    Frontier-delta min-label propagation with pointer jumping (path
+    halving): each round propagates only from nodes whose label just
+    changed, then shortcuts lbl <- lbl[lbl], so chains converge in
+    O(log diameter) rounds and settled near-clique dup clusters drop
+    out of the per-round shuffle entirely (see
+    `connected_components`). At web scale this is the standard
+    shared-nothing CC recipe (pointer jumping is the same idea the
+    large-star transform exploits). Oracle: DuckDB recursive CTE
+    reachability (exact, same fixpoint).
     """
     pairs = dedup_minhash_lsh(spark, sf_dir)
     edges = _symmetric_edges(pairs)
@@ -478,48 +483,90 @@ def connected_components(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
     """Min-label propagation to the FIXPOINT over a symmetric edge list
     `(a, b)`; returns `(doc_id, lbl)` with lbl = component minimum.
 
+    Two accelerations over naive whole-graph label propagation (the
+    r4→r5 fix for the stack's 64x curve):
+
+    - FRONTIER DELTA: round i propagates only FROM nodes whose label
+      changed in round i-1. Labels are monotonically decreasing, so a
+      node's neighborhood-min can improve only when some neighbor just
+      changed — propagating from unchanged nodes recomputes a min that
+      is already incorporated. Near-clique dup clusters settle in 1-2
+      rounds, after which their edges drop out of the join entirely:
+      per-round shuffle volume tracks the SHRINKING frontier, not |E|.
+    - POINTER JUMPING: after each propagate step, lbl <- min(lbl,
+      lbl[lbl]) (path halving). Chains/long paths converge in
+      O(log diameter) rounds instead of O(diameter); for a clique it
+      is a no-op join against an already-minimal parent.
+
     Iterative hygiene (the part that matters at scale):
-    - each round's labels frame replaces the previous one, which is
-      `unpersist()`ed immediately — pinned cache stays O(1) frames;
-    - every 3rd round uses `localCheckpoint(eager=True)` instead of
-      `cache()`, truncating the logical plan so lineage depth (and
-      replanning cost) stays bounded no matter the component diameter;
-    - convergence is an exact integer label-sum fixpoint (monotonically
-      decreasing), and NON-convergence within `max_rounds` raises
-      instead of silently returning wrong labels.
+    - each round materializes ONE frame (labels + old label) via eager
+      `localCheckpoint`; the previous round's is `unpersist()`ed —
+      pinned storage stays O(1) frames and, because a round's plan
+      references the prior frame three times (frontier probe,
+      propagate join, jump parents), per-round truncation keeps plan
+      depth O(1) where lazy lineage would grow 3^rounds;
+    - convergence is frontier-empty (an exact count on the already-
+      materialized frame), and NON-convergence within `max_rounds`
+      raises instead of silently returning wrong labels.
     """
     edges = edges.cache()
     labels = (
         edges.select(F.col("a").alias("doc_id"))
         .distinct()
         .withColumn("lbl", F.col("doc_id"))
+        .cache()
     )
-    prev_sum = None
+    frontier = labels  # round 0: every node is "just changed"
+    pinned = labels  # the one cached frame a round leaves behind
     converged = False
     for i in range(max_rounds):
         nbr_min = (
             edges.join(
-                labels.select(F.col("doc_id").alias("b_id"), "lbl"),
+                frontier.select(
+                    F.col("doc_id").alias("b_id"), F.col("lbl").alias("f_lbl")
+                ),
                 F.col("b") == F.col("b_id"),
             )
             .groupBy("a")
-            .agg(F.min("lbl").alias("nbr_lbl"))
+            .agg(F.min("f_lbl").alias("nbr_lbl"))
         )
-        new_labels = labels.join(nbr_min, labels.doc_id == nbr_min.a, "left").select(
+        prop = labels.join(nbr_min, labels.doc_id == nbr_min.a, "left").select(
             "doc_id",
+            F.col("lbl").alias("old"),
             F.least(F.col("lbl"), F.coalesce("nbr_lbl", "lbl")).alias("lbl"),
         )
-        if (i + 1) % 3 == 0:
-            new_labels = new_labels.localCheckpoint(eager=True)
-        else:
-            new_labels = new_labels.cache()
-        cur = new_labels.agg(F.sum("lbl")).first()[0]
-        labels.unpersist()
-        labels = new_labels
-        if cur == prev_sum:
+        # path-halving against the PREVIOUS round's materialized labels
+        # (not prop itself — a prop self-join would evaluate the
+        # propagate join twice per round). Monotonicity keeps this
+        # correct: the parent's last-round label is a valid (>= final)
+        # label of the same component, and at the fixpoint old == new
+        # so no progress is lost by jumping one round behind.
+        parent = labels.select(
+            F.col("doc_id").alias("p_id"), F.col("lbl").alias("p_lbl")
+        )
+        jumped = prop.join(parent, prop.lbl == parent.p_id, "left").select(
+            "doc_id",
+            "old",
+            F.least(F.col("lbl"), F.coalesce("p_lbl", "lbl")).alias("lbl"),
+        )
+        # checkpoint EVERY round: a round's plan references the prior
+        # frame three times (frontier probe, propagate join, jump
+        # parents), so an uncheckpointed lineage grows 3^rounds — with
+        # eager localCheckpoint the plan depth stays O(1) per round
+        cur = jumped.localCheckpoint(eager=True)
+        new_frontier = cur.filter(F.col("lbl") < F.col("old")).select(
+            "doc_id", "lbl"
+        )
+        n_changed = new_frontier.count()  # forces cur's materialization
+        if os.environ.get("SPARK_GRAFT_CC_DEBUG"):
+            print(f"cc round {i}: changed={n_changed}", file=sys.stderr)
+        pinned.unpersist()
+        pinned = cur
+        labels = cur.select("doc_id", "lbl")
+        frontier = new_frontier
+        if n_changed == 0:
             converged = True
             break
-        prev_sum = cur
     edges.unpersist()
     if not converged:
         raise RuntimeError(
