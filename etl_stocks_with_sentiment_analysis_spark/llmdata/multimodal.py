@@ -1,10 +1,12 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-The container has no image/audio codecs, so DECODE IS STUBBED (a
-deterministic fake behind `decode_stub`; the real implementation slot
-raises NotImplementedError) — but everything Spark-side is real and
-tested: binary column schema, metadata projection, Arrow batch shape
-through mapInPandas, and partition-friendly layout.
+The registered keys run a REAL codec end-to-end: binary PPM (P6)
+encode JVM-side, pure-Python decode / nearest-neighbor resize /
+re-encode inside Arrow-batched mapInPandas stages, each hash-verified
+by a DuckDB oracle that reproduces the exact bytes. The container
+ships no PIL/ffmpeg, so the JPEG/PNG production slots (`decode_image`,
+`resize_image`) stay import-gated, and the generic `decode_stub`
+remains only as the codec-agnostic fallback of `extract_features`.
 
 At 100 TB: payloads stay as parquet binary chunks co-located with
 metadata; feature extraction is an Arrow-batched mapInPandas stage so
@@ -195,6 +197,7 @@ def decode_ppm(payload: bytes) -> dict:
         "maxval": maxval,
         "n_pixel_bytes": n,
         "pixel_sum": sum(px),
+        "pixels": px,
     }
 
 
@@ -250,43 +253,88 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_ppm_payload(docs).mapInPandas(gen, schema)
 
 
-_RESIZE_CAP = 256
+_RESIZE_W = 4
+_RESIZE_H = 3
 
 
-def resize_stub(payload: bytes, cap: int = _RESIZE_CAP) -> bytes:
-    """Deterministic fake resize: truncate the blob to `cap` bytes.
-    Production slot: PIL `thumbnail((64, 64))` re-encode."""
-    return payload[:cap]
+def resize_ppm(payload: bytes, tw: int = _RESIZE_W, th: int = _RESIZE_H) -> bytes:
+    """REAL resize transform: decode the PPM (P6), nearest-neighbor
+    sample the pixel grid down to tw x th (out pixel (x, y) takes src
+    pixel (x*w div tw, y*h div th) — the standard NN mapping, exact
+    integer arithmetic), and re-encode as a valid PPM. Bytes in,
+    bytes out; works as up- or downsample."""
+    d = decode_ppm(payload)
+    w, h, px = d["width"], d["height"], d["pixels"]
+    out = bytearray()
+    for y in range(th):
+        sy = y * h // th
+        for x in range(tw):
+            sx = x * w // tw
+            o = (sy * w + sx) * 3
+            out += px[o : o + 3]
+    return b"P6\n%d %d\n255\n" % (tw, th) + bytes(out)
 
 
-@register(
-    "multimodal_resize",
-    oracle=f"""
-SELECT doc_id,
-       CAST(LEAST(OCTET_LENGTH(ENCODE(text)), {_RESIZE_CAP}) AS BIGINT) AS n_bytes_resized,
-       CAST(64 AS INT) AS width, CAST(64 AS INT) AS height
-FROM documents""",
+_RESIZE_ORACLE = f"""
+WITH p AS (
+  SELECT doc_id,
+         LENGTH(text) % 13 + 4 AS w,
+         LENGTH(text) % 7 + 3 AS h,
+         RPAD(SUBSTR(text, 1, (LENGTH(text) % 13 + 4) * (LENGTH(text) % 7 + 3) * 3),
+              CAST((LENGTH(text) % 13 + 4) * (LENGTH(text) % 7 + 3) * 3 AS INTEGER),
+              '.') AS px
+  FROM documents
+),
+r AS (
+  SELECT doc_id,
+         'P6' || CHR(10) || '{_RESIZE_W} {_RESIZE_H}' || CHR(10) || '255' || CHR(10) ||
+         ARRAY_TO_STRING(LIST_TRANSFORM(
+           GENERATE_SERIES(0, {_RESIZE_W * _RESIZE_H - 1}),
+           i -> SUBSTR(px,
+                (((i // {_RESIZE_W}) * h // {_RESIZE_H}) * w
+                  + ((i % {_RESIZE_W}) * w // {_RESIZE_W})) * 3 + 1, 3)), '') AS s
+  FROM p
 )
+SELECT doc_id,
+       CAST({_RESIZE_W} AS BIGINT) AS width,
+       CAST({_RESIZE_H} AS BIGINT) AS height,
+       CAST(LENGTH(s) AS BIGINT) AS n_bytes_resized,
+       MD5(s) AS resized_md5
+FROM r"""
+
+
+@register("multimodal_resize", oracle=_RESIZE_ORACLE)
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resize stage: binary→binary mapInPandas (Arrow round-trips the
-    blobs; nothing is collected). The oracle checks the STUB's actual
-    output length, so the Python stage itself is hash-verified."""
-    schema = "doc_id BIGINT, n_bytes_resized BIGINT, width INT, height INT"
+    """Resize stage, REAL end-to-end: each doc's genuine PPM image is
+    decoded, nearest-neighbor downsampled to {W}x{H}, and re-encoded
+    as a valid PPM — all inside an Arrow-batched mapInPandas stage
+    (binary in, binary out; nothing is collected). The DuckDB oracle
+    reproduces the EXACT resized payload bytes from the deterministic
+    encoding (ASCII docs ⇒ byte values = codepoints) and compares the
+    md5 of the re-encoded image, so the whole decode→sample→re-encode
+    path is hash-verified — no stub, no PIL gate."""
+    import hashlib
+
+    schema = (
+        "doc_id BIGINT, width BIGINT, height BIGINT,"
+        " n_bytes_resized BIGINT, resized_md5 STRING"
+    )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            resized = [resize_stub(bytes(p)) for p in pdf["payload"]]
+            resized = [resize_ppm(bytes(p)) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].values,
+                    "width": _RESIZE_W,
+                    "height": _RESIZE_H,
                     "n_bytes_resized": [len(r) for r in resized],
-                    "width": 64,
-                    "height": 64,
+                    "resized_md5": [hashlib.md5(r).hexdigest() for r in resized],
                 }
             )
 
     docs = load_table(spark, sf_dir, "documents")
-    return with_binary_payload(docs).mapInPandas(gen, schema)
+    return with_ppm_payload(docs).mapInPandas(gen, schema)
 
 
 _FRAME_BYTES = 32

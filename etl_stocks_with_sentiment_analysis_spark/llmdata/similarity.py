@@ -7,10 +7,12 @@ Two paths:
   keeps a per-query top-k (window row_number) — O(Q·N) but embarrass-
   ingly parallel and broadcast-joined, no shuffle of the big side.
 - IVF (inverted-file) top-k: the 100 TB scale path. Vectors are
-  assigned to their nearest centroid once (a narrow pass), queries
-  probe only their own cluster — the candidate set shrinks by the
-  number of partitions probed. Centroids here are fixed seed vectors
-  (deterministic); production would k-means them.
+  routed through a two-level codebook (coarse ~N^0.25 cells, fine
+  ~sqrt(N) cells nested under them) once, queries multi-probe their
+  top-2 fine cells — assignment is O(N^1.25) and the candidate set
+  per query shrinks to ~2N/nf. Centroids here are deterministic
+  stride-picked vectors; `similarity_kmeans_ivf` is the learned-
+  centroid production variant.
 
 Determinism: embeddings are quantized to 1e-4 (integer-valued doubles)
 so dot products / squared distances are exact integer sums in double —
@@ -94,34 +96,77 @@ WITH sc AS (
          LIST_TRANSFORM(embedding, e -> ROUND(CAST(e AS DOUBLE) * 10000, 0)) AS v
   FROM embeddings
 ),
+norms AS (SELECT vec_id, v, LIST_DOT_PRODUCT(v, v) AS nrm FROM sc),
 par AS (
-  SELECT GREATEST(1, COUNT(*) // GREATEST(4,
-           CAST(POWER(2, (LENGTH(BIN(COUNT(*))) - 1) // 2) AS BIGINT)))
-         AS stride,
-         MIN(vec_id) AS min_id
+  SELECT MIN(vec_id) AS min_id,
+         GREATEST(1, COUNT(*) // GREATEST(2,
+           CAST(POWER(2, (LENGTH(BIN(COUNT(*))) - 1) // 4) AS BIGINT))) AS cstride,
+         GREATEST(1, COUNT(*) // GREATEST(4,
+           CAST(POWER(2, (LENGTH(BIN(COUNT(*))) - 1) // 2) AS BIGINT))) AS fstride
   FROM sc
 ),
-cents AS (
-  SELECT vec_id AS cent_id, v AS cv FROM sc, par
-  WHERE vec_id % stride = min_id % stride
+ccents AS (
+  SELECT vec_id AS ccent_id, v AS ccv, nrm AS cnrm FROM norms, par
+  WHERE vec_id % cstride = min_id % cstride
 ),
-assign AS (
-  SELECT vec_id, v, cent_id FROM (
-    SELECT s.vec_id, s.v, c.cent_id,
-           ROW_NUMBER() OVER (
-             PARTITION BY s.vec_id
-             ORDER BY LIST_DOT_PRODUCT(s.v, s.v) - 2 * LIST_DOT_PRODUCT(s.v, c.cv)
-                      + LIST_DOT_PRODUCT(c.cv, c.cv), c.cent_id
-           ) AS rn
-    FROM sc s, cents c
+fcents AS (
+  SELECT vec_id AS fcent_id, v AS fcv, nrm AS fnrm FROM norms, par
+  WHERE vec_id % fstride = min_id % fstride
+),
+f2c AS (
+  SELECT fcent_id, fcv, fnrm, ccent_id FROM (
+    SELECT f.fcent_id, f.fcv, f.fnrm, c.ccent_id,
+           ROW_NUMBER() OVER (PARTITION BY f.fcent_id
+             ORDER BY f.fnrm - 2 * LIST_DOT_PRODUCT(f.fcv, c.ccv) + c.cnrm,
+                      c.ccent_id) AS rn
+    FROM fcents f, ccents c
   ) WHERE rn = 1
 ),
-q AS (SELECT vec_id AS q_id, v AS qv, cent_id AS q_cent FROM assign WHERE vec_id % 100 = 0),
+vc AS (
+  SELECT vec_id, v, nrm, ccent_id FROM (
+    SELECT n.vec_id, n.v, n.nrm, c.ccent_id,
+           ROW_NUMBER() OVER (PARTITION BY n.vec_id
+             ORDER BY n.nrm - 2 * LIST_DOT_PRODUCT(n.v, c.ccv) + c.cnrm,
+                      c.ccent_id) AS rn
+    FROM norms n, ccents c
+  ) WHERE rn = 1
+),
+ff AS (
+  SELECT vec_id, cell FROM (
+    SELECT vc.vec_id, f.fcent_id AS cell,
+           ROW_NUMBER() OVER (PARTITION BY vc.vec_id
+             ORDER BY vc.nrm - 2 * LIST_DOT_PRODUCT(vc.v, f.fcv) + f.fnrm,
+                      f.fcent_id) AS rn
+    FROM vc JOIN f2c f ON f.ccent_id = vc.ccent_id
+  ) WHERE rn = 1
+),
+vf AS (
+  SELECT vc.vec_id, vc.v, vc.nrm, COALESCE(ff.cell, -vc.ccent_id - 1) AS cell_id
+  FROM vc LEFT JOIN ff ON ff.vec_id = vc.vec_id
+),
+q AS (
+  SELECT vec_id AS q_id, v AS qv, nrm AS qn, ccent_id AS q_ccent
+  FROM vc WHERE vec_id % 100 = 0
+),
+qf AS (
+  SELECT q_id, qv, qn, fcent_id AS probe_cell FROM (
+    SELECT q.q_id, q.qv, q.qn, f.fcent_id,
+           ROW_NUMBER() OVER (PARTITION BY q.q_id
+             ORDER BY q.qn - 2 * LIST_DOT_PRODUCT(q.qv, f.fcv) + f.fnrm,
+                      f.fcent_id) AS rn
+    FROM q JOIN f2c f ON f.ccent_id = q.q_ccent
+  ) WHERE rn <= 2
+),
+qp AS (
+  SELECT * FROM qf
+  UNION ALL
+  SELECT q.q_id, q.qv, q.qn, -q.q_ccent - 1 AS probe_cell
+  FROM q WHERE NOT EXISTS (SELECT 1 FROM f2c f WHERE f.ccent_id = q.q_ccent)
+),
 pairs AS (
-  SELECT q.q_id, a.vec_id,
-         LIST_DOT_PRODUCT(q.qv, a.v)
-           / SQRT(LIST_DOT_PRODUCT(q.qv, q.qv) * LIST_DOT_PRODUCT(a.v, a.v)) AS cosine
-  FROM q JOIN assign a ON a.cent_id = q.q_cent AND a.vec_id <> q.q_id
+  SELECT qp.q_id, a.vec_id,
+         LIST_DOT_PRODUCT(qp.qv, a.v) / SQRT(qp.qn * a.nrm) AS cosine
+  FROM qp JOIN vf a ON a.cell_id = qp.probe_cell AND a.vec_id <> qp.q_id
 )
 SELECT q_id, vec_id, ROUND(cosine, 6) AS cosine FROM (
   SELECT q_id, vec_id, cosine,
@@ -132,78 +177,145 @@ SELECT q_id, vec_id, ROUND(cosine, 6) AS cosine FROM (
 
 @register("similarity_ivf_topk", oracle=_IVF_ORACLE)
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN with a √N-scaled codebook: nlist = 2^((bitlen(N)-1)
-    div 2) centroids (the standard IVF sizing rule — nlist ≈ √N keeps
-    BOTH the assignment pass, O(N·nlist), and the probe pass,
-    O(Q·N/nlist), at ~N^1.5 instead of N² as the corpus grows).
-    Centroids are every stride-th vec_id (stride = N div nlist),
-    anchored at min(vec_id)'s residue so the codebook is provably
-    non-empty for ANY id space — dense, offset, or sparse — and a
-    global id shift never changes which rows are picked relative to
-    the minimum (stride==1 selects every row); assignment is exact integer
-    L2², probes search only the query's own cluster for cosine top-3.
+    """Hierarchical (two-level) IVF ANN with top-2 multi-probe — the
+    r4->r5 curve-flattening rework. A flat IVF with the standard
+    nlist ~ sqrt(N) sizing pays O(N*sqrt(N)) in the assignment pass
+    alone; here assignment is split into a COARSE codebook of
+    nc = 2^((bitlen(N)-1) div 4) ~ N^0.25 centroids and a FINE
+    codebook of nf = 2^((bitlen(N)-1) div 2) ~ sqrt(N) centroids
+    nested under the coarse cells, so the per-vector work is
+    nc + nf/nc ~ 2*N^0.25: the whole assignment is O(N^1.25)
+    instead of O(N^1.5), and the probe stays O(Q * N/nf * probes).
 
-    The nlist formula is pure integer arithmetic over length(bin(n))
-    evaluated IN-PLAN from a 1-row count aggregate, so the key is
-    fully lazy and the DuckDB oracle derives the identical codebook
-    from the data alone — no floats, no seeds, no driver-side action.
+    Both codebooks are every stride-th vec_id anchored at
+    min(vec_id)'s residue (provably non-empty for any id space);
+    fine centroids are owned by their nearest coarse centroid.
+    Each vector resolves: nearest coarse cell, then nearest fine
+    centroid WITHIN that cell (vectors in a coarse cell that owns no
+    fine centroid fall back to a sentinel cell -ccent_id-1, so
+    assignment is total). Queries (vec_id % 100 = 0) MULTI-PROBE
+    their top-2 fine cells — the recall lever that compensates for
+    the cheaper, slightly lossier hierarchical routing (measured
+    recall vs `similarity_bruteforce_topk` is recorded in
+    ML_BASELINE.md).
 
-    Scale: assignment is a broadcast join against the √N-sized codebook
-    folded by a map-side-combined min(struct) aggregation (the shuffle
-    carries N rows, not N·nlist); the probe join is an equi-join on
-    cent_id with no forced broadcast, so AQE picks broadcast while the
-    query side fits and shuffles on cent_id beyond that.
+    All codebook parameters are integer arithmetic over length(bin(n))
+    evaluated IN-PLAN from a 1-row aggregate, so the key is fully lazy
+    and the DuckDB oracle derives the identical codebooks from the
+    data alone — no floats, no seeds, no driver-side action.
+
+    Scale: every codebook join is a broadcast against an at-most-
+    sqrt(N)-sized frame folded by map-side-combined min(struct)
+    aggregation (shuffles carry N rows, never N*nlist); the probe
+    join is an equi-join on cell_id with no forced broadcast, so AQE
+    picks broadcast while the query side fits and shuffles on cell_id
+    beyond that. Ties everywhere break on centroid id, keeping both
+    engines' assignments bit-identical.
     """
     vecs = _scaled_vectors(spark, sf_dir)
-    # stride/nlist derived IN-PLAN from a 1-row aggregate (no eager
-    # driver-side count: the key stays lazy and benchmarks time one
-    # job). Pure integer arithmetic — length(bin(n)) is bitlen(n) in
-    # both engines, pow(2, k<=31) is exact.
-    par = (
-        vecs.agg(F.count("*").alias("n"), F.min("vec_id").alias("min_id"))
-        .select(
-            F.expr(
-                "greatest(CAST(1 AS BIGINT), n div greatest(CAST(4 AS BIGINT),"
-                " CAST(pow(2, (length(bin(n)) - 1) div 2) AS BIGINT)))"
-            ).alias("stride"),
-            "min_id",
-        )
+    # codebook parameters derived IN-PLAN from a 1-row aggregate (no
+    # eager driver-side count). Pure integer arithmetic —
+    # length(bin(n)) is bitlen(n) in both engines, pow(2, k<=31) exact.
+    par = vecs.agg(F.count("*").alias("n"), F.min("vec_id").alias("min_id")).select(
+        F.expr(
+            "greatest(CAST(1 AS BIGINT), n div greatest(CAST(2 AS BIGINT),"
+            " CAST(pow(2, (length(bin(n)) - 1) div 4) AS BIGINT)))"
+        ).alias("cstride"),
+        F.expr(
+            "greatest(CAST(1 AS BIGINT), n div greatest(CAST(4 AS BIGINT),"
+            " CAST(pow(2, (length(bin(n)) - 1) div 2) AS BIGINT)))"
+        ).alias("fstride"),
+        "min_id",
     )
-    cents = (
-        vecs.crossJoin(F.broadcast(par))
-        .filter(F.col("vec_id") % F.col("stride") == F.col("min_id") % F.col("stride"))
-        .select(
-            F.col("vec_id").alias("cent_id"),
-            F.col("v").alias("cv"),
-            F.col("nrm").alias("cnrm"),
-        )
+    withpar = vecs.crossJoin(F.broadcast(par))
+    ccents = withpar.filter(
+        F.col("vec_id") % F.col("cstride") == F.col("min_id") % F.col("cstride")
+    ).select(
+        F.col("vec_id").alias("ccent_id"),
+        F.col("v").alias("ccv"),
+        F.col("nrm").alias("cnrm"),
     )
-    crossed = vecs.join(F.broadcast(cents))
-    dist = (
-        F.col("nrm")
-        - 2 * F.expr(_DOT.format(a="v", b="cv"))
-        + F.col("cnrm")
+    fcents = withpar.filter(
+        F.col("vec_id") % F.col("fstride") == F.col("min_id") % F.col("fstride")
+    ).select(
+        F.col("vec_id").alias("fcent_id"),
+        F.col("v").alias("fcv"),
+        F.col("nrm").alias("fnrm"),
     )
-    assign = (
-        crossed.groupBy("vec_id")
+    # fine -> coarse ownership (codebook x codebook, both tiny)
+    fc_dist = (
+        F.col("fnrm") - 2 * F.expr(_DOT.format(a="fcv", b="ccv")) + F.col("cnrm")
+    )
+    f2c = (
+        fcents.join(F.broadcast(ccents))
+        .groupBy("fcent_id")
         .agg(
-            F.min(F.struct(dist.alias("d"), F.col("cent_id").alias("cent_id"))).alias(
-                "m"
-            ),
+            F.min(
+                F.struct(fc_dist.alias("d"), F.col("ccent_id").alias("ccent_id"))
+            ).alias("m"),
+            F.first("fcv").alias("fcv"),
+            F.first("fnrm").alias("fnrm"),
+        )
+        .select("fcent_id", "fcv", "fnrm", F.col("m.ccent_id").alias("ccent_id"))
+    )
+    # vector -> coarse cell: O(N * nc), nc ~ N^0.25
+    vc_dist = F.col("nrm") - 2 * F.expr(_DOT.format(a="v", b="ccv")) + F.col("cnrm")
+    vc = (
+        vecs.join(F.broadcast(ccents))
+        .groupBy("vec_id")
+        .agg(
+            F.min(
+                F.struct(vc_dist.alias("d"), F.col("ccent_id").alias("ccent_id"))
+            ).alias("m"),
             F.first("v").alias("v"),
             F.first("nrm").alias("nrm"),
         )
-        .select("vec_id", "v", "nrm", F.col("m.cent_id").alias("cent_id"))
+        .select("vec_id", "v", "nrm", F.col("m.ccent_id").alias("ccent_id"))
     )
-    q = assign.filter(F.col("vec_id") % 100 == 0).select(
+    # vector -> fine cell within its coarse cell: O(N * nf/nc)
+    vf_dist = F.col("nrm") - 2 * F.expr(_DOT.format(a="v", b="fcv")) + F.col("fnrm")
+    ff = (
+        vc.join(F.broadcast(f2c), "ccent_id")
+        .groupBy("vec_id")
+        .agg(
+            F.min(
+                F.struct(vf_dist.alias("d"), F.col("fcent_id").alias("fcent_id"))
+            ).alias("m")
+        )
+        .select("vec_id", F.col("m.fcent_id").alias("cell"))
+    )
+    vf = vc.join(ff, "vec_id", "left").select(
+        "vec_id",
+        "v",
+        "nrm",
+        F.coalesce(F.col("cell"), -F.col("ccent_id") - 1).alias("cell_id"),
+    )
+    q = vc.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("q_id"),
         F.col("v").alias("qv"),
         F.col("nrm").alias("qn"),
-        F.col("cent_id").alias("q_cent"),
+        F.col("ccent_id").alias("q_ccent"),
     )
-    pairs = assign.join(
-        q,
-        (F.col("cent_id") == F.col("q_cent")) & (F.col("vec_id") != F.col("q_id")),
+    # top-2 fine cells per query (multi-probe); queries with a
+    # fine-less coarse cell probe the sentinel fallback cell instead
+    qf_dist = F.col("qn") - 2 * F.expr(_DOT.format(a="qv", b="fcv")) + F.col("fnrm")
+    wq = Window.partitionBy("q_id").orderBy("qd", "fcent_id")
+    qf = (
+        q.join(F.broadcast(f2c), F.col("q_ccent") == F.col("ccent_id"))
+        .select("q_id", "qv", "qn", "fcent_id", qf_dist.alias("qd"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= 2)
+        .select("q_id", "qv", "qn", F.col("fcent_id").alias("probe_cell"))
+    )
+    qfb = q.join(
+        F.broadcast(f2c.select("ccent_id").distinct()),
+        F.col("q_ccent") == F.col("ccent_id"),
+        "left_anti",
+    ).select("q_id", "qv", "qn", (-F.col("q_ccent") - 1).alias("probe_cell"))
+    qp = qf.unionByName(qfb)
+    pairs = vf.join(
+        qp,
+        (F.col("cell_id") == F.col("probe_cell")) & (F.col("vec_id") != F.col("q_id")),
     )
     cosine = F.expr(_DOT.format(a="qv", b="v")) / F.sqrt(F.col("qn") * F.col("nrm"))
     scored = pairs.select("q_id", "vec_id", cosine.alias("cosine"))
