@@ -90,6 +90,11 @@ def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WSUM = (
+    "aggregate(zip_with({a}, sequence(1, size({a})), (x, i) ->"
+    " x * CAST(i AS DOUBLE)), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+)
+
 _IVF_ORACLE = """
 WITH sc AS (
   SELECT vec_id,
@@ -97,21 +102,34 @@ WITH sc AS (
   FROM embeddings
 ),
 norms AS (SELECT vec_id, v, LIST_DOT_PRODUCT(v, v) AS nrm FROM sc),
+hked AS (
+  SELECT vec_id, v, nrm,
+         ((CAST(nrm AS BIGINT) * 31
+           + CAST(LIST_DOT_PRODUCT(v, LIST_TRANSFORM(
+               GENERATE_SERIES(1, LEN(v)), i -> CAST(i AS DOUBLE))) AS BIGINT))
+          % 2147483648 + 2147483648) % 2147483648
+         * 2654435761 % 4294967296 AS hk
+  FROM norms
+),
 par AS (
-  SELECT MIN(vec_id) AS min_id,
-         GREATEST(1, COUNT(*) // GREATEST(2,
-           CAST(POWER(2, (LENGTH(BIN(COUNT(*))) - 1) // 4) AS BIGINT))) AS cstride,
-         GREATEST(1, COUNT(*) // GREATEST(4,
-           CAST(POWER(2, (LENGTH(BIN(COUNT(*))) - 1) // 2) AS BIGINT))) AS fstride
-  FROM sc
+  SELECT MIN(hk) AS min_hk,
+         GREATEST(1, COUNT(DISTINCT hk) // GREATEST(2,
+           CAST(POWER(2, (LENGTH(BIN(COUNT(*))) - 1) // 4) AS BIGINT))) AS cdstride,
+         GREATEST(1, COUNT(DISTINCT hk) // GREATEST(4,
+           CAST(POWER(2, (LENGTH(BIN(COUNT(*))) - 1) // 2) AS BIGINT))) AS fdstride
+  FROM hked
 ),
-ccents AS (
-  SELECT vec_id AS ccent_id, v AS ccv, nrm AS cnrm FROM norms, par
-  WHERE vec_id % cstride = min_id % cstride
+ccand AS (
+  SELECT MIN(vec_id) AS ccent_id, ARG_MIN(v, vec_id) AS ccv,
+         ARG_MIN(nrm, vec_id) AS cnrm
+  FROM hked, par WHERE hk % cdstride = 0 OR hk = min_hk
+  GROUP BY hk
 ),
-fcents AS (
-  SELECT vec_id AS fcent_id, v AS fcv, nrm AS fnrm FROM norms, par
-  WHERE vec_id % fstride = min_id % fstride
+fcand AS (
+  SELECT MIN(vec_id) AS fcent_id, ARG_MIN(v, vec_id) AS fcv,
+         ARG_MIN(nrm, vec_id) AS fnrm
+  FROM hked, par WHERE hk % fdstride = 0 OR hk = min_hk
+  GROUP BY hk
 ),
 f2c AS (
   SELECT fcent_id, fcv, fnrm, ccent_id FROM (
@@ -119,49 +137,41 @@ f2c AS (
            ROW_NUMBER() OVER (PARTITION BY f.fcent_id
              ORDER BY f.fnrm - 2 * LIST_DOT_PRODUCT(f.fcv, c.ccv) + c.cnrm,
                       c.ccent_id) AS rn
-    FROM fcents f, ccents c
+    FROM fcand f, ccand c
   ) WHERE rn = 1
 ),
-vc AS (
+a1 AS (
   SELECT vec_id, v, nrm, ccent_id FROM (
     SELECT n.vec_id, n.v, n.nrm, c.ccent_id,
            ROW_NUMBER() OVER (PARTITION BY n.vec_id
              ORDER BY n.nrm - 2 * LIST_DOT_PRODUCT(n.v, c.ccv) + c.cnrm,
                       c.ccent_id) AS rn
-    FROM norms n, ccents c
-  ) WHERE rn = 1
-),
-ff AS (
-  SELECT vec_id, cell FROM (
-    SELECT vc.vec_id, f.fcent_id AS cell,
-           ROW_NUMBER() OVER (PARTITION BY vc.vec_id
-             ORDER BY vc.nrm - 2 * LIST_DOT_PRODUCT(vc.v, f.fcv) + f.fnrm,
-                      f.fcent_id) AS rn
-    FROM vc JOIN f2c f ON f.ccent_id = vc.ccent_id
+    FROM norms n, ccand c
   ) WHERE rn = 1
 ),
 vf AS (
-  SELECT vc.vec_id, vc.v, vc.nrm, COALESCE(ff.cell, -vc.ccent_id - 1) AS cell_id
-  FROM vc LEFT JOIN ff ON ff.vec_id = vc.vec_id
+  SELECT vec_id, v, nrm, ccent_id, cell_id FROM (
+    SELECT a.vec_id, a.v, a.nrm, a.ccent_id,
+           COALESCE(f.fcent_id, -a.ccent_id - 1) AS cell_id,
+           ROW_NUMBER() OVER (PARTITION BY a.vec_id
+             ORDER BY COALESCE(a.nrm - 2 * LIST_DOT_PRODUCT(a.v, f.fcv) + f.fnrm, 0),
+                      COALESCE(f.fcent_id, -a.ccent_id - 1)) AS rn
+    FROM a1 a LEFT JOIN f2c f ON f.ccent_id = a.ccent_id
+  ) WHERE rn = 1
 ),
 q AS (
   SELECT vec_id AS q_id, v AS qv, nrm AS qn, ccent_id AS q_ccent
-  FROM vc WHERE vec_id % 100 = 0
-),
-qf AS (
-  SELECT q_id, qv, qn, fcent_id AS probe_cell FROM (
-    SELECT q.q_id, q.qv, q.qn, f.fcent_id,
-           ROW_NUMBER() OVER (PARTITION BY q.q_id
-             ORDER BY q.qn - 2 * LIST_DOT_PRODUCT(q.qv, f.fcv) + f.fnrm,
-                      f.fcent_id) AS rn
-    FROM q JOIN f2c f ON f.ccent_id = q.q_ccent
-  ) WHERE rn <= 2
+  FROM vf WHERE vec_id % 100 = 0
 ),
 qp AS (
-  SELECT * FROM qf
-  UNION ALL
-  SELECT q.q_id, q.qv, q.qn, -q.q_ccent - 1 AS probe_cell
-  FROM q WHERE NOT EXISTS (SELECT 1 FROM f2c f WHERE f.ccent_id = q.q_ccent)
+  SELECT q_id, qv, qn, probe_cell FROM (
+    SELECT q.q_id, q.qv, q.qn,
+           COALESCE(f.fcent_id, -q.q_ccent - 1) AS probe_cell,
+           ROW_NUMBER() OVER (PARTITION BY q.q_id
+             ORDER BY COALESCE(q.qn - 2 * LIST_DOT_PRODUCT(q.qv, f.fcv) + f.fnrm, 0),
+                      COALESCE(f.fcent_id, -q.q_ccent - 1)) AS rn
+    FROM q LEFT JOIN f2c f ON f.ccent_id = q.q_ccent
+  ) WHERE rn <= 2
 ),
 pairs AS (
   SELECT qp.q_id, a.vec_id,
@@ -177,77 +187,93 @@ SELECT q_id, vec_id, ROUND(cosine, 6) AS cosine FROM (
 
 @register("similarity_ivf_topk", oracle=_IVF_ORACLE)
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hierarchical (two-level) IVF ANN with top-2 multi-probe — the
-    r4->r5 curve-flattening rework. A flat IVF with the standard
-    nlist ~ sqrt(N) sizing pays O(N*sqrt(N)) in the assignment pass
-    alone; here assignment is split into a COARSE codebook of
-    nc = 2^((bitlen(N)-1) div 4) ~ N^0.25 centroids and a FINE
-    codebook of nf = 2^((bitlen(N)-1) div 2) ~ sqrt(N) centroids
-    nested under the coarse cells, so the per-vector work is
-    nc + nf/nc ~ 2*N^0.25: the whole assignment is O(N^1.25)
-    instead of O(N^1.5), and the probe stays O(Q * N/nf * probes).
+    """Hierarchical (two-level) IVF ANN with CONTENT-KEYED codebooks
+    and top-2 multi-probe — the r4->r5 curve-flattening rework.
 
-    Both codebooks are every stride-th vec_id anchored at
-    min(vec_id)'s residue (provably non-empty for any id space);
-    fine centroids are owned by their nearest coarse centroid.
-    Each vector resolves: nearest coarse cell, then nearest fine
-    centroid WITHIN that cell (vectors in a coarse cell that owns no
-    fine centroid fall back to a sentinel cell -ccent_id-1, so
-    assignment is total). Queries (vec_id % 100 = 0) MULTI-PROBE
-    their top-2 fine cells — the recall lever that compensates for
-    the cheaper, slightly lossier hierarchical routing (measured
-    recall vs `similarity_bruteforce_topk` is recorded in
-    ML_BASELINE.md).
+    Why content-keyed: real corpora are duplicate-heavy, and any
+    codebook sampled BY ROW (id stride, uniform sample) collapses —
+    64 copies of one embedding yield 64 centroids at a single point,
+    so the effective cell count shrinks by the duplication factor and
+    probe candidate lists explode quadratically (measured: the 64x
+    replicated corpus drove the row-sampled variant to all-vectors-
+    in-four-cells). Here every vector gets a deterministic integer
+    content key (hk = knuth-hash of (nrm, position-weighted sum) —
+    exact BIGINT arithmetic, identical in both engines), codebook
+    candidates are chosen by hk residue, and each hk group is
+    COLLAPSED to one representative (min vec_id), so codebook size
+    tracks DISTINCT content, never raw row count.
 
-    All codebook parameters are integer arithmetic over length(bin(n))
-    evaluated IN-PLAN from a 1-row aggregate, so the key is fully lazy
-    and the DuckDB oracle derives the identical codebooks from the
-    data alone — no floats, no seeds, no driver-side action.
+    Why two-level: flat IVF with nlist ~ sqrt(N) pays O(N*sqrt(N)) in
+    assignment; routing through a coarse codebook of nc ~ N^0.25
+    cells then the nf ~ sqrt(N) fine centroids nested under the
+    chosen coarse cell is O(N * (nc + nf/nc)) ~ O(N^1.25). Vectors in
+    a coarse cell that owns no fine centroid fall back to a sentinel
+    cell (-ccent_id-1), so assignment is total; the min-hk candidate
+    is always selected, so both codebooks are provably non-empty for
+    any id or content distribution. Queries (vec_id % 100 = 0)
+    MULTI-PROBE their top-2 fine cells — the recall lever that
+    compensates for the cheaper hierarchical routing (measured recall
+    vs `similarity_bruteforce_topk` is recorded in ML_BASELINE.md).
 
-    Scale: every codebook join is a broadcast against an at-most-
-    sqrt(N)-sized frame folded by map-side-combined min(struct)
-    aggregation (shuffles carry N rows, never N*nlist); the probe
-    join is an equi-join on cell_id with no forced broadcast, so AQE
-    picks broadcast while the query side fits and shuffles on cell_id
-    beyond that. Ties everywhere break on centroid id, keeping both
-    engines' assignments bit-identical.
+    All parameters (strides, min-hk anchor) are integer arithmetic
+    evaluated IN-PLAN from a 1-row aggregate, so the key is fully
+    lazy and the DuckDB oracle derives the identical codebooks from
+    the data alone — no floats, no seeds, no driver-side action.
+
+    Scale: codebook joins broadcast at-most-sqrt(N)-sized frames and
+    fold with map-side-combined min(struct) aggregation (shuffles
+    carry N rows, never N*nlist); the probe join is an equi-join on
+    cell_id with no forced broadcast, so AQE picks broadcast while
+    the query side fits and shuffles on cell_id beyond that. Ties
+    everywhere break on centroid id, keeping both engines'
+    assignments bit-identical.
     """
     vecs = _scaled_vectors(spark, sf_dir)
-    # codebook parameters derived IN-PLAN from a 1-row aggregate (no
-    # eager driver-side count). Pure integer arithmetic —
-    # length(bin(n)) is bitlen(n) in both engines, pow(2, k<=31) exact.
-    par = vecs.agg(F.count("*").alias("n"), F.min("vec_id").alias("min_id")).select(
+    hk = F.expr(
+        "pmod(pmod(CAST(nrm AS BIGINT) * 31 + CAST(" + _WSUM.format(a="v")
+        + " AS BIGINT), 2147483648) * 2654435761, 4294967296)"
+    )
+    hked = vecs.withColumn("hk", hk)
+    par = hked.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("hk").alias("nd"),
+        F.min("hk").alias("min_hk"),
+    ).select(
         F.expr(
-            "greatest(CAST(1 AS BIGINT), n div greatest(CAST(2 AS BIGINT),"
+            "greatest(CAST(1 AS BIGINT), nd div greatest(CAST(2 AS BIGINT),"
             " CAST(pow(2, (length(bin(n)) - 1) div 4) AS BIGINT)))"
-        ).alias("cstride"),
+        ).alias("cdstride"),
         F.expr(
-            "greatest(CAST(1 AS BIGINT), n div greatest(CAST(4 AS BIGINT),"
+            "greatest(CAST(1 AS BIGINT), nd div greatest(CAST(4 AS BIGINT),"
             " CAST(pow(2, (length(bin(n)) - 1) div 2) AS BIGINT)))"
-        ).alias("fstride"),
-        "min_id",
+        ).alias("fdstride"),
+        "min_hk",
     )
-    withpar = vecs.crossJoin(F.broadcast(par))
-    ccents = withpar.filter(
-        F.col("vec_id") % F.col("cstride") == F.col("min_id") % F.col("cstride")
-    ).select(
-        F.col("vec_id").alias("ccent_id"),
-        F.col("v").alias("ccv"),
-        F.col("nrm").alias("cnrm"),
-    )
-    fcents = withpar.filter(
-        F.col("vec_id") % F.col("fstride") == F.col("min_id") % F.col("fstride")
-    ).select(
-        F.col("vec_id").alias("fcent_id"),
-        F.col("v").alias("fcv"),
-        F.col("nrm").alias("fnrm"),
-    )
+    withpar = hked.crossJoin(F.broadcast(par))
+
+    def _codebook(stride_col: str, id_alias: str, v_alias: str, n_alias: str):
+        return (
+            withpar.filter(
+                (F.col("hk") % F.col(stride_col) == 0)
+                | (F.col("hk") == F.col("min_hk"))
+            )
+            .groupBy("hk")
+            .agg(F.min(F.struct("vec_id", "v", "nrm")).alias("m"))
+            .select(
+                F.col("m.vec_id").alias(id_alias),
+                F.col("m.v").alias(v_alias),
+                F.col("m.nrm").alias(n_alias),
+            )
+        )
+
+    ccand = _codebook("cdstride", "ccent_id", "ccv", "cnrm")
+    fcand = _codebook("fdstride", "fcent_id", "fcv", "fnrm")
     # fine -> coarse ownership (codebook x codebook, both tiny)
     fc_dist = (
         F.col("fnrm") - 2 * F.expr(_DOT.format(a="fcv", b="ccv")) + F.col("cnrm")
     )
     f2c = (
-        fcents.join(F.broadcast(ccents))
+        fcand.join(F.broadcast(ccand))
         .groupBy("fcent_id")
         .agg(
             F.min(
@@ -260,8 +286,8 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # vector -> coarse cell: O(N * nc), nc ~ N^0.25
     vc_dist = F.col("nrm") - 2 * F.expr(_DOT.format(a="v", b="ccv")) + F.col("cnrm")
-    vc = (
-        vecs.join(F.broadcast(ccents))
+    a1 = (
+        vecs.join(F.broadcast(ccand))
         .groupBy("vec_id")
         .agg(
             F.min(
@@ -272,47 +298,50 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("vec_id", "v", "nrm", F.col("m.ccent_id").alias("ccent_id"))
     )
-    # vector -> fine cell within its coarse cell: O(N * nf/nc)
+    # vector -> fine cell within its coarse cell (ONE pass off a1: the
+    # left join keeps fine-less coarse cells as a single null row, so
+    # the coalesced sentinel wins only when there is nothing else)
     vf_dist = F.col("nrm") - 2 * F.expr(_DOT.format(a="v", b="fcv")) + F.col("fnrm")
-    ff = (
-        vc.join(F.broadcast(f2c), "ccent_id")
+    cell_struct = F.struct(
+        F.coalesce(vf_dist, F.lit(0.0)).alias("d"),
+        F.coalesce(F.col("fcent_id"), -F.col("ccent_id") - 1).alias("cell"),
+    )
+    vf = (
+        a1.join(F.broadcast(f2c), "ccent_id", "left")
         .groupBy("vec_id")
         .agg(
-            F.min(
-                F.struct(vf_dist.alias("d"), F.col("fcent_id").alias("fcent_id"))
-            ).alias("m")
+            F.min(cell_struct).alias("m"),
+            F.first("v").alias("v"),
+            F.first("nrm").alias("nrm"),
+            F.first("ccent_id").alias("ccent_id"),
         )
-        .select("vec_id", F.col("m.fcent_id").alias("cell"))
+        .select(
+            "vec_id", "v", "nrm", "ccent_id", F.col("m.cell").alias("cell_id")
+        )
     )
-    vf = vc.join(ff, "vec_id", "left").select(
-        "vec_id",
-        "v",
-        "nrm",
-        F.coalesce(F.col("cell"), -F.col("ccent_id") - 1).alias("cell_id"),
-    )
-    q = vc.filter(F.col("vec_id") % 100 == 0).select(
+    q = vf.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("q_id"),
         F.col("v").alias("qv"),
         F.col("nrm").alias("qn"),
         F.col("ccent_id").alias("q_ccent"),
     )
-    # top-2 fine cells per query (multi-probe); queries with a
-    # fine-less coarse cell probe the sentinel fallback cell instead
+    # top-2 fine cells per query (multi-probe), sentinel fallback when
+    # the query's coarse cell owns no fine centroid
     qf_dist = F.col("qn") - 2 * F.expr(_DOT.format(a="qv", b="fcv")) + F.col("fnrm")
-    wq = Window.partitionBy("q_id").orderBy("qd", "fcent_id")
-    qf = (
-        q.join(F.broadcast(f2c), F.col("q_ccent") == F.col("ccent_id"))
-        .select("q_id", "qv", "qn", "fcent_id", qf_dist.alias("qd"))
+    wq = Window.partitionBy("q_id").orderBy("qd", "pc")
+    qp = (
+        q.join(F.broadcast(f2c), F.col("q_ccent") == F.col("ccent_id"), "left")
+        .select(
+            "q_id",
+            "qv",
+            "qn",
+            F.coalesce(qf_dist, F.lit(0.0)).alias("qd"),
+            F.coalesce(F.col("fcent_id"), -F.col("q_ccent") - 1).alias("pc"),
+        )
         .withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= 2)
-        .select("q_id", "qv", "qn", F.col("fcent_id").alias("probe_cell"))
+        .select("q_id", "qv", "qn", F.col("pc").alias("probe_cell"))
     )
-    qfb = q.join(
-        F.broadcast(f2c.select("ccent_id").distinct()),
-        F.col("q_ccent") == F.col("ccent_id"),
-        "left_anti",
-    ).select("q_id", "qv", "qn", (-F.col("q_ccent") - 1).alias("probe_cell"))
-    qp = qf.unionByName(qfb)
     pairs = vf.join(
         qp,
         (F.col("cell_id") == F.col("probe_cell")) & (F.col("vec_id") != F.col("q_id")),

@@ -19,9 +19,11 @@ re-run safety).
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import tempfile
+import urllib.parse
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -71,12 +73,149 @@ def insert_ignore(
     delta.write.mode("append").parquet(target)
 
 
+_MANIFEST_PREFIX = "manifest-"
+
+
+def _latest_manifest(target: str) -> tuple[int | None, dict | None]:
+    """Resolve the newest committed manifest: (version, parsed dict),
+    or (None, None) for a table with no manifest commits yet."""
+    if not os.path.isdir(target):
+        return None, None
+    best = None
+    for e in os.listdir(target):
+        if e.startswith(_MANIFEST_PREFIX) and e.endswith(".json"):
+            try:
+                v = int(e[len(_MANIFEST_PREFIX) : -len(".json")])
+            except ValueError:
+                continue
+            best = v if best is None or v > best else best
+    if best is None:
+        return None, None
+    with open(os.path.join(target, f"{_MANIFEST_PREFIX}{best:012d}.json")) as f:
+        return best, json.load(f)
+
+
+def read_manifest_table(spark: SparkSession, target: str) -> DataFrame | None:
+    """Reader side of the manifest commit protocol: resolve the NEWEST
+    manifest, read exactly the data directories it references (each
+    partition entry may point into a different snapshot — untouched
+    partitions are carried forward by reference, never rewritten), and
+    restore the partition column from the directory key. Returns None
+    when no manifest has ever been committed.
+
+    Orphan snapshot directories from a writer that crashed between
+    data-write and manifest-write are invisible here by construction —
+    the manifest IS the commit point.
+    """
+    _, man = _latest_manifest(target)
+    if man is None:
+        return None
+    pcol, ptype = man["partition_col"], man.get("partition_type")
+    dfs = []
+    for key in sorted(man["partitions"]):
+        df = spark.read.parquet(os.path.join(target, man["partitions"][key]))
+        if pcol:
+            raw = urllib.parse.unquote(key.split("=", 1)[1])
+            df = df.withColumn(pcol, F.lit(raw).cast(ptype))
+        dfs.append(df)
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+def _write_manifest_atomic(target: str, version: int, manifest: dict) -> None:
+    """Publish a manifest with a single atomic filesystem operation.
+
+    On POSIX: write to a dot-temp name readers never match, fsync,
+    rename into place (atomic). On an S3-class store the analogous
+    writer is a single PUT of the final object name — also atomic at
+    object granularity — which is exactly why this protocol is the
+    object-store-safe alternative to directory renames.
+    """
+    final = os.path.join(target, f"{_MANIFEST_PREFIX}{version:012d}.json")
+    tmp = os.path.join(target, f".{_MANIFEST_PREFIX}tmp-{version:012d}")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, final)
+
+
+def _gc_unreferenced_snapshots(target: str, manifest: dict) -> None:
+    """Drop snapshot directories no longer referenced by the CURRENT
+    manifest (best-effort; a crash before GC just leaves garbage the
+    next commit sweeps). Manifest files themselves are kept — they are
+    tiny and give readers-in-flight a consistent (if stale) view."""
+    live = {rel.split("/", 1)[0] for rel in manifest["partitions"].values()}
+    for e in os.listdir(target):
+        if e.startswith("snap-") and e not in live:
+            shutil.rmtree(os.path.join(target, e), ignore_errors=True)
+
+
+def _upsert_manifest(
+    spark: SparkSession,
+    target: str,
+    incoming: DataFrame,
+    keys: list[str],
+    partition_col: str | None,
+) -> None:
+    """Manifest-commit upsert (see `upsert` for the semantics). Write
+    order is the whole protocol: (1) new snapshot data dir fully
+    written, (2) manifest published LAST as the single atomic commit
+    point, (3) best-effort GC of unreferenced snapshots. A crash at
+    any point leaves readers on the previous manifest with every file
+    it references intact."""
+    os.makedirs(target, exist_ok=True)
+    ver, man = _latest_manifest(target)
+    existing = read_manifest_table(spark, target) if man else None
+    new_ver = 0 if ver is None else ver + 1
+    snap_rel = f"snap-{new_ver:012d}"
+    snap = os.path.join(target, snap_rel)
+    shutil.rmtree(snap, ignore_errors=True)  # orphan of a crashed attempt
+    if existing is None:
+        merged = incoming
+    else:
+        if partition_col:
+            touched = incoming.select(partition_col).distinct()
+            scoped = existing.join(F.broadcast(touched), [partition_col], "left_semi")
+        else:
+            scoped = existing
+        kept = scoped.join(incoming.select(*keys), keys, "left_anti")
+        merged = incoming.unionByName(kept)
+    w = merged.write.mode("overwrite")
+    if partition_col:
+        w = w.partitionBy(partition_col)
+    w.parquet(snap)  # reads OLD snapshots, writes a NEW dir — no staging needed
+    if partition_col:
+        parts = {
+            e: f"{snap_rel}/{e}"
+            for e in sorted(os.listdir(snap))
+            if e.startswith(f"{partition_col}=")
+        }
+        pmap = dict(man["partitions"]) if man else {}
+        pmap.update(parts)  # untouched partitions carry forward by reference
+        ptype = dict(merged.dtypes)[partition_col]
+    else:
+        pmap = {"__ALL__": snap_rel}
+        ptype = None
+    manifest = {
+        "version": new_ver,
+        "partition_col": partition_col,
+        "partition_type": ptype,
+        "partitions": pmap,
+    }
+    _write_manifest_atomic(target, new_ver, manifest)
+    _gc_unreferenced_snapshots(target, manifest)
+
+
 def upsert(
     spark: SparkSession,
     target: str,
     incoming: DataFrame,
     keys: list[str],
     partition_col: str | None = None,
+    commit_mode: str = "rename",
 ) -> None:
     """S4 — upsert: incoming wins on key conflict, others kept.
 
@@ -102,9 +241,26 @@ def upsert(
     Without ``partition_col``: whole-table staged rewrite committed by
     the same atomic directory swap — acceptable only for small
     dimension tables.
+
+    ``commit_mode``: ``"rename"`` (default) is the directory-swap
+    protocol above — correct on POSIX/HDFS where rename is atomic.
+    ``"manifest"`` is the OBJECT-STORE-SAFE alternative (S3-class
+    stores have no atomic directory rename): data files are written to
+    a fresh immutable snapshot directory first, and a `manifest-N.json`
+    naming every live data directory is published LAST as the single
+    atomic commit point (one PUT); readers (`read_manifest_table`)
+    resolve the newest manifest, so a crash anywhere before the
+    manifest lands is invisible. Untouched partitions are carried
+    forward in the manifest BY REFERENCE — still O(touched partitions)
+    data written per commit.
     """
     if partition_col is not None and partition_col not in keys:
         raise ValueError(f"partition_col {partition_col!r} must be one of keys {keys}")
+    if commit_mode == "manifest":
+        _upsert_manifest(spark, target, incoming, keys, partition_col)
+        return
+    if commit_mode != "rename":
+        raise ValueError(f"unknown commit_mode {commit_mode!r}")
     # Unconditional: the unpartitioned crash state this must heal (killed
     # after `target` → `target__old` but before staging moved in) leaves
     # the live dir MISSING — gating recovery on _exists(target) would

@@ -321,3 +321,173 @@ def test_upsert_self_heals_interrupted_commit(spark, rows, tmp_path):
     assert (2, "2024-01-01", "c") in out
     assert (1, "2024-01-02", "NEW") in out  # merge applied after heal
     assert [d for d in os.listdir(target) if d.endswith("__old")] == []
+
+
+# --- manifest commit mode (object-store-safe protocol) ----------------
+
+
+def _mread(spark, target):
+    return {
+        (r["ticker"], str(r["date"]), r["val"])
+        for r in sinks.read_manifest_table(spark, target).collect()
+    }
+
+
+def test_manifest_upsert_overwrites_on_conflict_and_idempotent(
+    spark, rows, tmp_path
+):
+    target = str(tmp_path / "sink")
+    sinks.upsert(spark, target, rows, ["ticker", "date"], commit_mode="manifest")
+    clash = spark.createDataFrame(
+        [(1, "2024-01-01", "NEW"), (3, "2024-01-01", "d")],
+        "ticker INT, date STRING, val STRING",
+    )
+    sinks.upsert(spark, target, clash, ["ticker", "date"], commit_mode="manifest")
+    out = _mread(spark, target)
+    assert len(out) == 4
+    assert (1, "2024-01-01", "NEW") in out  # DO UPDATE: incoming wins
+    assert (2, "2024-01-01", "c") in out
+    # replay: same contents, no duplicate keys
+    sinks.upsert(spark, target, clash, ["ticker", "date"], commit_mode="manifest")
+    assert _mread(spark, target) == out
+
+
+def test_manifest_partitioned_carries_untouched_partitions_by_reference(
+    spark, rows, tmp_path
+):
+    """Untouched partitions must survive BYTE-IDENTICAL — the manifest
+    carries them forward by reference into the old snapshot, so their
+    files are never rewritten."""
+    import os
+
+    target = str(tmp_path / "sink")
+    sinks.upsert(
+        spark, target, rows, ["ticker", "date"],
+        partition_col="date", commit_mode="manifest",
+    )
+    _, man0 = sinks._latest_manifest(target)
+    before = _partition_bytes(target, man0["partitions"]["date=2024-01-02"])
+    assert before
+
+    clash = spark.createDataFrame(
+        [(1, "2024-01-01", "NEW"), (3, "2024-01-01", "d")],
+        "ticker INT, date STRING, val STRING",
+    )
+    sinks.upsert(
+        spark, target, clash, ["ticker", "date"],
+        partition_col="date", commit_mode="manifest",
+    )
+    _, man1 = sinks._latest_manifest(target)
+    # untouched partition: same referenced directory, same bytes
+    assert man1["partitions"]["date=2024-01-02"] == man0["partitions"]["date=2024-01-02"]
+    assert _partition_bytes(target, man1["partitions"]["date=2024-01-02"]) == before
+    # touched partition: repointed to the new snapshot
+    assert man1["partitions"]["date=2024-01-01"] != man0["partitions"]["date=2024-01-01"]
+    out = _mread(spark, target)
+    assert (1, "2024-01-01", "NEW") in out
+    assert (2, "2024-01-01", "c") in out
+    assert (1, "2024-01-02", "b") in out
+
+
+def test_manifest_crash_between_data_and_manifest_write(
+    spark, rows, tmp_path, monkeypatch
+):
+    """THE object-store crash state: snapshot data fully written, killed
+    before the manifest lands. Readers must keep seeing the old
+    contents (the orphan snapshot is invisible), and the next commit
+    must succeed and converge to the correct merged table."""
+    import os
+
+    target = str(tmp_path / "sink")
+    sinks.upsert(
+        spark, target, rows, ["ticker", "date"],
+        partition_col="date", commit_mode="manifest",
+    )
+    before = _mread(spark, target)
+
+    clash = spark.createDataFrame(
+        [(1, "2024-01-01", "NEW")], "ticker INT, date STRING, val STRING"
+    )
+
+    def boom(target_, version, manifest):
+        raise OSError("simulated crash before manifest publish")
+
+    real_publish = sinks._write_manifest_atomic
+    monkeypatch.setattr(sinks, "_write_manifest_atomic", boom)
+    with pytest.raises(OSError, match="simulated crash"):
+        sinks.upsert(
+            spark, target, clash, ["ticker", "date"],
+            partition_col="date", commit_mode="manifest",
+        )
+    monkeypatch.undo()
+
+    # reader still resolves the OLD manifest; orphan snapshot invisible
+    assert _mread(spark, target) == before
+    orphans = [e for e in os.listdir(target) if e.startswith("snap-")]
+    assert len(orphans) == 2  # snap-0 (live) + the orphan attempt
+
+    # retry converges; orphan data dir is reused/cleaned by version GC
+    sinks.upsert(
+        spark, target, clash, ["ticker", "date"],
+        partition_col="date", commit_mode="manifest",
+    )
+    out = _mread(spark, target)
+    assert (1, "2024-01-01", "NEW") in out
+    assert (2, "2024-01-01", "c") in out
+    assert (1, "2024-01-02", "b") in out
+
+
+def test_manifest_crash_mid_manifest_write_leaves_no_partial_commit(
+    spark, rows, tmp_path, monkeypatch
+):
+    """A kill DURING the manifest file write must never publish a
+    half-written manifest: the temp file is not a commit, readers stay
+    on the previous version."""
+    import os
+
+    target = str(tmp_path / "sink")
+    sinks.upsert(spark, target, rows, ["ticker", "date"], commit_mode="manifest")
+    before = _mread(spark, target)
+
+    real_rename = os.rename
+
+    def flaky(src, dst):
+        if os.path.basename(dst).startswith(sinks._MANIFEST_PREFIX):
+            raise OSError("simulated crash mid-manifest-publish")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(sinks.os, "rename", flaky)
+    clash = spark.createDataFrame(
+        [(1, "2024-01-01", "NEW")], "ticker INT, date STRING, val STRING"
+    )
+    with pytest.raises(OSError, match="simulated crash"):
+        sinks.upsert(spark, target, clash, ["ticker", "date"], commit_mode="manifest")
+    monkeypatch.undo()
+
+    assert _mread(spark, target) == before
+    # the aborted temp file is ignored by the reader's manifest pattern
+    sinks.upsert(spark, target, clash, ["ticker", "date"], commit_mode="manifest")
+    assert (1, "2024-01-01", "NEW") in _mread(spark, target)
+
+
+def test_manifest_gc_drops_fully_unreferenced_snapshots(spark, rows, tmp_path):
+    """After an unpartitioned rewrite, the previous snapshot is no
+    longer referenced by the newest manifest and must be GC'd."""
+    import os
+
+    target = str(tmp_path / "sink")
+    sinks.upsert(spark, target, rows, ["ticker", "date"], commit_mode="manifest")
+    sinks.upsert(spark, target, rows, ["ticker", "date"], commit_mode="manifest")
+    snaps = [e for e in os.listdir(target) if e.startswith("snap-")]
+    assert snaps == ["snap-000000000001"]
+    assert _mread(spark, target) == {
+        (1, "2024-01-01", "a"), (1, "2024-01-02", "b"), (2, "2024-01-01", "c"),
+    }
+
+
+def test_manifest_unknown_commit_mode_rejected(spark, rows, tmp_path):
+    with pytest.raises(ValueError, match="commit_mode"):
+        sinks.upsert(
+            spark, str(tmp_path / "s"), rows, ["ticker", "date"],
+            commit_mode="two-phase",
+        )
