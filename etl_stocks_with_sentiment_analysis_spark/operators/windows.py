@@ -409,58 +409,28 @@ SELECT ticker, date, ema / 100.0 AS ema FROM ema"""
 )
 
 
-# Hard bound on the JVM-fold group size: ~4x any plausible trading-day
+# Bound on the JVM-fold group size: ~4x any plausible trading-day
 # history (the fold is O(n^2) element copies per group — see docstring).
+# Groups past the bound are routed to the Arrow twin automatically.
 _EMA_MAX_GROUP = 10_000
 
 
-@register("window_ema", oracle=_EMA_ORACLE)
-def window_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exponential moving average, alpha = 1/8 (pandas `ewm(alpha=...)
-    .mean()` analog, `ml/feature_engineering.py` family). A true
-    RECURSIVE operator — EMA_t depends on EMA_{t-1}, which no SQL
-    window frame expresses. Rather than the applyInPandas escape hatch
-    (Arrow round-trip + Python workers in the hot path), the fold runs
-    entirely JVM-side: collect each ticker's bounded history into an
-    array, `aggregate()` (higher-order fold) builds the EMA series,
-    `posexplode` restores rows. Verified against a DuckDB
-    recursive-CTE oracle.
-
-    Determinism: inputs are quantized to cents first; the fold
-    `e*0.875 + c*0.125` uses exact binary constants and the identical
-    IEEE op sequence in both engines, so results are bit-identical.
-
-    Scale: one shuffle on ticker (high-cardinality panel key); each
-    group folds sequentially inside its JVM task with zero Python
-    serialization. Group size is bounded by the trading-day count
-    (~2.5k rows/ticker at any SF — ~40 KB of struct array), so the
-    collect_list never approaches task-memory limits; array append in
-    the fold is O(n²) element copies = ~3M doubles/ticker, noise next
-    to the shuffle. A loud in-plan guard (raise_error past
-    _EMA_MAX_GROUP rows/group) makes the bound explicit rather than a
-    silent degradation if the key ever stops being calendar-bounded.
-    """
-    px = panel.prices(spark, sf_dir).select(
+def _ema_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(ticker, date, c) panel with closes quantized to cents — the
+    shared input shape of both EMA execution paths."""
+    return panel.prices(spark, sf_dir).select(
         "ticker",
         "date",
         F.round(F.col("close") * 100, 0).cast("long").cast("double").alias("c"),
     )
+
+
+def _ema_fold_frame(px: DataFrame) -> DataFrame:
+    """JVM-side EMA fold over calendar-bounded groups (see
+    `window_ema`). Caller guarantees every group is within
+    _EMA_MAX_GROUP rows; the fold is O(n^2) element copies per group."""
     hist = px.groupBy("ticker").agg(
         F.array_sort(F.collect_list(F.struct("date", "c"))).alias("h")
-    )
-    # The fold below copies the accumulator array per element (O(n^2)
-    # element copies per group). That is noise for calendar-bounded
-    # histories but would silently degrade if the group key ever became
-    # high-cardinality-per-group, so fail loudly past the bound instead.
-    hist = hist.withColumn(
-        "h",
-        F.expr(
-            f"CASE WHEN size(h) <= {_EMA_MAX_GROUP} THEN h"
-            " ELSE raise_error(concat('window_ema: per-ticker history of ',"
-            " CAST(size(h) AS STRING),"
-            f" ' rows exceeds the O(n^2) fold bound {_EMA_MAX_GROUP};"
-            " switch to the applyInPandas EMA for this shape')) END"
-        ),
     )
     ema_arr = F.aggregate(
         F.col("h"),
@@ -483,6 +453,71 @@ def window_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("z.e") / F.lit(100.0)).alias("ema"),
         )
     )
+
+
+def _ema_arrow_frame(px: DataFrame) -> DataFrame:
+    """Arrow applyInPandas EMA — O(n) Python loop per group, safe for
+    unbounded per-key history (see `window_ema_arrow`)."""
+    import pandas as pd
+
+    def ema_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("date").reset_index(drop=True)
+        out = []
+        e = None
+        for c in pdf["c"]:
+            e = c if e is None else e * 0.875 + c * 0.125
+            out.append(e / 100.0)
+        return pd.DataFrame(
+            {"ticker": pdf["ticker"], "date": pdf["date"], "ema": out}
+        )
+
+    return px.groupBy("ticker").applyInPandas(
+        ema_group, "ticker LONG, date DATE, ema DOUBLE"
+    )
+
+
+def ema_panel(px: DataFrame, max_group: int = _EMA_MAX_GROUP) -> DataFrame:
+    """EMA over a (ticker, date, c) panel with AUTOMATIC path choice
+    per group: calendar-bounded groups (<= max_group rows) take the
+    zero-Python JVM fold; oversized groups degrade gracefully to the
+    O(n) Arrow twin instead of failing (r4's raise_error guard,
+    r5 task #5). Both paths run the identical IEEE op sequence, so
+    routing can never change results — they share one oracle."""
+    sizes = px.groupBy("ticker").agg(F.count("*").alias("n_rows"))
+    sized = px.join(sizes, "ticker")
+    small = sized.filter(F.col("n_rows") <= max_group).drop("n_rows")
+    large = sized.filter(F.col("n_rows") > max_group).drop("n_rows")
+    return _ema_fold_frame(small).unionByName(_ema_arrow_frame(large))
+
+
+@register("window_ema", oracle=_EMA_ORACLE)
+def window_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential moving average, alpha = 1/8 (pandas `ewm(alpha=...)
+    .mean()` analog, `ml/feature_engineering.py` family). A true
+    RECURSIVE operator — EMA_t depends on EMA_{t-1}, which no SQL
+    window frame expresses. Rather than defaulting to the
+    applyInPandas escape hatch (Arrow round-trip + Python workers in
+    the hot path), the fold runs entirely JVM-side: collect each
+    ticker's bounded history into an array, `aggregate()`
+    (higher-order fold) builds the EMA series, `posexplode` restores
+    rows. Verified against a DuckDB recursive-CTE oracle.
+
+    Determinism: inputs are quantized to cents first; the fold
+    `e*0.875 + c*0.125` uses exact binary constants and the identical
+    IEEE op sequence in both engines, so results are bit-identical.
+
+    Scale: one shuffle on ticker (high-cardinality panel key); each
+    group folds sequentially inside its JVM task with zero Python
+    serialization. Group size is bounded by the trading-day count
+    (~2.5k rows/ticker at any SF — ~40 KB of struct array), so the
+    collect_list never approaches task-memory limits; array append in
+    the fold is O(n²) element copies = ~3M doubles/ticker, noise next
+    to the shuffle. Groups past _EMA_MAX_GROUP (where the quadratic
+    copy cost would bite) are routed AUTOMATICALLY to the O(n) Arrow
+    twin by `ema_panel` — graceful degradation, not a failure; the
+    paths are bit-identical so the split is invisible in results.
+    """
+    return ema_panel(_ema_cents(spark, sf_dir))
 
 
 _DD_ORACLE = panel.sql_with(
@@ -795,37 +830,18 @@ def window_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("window_ema_arrow", oracle=_EMA_ORACLE)
 def window_ema_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`window_ema`'s escape hatch for groups past the JVM fold's
-    _EMA_MAX_GROUP bound: the identical recursion (e·0.875 + c·0.125
-    over cents-quantized closes) as an Arrow-batched applyInPandas
-    grouped map. The Python loop is O(n) per group with NO quadratic
-    array copies, so unbounded per-key history is safe — the trade is
-    one Arrow round-trip per group batch.
+    """`window_ema`'s escape hatch, also registered standalone so the
+    Arrow path is measured and oracle-checked in its own right: the
+    identical recursion (e·0.875 + c·0.125 over cents-quantized
+    closes) as an Arrow-batched applyInPandas grouped map. The Python
+    loop is O(n) per group with NO quadratic array copies, so
+    unbounded per-key history is safe — the trade is one Arrow
+    round-trip per group batch. `ema_panel` routes oversized groups
+    here automatically.
 
     Same oracle as `window_ema`: both twins use exact binary constants
     and the identical IEEE op sequence, so JVM fold, pandas loop, and
     DuckDB recursive CTE are bit-identical — switching paths can never
     change results.
     """
-    import pandas as pd
-
-    px = panel.prices(spark, sf_dir).select(
-        "ticker",
-        "date",
-        F.round(F.col("close") * 100, 0).cast("long").cast("double").alias("c"),
-    )
-
-    def ema_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("date").reset_index(drop=True)
-        out = []
-        e = None
-        for c in pdf["c"]:
-            e = c if e is None else e * 0.875 + c * 0.125
-            out.append(e / 100.0)
-        return pd.DataFrame(
-            {"ticker": pdf["ticker"], "date": pdf["date"], "ema": out}
-        )
-
-    return px.groupBy("ticker").applyInPandas(
-        ema_group, "ticker LONG, date DATE, ema DOUBLE"
-    )
+    return _ema_arrow_frame(_ema_cents(spark, sf_dir))

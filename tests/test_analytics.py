@@ -316,3 +316,33 @@ def test_hll_dau_wau_error_bound(spark, sf_dir):
         assert row["dau_exact"] == len(by_day[d])
         assert row["wau_exact"] == exact_wau
         assert row["dau_within"] == 1 and row["wau_within"] == 1, row
+
+
+def test_ema_panel_routes_oversized_group_through_arrow_path(spark):
+    """A synthetic group past _EMA_MAX_GROUP must flow through the
+    Arrow twin automatically (no raise), interleaved with a small
+    group on the JVM fold path, and both must produce the exact
+    recursion values."""
+    import datetime
+
+    from etl_stocks_with_sentiment_analysis_spark.operators.windows import (
+        ema_panel,
+    )
+
+    base = datetime.date(2000, 1, 1)
+    big = [(1, base + datetime.timedelta(days=i), 100.0) for i in range(10_050)]
+    small = [(2, base + datetime.timedelta(days=i), float(100 + i)) for i in range(3)]
+    px = spark.createDataFrame(big + small, "ticker LONG, date DATE, c DOUBLE")
+    out = ema_panel(px)
+    rows = {(r["ticker"], str(r["date"])): r["ema"] for r in out.collect()}
+    assert len(rows) == 10_053
+    # constant series: EMA stays exactly at the constant (both paths)
+    assert rows[(1, "2000-01-01")] == 1.0  # c=100 cents-domain/100
+    assert rows[(1, "2027-07-04")] == 1.0
+    # small group, exact recursion: e1=100, e2=100*0.875+101*0.125
+    assert rows[(2, "2000-01-01")] == 1.0
+    assert abs(rows[(2, "2000-01-02")] - (100 * 0.875 + 101 * 0.125) / 100) < 1e-12
+    # the oversized group really takes the Arrow stage: physical plan
+    # of the large-side branch contains FlatMapGroupsInPandas
+    assert "FlatMapGroupsInPandas" in out._jdf.queryExecution().executedPlan().toString() or \
+           "FlatMapGroupsInPandas" in out._jdf.queryExecution().toString()
