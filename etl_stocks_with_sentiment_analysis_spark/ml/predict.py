@@ -191,34 +191,52 @@ def ml_train_rf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _metrics_df(spark, result.metrics)
 
 
-_PROMOTE_ORACLE = """
-SELECT 'rf-v2.0' AS model_version,
-       '{"num_trees": 50}' AS params,
-       '{"accuracy": 0.6}' AS metrics,
-       CAST(2 AS BIGINT) AS n_runs"""
+_PROMOTE_ORACLE = panel.sql_with(
+    *panel.PANEL_CHG,
+    panel.PREDICTIONS_CTE,
+    body="""
+SELECT model_version,
+       '{"n_rows": ' || CAST(n AS VARCHAR) || '}' AS params,
+       '{"n_rows": ' || CAST(n AS VARCHAR) || '}' AS metrics,
+       (SELECT CAST(COUNT(DISTINCT model_version) AS BIGINT) FROM predictions)
+         AS n_runs
+FROM (
+  SELECT model_version, COUNT(*) AS n,
+         ROW_NUMBER() OVER (ORDER BY model_version DESC) AS rn
+  FROM predictions GROUP BY model_version
+) WHERE rn = 1""",
+)
 
 
 @register("ml_tracking_promote", oracle=_PROMOTE_ORACLE)
 def ml_tracking_promote(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M8 — registry round-trip as a query: log two runs into a fresh
-    run-log table, return the promoted (latest) run's deterministic
-    columns. Proves append-only history + latest-wins promotion
-    (`ml/mlflow_utils.py:32-241`). Every output column is deterministic
-    (canonical-JSON params/metrics), so the oracle is the expected
-    literal row."""
+    """M8 — registry round-trip as a DATA-DRIVEN query (r5: the run
+    set is no longer a hardcoded pair): one run is logged per distinct
+    `model_version` found in the predictions table, in version order,
+    with params/metrics derived from that version's row count. The
+    promoted (latest-logged = max-version) run comes back with the run
+    count, so the oracle — pure SQL over the same predictions CTE —
+    verifies append-only history, latest-wins promotion, AND the
+    canonical-JSON serialization against data the key never hardcodes
+    (`ml/mlflow_utils.py:32-241`). The driver-side collect is a
+    per-model-version aggregate (bounded by the model catalog size,
+    never row count)."""
+    preds = panel.predictions(spark, sf_dir)
+    versions = sorted(
+        (r["model_version"], r["n"])
+        for r in preds.groupBy("model_version").agg(F.count("*").alias("n")).collect()
+    )
     log_dir = os.path.join(sinks.scratch_dir("mlruns_"), "runs")
-    tracking.log_run(
-        spark, log_dir, "rf-v1.0", {"num_trees": 20}, {"accuracy": 0.5}, "a/v1"
-    )
-    tracking.log_run(
-        spark, log_dir, "rf-v2.0", {"num_trees": 50}, {"accuracy": 0.6}, "a/v2"
-    )
-    n = tracking.runs(spark, log_dir).count()
+    for mv, n in versions:
+        tracking.log_run(
+            spark, log_dir, mv, {"n_rows": n}, {"n_rows": n}, f"a/{mv}"
+        )
+    n_runs = tracking.runs(spark, log_dir).count()
     return tracking.promoted(spark, log_dir).select(
         "model_version",
         "params",
         "metrics",
-        F.lit(n).cast("long").alias("n_runs"),
+        F.lit(n_runs).cast("long").alias("n_runs"),
     )
 
 
