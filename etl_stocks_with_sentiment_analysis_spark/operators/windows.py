@@ -483,8 +483,12 @@ def ema_panel(px: DataFrame, max_group: int = _EMA_MAX_GROUP) -> DataFrame:
     O(n) Arrow twin instead of failing (r4's raise_error guard,
     r5 task #5). Both paths run the identical IEEE op sequence, so
     routing can never change results — they share one oracle."""
-    sizes = px.groupBy("ticker").agg(F.count("*").alias("n_rows"))
-    sized = px.join(sizes, "ticker")
+    # group-size via a count window, not an agg+join: the window's
+    # hash partitioning on ticker is exactly what the downstream
+    # groupBy/applyInPandas need, so each branch costs ONE exchange
+    sized = px.withColumn(
+        "n_rows", F.count("*").over(Window.partitionBy("ticker"))
+    )
     small = sized.filter(F.col("n_rows") <= max_group).drop("n_rows")
     large = sized.filter(F.col("n_rows") > max_group).drop("n_rows")
     return _ema_fold_frame(small).unionByName(_ema_arrow_frame(large))
