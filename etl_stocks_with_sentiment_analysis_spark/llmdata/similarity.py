@@ -11,8 +11,10 @@ Two paths:
   ~sqrt(N) cells nested under them) once, queries multi-probe their
   top-2 fine cells — assignment is O(N^1.25) and the candidate set
   per query shrinks to ~2N/nf. Centroids here are deterministic
-  stride-picked vectors; `similarity_kmeans_ivf` is the learned-
-  centroid production variant.
+  content-hash-picked representatives (duplicate contents collapse to
+  one centroid, so duplicate-heavy corpora keep full cell
+  resolution); `similarity_kmeans_ivf` is the learned-centroid
+  production variant.
 
 Determinism: embeddings are quantized to 1e-4 (integer-valued doubles)
 so dot products / squared distances are exact integer sums in double —
@@ -366,10 +368,11 @@ FROM embeddings WHERE vec_id % 100 = 0"""
 @register("similarity_kmeans_ivf", oracle=_KMEANS_IVF_ORACLE)
 def similarity_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with LEARNED centroids: MLlib KMeans (k=8, seed 42) replaces
-    similarity_ivf_topk's fixed seed vectors — the production path
-    (centroids fit the data distribution, so cluster sizes balance and
-    recall rises at the same probe budget). The fixed-centroid variant
-    above carries the exact oracle for the probe plumbing.
+    similarity_ivf_topk's deterministic content-hash codebook — the
+    other production option (centroids fit the data distribution, so
+    cluster sizes balance and recall rises at the same probe budget,
+    at the cost of an iterative fit). The deterministic variant above
+    carries the exact oracle for the probe plumbing.
 
     Self-verifying: learned cluster assignments aren't
     SQL-reproducible, so the key emits one row per query id (the

@@ -37,6 +37,8 @@ _EAGER_KEYS = {
     "similarity_kmeans_ivf",
     "dedup_connected_components",
     "pipeline_dedup_stack",
+    "dedup_index_build",  # materializes the LSH index parquet
+    "dedup_index_probe",  # ditto (probe side itself is lazy)
 }
 
 
