@@ -60,8 +60,11 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 _N_SEEDS = 8
 _BAND_ROWS = 2  # 4 bands × 2 rows
 
-_MINHASH_ORACLE = f"""
-WITH tok AS (
+# The LSH band-signature CTE chain shared VERBATIM by every oracle that
+# reasons over band signatures (pairs, estimate, stack, incremental,
+# index build) — one definition, so a change to shingling or band
+# layout can never desynchronize one oracle from the others.
+_BANDS_CTE = f"""tok AS (
   SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents
   WHERE LEN(STRING_SPLIT(text, ' ')) >= 3
 ),
@@ -81,7 +84,10 @@ mh AS (
 bands AS (
   SELECT doc_id, s // {_BAND_ROWS} AS band, STRING_AGG(h, ',' ORDER BY s) AS sig
   FROM mh GROUP BY doc_id, s // {_BAND_ROWS}
-)
+)"""
+
+_MINHASH_ORACLE = f"""
+WITH {_BANDS_CTE}
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id"""
 
@@ -735,27 +741,7 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MH_EST_ORACLE = f"""
-WITH tok AS (
-  SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents
-  WHERE LEN(STRING_SPLIT(text, ' ')) >= 3
-),
-shingle AS (
-  SELECT DISTINCT doc_id, sh FROM (
-    SELECT doc_id,
-           UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(ws) - 2),
-                  i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])) AS sh
-    FROM tok
-  )
-),
-mh AS (
-  SELECT doc_id, s, MIN(MD5(CAST(s AS VARCHAR) || '|' || sh)) AS h
-  FROM shingle, GENERATE_SERIES(0, {_N_SEEDS - 1}) AS g(s)
-  GROUP BY doc_id, s
-),
-bands AS (
-  SELECT doc_id, s // {_BAND_ROWS} AS band, STRING_AGG(h, ',' ORDER BY s) AS sig
-  FROM mh GROUP BY doc_id, s // {_BAND_ROWS}
-),
+WITH {_BANDS_CTE},
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
@@ -816,27 +802,7 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STACK_MIN_AGREE = 6  # est_jaccard >= 6/8 = 0.75
 
 _STACK_ORACLE = f"""
-WITH RECURSIVE tok AS (
-  SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents
-  WHERE LEN(STRING_SPLIT(text, ' ')) >= 3
-),
-shingle AS (
-  SELECT DISTINCT doc_id, sh FROM (
-    SELECT doc_id,
-           UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(ws) - 2),
-                  i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])) AS sh
-    FROM tok
-  )
-),
-mh AS (
-  SELECT doc_id, s, MIN(MD5(CAST(s AS VARCHAR) || '|' || sh)) AS h
-  FROM shingle, GENERATE_SERIES(0, {_N_SEEDS - 1}) AS g(s)
-  GROUP BY doc_id, s
-),
-bands AS (
-  SELECT doc_id, s // {_BAND_ROWS} AS band, STRING_AGG(h, ',' ORDER BY s) AS sig
-  FROM mh GROUP BY doc_id, s // {_BAND_ROWS}
-),
+WITH RECURSIVE {_BANDS_CTE},
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
@@ -905,27 +871,7 @@ def pipeline_dedup_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _INCR_ORACLE = f"""
-WITH tok AS (
-  SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents
-  WHERE LEN(STRING_SPLIT(text, ' ')) >= 3
-),
-shingle AS (
-  SELECT DISTINCT doc_id, sh FROM (
-    SELECT doc_id,
-           UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(ws) - 2),
-                  i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])) AS sh
-    FROM tok
-  )
-),
-mh AS (
-  SELECT doc_id, s, MIN(MD5(CAST(s AS VARCHAR) || '|' || sh)) AS h
-  FROM shingle, GENERATE_SERIES(0, {_N_SEEDS - 1}) AS g(s)
-  GROUP BY doc_id, s
-),
-bands AS (
-  SELECT doc_id, s // {_BAND_ROWS} AS band, STRING_AGG(h, ',' ORDER BY s) AS sig
-  FROM mh GROUP BY doc_id, s // {_BAND_ROWS}
-),
+WITH {_BANDS_CTE},
 hits AS (
   SELECT n.doc_id AS new_doc_id, x.doc_id AS index_doc_id
   FROM bands n JOIN bands x ON n.band = x.band AND n.sig = x.sig
@@ -996,28 +942,6 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Materialized LSH index (the persisted artifact behind incremental dedup)
 # ---------------------------------------------------------------------------
 
-_BANDS_CTE = f"""tok AS (
-  SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents
-  WHERE LEN(STRING_SPLIT(text, ' ')) >= 3
-),
-shingle AS (
-  SELECT DISTINCT doc_id, sh FROM (
-    SELECT doc_id,
-           UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(ws) - 2),
-                  i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])) AS sh
-    FROM tok
-  )
-),
-mh AS (
-  SELECT doc_id, s, MIN(MD5(CAST(s AS VARCHAR) || '|' || sh)) AS h
-  FROM shingle, GENERATE_SERIES(0, {_N_SEEDS - 1}) AS g(s)
-  GROUP BY doc_id, s
-),
-bands AS (
-  SELECT doc_id, s // {_BAND_ROWS} AS band, STRING_AGG(h, ',' ORDER BY s) AS sig
-  FROM mh GROUP BY doc_id, s // {_BAND_ROWS}
-)"""
-
 _INDEX_BUILD_ORACLE = f"""
 WITH {_BANDS_CTE}
 SELECT band,
@@ -1028,22 +952,60 @@ FROM bands WHERE doc_id % 10 != 0
 GROUP BY band"""
 
 
-def _lsh_index_dir(spark: SparkSession, sf_dir: str) -> str:
+def _lsh_index_dir(
+    spark: SparkSession, sf_dir: str, prefix: str = "lshidx_"
+) -> str:
     """Materialize the corpus LSH index: band signatures of the INDEX
     split (doc_id % 10 != 0) written as parquet partitioned by band —
     the append-only artifact a production incremental pipeline keeps
     between daily runs so corpus text is computed over ONCE, not per
     batch. Partitioning by band means a probe of any single band is a
-    pruned scan. Returns the index directory."""
+    pruned scan. Each caller passes its OWN scratch prefix —
+    scratch_dir keeps one live dir per prefix, so two keys sharing a
+    prefix would delete each other's not-yet-consumed artifact.
+    Returns the index directory."""
     from ..operators.sinks import scratch_dir
 
     docs = load_table(spark, sf_dir, "documents")
     bands = _band_signatures(_minhash_signatures(docs)).filter(
         F.col("doc_id") % 10 != 0
     )
-    idx = os.path.join(scratch_dir("lshidx_"), "bands")
+    idx = os.path.join(scratch_dir(prefix), "bands")
     bands.write.mode("overwrite").partitionBy("band").parquet(idx)
     return idx
+
+
+def probe_lsh_index(
+    spark: SparkSession, idx_dir: str, batch_docs: DataFrame
+) -> DataFrame:
+    """THE production daily-run entry point: signatures are computed
+    only for `batch_docs` and probed against an EXISTING materialized
+    index directory — corpus text is never touched, so per-day work is
+    O(batch) regardless of corpus size. The probe joins batch-sized
+    signatures against the band-partitioned index on the full
+    (band, sig) bucket key. Every batch doc comes back with a keep
+    decision (docs too short to shingle trivially keep)."""
+    probe = _band_signatures(_minhash_signatures(batch_docs)).select(
+        F.col("doc_id").alias("new_doc_id"), "band", "sig"
+    )
+    index = spark.read.parquet(idx_dir).select(
+        F.col("doc_id").alias("index_doc_id"), "band", "sig"
+    )
+    hits = (
+        probe.join(index, ["band", "sig"])
+        .select("new_doc_id", "index_doc_id")
+        .distinct()
+    )
+    universe = batch_docs.select(F.col("doc_id").alias("new_doc_id"))
+    return (
+        universe.join(hits, "new_doc_id", "left")
+        .groupBy("new_doc_id")
+        .agg(
+            F.count("index_doc_id").alias("n_index_matches"),
+            F.min("index_doc_id").alias("first_match_doc_id"),
+            (F.count("index_doc_id") == 0).alias("keep"),
+        )
+    )
 
 
 @register("dedup_index_build", oracle=_INDEX_BUILD_ORACLE)
@@ -1054,7 +1016,7 @@ def dedup_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     WRITTEN PARQUET so the oracle checks the on-disk artifact, not the
     in-memory lineage. One pass over the corpus text; the index is
     signatures only (metadata-sized relative to the corpus)."""
-    idx = _lsh_index_dir(spark, sf_dir)
+    idx = _lsh_index_dir(spark, sf_dir, prefix="lshidxb_")
     return (
         spark.read.parquet(idx)
         .groupBy("band")
@@ -1069,37 +1031,16 @@ def dedup_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("dedup_index_probe", oracle=_INCR_ORACLE)
 def dedup_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The production daily run: signatures are computed ONLY for the
-    new batch (doc_id % 10 == 0) and probed against the MATERIALIZED
-    index parquet — corpus text is never re-read. Shares
+    """Registered VERIFICATION wrapper for `probe_lsh_index`: because
+    the testdata ships no pre-built index artifact, this key builds one
+    in-session first (so its wall time includes the build — the
+    O(batch)-per-day scale claim belongs to `probe_lsh_index` against
+    a pre-existing index, not to this wrapper), then probes the new
+    batch (doc_id % 10 == 0) against the parquet. Shares
     `dedup_incremental_batch`'s oracle verbatim: materialize-then-probe
-    must be indistinguishable from the single-pass computation, which
-    is exactly the invariant that makes the index artifact safe to
-    keep between runs. Scale: the probe joins batch-sized signatures
-    against the band-partitioned index on the full (band, sig) bucket
-    key — O(batch) new work per day regardless of corpus size."""
-    idx = _lsh_index_dir(spark, sf_dir)
+    must be indistinguishable from the single-pass computation — the
+    invariant that makes the index artifact safe to keep between runs
+    (also asserted frame-equal in tests/test_round5_ops.py)."""
+    idx = _lsh_index_dir(spark, sf_dir, prefix="lshidxp_")
     docs = load_table(spark, sf_dir, "documents")
-    is_new = F.col("doc_id") % 10 == 0
-    probe = (
-        _band_signatures(_minhash_signatures(docs.filter(is_new)))
-        .select(F.col("doc_id").alias("new_doc_id"), "band", "sig")
-    )
-    index = spark.read.parquet(idx).select(
-        F.col("doc_id").alias("index_doc_id"), "band", "sig"
-    )
-    hits = (
-        probe.join(index, ["band", "sig"])
-        .select("new_doc_id", "index_doc_id")
-        .distinct()
-    )
-    new_docs = docs.filter(is_new).select(F.col("doc_id").alias("new_doc_id"))
-    return (
-        new_docs.join(hits, "new_doc_id", "left")
-        .groupBy("new_doc_id")
-        .agg(
-            F.count("index_doc_id").alias("n_index_matches"),
-            F.min("index_doc_id").alias("first_match_doc_id"),
-            (F.count("index_doc_id") == 0).alias("keep"),
-        )
-    )
+    return probe_lsh_index(spark, idx, docs.filter(F.col("doc_id") % 10 == 0))

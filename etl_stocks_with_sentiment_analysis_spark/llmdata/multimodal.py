@@ -88,7 +88,7 @@ def decode_image(payload: bytes) -> dict:
 def resize_image(payload: bytes, size: tuple[int, int] = (64, 64)) -> bytes:
     """Real PIL resize (only callable when HAS_PIL): decode →
     thumbnail(size) → re-encode PNG. Same bytes-in/bytes-out signature
-    as `resize_stub`."""
+    as `resize_ppm`, the codec-free twin the registered key runs."""
     if not HAS_PIL:
         raise NotImplementedError("PIL not available in this environment")
     import io

@@ -74,25 +74,66 @@ def insert_ignore(
 
 
 _MANIFEST_PREFIX = "manifest-"
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
 
 def _latest_manifest(target: str) -> tuple[int | None, dict | None]:
     """Resolve the newest committed manifest: (version, parsed dict),
-    or (None, None) for a table with no manifest commits yet."""
+    or (None, None) for a table with no manifest commits yet. The file
+    is reopened by its MATCHED name (not a reformatted version number),
+    so non-zero-padded names written by other tools still resolve."""
     if not os.path.isdir(target):
         return None, None
-    best = None
+    best, best_name = None, None
     for e in os.listdir(target):
         if e.startswith(_MANIFEST_PREFIX) and e.endswith(".json"):
             try:
                 v = int(e[len(_MANIFEST_PREFIX) : -len(".json")])
             except ValueError:
                 continue
-            best = v if best is None or v > best else best
+            if best is None or v > best:
+                best, best_name = v, e
     if best is None:
         return None, None
-    with open(os.path.join(target, f"{_MANIFEST_PREFIX}{best:012d}.json")) as f:
+    with open(os.path.join(target, best_name)) as f:
         return best, json.load(f)
+
+
+def _manifest_key_value(key: str) -> str:
+    """The partition VALUE a manifest partition key encodes, unescaped
+    (Spark percent-escapes special chars in dir names; NULL is the
+    Hive sentinel, returned verbatim so callers can map it back)."""
+    return urllib.parse.unquote(key.split("=", 1)[1])
+
+
+def _read_manifest_dirs(
+    spark: SparkSession, target: str, man: dict, only_keys=None
+) -> DataFrame:
+    """Union exactly the data directories the manifest references
+    (optionally restricted to `only_keys` — manifest-level partition
+    pruning), restoring the partition column from each directory key
+    (NULL partitions come back as real NULLs, not the Hive sentinel
+    string). Zero referenced directories yields an EMPTY frame with
+    the manifest's recorded schema — an empty table reads as empty,
+    never as an error."""
+    pcol, ptype = man["partition_col"], man.get("partition_type")
+    keys = sorted(man["partitions"]) if only_keys is None else sorted(only_keys)
+    dfs = []
+    for key in keys:
+        df = spark.read.parquet(os.path.join(target, man["partitions"][key]))
+        if pcol:
+            raw = _manifest_key_value(key)
+            val = F.lit(None) if raw == _HIVE_NULL else F.lit(raw)
+            df = df.withColumn(pcol, val.cast(ptype))
+        dfs.append(df)
+    if not dfs:
+        from pyspark.sql.types import StructType
+
+        return spark.createDataFrame([], StructType.fromJson(json.loads(man["schema"])))
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
 
 
 def read_manifest_table(spark: SparkSession, target: str) -> DataFrame | None:
@@ -105,23 +146,16 @@ def read_manifest_table(spark: SparkSession, target: str) -> DataFrame | None:
 
     Orphan snapshot directories from a writer that crashed between
     data-write and manifest-write are invisible here by construction —
-    the manifest IS the commit point.
+    the manifest IS the commit point. Resolution happens NOW: the
+    returned lazy frame reads the current version's files, and a later
+    commit's GC may reclaim them (single-writer protocol, no
+    time-travel) — collect or re-resolve, don't hold lazy frames
+    across commits.
     """
     _, man = _latest_manifest(target)
     if man is None:
         return None
-    pcol, ptype = man["partition_col"], man.get("partition_type")
-    dfs = []
-    for key in sorted(man["partitions"]):
-        df = spark.read.parquet(os.path.join(target, man["partitions"][key]))
-        if pcol:
-            raw = urllib.parse.unquote(key.split("=", 1)[1])
-            df = df.withColumn(pcol, F.lit(raw).cast(ptype))
-        dfs.append(df)
-    out = dfs[0]
-    for d in dfs[1:]:
-        out = out.unionByName(d)
-    return out
+    return _read_manifest_dirs(spark, target, man)
 
 
 def _write_manifest_atomic(target: str, version: int, manifest: dict) -> None:
@@ -142,15 +176,31 @@ def _write_manifest_atomic(target: str, version: int, manifest: dict) -> None:
     os.rename(tmp, final)
 
 
-def _gc_unreferenced_snapshots(target: str, manifest: dict) -> None:
-    """Drop snapshot directories no longer referenced by the CURRENT
-    manifest (best-effort; a crash before GC just leaves garbage the
-    next commit sweeps). Manifest files themselves are kept — they are
-    tiny and give readers-in-flight a consistent (if stale) view."""
+def _gc_superseded(target: str, manifest: dict) -> None:
+    """Reclaim everything the CURRENT manifest supersedes: snapshot
+    directories it no longer references AND older manifest files.
+    Single-writer protocol, no time-travel — once version N is
+    published, version N-1 is garbage, so keeping its manifest would
+    only advertise data dirs this sweep deletes. Readers must resolve
+    the manifest AT READ TIME and not hold lazy frames across commits
+    (see `read_manifest_table`); snapshot-isolated long readers need a
+    real table format. Best-effort: a crash mid-GC leaves garbage the
+    next commit's sweep removes."""
     live = {rel.split("/", 1)[0] for rel in manifest["partitions"].values()}
     for e in os.listdir(target):
+        path = os.path.join(target, e)
         if e.startswith("snap-") and e not in live:
-            shutil.rmtree(os.path.join(target, e), ignore_errors=True)
+            shutil.rmtree(path, ignore_errors=True)
+        elif e.startswith(_MANIFEST_PREFIX) and e.endswith(".json"):
+            try:
+                v = int(e[len(_MANIFEST_PREFIX) : -len(".json")])
+            except ValueError:
+                continue
+            if v < manifest["version"]:
+                try:
+                    os.remove(path)
+                except OSError:
+                    pass
 
 
 def _upsert_manifest(
@@ -163,24 +213,38 @@ def _upsert_manifest(
     """Manifest-commit upsert (see `upsert` for the semantics). Write
     order is the whole protocol: (1) new snapshot data dir fully
     written, (2) manifest published LAST as the single atomic commit
-    point, (3) best-effort GC of unreferenced snapshots. A crash at
-    any point leaves readers on the previous manifest with every file
-    it references intact."""
+    point, (3) best-effort GC of superseded snapshots/manifests. A
+    crash at any point leaves readers on the previous manifest with
+    every file it references intact.
+
+    Partition scoping happens AT THE MANIFEST, not in the plan: the
+    touched partition values (a driver-side collect bounded by the
+    touched-partition count, never row count) select exactly the
+    referenced data dirs to read, so each commit scans O(touched
+    partitions) — the manifest is the pruning index, which is the
+    entire point of keeping one."""
     os.makedirs(target, exist_ok=True)
     ver, man = _latest_manifest(target)
-    existing = read_manifest_table(spark, target) if man else None
     new_ver = 0 if ver is None else ver + 1
     snap_rel = f"snap-{new_ver:012d}"
     snap = os.path.join(target, snap_rel)
     shutil.rmtree(snap, ignore_errors=True)  # orphan of a crashed attempt
-    if existing is None:
+    if man is None:
         merged = incoming
     else:
         if partition_col:
-            touched = incoming.select(partition_col).distinct()
-            scoped = existing.join(F.broadcast(touched), [partition_col], "left_semi")
+            touched = [
+                _HIVE_NULL if r[0] is None else str(r[0])
+                for r in incoming.select(partition_col).distinct().collect()
+            ]
+            only = {
+                k
+                for k in man["partitions"]
+                if _manifest_key_value(k) in set(touched)
+            }
+            scoped = _read_manifest_dirs(spark, target, man, only_keys=only)
         else:
-            scoped = existing
+            scoped = _read_manifest_dirs(spark, target, man)
         kept = scoped.join(incoming.select(*keys), keys, "left_anti")
         merged = incoming.unionByName(kept)
     w = merged.write.mode("overwrite")
@@ -204,9 +268,10 @@ def _upsert_manifest(
         "partition_col": partition_col,
         "partition_type": ptype,
         "partitions": pmap,
+        "schema": merged.schema.json(),
     }
     _write_manifest_atomic(target, new_ver, manifest)
-    _gc_unreferenced_snapshots(target, manifest)
+    _gc_superseded(target, manifest)
 
 
 def upsert(
@@ -709,6 +774,10 @@ def compact_small_files(
     n = df.count()
     n_files = max(1, -(-n // rows_per_file))
     df.repartition(n_files).write.mode("overwrite").parquet(out)
+    if n == 0:
+        # a zero-row table still writes one schema-bearing part file,
+        # but no row surfaces a filename — report the bin-pack target
+        return n_files
     # count written files THROUGH Spark, not os.listdir: src/out are
     # Spark-readable URIs (hdfs://, s3a://), so the verification must
     # go through the same filesystem abstraction as the write

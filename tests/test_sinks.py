@@ -491,3 +491,71 @@ def test_manifest_unknown_commit_mode_rejected(spark, rows, tmp_path):
             spark, str(tmp_path / "s"), rows, ["ticker", "date"],
             commit_mode="two-phase",
         )
+
+
+def test_manifest_empty_first_commit_reads_as_empty_table(spark, tmp_path):
+    """A first partitioned commit with an EMPTY incoming frame must
+    publish a readable empty table (recorded schema), not brick the
+    target: later reads return zero rows and later commits succeed."""
+    empty = spark.createDataFrame([], "ticker INT, date STRING, val STRING")
+    target = str(tmp_path / "sink")
+    sinks.upsert(
+        spark, target, empty, ["ticker", "date"],
+        partition_col="date", commit_mode="manifest",
+    )
+    out = sinks.read_manifest_table(spark, target)
+    assert out is not None and out.count() == 0
+    assert set(out.columns) == {"ticker", "date", "val"}
+    rows = spark.createDataFrame(
+        [(1, "2024-01-01", "a")], "ticker INT, date STRING, val STRING"
+    )
+    sinks.upsert(
+        spark, target, rows, ["ticker", "date"],
+        partition_col="date", commit_mode="manifest",
+    )
+    assert _mread(spark, target) == {(1, "2024-01-01", "a")}
+
+
+def test_manifest_null_partition_value_roundtrips_as_null(spark, tmp_path):
+    """NULL partition values must come back as real NULLs, never the
+    Hive sentinel string, and must merge as the same key on replay."""
+    rows = spark.createDataFrame(
+        [(1, None, "a"), (2, "2024-01-01", "b")],
+        "ticker INT, date STRING, val STRING",
+    )
+    target = str(tmp_path / "sink")
+    sinks.upsert(
+        spark, target, rows, ["ticker", "date"],
+        partition_col="date", commit_mode="manifest",
+    )
+    out = sinks.read_manifest_table(spark, target)
+    got = {(r["ticker"], r["date"], r["val"]) for r in out.collect()}
+    assert (1, None, "a") in got
+    assert "__HIVE_DEFAULT_PARTITION__" not in {r["date"] for r in out.collect()}
+    # NULL keys never conflict (Postgres ON CONFLICT semantics: a
+    # unique index treats NULLs as distinct), so a replayed null-key
+    # row INSERTS alongside the old one rather than updating it —
+    # identical to the rename-mode anti-join behavior
+    clash = spark.createDataFrame(
+        [(1, None, "NEW")], "ticker INT, date STRING, val STRING"
+    )
+    sinks.upsert(
+        spark, target, clash, ["ticker", "date"],
+        partition_col="date", commit_mode="manifest",
+    )
+    out2 = {(r["ticker"], r["date"], r["val"])
+            for r in sinks.read_manifest_table(spark, target).collect()}
+    assert (1, None, "NEW") in out2 and (1, None, "a") in out2
+    assert len(out2) == 3
+
+
+def test_manifest_superseded_versions_are_garbage_collected(spark, rows, tmp_path):
+    """Single-writer protocol: after commit N, version N-1's manifest
+    file and its unshared snapshot dirs are reclaimed."""
+    import os
+
+    target = str(tmp_path / "sink")
+    sinks.upsert(spark, target, rows, ["ticker", "date"], commit_mode="manifest")
+    sinks.upsert(spark, target, rows, ["ticker", "date"], commit_mode="manifest")
+    manifests = [e for e in os.listdir(target) if e.startswith("manifest-")]
+    assert manifests == ["manifest-000000000001.json"]
