@@ -297,3 +297,50 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_type") == "click"),
         ev.filter(F.col("event_type") == "purchase"),
     )
+
+
+def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents parquet (the continuous-
+    crawl stand-in). Schema from the file footer, like `stream_events`."""
+    file_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    return (
+        spark.readStream.schema(file_schema)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+
+
+def run_streaming_corpus_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    target: str,
+    query_name: str = "corpus_dedup",
+):
+    """CONTINUOUS-CRAWL dedup: the streaming form of the materialized-
+    index probe (`llmdata.dedup.probe_lsh_index`). The corpus index is
+    built once up front (in production it is the persisted artifact a
+    daily job appends to); each micro-batch of newly crawled documents
+    computes signatures ONLY for itself, probes the band-partitioned
+    index, and appends its keep-decisions to the sink. Per-batch work
+    is O(batch) regardless of corpus size — the streaming twin of the
+    invariant `dedup_index_probe` verifies against its oracle, and
+    tests/test_streaming.py asserts this stream's sink row-equal to
+    the batch key on the same files."""
+    from ..llmdata.dedup import _lsh_index_dir, probe_lsh_index
+
+    idx = _lsh_index_dir(spark, sf_dir, prefix="lshidxs_")
+    new_docs = stream_documents(spark, sf_dir).filter(F.col("doc_id") % 10 == 0)
+
+    def probe(batch_df: DataFrame, batch_id: int) -> None:
+        probe_lsh_index(batch_df.sparkSession, idx, batch_df).write.mode(
+            "append"
+        ).parquet(target)
+
+    return (
+        new_docs.writeStream.outputMode("append")
+        .foreachBatch(probe)
+        .trigger(availableNow=True)
+        .queryName(query_name)
+        .start()
+    )

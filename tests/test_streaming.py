@@ -290,3 +290,28 @@ def test_streaming_checkpoint_resume_exactly_once(spark, tmp_path):
     out = spark.read.parquet(sink)
     assert out.count() == 4
     assert sorted(r["event_id"] for r in out.collect()) == [1, 2, 3, 4]
+
+
+def test_streaming_corpus_dedup_matches_batch_probe(spark, sf_dir, tmp_path):
+    """The continuous-crawl probe stream must produce exactly the
+    batch incremental-dedup decisions: every new doc, same collision
+    counts, same keeps — per-batch work never touching corpus text."""
+    from etl_stocks_with_sentiment_analysis_spark.llmdata.dedup import (
+        dedup_incremental_batch,
+    )
+    from etl_stocks_with_sentiment_analysis_spark.streaming.ingest import (
+        run_streaming_corpus_dedup,
+    )
+
+    target = str(tmp_path / "keeps")
+    q = run_streaming_corpus_dedup(spark, sf_dir, target)
+    q.awaitTermination(120)
+    got = {
+        tuple(str(v) for v in r)
+        for r in spark.read.parquet(target).collect()
+    }
+    want = {
+        tuple(str(v) for v in r)
+        for r in dedup_incremental_batch(spark, sf_dir).collect()
+    }
+    assert got == want and len(want) > 0
