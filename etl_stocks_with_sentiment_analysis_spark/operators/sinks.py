@@ -115,8 +115,17 @@ def _read_manifest_dirs(
     (NULL partitions come back as real NULLs, not the Hive sentinel
     string). Zero referenced directories yields an EMPTY frame with
     the manifest's recorded schema — an empty table reads as empty,
-    never as an error."""
+    never as an error.
+
+    SCHEMA EVOLUTION: entries carried forward from commits before a
+    column was added are unioned with allowMissingColumns and then
+    projected to the CURRENT manifest's recorded schema, so old
+    snapshots read with NULLs in the new columns — the standard
+    add-column semantics of a transactional table format."""
+    from pyspark.sql.types import StructType
+
     pcol, ptype = man["partition_col"], man.get("partition_type")
+    schema = StructType.fromJson(json.loads(man["schema"]))
     keys = sorted(man["partitions"]) if only_keys is None else sorted(only_keys)
     dfs = []
     for key in keys:
@@ -127,13 +136,18 @@ def _read_manifest_dirs(
             df = df.withColumn(pcol, val.cast(ptype))
         dfs.append(df)
     if not dfs:
-        from pyspark.sql.types import StructType
-
-        return spark.createDataFrame([], StructType.fromJson(json.loads(man["schema"])))
+        return spark.createDataFrame([], schema)
     out = dfs[0]
     for d in dfs[1:]:
-        out = out.unionByName(d)
-    return out
+        out = out.unionByName(d, allowMissingColumns=True)
+    return out.select(
+        *[
+            F.col(f.name).cast(f.dataType)
+            if f.name in out.columns
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in schema.fields
+        ]
+    )
 
 
 def read_manifest_table(spark: SparkSession, target: str) -> DataFrame | None:
@@ -246,7 +260,10 @@ def _upsert_manifest(
         else:
             scoped = _read_manifest_dirs(spark, target, man)
         kept = scoped.join(incoming.select(*keys), keys, "left_anti")
-        merged = incoming.unionByName(kept)
+        # allowMissingColumns: an incoming frame may ADD columns (kept
+        # rows get NULLs) — the manifest records the widened schema and
+        # the reader projects old snapshots to it
+        merged = incoming.unionByName(kept, allowMissingColumns=True)
     w = merged.write.mode("overwrite")
     if partition_col:
         w = w.partitionBy(partition_col)
@@ -272,6 +289,54 @@ def _upsert_manifest(
     }
     _write_manifest_atomic(target, new_ver, manifest)
     _gc_superseded(target, manifest)
+
+
+def compact_manifest_table(
+    spark: SparkSession, target: str, rows_per_file: int
+) -> int:
+    """OPTIMIZE for manifest tables: rewrite every referenced data
+    directory into one bin-packed snapshot and publish it as the next
+    manifest version. Inherits the commit protocol's crash-safety for
+    free — data files first, manifest last — so a crash mid-compaction
+    leaves readers on the fragmented-but-complete previous version,
+    and GC reclaims the superseded snapshots only after the new
+    manifest lands. Partitioned tables compact to one file per
+    partition (`repartition(partition_col)`); unpartitioned to
+    ceil(n/rows_per_file) files. Returns the number of data
+    directories referenced by the new manifest."""
+    ver, man = _latest_manifest(target)
+    if man is None:
+        raise ValueError(f"no manifest table at {target}")
+    df = _read_manifest_dirs(spark, target, man)
+    pcol = man["partition_col"]
+    new_ver = ver + 1
+    snap_rel = f"snap-{new_ver:012d}"
+    snap = os.path.join(target, snap_rel)
+    shutil.rmtree(snap, ignore_errors=True)
+    if pcol:
+        w = df.repartition(F.col(pcol)).write.mode("overwrite").partitionBy(pcol)
+    else:
+        n = df.count()
+        w = df.repartition(max(1, -(-n // rows_per_file))).write.mode("overwrite")
+    w.parquet(snap)
+    if pcol:
+        pmap = {
+            e: f"{snap_rel}/{e}"
+            for e in sorted(os.listdir(snap))
+            if e.startswith(f"{pcol}=")
+        }
+    else:
+        pmap = {"__ALL__": snap_rel}
+    manifest = {
+        "version": new_ver,
+        "partition_col": pcol,
+        "partition_type": man.get("partition_type"),
+        "partitions": pmap,
+        "schema": man["schema"],
+    }
+    _write_manifest_atomic(target, new_ver, manifest)
+    _gc_superseded(target, manifest)
+    return len(pmap)
 
 
 def upsert(

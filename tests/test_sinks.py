@@ -559,3 +559,51 @@ def test_manifest_superseded_versions_are_garbage_collected(spark, rows, tmp_pat
     sinks.upsert(spark, target, rows, ["ticker", "date"], commit_mode="manifest")
     manifests = [e for e in os.listdir(target) if e.startswith("manifest-")]
     assert manifests == ["manifest-000000000001.json"]
+
+
+def test_manifest_schema_evolution_adds_column_with_nulls(spark, rows, tmp_path):
+    """An incoming frame with a NEW column widens the table: kept rows
+    read back with NULL in the added column, the manifest records the
+    widened schema, and old carried-forward snapshots project to it."""
+    target = str(tmp_path / "sink")
+    sinks.upsert(
+        spark, target, rows, ["ticker", "date"],
+        partition_col="date", commit_mode="manifest",
+    )
+    widened = spark.createDataFrame(
+        [(1, "2024-01-01", "NEW", "web")],
+        "ticker INT, date STRING, val STRING, src STRING",
+    )
+    sinks.upsert(
+        spark, target, widened, ["ticker", "date"],
+        partition_col="date", commit_mode="manifest",
+    )
+    out = sinks.read_manifest_table(spark, target)
+    assert set(out.columns) == {"ticker", "date", "val", "src"}
+    got = {(r["ticker"], r["date"], r["val"], r["src"]) for r in out.collect()}
+    assert (1, "2024-01-01", "NEW", "web") in got
+    assert (2, "2024-01-01", "c", None) in got   # merged partition, old row
+    assert (1, "2024-01-02", "b", None) in got   # untouched old snapshot
+
+
+def test_compact_manifest_table_preserves_rows_and_snapshots(spark, rows, tmp_path):
+    """Compaction publishes a single fresh snapshot with identical
+    contents; fragmented predecessors are reclaimed."""
+    import os
+
+    target = str(tmp_path / "sink")
+    for i in range(3):  # three commits -> partitions scattered over snaps
+        batch = spark.createDataFrame(
+            [(10 + i, f"2024-01-0{i + 1}", f"v{i}")],
+            "ticker INT, date STRING, val STRING",
+        )
+        sinks.upsert(
+            spark, target, batch, ["ticker", "date"],
+            partition_col="date", commit_mode="manifest",
+        )
+    before = _mread(spark, target)
+    n_dirs = sinks.compact_manifest_table(spark, target, rows_per_file=1000)
+    assert n_dirs == 3  # one dir per date partition
+    assert _mread(spark, target) == before
+    snaps = {e for e in os.listdir(target) if e.startswith("snap-")}
+    assert snaps == {"snap-000000000003"}
