@@ -887,6 +887,34 @@ WHERE d.doc_id % 10 = 0
 GROUP BY d.doc_id"""
 
 
+def _probe_decisions(
+    probe: DataFrame, index: DataFrame, universe: DataFrame
+) -> DataFrame:
+    """Shared probe→decision aggregation of BOTH incremental-dedup
+    paths (single-pass `dedup_incremental_batch` and materialized
+    `probe_lsh_index`): join batch band rows against index band rows
+    on the full (band, sig) bucket key, then give EVERY universe doc
+    its collision count, first colliding index doc, and keep decision
+    (docs too short to shingle have no band rows and trivially keep).
+    One definition makes the two paths' equivalence structural, not
+    just oracle-tested. probe: (new_doc_id, band, sig); index:
+    (index_doc_id, band, sig); universe: (new_doc_id)."""
+    hits = (
+        probe.join(index, ["band", "sig"])
+        .select("new_doc_id", "index_doc_id")
+        .distinct()
+    )
+    return (
+        universe.join(hits, "new_doc_id", "left")
+        .groupBy("new_doc_id")
+        .agg(
+            F.count("index_doc_id").alias("n_index_matches"),
+            F.min("index_doc_id").alias("first_match_doc_id"),
+            (F.count("index_doc_id") == 0).alias("keep"),
+        )
+    )
+
+
 @register("dedup_incremental_batch", oracle=_INCR_ORACLE)
 def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INCREMENTAL dedup — the production mode: a new batch (here
@@ -917,25 +945,11 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     index = bands.filter(~is_new).select(
         F.col("doc_id").alias("index_doc_id"), "band", "sig"
     )
-    hits = (
-        probe.join(index, ["band", "sig"])
-        .select("new_doc_id", "index_doc_id")
-        .distinct()
-    )
     # the universe is EVERY new-batch doc, including <3-word docs that
-    # produce no shingles and hence no band rows — those trivially
-    # collide with nothing and come back keep=true. The second scan
+    # produce no shingles and hence no band rows. The second scan
     # reads only the pruned doc_id column, never re-tokenizing text.
-    new_docs = docs.filter(is_new).select(F.col("doc_id").alias("new_doc_id"))
-    return (
-        new_docs.join(hits, "new_doc_id", "left")
-        .groupBy("new_doc_id")
-        .agg(
-            F.count("index_doc_id").alias("n_index_matches"),
-            F.min("index_doc_id").alias("first_match_doc_id"),
-            (F.count("index_doc_id") == 0).alias("keep"),
-        )
-    )
+    universe = docs.filter(is_new).select(F.col("doc_id").alias("new_doc_id"))
+    return _probe_decisions(probe, index, universe)
 
 
 # ---------------------------------------------------------------------------
@@ -991,21 +1005,8 @@ def probe_lsh_index(
     index = spark.read.parquet(idx_dir).select(
         F.col("doc_id").alias("index_doc_id"), "band", "sig"
     )
-    hits = (
-        probe.join(index, ["band", "sig"])
-        .select("new_doc_id", "index_doc_id")
-        .distinct()
-    )
     universe = batch_docs.select(F.col("doc_id").alias("new_doc_id"))
-    return (
-        universe.join(hits, "new_doc_id", "left")
-        .groupBy("new_doc_id")
-        .agg(
-            F.count("index_doc_id").alias("n_index_matches"),
-            F.min("index_doc_id").alias("first_match_doc_id"),
-            (F.count("index_doc_id") == 0).alias("keep"),
-        )
-    )
+    return _probe_decisions(probe, index, universe)
 
 
 @register("dedup_index_build", oracle=_INDEX_BUILD_ORACLE)

@@ -95,8 +95,14 @@ def _latest_manifest(target: str) -> tuple[int | None, dict | None]:
                 best, best_name = v, e
     if best is None:
         return None, None
-    with open(os.path.join(target, best_name)) as f:
-        return best, json.load(f)
+    try:
+        with open(os.path.join(target, best_name)) as f:
+            return best, json.load(f)
+    except FileNotFoundError:
+        # raced a concurrent commit's GC (the old manifest vanished
+        # between listdir and open) — re-list; the NEWER manifest is
+        # already published, so the retry terminates
+        return _latest_manifest(target)
 
 
 def _manifest_key_value(key: str) -> str:
@@ -217,6 +223,73 @@ def _gc_superseded(target: str, manifest: dict) -> None:
                     pass
 
 
+def _touched_manifest_keys(
+    spark: SparkSession, man: dict, incoming: DataFrame, partition_col: str
+) -> set[str]:
+    """Manifest partition keys whose TYPED value appears in incoming's
+    partition column. The comparison runs IN THE ENGINE: each key's
+    raw dir string is cast to the recorded partition type (exactly how
+    Spark's own partition discovery parses dir values) and null-safe
+    equi-joined with incoming's distinct values — never a Python
+    str(value) match, whose rendering diverges from Spark's for bool,
+    timestamps, etc. and would silently drop carried-forward rows."""
+    ptype = man.get("partition_type")
+    pairs = [
+        (k, None if _manifest_key_value(k) == _HIVE_NULL else _manifest_key_value(k))
+        for k in man["partitions"]
+    ]
+    if not pairs:
+        return set()
+    kdf = spark.createDataFrame(pairs, "k STRING, raw STRING").select(
+        "k", F.col("raw").cast(ptype).alias("v")
+    )
+    inc = incoming.select(F.col(partition_col).alias("iv")).distinct()
+    matched = kdf.join(inc, kdf["v"].eqNullSafe(inc["iv"]), "left_semi")
+    return {r["k"] for r in matched.collect()}
+
+
+def _publish_snapshot(
+    target: str,
+    new_ver: int,
+    merged: DataFrame,
+    partition_col: str | None,
+    prev_pmap: dict | None,
+) -> dict:
+    """Shared tail of every manifest commit (upsert AND compaction):
+    write the snapshot data dir, assemble the partition map (new dirs
+    override, prior entries carry forward by reference), publish the
+    manifest LAST, GC what it supersedes. Returns the manifest."""
+    snap_rel = f"snap-{new_ver:012d}"
+    snap = os.path.join(target, snap_rel)
+    shutil.rmtree(snap, ignore_errors=True)  # orphan of a crashed attempt
+    w = merged.write.mode("overwrite")
+    if partition_col:
+        w = w.partitionBy(partition_col)
+    w.parquet(snap)  # reads OLD snapshots, writes a NEW dir — no staging
+    if partition_col:
+        parts = {
+            e: f"{snap_rel}/{e}"
+            for e in sorted(os.listdir(snap))
+            if e.startswith(f"{partition_col}=")
+        }
+        pmap = dict(prev_pmap or {})
+        pmap.update(parts)  # untouched partitions carry forward by reference
+        ptype = dict(merged.dtypes)[partition_col]
+    else:
+        pmap = {"__ALL__": snap_rel}
+        ptype = None
+    manifest = {
+        "version": new_ver,
+        "partition_col": partition_col,
+        "partition_type": ptype,
+        "partitions": pmap,
+        "schema": merged.schema.json(),
+    }
+    _write_manifest_atomic(target, new_ver, manifest)
+    _gc_superseded(target, manifest)
+    return manifest
+
+
 def _upsert_manifest(
     spark: SparkSession,
     target: str,
@@ -232,30 +305,19 @@ def _upsert_manifest(
     every file it references intact.
 
     Partition scoping happens AT THE MANIFEST, not in the plan: the
-    touched partition values (a driver-side collect bounded by the
-    touched-partition count, never row count) select exactly the
-    referenced data dirs to read, so each commit scans O(touched
-    partitions) — the manifest is the pruning index, which is the
-    entire point of keeping one."""
+    touched keys (typed engine-side match, see `_touched_manifest_keys`;
+    driver work bounded by manifest size, never row count) select
+    exactly the referenced data dirs to read, so each commit scans
+    O(touched partitions) — the manifest is the pruning index, which
+    is the entire point of keeping one."""
     os.makedirs(target, exist_ok=True)
     ver, man = _latest_manifest(target)
     new_ver = 0 if ver is None else ver + 1
-    snap_rel = f"snap-{new_ver:012d}"
-    snap = os.path.join(target, snap_rel)
-    shutil.rmtree(snap, ignore_errors=True)  # orphan of a crashed attempt
     if man is None:
         merged = incoming
     else:
         if partition_col:
-            touched = [
-                _HIVE_NULL if r[0] is None else str(r[0])
-                for r in incoming.select(partition_col).distinct().collect()
-            ]
-            only = {
-                k
-                for k in man["partitions"]
-                if _manifest_key_value(k) in set(touched)
-            }
+            only = _touched_manifest_keys(spark, man, incoming, partition_col)
             scoped = _read_manifest_dirs(spark, target, man, only_keys=only)
         else:
             scoped = _read_manifest_dirs(spark, target, man)
@@ -264,31 +326,10 @@ def _upsert_manifest(
         # rows get NULLs) — the manifest records the widened schema and
         # the reader projects old snapshots to it
         merged = incoming.unionByName(kept, allowMissingColumns=True)
-    w = merged.write.mode("overwrite")
-    if partition_col:
-        w = w.partitionBy(partition_col)
-    w.parquet(snap)  # reads OLD snapshots, writes a NEW dir — no staging needed
-    if partition_col:
-        parts = {
-            e: f"{snap_rel}/{e}"
-            for e in sorted(os.listdir(snap))
-            if e.startswith(f"{partition_col}=")
-        }
-        pmap = dict(man["partitions"]) if man else {}
-        pmap.update(parts)  # untouched partitions carry forward by reference
-        ptype = dict(merged.dtypes)[partition_col]
-    else:
-        pmap = {"__ALL__": snap_rel}
-        ptype = None
-    manifest = {
-        "version": new_ver,
-        "partition_col": partition_col,
-        "partition_type": ptype,
-        "partitions": pmap,
-        "schema": merged.schema.json(),
-    }
-    _write_manifest_atomic(target, new_ver, manifest)
-    _gc_superseded(target, manifest)
+    _publish_snapshot(
+        target, new_ver, merged, partition_col,
+        man["partitions"] if man else None,
+    )
 
 
 def compact_manifest_table(
@@ -296,11 +337,10 @@ def compact_manifest_table(
 ) -> int:
     """OPTIMIZE for manifest tables: rewrite every referenced data
     directory into one bin-packed snapshot and publish it as the next
-    manifest version. Inherits the commit protocol's crash-safety for
-    free — data files first, manifest last — so a crash mid-compaction
-    leaves readers on the fragmented-but-complete previous version,
-    and GC reclaims the superseded snapshots only after the new
-    manifest lands. Partitioned tables compact to one file per
+    manifest version via the SAME `_publish_snapshot` tail as upsert —
+    crash-safety for free (data files first, manifest last), so a
+    crash mid-compaction leaves readers on the fragmented-but-complete
+    previous version. Partitioned tables compact to one file per
     partition (`repartition(partition_col)`); unpartitioned to
     ceil(n/rows_per_file) files. Returns the number of data
     directories referenced by the new manifest."""
@@ -309,34 +349,15 @@ def compact_manifest_table(
         raise ValueError(f"no manifest table at {target}")
     df = _read_manifest_dirs(spark, target, man)
     pcol = man["partition_col"]
-    new_ver = ver + 1
-    snap_rel = f"snap-{new_ver:012d}"
-    snap = os.path.join(target, snap_rel)
-    shutil.rmtree(snap, ignore_errors=True)
     if pcol:
-        w = df.repartition(F.col(pcol)).write.mode("overwrite").partitionBy(pcol)
+        df = df.repartition(F.col(pcol))
     else:
         n = df.count()
-        w = df.repartition(max(1, -(-n // rows_per_file))).write.mode("overwrite")
-    w.parquet(snap)
-    if pcol:
-        pmap = {
-            e: f"{snap_rel}/{e}"
-            for e in sorted(os.listdir(snap))
-            if e.startswith(f"{pcol}=")
-        }
-    else:
-        pmap = {"__ALL__": snap_rel}
-    manifest = {
-        "version": new_ver,
-        "partition_col": pcol,
-        "partition_type": man.get("partition_type"),
-        "partitions": pmap,
-        "schema": man["schema"],
-    }
-    _write_manifest_atomic(target, new_ver, manifest)
-    _gc_superseded(target, manifest)
-    return len(pmap)
+        df = df.repartition(max(1, -(-n // rows_per_file)))
+    # prev_pmap=None: compaction rewrites EVERY partition, nothing
+    # carries forward — the new manifest references only the new snap
+    manifest = _publish_snapshot(target, ver + 1, df, pcol, None)
+    return len(manifest["partitions"])
 
 
 def upsert(

@@ -322,24 +322,34 @@ def run_streaming_corpus_dedup(
     built once up front (in production it is the persisted artifact a
     daily job appends to); each micro-batch of newly crawled documents
     computes signatures ONLY for itself, probes the band-partitioned
-    index, and appends its keep-decisions to the sink. Per-batch work
+    index, and merges its keep-decisions into the sink via the keyed
+    insert-ignore writer (replay-safe) under a checkpoint. Per-batch work
     is O(batch) regardless of corpus size — the streaming twin of the
     invariant `dedup_index_probe` verifies against its oracle, and
     tests/test_streaming.py asserts this stream's sink row-equal to
     the batch key on the same files."""
     from ..llmdata.dedup import _lsh_index_dir, probe_lsh_index
+    from ..operators.sinks import insert_ignore
 
     idx = _lsh_index_dir(spark, sf_dir, prefix="lshidxs_")
     new_docs = stream_documents(spark, sf_dir).filter(F.col("doc_id") % 10 == 0)
 
     def probe(batch_df: DataFrame, batch_id: int) -> None:
-        probe_lsh_index(batch_df.sparkSession, idx, batch_df).write.mode(
-            "append"
-        ).parquet(target)
+        # keyed insert-ignore, NOT a blind append: a retried/replayed
+        # micro-batch re-derives the same new_doc_id decisions and the
+        # anti-join drops them — the sink stays exactly-once even if
+        # the checkpoint replays a batch after a crash
+        insert_ignore(
+            batch_df.sparkSession,
+            target,
+            probe_lsh_index(batch_df.sparkSession, idx, batch_df),
+            keys=["new_doc_id"],
+        )
 
     return (
         new_docs.writeStream.outputMode("append")
         .foreachBatch(probe)
+        .option("checkpointLocation", target.rstrip("/") + "__checkpoint")
         .trigger(availableNow=True)
         .queryName(query_name)
         .start()

@@ -607,3 +607,28 @@ def test_compact_manifest_table_preserves_rows_and_snapshots(spark, rows, tmp_pa
     assert _mread(spark, target) == before
     snaps = {e for e in os.listdir(target) if e.startswith("snap-")}
     assert snaps == {"snap-000000000003"}
+
+
+def test_manifest_typed_partition_scoping_preserves_carried_rows(spark, tmp_path):
+    """Regression for the str(value) scoping bug: with a BOOLEAN
+    partition column (Python renders 'True', Spark dirs 'true'), the
+    touched partition's non-conflicting rows must survive the merge —
+    a stringly match would skip the old dir and lose them."""
+    rows = spark.createDataFrame(
+        [(1, True, "a"), (2, False, "b")], "id INT, flag BOOLEAN, val STRING"
+    )
+    target = str(tmp_path / "sink")
+    sinks.upsert(
+        spark, target, rows, ["id", "flag"],
+        partition_col="flag", commit_mode="manifest",
+    )
+    clash = spark.createDataFrame([(3, True, "c")], "id INT, flag BOOLEAN, val STRING")
+    sinks.upsert(
+        spark, target, clash, ["id", "flag"],
+        partition_col="flag", commit_mode="manifest",
+    )
+    got = {
+        (r["id"], r["flag"], r["val"])
+        for r in sinks.read_manifest_table(spark, target).collect()
+    }
+    assert got == {(1, True, "a"), (2, False, "b"), (3, True, "c")}

@@ -305,7 +305,10 @@ def test_streaming_corpus_dedup_matches_batch_probe(spark, sf_dir, tmp_path):
 
     target = str(tmp_path / "keeps")
     q = run_streaming_corpus_dedup(spark, sf_dir, target)
-    q.awaitTermination(120)
+    finished = q.awaitTermination(180)
+    if not finished:
+        q.stop()
+    assert finished, "corpus dedup stream did not finish within 180s"
     got = {
         tuple(str(v) for v in r)
         for r in spark.read.parquet(target).collect()
@@ -315,3 +318,16 @@ def test_streaming_corpus_dedup_matches_batch_probe(spark, sf_dir, tmp_path):
         for r in dedup_incremental_batch(spark, sf_dir).collect()
     }
     assert got == want and len(want) > 0
+
+    # full replay (checkpoint wiped) must NOT duplicate decisions —
+    # the keyed insert-ignore sink absorbs the reprocessed batches
+    import shutil
+
+    shutil.rmtree(target + "__checkpoint")
+    q2 = run_streaming_corpus_dedup(spark, sf_dir, target)
+    assert q2.awaitTermination(180)
+    replay = {
+        tuple(str(v) for v in r)
+        for r in spark.read.parquet(target).collect()
+    }
+    assert replay == want
