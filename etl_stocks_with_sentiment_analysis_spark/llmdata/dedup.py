@@ -143,23 +143,78 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (4 bands × 2 rows). Word-3-shingles → per-seed MD5 minima →
     band-signature buckets → pairs within a bucket.
 
-    Scale: explode is per-doc bounded; the only shuffles are the
-    (doc, seed) min-agg and the band self-join on (band, sig) —
-    no all-pairs comparison ever happens.
+    EXACT-DEDUP-FIRST (r5): signatures are computed once per DISTINCT
+    text — the standard production stage ordering (collapse verbatim
+    copies before near-dup detection), because a duplicate-heavy
+    corpus otherwise re-hashes every copy and the band self-join
+    re-derives every within-clique collision. Identical texts have
+    identical bands, so rep-level pairs expand EXACTLY to the member
+    pairs the direct self-join would emit: cross-group pairs via two
+    membership joins, within-group pairs (verbatim copies, trivially
+    colliding) for every shingle-eligible group. The result set is
+    identical to the naive plan — the oracle computes over all docs
+    and both pass it.
+
+    Plan hygiene: the expensive subplan (text shuffled into the
+    per-distinct-text rep fold, then shingled) is referenced exactly
+    TWICE (the two sides of the band self-join — same as the naive
+    plan); the member→rep mapping is a window over (doc_id, fp) only
+    (text never rides that shuffle), and within-group eligibility
+    comes from the member's own text length, not from the band frame.
+    The only output-sized operation is the expansion join itself —
+    the answer being written — and no final distinct is needed (rep
+    pairs are distinct, groups disjoint, so no pair can repeat).
     """
+    from pyspark.sql import Window
+
     docs = load_table(spark, sf_dir, "documents")
-    bands = _band_signatures(_minhash_signatures(docs))
-    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "sig")
-    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "sig")
+    fp = F.md5("text")
+    # one text-bearing shuffle per reference: fold each distinct text
+    # to its min-doc_id representative
+    reps = docs.groupBy(fp.alias("fp")).agg(
+        F.min(F.struct("doc_id", "text")).alias("m")
+    ).select(F.col("m.doc_id").alias("doc_id"), F.col("m.text").alias("text"))
+    bands = _band_signatures(_minhash_signatures(reps))
+    a = bands.select(F.col("doc_id").alias("ra"), "band", "sig")
+    b = bands.select(F.col("doc_id").alias("rb"), "band", "sig")
     # Join on (band, sig) — the full bucket key. Joining on band alone
     # (4 values) would be a disguised cross join; with sig in the hash
-    # key, bucket cardinality ~ n_docs and the shuffle stays balanced.
-    return (
+    # key, bucket cardinality ~ n_distinct_texts, shuffle balanced.
+    rep_pairs = (
         a.join(b, ["band", "sig"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        .filter(F.col("ra") < F.col("rb"))
+        .select("ra", "rb")
         .distinct()
     )
+    # member -> representative, narrow columns only
+    wfp = Window.partitionBy("fp")
+    mrep = docs.select("doc_id", fp.alias("fp")).withColumn(
+        "rep", F.min("doc_id").over(wfp)
+    )
+    cross = (
+        rep_pairs.join(
+            mrep.select(F.col("rep").alias("ra"), F.col("doc_id").alias("da")), "ra"
+        )
+        .join(
+            mrep.select(F.col("rep").alias("rb"), F.col("doc_id").alias("db")), "rb"
+        )
+        .select(
+            F.least("da", "db").alias("doc_a"), F.greatest("da", "db").alias("doc_b")
+        )
+    )
+    # verbatim copies: every pair within a shingle-eligible group —
+    # eligibility (>= 3 words) is a property of the member's OWN text,
+    # identical across the group, so no band-frame reference is needed
+    em = docs.filter(F.size(F.split("text", " ")) >= 3).select(
+        "doc_id", fp.alias("fp")
+    )
+    within = (
+        em.select("fp", F.col("doc_id").alias("da"))
+        .join(em.select("fp", F.col("doc_id").alias("db")), "fp")
+        .filter(F.col("da") < F.col("db"))
+        .select(F.col("da").alias("doc_a"), F.col("db").alias("doc_b"))
+    )
+    return cross.unionByName(within)
 
 
 # ---------------------------------------------------------------------------

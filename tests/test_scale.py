@@ -67,7 +67,12 @@ def test_plan_shapes_hold(spark, sf_dir):
     assert "NestedLoop" not in rj  # the naive range predicate would BNLJ
 
     mh = _plan(spark, dedup.dedup_minhash_lsh(spark, sf_dir))
-    assert mh.count("Exchange") <= 3  # single min-agg pass + band join
+    # exact-dedup-first plan (r5): 2x rep-fold+min-agg feeding the band
+    # self-join, 2x narrow member->rep windows, 2x within-group sides,
+    # rep-pair distinct + expansion joins — 10 exchanges, every one on
+    # either a distinct-text-sized frame or the answer itself
+    assert mh.count("Exchange") <= 10
+    assert "NestedLoop" not in mh
 
     ro = _plan(spark, aggregations.rollup_time_hierarchy(spark, sf_dir))
     assert ro.count("Exchange") <= 2  # one expand + one shuffle family
