@@ -137,6 +137,86 @@ def _band_signatures(mh: DataFrame) -> DataFrame:
     )
 
 
+def _rep_docs(docs: DataFrame) -> DataFrame:
+    """One row per DISTINCT text: (doc_id = min member id, text) — the
+    representative set every exact-dedup-first near-dup plan shingles
+    instead of the raw corpus. One text-bearing shuffle per reference."""
+    return (
+        docs.groupBy(F.md5("text").alias("fp"))
+        .agg(F.min(F.struct("doc_id", "text")).alias("m"))
+        .select(F.col("m.doc_id").alias("doc_id"), F.col("m.text").alias("text"))
+    )
+
+
+def _member_rep(docs: DataFrame) -> DataFrame:
+    """Narrow member→representative mapping: (doc_id, fp, elig, rep,
+    n_elig) — rep = min doc_id of the identical-text group, elig =
+    shingle eligibility (a property of the text, so uniform across the
+    group), n_elig = eligible group size. Text never rides this
+    shuffle; the window's fp partitioning feeds every downstream
+    group-wise derivation."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("fp")
+    return (
+        docs.select(
+            "doc_id",
+            F.md5("text").alias("fp"),
+            (F.size(F.split("text", " ")) >= 3).alias("elig"),
+        )
+        .withColumn("rep", F.min("doc_id").over(w))
+        .withColumn("n_elig", F.sum(F.col("elig").cast("int")).over(w))
+    )
+
+
+def _expand_rep_pairs(rep_pairs: DataFrame, mrep: DataFrame) -> DataFrame:
+    """Expand rep-level pairs (ra, rb [, extra cols]) to member-level
+    (doc_a, doc_b [, extra]): two membership joins, least/greatest
+    ordering. Rep pairs are distinct and groups disjoint, so no output
+    pair can repeat — no distinct needed on the answer-sized frame."""
+    extra = [c for c in rep_pairs.columns if c not in ("ra", "rb")]
+    return (
+        rep_pairs.join(
+            mrep.select(F.col("rep").alias("ra"), F.col("doc_id").alias("da")), "ra"
+        )
+        .join(
+            mrep.select(F.col("rep").alias("rb"), F.col("doc_id").alias("db")), "rb"
+        )
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            *extra,
+        )
+    )
+
+
+def _within_group_pairs(mrep: DataFrame) -> DataFrame:
+    """All (doc_a < doc_b) pairs of verbatim copies within shingle-
+    eligible groups — these always collide in LSH (identical bands)
+    and agree on every signature seed."""
+    em = mrep.filter("elig").select("fp", "doc_id")
+    return (
+        em.select("fp", F.col("doc_id").alias("da"))
+        .join(em.select("fp", F.col("doc_id").alias("db")), "fp")
+        .filter(F.col("da") < F.col("db"))
+        .select(F.col("da").alias("doc_a"), F.col("db").alias("doc_b"))
+    )
+
+
+def _rep_band_pairs(bands: DataFrame) -> DataFrame:
+    """Distinct (ra < rb) representative pairs sharing any (band, sig)
+    bucket. Joining on the full bucket key keeps the shuffle balanced
+    (band alone has 4 values — a disguised cross join)."""
+    a = bands.select(F.col("doc_id").alias("ra"), "band", "sig")
+    b = bands.select(F.col("doc_id").alias("rb"), "band", "sig")
+    return (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("ra") < F.col("rb"))
+        .select("ra", "rb")
+        .distinct()
+    )
+
+
 @register("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidate pairs via MinHash (8 perms) + LSH banding
@@ -165,56 +245,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the answer being written — and no final distinct is needed (rep
     pairs are distinct, groups disjoint, so no pair can repeat).
     """
-    from pyspark.sql import Window
-
     docs = load_table(spark, sf_dir, "documents")
-    fp = F.md5("text")
-    # one text-bearing shuffle per reference: fold each distinct text
-    # to its min-doc_id representative
-    reps = docs.groupBy(fp.alias("fp")).agg(
-        F.min(F.struct("doc_id", "text")).alias("m")
-    ).select(F.col("m.doc_id").alias("doc_id"), F.col("m.text").alias("text"))
-    bands = _band_signatures(_minhash_signatures(reps))
-    a = bands.select(F.col("doc_id").alias("ra"), "band", "sig")
-    b = bands.select(F.col("doc_id").alias("rb"), "band", "sig")
-    # Join on (band, sig) — the full bucket key. Joining on band alone
-    # (4 values) would be a disguised cross join; with sig in the hash
-    # key, bucket cardinality ~ n_distinct_texts, shuffle balanced.
-    rep_pairs = (
-        a.join(b, ["band", "sig"])
-        .filter(F.col("ra") < F.col("rb"))
-        .select("ra", "rb")
-        .distinct()
-    )
-    # member -> representative, narrow columns only
-    wfp = Window.partitionBy("fp")
-    mrep = docs.select("doc_id", fp.alias("fp")).withColumn(
-        "rep", F.min("doc_id").over(wfp)
-    )
-    cross = (
-        rep_pairs.join(
-            mrep.select(F.col("rep").alias("ra"), F.col("doc_id").alias("da")), "ra"
-        )
-        .join(
-            mrep.select(F.col("rep").alias("rb"), F.col("doc_id").alias("db")), "rb"
-        )
-        .select(
-            F.least("da", "db").alias("doc_a"), F.greatest("da", "db").alias("doc_b")
-        )
-    )
-    # verbatim copies: every pair within a shingle-eligible group —
-    # eligibility (>= 3 words) is a property of the member's OWN text,
-    # identical across the group, so no band-frame reference is needed
-    em = docs.filter(F.size(F.split("text", " ")) >= 3).select(
-        "doc_id", fp.alias("fp")
-    )
-    within = (
-        em.select("fp", F.col("doc_id").alias("da"))
-        .join(em.select("fp", F.col("doc_id").alias("db")), "fp")
-        .filter(F.col("da") < F.col("db"))
-        .select(F.col("da").alias("doc_a"), F.col("db").alias("doc_b"))
-    )
-    return cross.unionByName(within)
+    bands = _band_signatures(_minhash_signatures(_rep_docs(docs)))
+    mrep = _member_rep(docs)
+    cross = _expand_rep_pairs(_rep_band_pairs(bands), mrep)
+    return cross.unionByName(_within_group_pairs(mrep))
 
 
 # ---------------------------------------------------------------------------
@@ -518,10 +553,29 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     large-star transform exploits). Oracle: DuckDB recursive CTE
     reachability (exact, same fixpoint).
     """
-    pairs = dedup_minhash_lsh(spark, sf_dir)
-    edges = _symmetric_edges(pairs)
-    labels = connected_components(edges)
-    return labels.select("doc_id", F.col("lbl").alias("canonical_doc_id"))
+    docs = load_table(spark, sf_dir, "documents")
+    bands = _band_signatures(_minhash_signatures(_rep_docs(docs)))
+    rep_labels = connected_components(
+        _symmetric_edges(
+            _rep_band_pairs(bands).select(
+                F.col("ra").alias("doc_a"), F.col("rb").alias("doc_b")
+            )
+        )
+    ).select(F.col("doc_id").alias("rep"), F.col("lbl").alias("rep_lbl"))
+    # a member appears iff it has at least one edge in the expanded
+    # pair graph: its rep pairs with another rep, OR its eligible
+    # group has a second verbatim copy (within-group clique)
+    mrep = _member_rep(docs)
+    return (
+        mrep.join(rep_labels, "rep", "left")
+        .filter(
+            F.col("elig")
+            & (F.col("rep_lbl").isNotNull() | (F.col("n_elig") >= 2))
+        )
+        .select(
+            "doc_id", F.coalesce("rep_lbl", "rep").alias("canonical_doc_id")
+        )
+    )
 
 
 def _symmetric_edges(pairs: DataFrame) -> DataFrame:
@@ -795,6 +849,36 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rep_estimate(docs: DataFrame) -> DataFrame:
+    """Rep-level Broder estimate: LSH candidate pairs among DISTINCT
+    texts scored by per-seed signature agreement — (ra, rb, n_agree,
+    est_jaccard). The member-level result is this frame expanded
+    (identical texts have identical signatures, so a rep pair's score
+    is every member pair's score, and verbatim copies agree on all
+    seeds)."""
+    mh = _minhash_signatures(_rep_docs(docs))
+    bands = _band_signatures(mh)
+    cand = _rep_band_pairs(bands).select(
+        F.col("ra").alias("doc_a"), F.col("rb").alias("doc_b")
+    )
+    ma = mh.select("doc_id", *[F.col(f"h{s}").alias(f"a{s}") for s in range(_N_SEEDS)])
+    mb = mh.select("doc_id", *[F.col(f"h{s}").alias(f"b{s}") for s in range(_N_SEEDS)])
+    n_agree = sum(
+        F.when(F.col(f"a{s}") == F.col(f"b{s}"), 1).otherwise(0)
+        for s in range(_N_SEEDS)
+    )
+    return (
+        cand.join(ma.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(mb.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+        .select(
+            F.col("doc_a").alias("ra"),
+            F.col("doc_b").alias("rb"),
+            n_agree.cast("long").alias("n_agree"),
+            F.round(n_agree / F.lit(float(_N_SEEDS)), 4).alias("est_jaccard"),
+        )
+    )
+
+
 _MH_EST_ORACLE = f"""
 WITH {_BANDS_CTE},
 cand AS (
@@ -827,31 +911,17 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Estimate is an exact rational (n_agree / 8) ⇒ cross-engine stable.
     """
     docs = load_table(spark, sf_dir, "documents")
-    mh = _minhash_signatures(docs)
-    bands = _band_signatures(mh)
-    cand = (
-        bands.select(F.col("doc_id").alias("doc_a"), "band", "sig")
-        .join(bands.select(F.col("doc_id").alias("doc_b"), "band", "sig"), ["band", "sig"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
+    rep_est = _rep_estimate(docs)
+    mrep = _member_rep(docs)
+    cross = _expand_rep_pairs(rep_est, mrep)
+    # verbatim copies agree on every seed by construction
+    within = _within_group_pairs(mrep).select(
+        "doc_a",
+        "doc_b",
+        F.lit(_N_SEEDS).cast("long").alias("n_agree"),
+        F.lit(1.0).alias("est_jaccard"),
     )
-    ma = mh.select("doc_id", *[F.col(f"h{s}").alias(f"a{s}") for s in range(_N_SEEDS)])
-    mb = mh.select("doc_id", *[F.col(f"h{s}").alias(f"b{s}") for s in range(_N_SEEDS)])
-    n_agree = sum(
-        F.when(F.col(f"a{s}") == F.col(f"b{s}"), 1).otherwise(0)
-        for s in range(_N_SEEDS)
-    )
-    return (
-        cand.join(ma.withColumnRenamed("doc_id", "doc_a"), "doc_a")
-        .join(mb.withColumnRenamed("doc_id", "doc_b"), "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            n_agree.cast("long").alias("n_agree"),
-            F.round(n_agree / F.lit(float(_N_SEEDS)), 4).alias("est_jaccard"),
-        )
-    )
+    return cross.unionByName(within)
 
 
 _STACK_MIN_AGREE = 6  # est_jaccard >= 6/8 = 0.75
@@ -911,14 +981,26 @@ def pipeline_dedup_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
     metadata-sized relative to the corpus. Oracle: the same stack as
     one recursive-CTE SQL statement.
     """
-    est = dedup_minhash_estimate(spark, sf_dir).filter(
-        F.col("n_agree") >= _STACK_MIN_AGREE
+    docs = load_table(spark, sf_dir, "documents")
+    # EXACT-DEDUP-FIRST: the fixpoint runs on the REP graph (distinct
+    # texts), never the member graph — verbatim copies are cliques
+    # whose component minimum is provably their group rep, and the
+    # component minimum over members equals the minimum rep (every
+    # group's min member IS its rep), so member labels are a pure
+    # expansion: elig ? coalesce(rep_component_lbl, rep) : own id.
+    rep_est = _rep_estimate(docs).filter(F.col("n_agree") >= _STACK_MIN_AGREE)
+    rep_edges = _symmetric_edges(
+        rep_est.select(F.col("ra").alias("doc_a"), F.col("rb").alias("doc_b"))
     )
-    edges = _symmetric_edges(est)
-    labels = connected_components(edges)
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    labeled = docs.join(labels, "doc_id", "left").select(
-        "doc_id", F.coalesce("lbl", "doc_id").alias("lbl")
+    rep_labels = connected_components(rep_edges).select(
+        F.col("doc_id").alias("rep"), F.col("lbl").alias("rep_lbl")
+    )
+    mrep = _member_rep(docs)
+    labeled = mrep.join(rep_labels, "rep", "left").select(
+        "doc_id",
+        F.when(F.col("elig"), F.coalesce("rep_lbl", "rep"))
+        .otherwise(F.col("doc_id"))
+        .alias("lbl"),
     )
     return labeled.groupBy(F.col("lbl").alias("kept_doc_id")).agg(
         F.count("*").alias("cluster_size")
