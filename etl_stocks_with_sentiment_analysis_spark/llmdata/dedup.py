@@ -396,30 +396,73 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "IF(" + plane_dot.format(h=", ".join(str(c) for c in row)) + " > 0, '1', '0')"
         for row in _PLANES
     ) + ")"
+    from pyspark.sql import Window
+
+    # EXACT-DEDUP-FIRST (r5, same transform as the MinHash family):
+    # group by the exact quantized vector, pair only the distinct
+    # contents, expand back — verbatim embedding copies co-bucket and
+    # would otherwise pay per-copy cosine evaluations quadratically.
+    # Grouping is on the ARRAY itself (exact content), never a lossy
+    # content hash; cosine is a function of the two vectors alone, so
+    # every expanded pair's score is its rep pair's score, and
+    # within-group cosine is nrm/sqrt(nrm*nrm) — the identical IEEE
+    # expression the naive plan (and the oracle) evaluates for a
+    # self-identical pair, so zero vectors drop out as NaN on both
+    # engines, not as a hand-written literal.
     n = emb.select(
         "vec_id",
         F.expr(scaled).alias("v"),
         F.expr(dot.format(a=scaled, b=scaled)).alias("nrm"),
     ).withColumn("bucket", F.expr(bucket_sql))
-    a = n.select(
-        F.col("vec_id").alias("doc_a"),
+    m = n.withColumn("rid", F.min("vec_id").over(Window.partitionBy("v")))
+    reps = m.filter(F.col("vec_id") == F.col("rid"))
+    a = reps.select(
+        F.col("vec_id").alias("ra"),
         F.col("v").alias("va"),
         F.col("nrm").alias("na"),
         "bucket",
     )
-    b = n.select(
-        F.col("vec_id").alias("doc_b"),
+    b = reps.select(
+        F.col("vec_id").alias("rb"),
         F.col("v").alias("vb"),
         F.col("nrm").alias("nb"),
         "bucket",
     )
     cosine = F.expr(dot.format(a="va", b="vb")) / F.sqrt(F.col("na") * F.col("nb"))
-    return (
+    rep_pairs = (
         a.join(b, ["bucket"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(F.col("ra") < F.col("rb"))
         .filter(cosine >= _COS_THRESHOLD)
-        .select("doc_a", "doc_b", F.round(cosine, 6).alias("cosine"))
+        .select("ra", "rb", F.round(cosine, 6).alias("cosine"))
     )
+    mrep = m.select("vec_id", "rid")
+    cross = (
+        rep_pairs.join(
+            mrep.select(F.col("rid").alias("ra"), F.col("vec_id").alias("da")), "ra"
+        )
+        .join(
+            mrep.select(F.col("rid").alias("rb"), F.col("vec_id").alias("db")), "rb"
+        )
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "cosine",
+        )
+    )
+    wm = m.select("rid", "vec_id", "nrm")
+    self_cos = F.col("nrm") / F.sqrt(F.col("nrm") * F.col("nrm"))
+    within = (
+        wm.select("rid", F.col("vec_id").alias("da"), "nrm")
+        .join(wm.select("rid", F.col("vec_id").alias("db")), "rid")
+        .filter(F.col("da") < F.col("db"))
+        .filter(self_cos >= _COS_THRESHOLD)
+        .select(
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
+            F.round(self_cos, 6).alias("cosine"),
+        )
+    )
+    return cross.unionByName(within)
 
 
 _JACCARD_ORACLE = """
