@@ -632,3 +632,43 @@ def test_manifest_typed_partition_scoping_preserves_carried_rows(spark, tmp_path
         for r in sinks.read_manifest_table(spark, target).collect()
     }
     assert got == {(1, True, "a"), (2, False, "b"), (3, True, "c")}
+
+
+def test_manifest_date_typed_partition_scoping_and_roundtrip(spark, tmp_path):
+    """DATE-typed partition column (the most common lake layout): dir
+    strings must cast back to real dates on read, and typed scoping
+    must carry untouched date partitions across commits."""
+    import datetime
+
+    d1, d2 = datetime.date(2024, 1, 1), datetime.date(2024, 1, 2)
+    rows = spark.createDataFrame(
+        [(1, d1, "a"), (2, d2, "b")], "ticker INT, date DATE, val STRING"
+    )
+    target = str(tmp_path / "sink")
+    sinks.upsert(
+        spark, target, rows, ["ticker", "date"],
+        partition_col="date", commit_mode="manifest",
+    )
+    clash = spark.createDataFrame([(1, d1, "NEW")], "ticker INT, date DATE, val STRING")
+    sinks.upsert(
+        spark, target, clash, ["ticker", "date"],
+        partition_col="date", commit_mode="manifest",
+    )
+    out = sinks.read_manifest_table(spark, target)
+    assert dict(out.dtypes)["date"] == "date"
+    got = {(r["ticker"], r["date"], r["val"]) for r in out.collect()}
+    assert got == {(1, d1, "NEW"), (2, d2, "b")}
+
+
+def test_compact_manifest_table_unpartitioned(spark, rows, tmp_path):
+    import os
+
+    target = str(tmp_path / "sink")
+    sinks.upsert(spark, target, rows, ["ticker", "date"], commit_mode="manifest")
+    before = _mread(spark, target)
+    n_dirs = sinks.compact_manifest_table(spark, target, rows_per_file=2)
+    assert n_dirs == 1  # single __ALL__ snapshot entry
+    assert _mread(spark, target) == before
+    assert [e for e in os.listdir(target) if e.startswith("snap-")] == [
+        "snap-000000000001"
+    ]
