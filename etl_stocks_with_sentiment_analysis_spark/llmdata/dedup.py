@@ -59,6 +59,11 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _N_SEEDS = 8
 _BAND_ROWS = 2  # 4 bands × 2 rows
+# Minimum words for a doc to produce any 3-shingle (and hence any band
+# row). EVERY eligibility check — Spark tokenizer, member mapping, SQL
+# CTE — must read this one constant: the exact-dedup-first expansions
+# are correct only while `elig` matches band-row existence exactly.
+_SHINGLE_MIN_WORDS = 3
 
 # The LSH band-signature CTE chain shared VERBATIM by every oracle that
 # reasons over band signatures (pairs, estimate, stack, incremental,
@@ -66,7 +71,7 @@ _BAND_ROWS = 2  # 4 bands × 2 rows
 # layout can never desynchronize one oracle from the others.
 _BANDS_CTE = f"""tok AS (
   SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents
-  WHERE LEN(STRING_SPLIT(text, ' ')) >= 3
+  WHERE LEN(STRING_SPLIT(text, ' ')) >= {_SHINGLE_MIN_WORDS}
 ),
 shingle AS (
   SELECT DISTINCT doc_id, sh FROM (
@@ -99,7 +104,7 @@ def _minhash_signatures(docs: DataFrame) -> DataFrame:
     map-side-combinable pass — no seed explode (8x row inflation
     avoided) and one shuffle instead of two."""
     tok = docs.select("doc_id", F.split("text", " ").alias("ws")).filter(
-        F.size("ws") >= 3
+        F.size("ws") >= _SHINGLE_MIN_WORDS
     )
     shingle = tok.select(
         "doc_id",
@@ -162,7 +167,7 @@ def _member_rep(docs: DataFrame) -> DataFrame:
         docs.select(
             "doc_id",
             F.md5("text").alias("fp"),
-            (F.size(F.split("text", " ")) >= 3).alias("elig"),
+            (F.size(F.split("text", " ")) >= _SHINGLE_MIN_WORDS).alias("elig"),
         )
         .withColumn("rep", F.min("doc_id").over(w))
         .withColumn("n_elig", F.sum(F.col("elig").cast("int")).over(w))
@@ -407,8 +412,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every expanded pair's score is its rep pair's score, and
     # within-group cosine is nrm/sqrt(nrm*nrm) — the identical IEEE
     # expression the naive plan (and the oracle) evaluates for a
-    # self-identical pair, so zero vectors drop out as NaN on both
-    # engines, not as a hand-written literal.
+    # self-identical pair. Zero vectors produce NaN, and BOTH engines
+    # order NaN above every number, so such pairs pass the threshold
+    # with cosine=NaN exactly like the naive plan — identical output,
+    # never a hand-written literal.
     n = emb.select(
         "vec_id",
         F.expr(scaled).alias("v"),

@@ -77,6 +77,13 @@ _MANIFEST_PREFIX = "manifest-"
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
 
+def _manifest_version(name: str) -> int | None:
+    try:
+        return int(name[len(_MANIFEST_PREFIX) : -len(".json")])
+    except ValueError:
+        return None
+
+
 def _latest_manifest(target: str) -> tuple[int | None, dict | None]:
     """Resolve the newest committed manifest: (version, parsed dict),
     or (None, None) for a table with no manifest commits yet. The file
@@ -100,9 +107,26 @@ def _latest_manifest(target: str) -> tuple[int | None, dict | None]:
             return best, json.load(f)
     except FileNotFoundError:
         # raced a concurrent commit's GC (the old manifest vanished
-        # between listdir and open) — re-list; the NEWER manifest is
-        # already published, so the retry terminates
-        return _latest_manifest(target)
+        # between listdir and open) — re-list, excluding the vanished
+        # name. Bounded: each retry drops one candidate, so a
+        # pathological listable-but-unopenable entry (dangling
+        # symlink) degrades to (None, None) instead of recursing.
+        remaining = [
+            (v, e)
+            for e in os.listdir(target)
+            if e.startswith(_MANIFEST_PREFIX)
+            and e.endswith(".json")
+            and e != best_name
+            for v in [_manifest_version(e)]
+            if v is not None
+        ]
+        for v, e in sorted(remaining, reverse=True):
+            try:
+                with open(os.path.join(target, e)) as f:
+                    return v, json.load(f)
+            except FileNotFoundError:
+                continue
+        return None, None
 
 
 def _manifest_key_value(key: str) -> str:
@@ -254,6 +278,7 @@ def _publish_snapshot(
     merged: DataFrame,
     partition_col: str | None,
     prev_pmap: dict | None,
+    schema_json: str | None = None,
 ) -> dict:
     """Shared tail of every manifest commit (upsert AND compaction):
     write the snapshot data dir, assemble the partition map (new dirs
@@ -283,7 +308,11 @@ def _publish_snapshot(
         "partition_col": partition_col,
         "partition_type": ptype,
         "partitions": pmap,
-        "schema": merged.schema.json(),
+        # schema_json lets a pure rewrite (compaction) carry the
+        # recorded schema forward verbatim — re-deriving it from a
+        # read-back frame flips nullability/metadata and would show as
+        # spurious schema drift across versions
+        "schema": schema_json or merged.schema.json(),
     }
     _write_manifest_atomic(target, new_ver, manifest)
     _gc_superseded(target, manifest)
@@ -355,8 +384,11 @@ def compact_manifest_table(
         n = df.count()
         df = df.repartition(max(1, -(-n // rows_per_file)))
     # prev_pmap=None: compaction rewrites EVERY partition, nothing
-    # carries forward — the new manifest references only the new snap
-    manifest = _publish_snapshot(target, ver + 1, df, pcol, None)
+    # carries forward — the new manifest references only the new snap;
+    # the recorded schema is carried verbatim (pure rewrite)
+    manifest = _publish_snapshot(
+        target, ver + 1, df, pcol, None, schema_json=man["schema"]
+    )
     return len(manifest["partitions"])
 
 

@@ -325,7 +325,10 @@ def test_streaming_corpus_dedup_matches_batch_probe(spark, sf_dir, tmp_path):
 
     shutil.rmtree(target + "__checkpoint")
     q2 = run_streaming_corpus_dedup(spark, sf_dir, target)
-    assert q2.awaitTermination(180)
+    finished2 = q2.awaitTermination(180)
+    if not finished2:
+        q2.stop()
+    assert finished2, "replay stream did not finish within 180s"
     replay = {
         tuple(str(v) for v in r)
         for r in spark.read.parquet(target).collect()
