@@ -821,14 +821,18 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a per-doc bounded explode inside codegen, the contamination
     probe is a broadcast hash join, and only matched pairs (rare)
     reach the final doc_id agg."""
-    docs = load_table(spark, sf_dir, "documents").filter(
-        F.size(F.split("text", " ")) >= _DECON_K
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("ws"))
+        .filter(F.size("ws") >= _DECON_K)
     )
     bucket = md5_bucket(F.col("doc_id"))
+    # split hoisted into ws — re-splitting inside the lambda would
+    # re-tokenize the doc once per shingle position
     shingle = F.explode(
         F.expr(
-            f"transform(sequence(0, size(split(text, ' ')) - {_DECON_K}),"
-            f" i -> concat_ws(' ', slice(split(text, ' '), i + 1, {_DECON_K})))"
+            f"transform(sequence(0, size(ws) - {_DECON_K}),"
+            f" i -> concat_ws(' ', slice(ws, i + 1, {_DECON_K})))"
         )
     )
     sh = docs.select("doc_id", bucket.alias("bucket"), shingle.alias("sh"))
