@@ -240,44 +240,64 @@ def ml_tracking_promote(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_LIFECYCLE_ORACLE = """
-SELECT * FROM (VALUES
-  ('vol-clf', CAST(1 AS BIGINT), 'Archived', 'rf-v2.0', 'rf-v2.0',
-   CAST(1 AS BIGINT), CAST(2 AS BIGINT)),
-  ('vol-clf', CAST(2 AS BIGINT), 'Production', 'rf-v2.0', 'rf-v2.0',
-   CAST(1 AS BIGINT), CAST(2 AS BIGINT))
-) AS t(model_name, version, stage, best_by_accuracy,
-       production_model_version, v_first, v_second)"""
+_LIFECYCLE_ORACLE = panel.sql_with(
+    *panel.PANEL_CHG,
+    panel.PREDICTIONS_CTE,
+    body="""
+SELECT 'vol-clf' AS model_name,
+       CAST(rn AS BIGINT) AS version,
+       CASE WHEN rn = n_total THEN 'Production' ELSE 'Archived' END AS stage,
+       best_mv AS best_by_metric,
+       last_mv AS production_model_version,
+       CAST(n_total AS BIGINT) AS n_versions
+FROM (
+  SELECT model_version,
+         ROW_NUMBER() OVER (ORDER BY model_version) AS rn,
+         COUNT(*) OVER () AS n_total,
+         FIRST_VALUE(model_version)
+           OVER (ORDER BY n DESC, model_version DESC) AS best_mv,
+         FIRST_VALUE(model_version)
+           OVER (ORDER BY model_version DESC) AS last_mv
+  FROM (SELECT model_version, COUNT(*) AS n FROM predictions
+        GROUP BY model_version)
+)""",
+)
 
 
 @register("ml_registry_lifecycle", oracle=_LIFECYCLE_ORACLE)
 def ml_registry_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M8 — full registry lifecycle as a query: two logged runs, two
-    registered versions, v1 promoted to Production then superseded by
-    v2 (v1 must auto-archive, MLflow's single-production convention).
-    Returns the final per-version stages + the best run by accuracy
-    (`ml/mlflow_utils.py:141-210`). Fully deterministic, so the oracle
-    is the expected literal two-row table."""
+    """M8 — full registry lifecycle as a DATA-DRIVEN query (r5: the
+    version set is no longer a hardcoded pair): one run is logged and
+    registered per distinct `model_version` in the predictions table,
+    each promoted to Production in version order — so every EARLIER
+    version must auto-archive (MLflow's single-production convention)
+    across however many versions the DATA contains. Returns the final
+    per-version stages plus the best run by the logged row-count
+    metric and the live Production model; the oracle derives all of it
+    from the same predictions CTE (`ml/mlflow_utils.py:141-210`). The
+    driver-side collect is a per-model-version aggregate, bounded by
+    the model catalog size."""
+    preds = panel.predictions(spark, sf_dir)
+    catalog = sorted(
+        (r["model_version"], r["n"])
+        for r in preds.groupBy("model_version").agg(F.count("*").alias("n")).collect()
+    )
     log_dir = os.path.join(sinks.scratch_dir("mlreg_"), "runs")
-    r1 = tracking.log_run(
-        spark, log_dir, "rf-v1.0", {"num_trees": 20}, {"accuracy": 0.5}, "a/v1"
-    )
-    r2 = tracking.log_run(
-        spark, log_dir, "rf-v2.0", {"num_trees": 50}, {"accuracy": 0.6}, "a/v2"
-    )
-    v1 = tracking.register_model(spark, log_dir, r1, "vol-clf", stage="Production")
-    v2 = tracking.register_model(spark, log_dir, r2, "vol-clf")
-    tracking.transition_stage(spark, log_dir, "vol-clf", v2, "Production")
-    best = tracking.best_run(spark, log_dir, metric="accuracy").first()["model_version"]
+    for mv, n in catalog:
+        rid = tracking.log_run(
+            spark, log_dir, mv, {"n_rows": n}, {"n_rows": n}, f"a/{mv}"
+        )
+        v = tracking.register_model(spark, log_dir, rid, "vol-clf")
+        tracking.transition_stage(spark, log_dir, "vol-clf", v, "Production")
+    best = tracking.best_run(spark, log_dir, metric="n_rows").first()["model_version"]
     live = tracking.production_model(spark, log_dir, "vol-clf").first()
     return tracking.model_versions(spark, log_dir).select(
         "model_name",
         F.col("version").cast("long").alias("version"),
         "stage",
-        F.lit(best).alias("best_by_accuracy"),
+        F.lit(best).alias("best_by_metric"),
         F.lit(live["model_version"]).alias("production_model_version"),
-        F.lit(v1).cast("long").alias("v_first"),
-        F.lit(v2).cast("long").alias("v_second"),
+        F.lit(len(catalog)).cast("long").alias("n_versions"),
     )
 
 
