@@ -389,8 +389,15 @@ def window_latest_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Round-2 extensions: recursive / path-dependent window ops beyond W1-W11
 # ---------------------------------------------------------------------------
 
+# Oracle does the same left fold via list_reduce over each row's
+# prefix — the identical sequential IEEE op order as the Spark fold
+# (acc*0.875 + x*0.125, left to right), so results stay bit-identical.
+# The r5 recursive-CTE formulation was exact too but cost ~12 s per
+# gate run (one 53k-row join per recursion step x 533 steps); the
+# prefix fold is O(n^2) arithmetic with no recursion machinery and
+# runs in under half a second (r6 verdict item #5).
 _EMA_ORACLE = (
-    "WITH RECURSIVE "
+    "WITH "
     + panel.PRICES_CTE
     + """,
 t AS (
@@ -399,13 +406,16 @@ t AS (
          ROW_NUMBER() OVER (PARTITION BY ticker ORDER BY date) AS rn
   FROM prices
 ),
-ema AS (
-  SELECT ticker, date, rn, c AS ema FROM t WHERE rn = 1
-  UNION ALL
-  SELECT t.ticker, t.date, t.rn, e.ema * 0.875 + t.c * 0.125
-  FROM t JOIN ema e ON t.ticker = e.ticker AND t.rn = e.rn + 1
+hist AS (
+  SELECT ticker, list(c ORDER BY rn) AS cs, list(date ORDER BY rn) AS ds, COUNT(*) AS n
+  FROM t GROUP BY ticker
+),
+idx AS (
+  SELECT ticker, cs, ds, UNNEST(generate_series(1, n)) AS i FROM hist
 )
-SELECT ticker, date, ema / 100.0 AS ema FROM ema"""
+SELECT ticker, ds[i] AS date,
+       list_reduce(cs[1:i], (acc, x) -> acc * 0.875 + x * 0.125) / 100.0 AS ema
+FROM idx"""
 )
 
 

@@ -342,7 +342,26 @@ def test_ema_panel_routes_oversized_group_through_arrow_path(spark):
     # small group, exact recursion: e1=100, e2=100*0.875+101*0.125
     assert rows[(2, "2000-01-01")] == 1.0
     assert abs(rows[(2, "2000-01-02")] - (100 * 0.875 + 101 * 0.125) / 100) < 1e-12
-    # the oversized group really takes the Arrow stage: physical plan
-    # of the large-side branch contains FlatMapGroupsInPandas
-    assert "FlatMapGroupsInPandas" in out._jdf.queryExecution().executedPlan().toString() or \
-           "FlatMapGroupsInPandas" in out._jdf.queryExecution().toString()
+    # the split is behavioral, not a plan grep (the Arrow branch is
+    # unioned in unconditionally, so its node appears in EVERY plan —
+    # r5 advice): recompute the size-routing predicate and assert the
+    # oversized group lands on the large side and the bounded group on
+    # the small side, i.e. an inverted filter would fail here
+    from pyspark.sql import Window
+
+    from etl_stocks_with_sentiment_analysis_spark.operators.windows import (
+        _EMA_MAX_GROUP,
+    )
+
+    sized = px.withColumn("n_rows", F.count("*").over(Window.partitionBy("ticker")))
+    large_tickers = {
+        r["ticker"]
+        for r in sized.filter(F.col("n_rows") > _EMA_MAX_GROUP)
+        .select("ticker").distinct().collect()
+    }
+    small_tickers = {
+        r["ticker"]
+        for r in sized.filter(F.col("n_rows") <= _EMA_MAX_GROUP)
+        .select("ticker").distinct().collect()
+    }
+    assert large_tickers == {1} and small_tickers == {2}
