@@ -76,6 +76,33 @@ def insert_ignore(
 _MANIFEST_PREFIX = "manifest-"
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
+# Snapshot retention: the newest _RETAIN_VERSIONS manifests (and every
+# snapshot directory any of them references) survive each commit's GC.
+# This is what makes the protocol safe for (a) long-running readers
+# holding a lazy frame across a commit — their resolved files stay on
+# disk for the next K-1 commits — and (b) read-at-version time travel
+# (`read_manifest_table(version=N)`). K=1 reproduces the r5
+# immediate-GC behavior.
+_RETAIN_VERSIONS = 3
+
+# Unreferenced snapshot dirs younger than this are NEVER reclaimed:
+# they may belong to a CONCURRENT writer that has written its data but
+# not yet published its manifest (publish-last protocol). Without the
+# grace window, writer A's commit could GC writer B's in-flight
+# snapshot and B would publish a manifest referencing deleted files.
+# Crashed writers' orphans age past the window and are then reclaimed.
+_GC_GRACE_SECONDS = 3600.0
+
+# Optimistic-concurrency retry budget for the manifest version-CAS.
+_CAS_MAX_RETRIES = 10
+
+
+class ManifestConflictError(RuntimeError):
+    """A concurrent writer committed the manifest version this writer
+    was about to publish. `upsert(commit_mode="manifest")` catches this
+    internally and retries against the fresh manifest; it escapes only
+    after `_CAS_MAX_RETRIES` consecutive lost races."""
+
 
 def _manifest_version(name: str) -> int | None:
     try:
@@ -136,8 +163,73 @@ def _manifest_key_value(key: str) -> str:
     return urllib.parse.unquote(key.split("=", 1)[1])
 
 
+def _stat_columns(schema, partition_col: str | None) -> list[str]:
+    """Columns worth per-entry min/max stats: atomic orderable types
+    (numeric, string, date, timestamp, boolean). The partition column
+    is excluded — the partition map itself is its pruning index."""
+    from pyspark.sql.types import (
+        BooleanType,
+        DateType,
+        NumericType,
+        StringType,
+        TimestampType,
+    )
+
+    ok = (NumericType, StringType, DateType, TimestampType, BooleanType)
+    return [
+        f.name
+        for f in schema.fields
+        if f.name != partition_col and isinstance(f.dataType, ok)
+    ]
+
+
+def _prune_entry_keys(
+    spark: SparkSession, man: dict, schema, keys: list[str], bounds: dict
+) -> list[str]:
+    """Manifest-level DATA SKIPPING: drop entries whose recorded
+    [min, max] range is provably disjoint from the requested bounds on
+    any column. Entries with no stats for a bounded column (older
+    commits, pre-evolution snapshots) are kept unconditionally — stats
+    only ever REMOVE work, never change results. The compare runs in
+    the engine with the column's recorded type (string mins cast back
+    to date/double/bool exactly as the writer cast them out), mirroring
+    `_touched_manifest_keys`' typed-match discipline. Driver cost is
+    O(manifest entries), never row count."""
+    stats = man.get("stats") or {}
+    dtypes = {f.name: f.dataType for f in schema.fields}
+    for c in bounds:
+        if c not in dtypes:
+            raise ValueError(f"bounds column {c!r} not in table schema")
+    bcols = list(bounds)
+    rows = []
+    for k in keys:
+        st = stats.get(k) or {}
+        row = [k]
+        for c in bcols:
+            mn_mx = st.get(c) or [None, None]
+            row += [mn_mx[0], mn_mx[1]]
+        rows.append(row)
+    if not rows:
+        return keys
+    sch = "k STRING" + "".join(
+        f", mn{i} STRING, mx{i} STRING" for i in range(len(bcols))
+    )
+    df = spark.createDataFrame(rows, sch)
+    keep = F.lit(True)
+    for i, c in enumerate(bcols):
+        lo, hi = bounds[c]
+        t = dtypes[c]
+        disjoint = F.lit(False)
+        if hi is not None:
+            disjoint = disjoint | (F.col(f"mn{i}").cast(t) > F.lit(hi).cast(t))
+        if lo is not None:
+            disjoint = disjoint | (F.col(f"mx{i}").cast(t) < F.lit(lo).cast(t))
+        keep = keep & ~F.coalesce(disjoint, F.lit(False))
+    return [r["k"] for r in df.filter(keep).select("k").collect()]
+
+
 def _read_manifest_dirs(
-    spark: SparkSession, target: str, man: dict, only_keys=None
+    spark: SparkSession, target: str, man: dict, only_keys=None, bounds=None
 ) -> DataFrame:
     """Union exactly the data directories the manifest references
     (optionally restricted to `only_keys` — manifest-level partition
@@ -157,6 +249,8 @@ def _read_manifest_dirs(
     pcol, ptype = man["partition_col"], man.get("partition_type")
     schema = StructType.fromJson(json.loads(man["schema"]))
     keys = sorted(man["partitions"]) if only_keys is None else sorted(only_keys)
+    if bounds:
+        keys = _prune_entry_keys(spark, man, schema, keys, bounds)
     dfs = []
     for key in keys:
         df = spark.read.parquet(os.path.join(target, man["partitions"][key]))
@@ -180,67 +274,156 @@ def _read_manifest_dirs(
     )
 
 
-def read_manifest_table(spark: SparkSession, target: str) -> DataFrame | None:
-    """Reader side of the manifest commit protocol: resolve the NEWEST
-    manifest, read exactly the data directories it references (each
-    partition entry may point into a different snapshot — untouched
-    partitions are carried forward by reference, never rewritten), and
-    restore the partition column from the directory key. Returns None
-    when no manifest has ever been committed.
+def read_manifest_table(
+    spark: SparkSession,
+    target: str,
+    version: int | None = None,
+    bounds: dict | None = None,
+) -> DataFrame | None:
+    """Reader side of the manifest commit protocol: resolve a manifest
+    (the NEWEST by default, or an explicit retained ``version`` — time
+    travel within the `_RETAIN_VERSIONS` window), read exactly the data
+    directories it references (each partition entry may point into a
+    different snapshot — untouched partitions are carried forward by
+    reference, never rewritten), and restore the partition column from
+    the directory key. Returns None when no manifest has ever been
+    committed; raises ValueError for an explicit version that was never
+    committed or has aged past the retention window.
+
+    ``bounds`` is a ``{column: (lo, hi)}`` range predicate (either side
+    None for unbounded): the rows returned are exactly those inside
+    every bound, and the manifest's per-entry min/max stats prune
+    entries whose range is provably disjoint BEFORE any file is opened
+    — stats-based data skipping, the standard fix for non-partition-key
+    predicates forcing full scans at 100 TB. Entries without stats for
+    a bounded column are read and filtered normally, so pruning can
+    never change results.
 
     Orphan snapshot directories from a writer that crashed between
     data-write and manifest-write are invisible here by construction —
-    the manifest IS the commit point. Resolution happens NOW: the
-    returned lazy frame reads the current version's files, and a later
-    commit's GC may reclaim them (single-writer protocol, no
-    time-travel) — collect or re-resolve, don't hold lazy frames
-    across commits.
+    the manifest IS the commit point. Retention keeps the last
+    `_RETAIN_VERSIONS` versions' files on disk, so a lazy frame
+    resolved here stays readable across that many subsequent commits;
+    hold it longer and re-resolve. Manifest I/O is local-filesystem
+    only (see `_write_manifest_atomic`).
     """
-    _, man = _latest_manifest(target)
-    if man is None:
-        return None
-    return _read_manifest_dirs(spark, target, man)
+    if version is None:
+        _, man = _latest_manifest(target)
+        if man is None:
+            return None
+    else:
+        path = os.path.join(target, f"{_MANIFEST_PREFIX}{version:012d}.json")
+        try:
+            with open(path) as f:
+                man = json.load(f)
+        except FileNotFoundError:
+            raise ValueError(
+                f"manifest version {version} not found at {target} — never "
+                f"committed, or reclaimed past the {_RETAIN_VERSIONS}-version "
+                "retention window"
+            )
+    df = _read_manifest_dirs(spark, target, man, bounds=bounds)
+    if bounds:
+        for c, (lo, hi) in bounds.items():
+            if lo is not None:
+                df = df.filter(F.col(c) >= F.lit(lo))
+            if hi is not None:
+                df = df.filter(F.col(c) <= F.lit(hi))
+    return df
 
 
 def _write_manifest_atomic(target: str, version: int, manifest: dict) -> None:
-    """Publish a manifest with a single atomic filesystem operation.
+    """Publish a manifest with a single atomic CREATE-IF-ABSENT.
 
-    On POSIX: write to a dot-temp name readers never match, fsync,
-    rename into place (atomic). On an S3-class store the analogous
-    writer is a single PUT of the final object name — also atomic at
-    object granularity — which is exactly why this protocol is the
-    object-store-safe alternative to directory renames.
+    Write to a dot-temp name readers never match, fsync, then
+    `os.link` to the final name — link fails with EEXIST if the
+    version was already published, which is the version-CAS that makes
+    concurrent writers safe: the loser gets `ManifestConflictError`,
+    re-reads the fresh manifest, re-merges, and retries
+    (`_upsert_manifest`). On an S3-class store the analogous primitive
+    is a conditional PUT (If-None-Match: *) of the final object name.
+
+    NOTE: this module's manifest I/O (listdir/open/link) is LOCAL-
+    FILESYSTEM-ONLY — it cannot run against hdfs:// or s3a:// targets
+    as written; the docstrings describe the object-store mapping the
+    same protocol would use through that store's conditional-put API.
     """
+    import uuid
+
     final = os.path.join(target, f"{_MANIFEST_PREFIX}{version:012d}.json")
-    tmp = os.path.join(target, f".{_MANIFEST_PREFIX}tmp-{version:012d}")
+    tmp = os.path.join(
+        target, f".{_MANIFEST_PREFIX}tmp-{version:012d}-{uuid.uuid4().hex[:8]}"
+    )
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
         f.flush()
         os.fsync(f.fileno())
-    os.rename(tmp, final)
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        raise ManifestConflictError(
+            f"manifest version {version} at {target} was committed by a "
+            "concurrent writer"
+        )
+    finally:
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
 
 
 def _gc_superseded(target: str, manifest: dict) -> None:
-    """Reclaim everything the CURRENT manifest supersedes: snapshot
-    directories it no longer references AND older manifest files.
-    Single-writer protocol, no time-travel — once version N is
-    published, version N-1 is garbage, so keeping its manifest would
-    only advertise data dirs this sweep deletes. Readers must resolve
-    the manifest AT READ TIME and not hold lazy frames across commits
-    (see `read_manifest_table`); snapshot-isolated long readers need a
-    real table format. Best-effort: a crash mid-GC leaves garbage the
-    next commit's sweep removes."""
+    """Reclaim what the retention window no longer covers: manifest
+    files older than the newest `_RETAIN_VERSIONS` versions, and
+    snapshot directories referenced by NO retained manifest.
+
+    Two safety rules beyond the r5 immediate-GC sweep:
+
+    - RETENTION: the last K manifests and every snapshot any of them
+      references survive, so a long reader holding a lazy frame
+      resolved at version N still collects correctly for the next K-1
+      commits, and `read_manifest_table(version=N)` time-travels
+      within the window.
+    - GRACE: an unreferenced snapshot dir younger than
+      `_GC_GRACE_SECONDS` is left alone — it may be a CONCURRENT
+      writer's fully-written-but-not-yet-published data (publish-last
+      protocol). Crashed attempts age out and are reclaimed by a later
+      commit's sweep.
+
+    Best-effort: a crash mid-GC leaves garbage the next sweep removes.
+    """
+    import time as _time
+
+    cur = manifest["version"]
+    keep_min = cur - _RETAIN_VERSIONS + 1
     live = {rel.split("/", 1)[0] for rel in manifest["partitions"].values()}
+    for e in os.listdir(target):
+        v = _manifest_version(e) if (
+            e.startswith(_MANIFEST_PREFIX) and e.endswith(".json")
+        ) else None
+        if v is not None and keep_min <= v and v != cur:
+            try:
+                with open(os.path.join(target, e)) as f:
+                    retained = json.load(f)
+                live |= {
+                    rel.split("/", 1)[0]
+                    for rel in retained["partitions"].values()
+                }
+            except (OSError, json.JSONDecodeError, KeyError):
+                continue
+    now = _time.time()
     for e in os.listdir(target):
         path = os.path.join(target, e)
         if e.startswith("snap-") and e not in live:
-            shutil.rmtree(path, ignore_errors=True)
-        elif e.startswith(_MANIFEST_PREFIX) and e.endswith(".json"):
             try:
-                v = int(e[len(_MANIFEST_PREFIX) : -len(".json")])
-            except ValueError:
+                age = now - os.path.getmtime(path)
+            except OSError:
                 continue
-            if v < manifest["version"]:
+            if age >= _GC_GRACE_SECONDS:
+                shutil.rmtree(path, ignore_errors=True)
+        elif e.startswith(_MANIFEST_PREFIX) and e.endswith(".json"):
+            v = _manifest_version(e)
+            if v is not None and v < keep_min:
                 try:
                     os.remove(path)
                 except OSError:
@@ -272,6 +455,62 @@ def _touched_manifest_keys(
     return {r["k"] for r in matched.collect()}
 
 
+def _entry_stats(
+    spark: SparkSession,
+    snap: str,
+    merged_schema,
+    partition_col: str | None,
+    ptype: str | None,
+    new_keys: list[str],
+) -> dict:
+    """Per-entry min/max stats for the data dirs THIS snapshot wrote
+    (carried-forward entries keep their prior stats). Read back from
+    the written files with the merged schema imposed (so the partition
+    column keeps its recorded type instead of partition-inference's
+    guess), one map-side-combinable agg, then the same typed key-value
+    join discipline as `_touched_manifest_keys` to map partition
+    VALUES back to directory KEYS without re-implementing Spark's dir
+    escaping. Values are serialized with cast(string) and cast back on
+    the prune side. Cost: one scan of just-written files."""
+    stat_cols = _stat_columns(merged_schema, partition_col)
+    if not stat_cols or not new_keys:
+        return {}
+    back = spark.read.schema(merged_schema).parquet(snap)
+    aggs = []
+    for i, c in enumerate(stat_cols):
+        aggs += [
+            F.min(c).cast("string").alias(f"mn{i}"),
+            F.max(c).cast("string").alias(f"mx{i}"),
+        ]
+    out: dict = {}
+    if partition_col:
+        srows = back.groupBy(partition_col).agg(*aggs)
+        pairs = [
+            (
+                k,
+                None
+                if _manifest_key_value(k) == _HIVE_NULL
+                else _manifest_key_value(k),
+            )
+            for k in new_keys
+        ]
+        kdf = spark.createDataFrame(pairs, "k STRING, raw STRING").select(
+            "k", F.col("raw").cast(ptype).alias("v")
+        )
+        for r in kdf.join(
+            srows, kdf["v"].eqNullSafe(srows[partition_col]), "inner"
+        ).collect():
+            out[r["k"]] = {
+                c: [r[f"mn{i}"], r[f"mx{i}"]] for i, c in enumerate(stat_cols)
+            }
+    else:
+        r = back.agg(*aggs).collect()[0]
+        out["__ALL__"] = {
+            c: [r[f"mn{i}"], r[f"mx{i}"]] for i, c in enumerate(stat_cols)
+        }
+    return out
+
+
 def _publish_snapshot(
     target: str,
     new_ver: int,
@@ -279,14 +518,22 @@ def _publish_snapshot(
     partition_col: str | None,
     prev_pmap: dict | None,
     schema_json: str | None = None,
+    prev_stats: dict | None = None,
 ) -> dict:
     """Shared tail of every manifest commit (upsert AND compaction):
-    write the snapshot data dir, assemble the partition map (new dirs
-    override, prior entries carry forward by reference), publish the
-    manifest LAST, GC what it supersedes. Returns the manifest."""
-    snap_rel = f"snap-{new_ver:012d}"
+    write the snapshot data dir (name made unique per ATTEMPT so two
+    racing writers can never clobber each other's files), record
+    per-entry min/max stats for data skipping, assemble the partition
+    map (new dirs override, prior entries carry forward by reference
+    WITH their prior stats), publish the manifest LAST via the
+    version-CAS, GC what the retention window no longer covers.
+    Raises ManifestConflictError (after removing its own snapshot) if
+    a concurrent writer won the version — the caller re-reads and
+    retries. Returns the manifest."""
+    import uuid
+
+    snap_rel = f"snap-{new_ver:012d}-{uuid.uuid4().hex[:8]}"
     snap = os.path.join(target, snap_rel)
-    shutil.rmtree(snap, ignore_errors=True)  # orphan of a crashed attempt
     w = merged.write.mode("overwrite")
     if partition_col:
         w = w.partitionBy(partition_col)
@@ -300,21 +547,37 @@ def _publish_snapshot(
         pmap = dict(prev_pmap or {})
         pmap.update(parts)  # untouched partitions carry forward by reference
         ptype = dict(merged.dtypes)[partition_col]
+        new_keys = sorted(parts)
     else:
         pmap = {"__ALL__": snap_rel}
         ptype = None
+        new_keys = ["__ALL__"]
+    new_stats = _entry_stats(
+        merged.sparkSession, snap, merged.schema, partition_col, ptype, new_keys
+    )
+    stats = {
+        k: v
+        for k, v in (prev_stats or {}).items()
+        if k in pmap and k not in new_stats
+    }
+    stats.update(new_stats)
     manifest = {
         "version": new_ver,
         "partition_col": partition_col,
         "partition_type": ptype,
         "partitions": pmap,
+        "stats": stats,
         # schema_json lets a pure rewrite (compaction) carry the
         # recorded schema forward verbatim — re-deriving it from a
         # read-back frame flips nullability/metadata and would show as
         # spurious schema drift across versions
         "schema": schema_json or merged.schema.json(),
     }
-    _write_manifest_atomic(target, new_ver, manifest)
+    try:
+        _write_manifest_atomic(target, new_ver, manifest)
+    except ManifestConflictError:
+        shutil.rmtree(snap, ignore_errors=True)  # our attempt's files
+        raise
     _gc_superseded(target, manifest)
     return manifest
 
@@ -338,27 +601,52 @@ def _upsert_manifest(
     driver work bounded by manifest size, never row count) select
     exactly the referenced data dirs to read, so each commit scans
     O(touched partitions) — the manifest is the pruning index, which
-    is the entire point of keeping one."""
+    is the entire point of keeping one.
+
+    CONCURRENCY: commits are optimistic. The whole merge runs against
+    the manifest read at the top of the loop; if `_publish_snapshot`'s
+    version-CAS loses to a concurrent writer, the loop re-reads the
+    fresh manifest, re-merges, and retries — so two interleaved
+    upserts both land (the loser's merge re-applies on top of the
+    winner's rows). Retention (`_RETAIN_VERSIONS`) guarantees the
+    stale attempt's input files still exist while it merges."""
     os.makedirs(target, exist_ok=True)
-    ver, man = _latest_manifest(target)
-    new_ver = 0 if ver is None else ver + 1
-    if man is None:
-        merged = incoming
-    else:
-        if partition_col:
-            only = _touched_manifest_keys(spark, man, incoming, partition_col)
-            scoped = _read_manifest_dirs(spark, target, man, only_keys=only)
+    last_conflict: ManifestConflictError | None = None
+    for _ in range(_CAS_MAX_RETRIES):
+        ver, man = _latest_manifest(target)
+        new_ver = 0 if ver is None else ver + 1
+        if man is not None and man["partition_col"] != partition_col:
+            raise ValueError(
+                f"partition_col {partition_col!r} does not match the table's "
+                f"recorded partition_col {man['partition_col']!r} at {target} "
+                "— a manifest table's partitioning is fixed at first commit"
+            )
+        if man is None:
+            merged = incoming
         else:
-            scoped = _read_manifest_dirs(spark, target, man)
-        kept = scoped.join(incoming.select(*keys), keys, "left_anti")
-        # allowMissingColumns: an incoming frame may ADD columns (kept
-        # rows get NULLs) — the manifest records the widened schema and
-        # the reader projects old snapshots to it
-        merged = incoming.unionByName(kept, allowMissingColumns=True)
-    _publish_snapshot(
-        target, new_ver, merged, partition_col,
-        man["partitions"] if man else None,
-    )
+            if partition_col:
+                only = _touched_manifest_keys(spark, man, incoming, partition_col)
+                scoped = _read_manifest_dirs(spark, target, man, only_keys=only)
+            else:
+                scoped = _read_manifest_dirs(spark, target, man)
+            kept = scoped.join(incoming.select(*keys), keys, "left_anti")
+            # allowMissingColumns: an incoming frame may ADD columns (kept
+            # rows get NULLs) — the manifest records the widened schema and
+            # the reader projects old snapshots to it
+            merged = incoming.unionByName(kept, allowMissingColumns=True)
+        try:
+            _publish_snapshot(
+                target, new_ver, merged, partition_col,
+                man["partitions"] if man else None,
+                prev_stats=man.get("stats") if man else None,
+            )
+            return
+        except ManifestConflictError as e:
+            last_conflict = e
+            continue
+    raise ManifestConflictError(
+        f"lost the manifest commit race {_CAS_MAX_RETRIES} times at {target}"
+    ) from last_conflict
 
 
 def compact_manifest_table(
@@ -371,8 +659,12 @@ def compact_manifest_table(
     crash mid-compaction leaves readers on the fragmented-but-complete
     previous version. Partitioned tables compact to one file per
     partition (`repartition(partition_col)`); unpartitioned to
-    ceil(n/rows_per_file) files. Returns the number of data
-    directories referenced by the new manifest."""
+    ceil(n/rows_per_file) files. Elective maintenance: if a concurrent
+    upsert wins the version-CAS mid-compaction, ManifestConflictError
+    propagates — rerun against the fresh version (an automatic retry
+    here would silently drop the interleaved upsert's rows from the
+    rewrite). Returns the number of data directories referenced by the
+    new manifest."""
     ver, man = _latest_manifest(target)
     if man is None:
         raise ValueError(f"no manifest table at {target}")
@@ -427,15 +719,26 @@ def upsert(
 
     ``commit_mode``: ``"rename"`` (default) is the directory-swap
     protocol above — correct on POSIX/HDFS where rename is atomic.
-    ``"manifest"`` is the OBJECT-STORE-SAFE alternative (S3-class
+    ``"manifest"`` is the OBJECT-STORE-SHAPED alternative (S3-class
     stores have no atomic directory rename): data files are written to
     a fresh immutable snapshot directory first, and a `manifest-N.json`
     naming every live data directory is published LAST as the single
-    atomic commit point (one PUT); readers (`read_manifest_table`)
-    resolve the newest manifest, so a crash anywhere before the
-    manifest lands is invisible. Untouched partitions are carried
-    forward in the manifest BY REFERENCE — still O(touched partitions)
-    data written per commit.
+    atomic commit point; readers (`read_manifest_table`) resolve the
+    newest manifest, so a crash anywhere before the manifest lands is
+    invisible. Untouched partitions are carried forward in the
+    manifest BY REFERENCE — still O(touched partitions) data written
+    per commit. Concurrent writers are safe: the publish is a
+    version-CAS (create-if-absent), the loser re-reads and re-merges
+    (`_upsert_manifest`), and unique per-attempt snapshot names plus a
+    GC grace window keep racing writers out of each other's files. The
+    last `_RETAIN_VERSIONS` versions stay readable
+    (`read_manifest_table(version=N)`), and per-entry min/max stats
+    enable data skipping on non-partition predicates (``bounds=``).
+    NOTE: the manifest I/O as implemented is LOCAL-FILESYSTEM-ONLY
+    (os.listdir/os.link) — against a real hdfs:///s3a:// target, route
+    it through that store's listing + conditional-put API (the
+    protocol itself is designed for exactly that mapping); the data
+    files go through Spark and are URI-agnostic.
     """
     if partition_col is not None and partition_col not in keys:
         raise ValueError(f"partition_col {partition_col!r} must be one of keys {keys}")

@@ -449,14 +449,14 @@ def test_manifest_crash_mid_manifest_write_leaves_no_partial_commit(
     sinks.upsert(spark, target, rows, ["ticker", "date"], commit_mode="manifest")
     before = _mread(spark, target)
 
-    real_rename = os.rename
+    real_link = os.link
 
     def flaky(src, dst):
         if os.path.basename(dst).startswith(sinks._MANIFEST_PREFIX):
             raise OSError("simulated crash mid-manifest-publish")
-        return real_rename(src, dst)
+        return real_link(src, dst)
 
-    monkeypatch.setattr(sinks.os, "rename", flaky)
+    monkeypatch.setattr(sinks.os, "link", flaky)
     clash = spark.createDataFrame(
         [(1, "2024-01-01", "NEW")], "ticker INT, date STRING, val STRING"
     )
@@ -470,16 +470,22 @@ def test_manifest_crash_mid_manifest_write_leaves_no_partial_commit(
     assert (1, "2024-01-01", "NEW") in _mread(spark, target)
 
 
-def test_manifest_gc_drops_fully_unreferenced_snapshots(spark, rows, tmp_path):
-    """After an unpartitioned rewrite, the previous snapshot is no
-    longer referenced by the newest manifest and must be GC'd."""
+def test_manifest_gc_drops_fully_unreferenced_snapshots(
+    spark, rows, tmp_path, monkeypatch
+):
+    """With retention shrunk to 1 and the in-flight grace window off,
+    an unpartitioned rewrite's previous snapshot is unreferenced by
+    every retained manifest and must be GC'd (the r5 immediate-GC
+    behavior, now the K=1 corner of the retention policy)."""
     import os
 
+    monkeypatch.setattr(sinks, "_RETAIN_VERSIONS", 1)
+    monkeypatch.setattr(sinks, "_GC_GRACE_SECONDS", 0.0)
     target = str(tmp_path / "sink")
     sinks.upsert(spark, target, rows, ["ticker", "date"], commit_mode="manifest")
     sinks.upsert(spark, target, rows, ["ticker", "date"], commit_mode="manifest")
     snaps = [e for e in os.listdir(target) if e.startswith("snap-")]
-    assert snaps == ["snap-000000000001"]
+    assert len(snaps) == 1 and snaps[0].startswith("snap-000000000001")
     assert _mread(spark, target) == {
         (1, "2024-01-01", "a"), (1, "2024-01-02", "b"), (2, "2024-01-01", "c"),
     }
@@ -549,11 +555,16 @@ def test_manifest_null_partition_value_roundtrips_as_null(spark, tmp_path):
     assert len(out2) == 3
 
 
-def test_manifest_superseded_versions_are_garbage_collected(spark, rows, tmp_path):
-    """Single-writer protocol: after commit N, version N-1's manifest
-    file and its unshared snapshot dirs are reclaimed."""
+def test_manifest_superseded_versions_are_garbage_collected(
+    spark, rows, tmp_path, monkeypatch
+):
+    """With retention=1, after commit N version N-1's manifest file is
+    reclaimed (the K=1 corner); at the default retention the last K
+    manifests survive — checked in test_manifest_retention below."""
     import os
 
+    monkeypatch.setattr(sinks, "_RETAIN_VERSIONS", 1)
+    monkeypatch.setattr(sinks, "_GC_GRACE_SECONDS", 0.0)
     target = str(tmp_path / "sink")
     sinks.upsert(spark, target, rows, ["ticker", "date"], commit_mode="manifest")
     sinks.upsert(spark, target, rows, ["ticker", "date"], commit_mode="manifest")
@@ -586,11 +597,16 @@ def test_manifest_schema_evolution_adds_column_with_nulls(spark, rows, tmp_path)
     assert (1, "2024-01-02", "b", None) in got   # untouched old snapshot
 
 
-def test_compact_manifest_table_preserves_rows_and_snapshots(spark, rows, tmp_path):
+def test_compact_manifest_table_preserves_rows_and_snapshots(
+    spark, rows, tmp_path, monkeypatch
+):
     """Compaction publishes a single fresh snapshot with identical
-    contents; fragmented predecessors are reclaimed."""
+    contents; fragmented predecessors are reclaimed (retention shrunk
+    to 1 so the reclaim is immediate and assertable)."""
     import os
 
+    monkeypatch.setattr(sinks, "_RETAIN_VERSIONS", 1)
+    monkeypatch.setattr(sinks, "_GC_GRACE_SECONDS", 0.0)
     target = str(tmp_path / "sink")
     for i in range(3):  # three commits -> partitions scattered over snaps
         batch = spark.createDataFrame(
@@ -606,7 +622,7 @@ def test_compact_manifest_table_preserves_rows_and_snapshots(spark, rows, tmp_pa
     assert n_dirs == 3  # one dir per date partition
     assert _mread(spark, target) == before
     snaps = {e for e in os.listdir(target) if e.startswith("snap-")}
-    assert snaps == {"snap-000000000003"}
+    assert len(snaps) == 1 and next(iter(snaps)).startswith("snap-000000000003")
 
 
 def test_manifest_typed_partition_scoping_preserves_carried_rows(spark, tmp_path):
@@ -660,15 +676,248 @@ def test_manifest_date_typed_partition_scoping_and_roundtrip(spark, tmp_path):
     assert got == {(1, d1, "NEW"), (2, d2, "b")}
 
 
-def test_compact_manifest_table_unpartitioned(spark, rows, tmp_path):
+def test_compact_manifest_table_unpartitioned(spark, rows, tmp_path, monkeypatch):
     import os
 
+    monkeypatch.setattr(sinks, "_RETAIN_VERSIONS", 1)
+    monkeypatch.setattr(sinks, "_GC_GRACE_SECONDS", 0.0)
     target = str(tmp_path / "sink")
     sinks.upsert(spark, target, rows, ["ticker", "date"], commit_mode="manifest")
     before = _mread(spark, target)
     n_dirs = sinks.compact_manifest_table(spark, target, rows_per_file=2)
     assert n_dirs == 1  # single __ALL__ snapshot entry
     assert _mread(spark, target) == before
-    assert [e for e in os.listdir(target) if e.startswith("snap-")] == [
-        "snap-000000000001"
-    ]
+    snaps = [e for e in os.listdir(target) if e.startswith("snap-")]
+    assert len(snaps) == 1 and snaps[0].startswith("snap-000000000001")
+
+
+# --- r6: optimistic concurrency, retention/time travel, data skipping --
+
+
+def test_manifest_concurrent_writers_both_survive(
+    spark, rows, tmp_path, monkeypatch
+):
+    """The r5 'what's wrong' race, fixed: writer A reads the manifest,
+    writer B commits in between, A's publish must LOSE the version-CAS,
+    re-read, re-merge, and land on the next version — both writers'
+    rows survive. The interleave is forced deterministically by
+    hooking A's manifest read."""
+    target = str(tmp_path / "sink")
+    sinks.upsert(
+        spark, target, rows, ["ticker", "date"],
+        partition_col="date", commit_mode="manifest",
+    )
+
+    writer_b_rows = spark.createDataFrame(
+        [(7, "2024-01-01", "from-B")], "ticker INT, date STRING, val STRING"
+    )
+    writer_a_rows = spark.createDataFrame(
+        [(8, "2024-01-02", "from-A")], "ticker INT, date STRING, val STRING"
+    )
+
+    real_latest = sinks._latest_manifest
+    state = {"interleaved": False, "a_reads": 0}
+
+    def racy_latest(t):
+        out = real_latest(t)
+        state["a_reads"] += 1
+        if not state["interleaved"]:
+            state["interleaved"] = True
+            # B commits fully while A holds its (now stale) view
+            monkeypatch.setattr(sinks, "_latest_manifest", real_latest)
+            sinks.upsert(
+                spark, target, writer_b_rows, ["ticker", "date"],
+                partition_col="date", commit_mode="manifest",
+            )
+            monkeypatch.setattr(sinks, "_latest_manifest", racy_latest)
+        return out  # stale on the first read
+
+    monkeypatch.setattr(sinks, "_latest_manifest", racy_latest)
+    sinks.upsert(
+        spark, target, writer_a_rows, ["ticker", "date"],
+        partition_col="date", commit_mode="manifest",
+    )
+    monkeypatch.undo()
+
+    assert state["a_reads"] >= 2, "A never retried — the CAS did not fire"
+    out = _mread(spark, target)
+    assert (7, "2024-01-01", "from-B") in out  # B's commit not clobbered
+    assert (8, "2024-01-02", "from-A") in out  # A's retry landed
+    assert (2, "2024-01-01", "c") in out       # original rows intact
+    ver, _ = sinks._latest_manifest(target)
+    assert ver == 2  # v0 initial, v1 = B, v2 = A's retried commit
+
+
+def test_manifest_retention_keeps_old_versions_readable(spark, rows, tmp_path):
+    """Snapshot retention: a lazy frame resolved before a commit still
+    collects correctly after it (its files are retained), and
+    read-at-version returns each historical table; versions past the
+    window raise."""
+    target = str(tmp_path / "sink")
+    sinks.upsert(
+        spark, target, rows, ["ticker", "date"],
+        partition_col="date", commit_mode="manifest",
+    )
+    held = sinks.read_manifest_table(spark, target)  # lazy, resolves v0
+
+    clash = spark.createDataFrame(
+        [(1, "2024-01-01", "NEW")], "ticker INT, date STRING, val STRING"
+    )
+    sinks.upsert(
+        spark, target, clash, ["ticker", "date"],
+        partition_col="date", commit_mode="manifest",
+    )
+
+    # the held v0 frame still reads the ORIGINAL contents
+    got_held = {(r["ticker"], str(r["date"]), r["val"]) for r in held.collect()}
+    assert got_held == {
+        (1, "2024-01-01", "a"), (1, "2024-01-02", "b"), (2, "2024-01-01", "c"),
+    }
+    # explicit time travel
+    v0 = sinks.read_manifest_table(spark, target, version=0)
+    got_v0 = {(r["ticker"], str(r["date"]), r["val"]) for r in v0.collect()}
+    assert got_v0 == got_held
+    v1 = sinks.read_manifest_table(spark, target, version=1)
+    assert (1, "2024-01-01", "NEW") in {
+        (r["ticker"], str(r["date"]), r["val"]) for r in v1.collect()
+    }
+    with pytest.raises(ValueError, match="version 9"):
+        sinks.read_manifest_table(spark, target, version=9)
+
+
+def test_manifest_version_past_retention_window_is_reclaimed(
+    spark, rows, tmp_path, monkeypatch
+):
+    """Versions older than _RETAIN_VERSIONS are GC'd: their manifest
+    files disappear and read-at-version raises."""
+    monkeypatch.setattr(sinks, "_RETAIN_VERSIONS", 2)
+    monkeypatch.setattr(sinks, "_GC_GRACE_SECONDS", 0.0)
+    target = str(tmp_path / "sink")
+    for i in range(4):  # versions 0..3
+        batch = spark.createDataFrame(
+            [(i, "2024-01-01", f"v{i}")], "ticker INT, date STRING, val STRING"
+        )
+        sinks.upsert(spark, target, batch, ["ticker", "date"], commit_mode="manifest")
+    import os
+
+    versions = sorted(
+        sinks._manifest_version(e)
+        for e in os.listdir(target)
+        if e.startswith("manifest-") and e.endswith(".json")
+    )
+    assert versions == [2, 3]
+    with pytest.raises(ValueError, match="retention"):
+        sinks.read_manifest_table(spark, target, version=0)
+    # retained old version still fully readable
+    v2 = {(r["ticker"], r["val"])
+          for r in sinks.read_manifest_table(spark, target, version=2).collect()}
+    assert v2 == {(0, "v0"), (1, "v1"), (2, "v2")}
+
+
+def test_manifest_partition_col_mismatch_rejected(spark, rows, tmp_path):
+    """r5 advice: a partitioned upsert onto a table first committed
+    with different (or no) partitioning must raise, not mis-key rows."""
+    target = str(tmp_path / "sink")
+    sinks.upsert(spark, target, rows, ["ticker", "date"], commit_mode="manifest")
+    with pytest.raises(ValueError, match="partition_col"):
+        sinks.upsert(
+            spark, target, rows, ["ticker", "date"],
+            partition_col="date", commit_mode="manifest",
+        )
+    target2 = str(tmp_path / "sink2")
+    sinks.upsert(
+        spark, target2, rows, ["ticker", "date"],
+        partition_col="date", commit_mode="manifest",
+    )
+    with pytest.raises(ValueError, match="partition_col"):
+        sinks.upsert(
+            spark, target2, rows, ["ticker", "date"],
+            partition_col="ticker", commit_mode="manifest",
+        )
+
+
+def _files_read(df):
+    from pyspark.sql import functions as F
+
+    return {
+        r["f"]
+        for r in df.select(F.input_file_name().alias("f")).distinct().collect()
+        if r["f"]
+    }
+
+
+def test_manifest_stats_pruning_skips_unmatched_entries(spark, tmp_path):
+    """Data skipping: per-entry min/max stats recorded at commit time
+    must prune entries whose range can't match the requested bounds —
+    fewer FILES are actually read — while returning exactly the rows a
+    plain filter would."""
+    rows = spark.createDataFrame(
+        [
+            (1, "2024-01-01", 5.0, "a"),
+            (2, "2024-01-01", 9.0, "b"),
+            (3, "2024-01-02", 105.0, "c"),
+            (4, "2024-01-02", 109.0, "d"),
+            (5, "2024-01-03", 1005.0, "e"),
+        ],
+        "id INT, date STRING, v DOUBLE, val STRING",
+    )
+    target = str(tmp_path / "sink")
+    sinks.upsert(
+        spark, target, rows, ["id", "date"],
+        partition_col="date", commit_mode="manifest",
+    )
+    _, man = sinks._latest_manifest(target)
+    assert man["stats"]["date=2024-01-01"]["v"] == ["5.0", "9.0"]
+
+    full = sinks.read_manifest_table(spark, target)
+    pruned = sinks.read_manifest_table(spark, target, bounds={"v": (100.0, 200.0)})
+    assert {(r["id"], r["v"]) for r in pruned.collect()} == {(3, 105.0), (4, 109.0)}
+    assert len(_files_read(pruned)) < len(_files_read(full))
+
+    # bounds on a column with no stats recorded for an entry: correctness
+    # unchanged (entry read + filtered) — simulate by dropping stats
+    import json as _json
+    import os
+
+    mpath = [e for e in os.listdir(target) if e.startswith("manifest-")]
+    path = os.path.join(target, sorted(mpath)[-1])
+    man2 = _json.load(open(path))
+    man2["stats"] = {}
+    os.remove(path)
+    with open(path, "w") as f:
+        _json.dump(man2, f)
+    unpruned = sinks.read_manifest_table(spark, target, bounds={"v": (100.0, 200.0)})
+    assert {(r["id"], r["v"]) for r in unpruned.collect()} == {(3, 105.0), (4, 109.0)}
+
+
+def test_manifest_stats_carry_forward_and_half_open_bounds(spark, tmp_path):
+    """Untouched entries keep their prior stats across commits, and
+    half-open bounds (one side None) prune correctly."""
+    rows = spark.createDataFrame(
+        [(1, "2024-01-01", 5.0), (2, "2024-01-02", 100.0)],
+        "id INT, date STRING, v DOUBLE",
+    )
+    target = str(tmp_path / "sink")
+    sinks.upsert(
+        spark, target, rows, ["id", "date"],
+        partition_col="date", commit_mode="manifest",
+    )
+    clash = spark.createDataFrame(
+        [(3, "2024-01-02", 200.0)], "id INT, date STRING, v DOUBLE"
+    )
+    sinks.upsert(
+        spark, target, clash, ["id", "date"],
+        partition_col="date", commit_mode="manifest",
+    )
+    _, man = sinks._latest_manifest(target)
+    # untouched partition's stats carried forward verbatim
+    assert man["stats"]["date=2024-01-01"]["v"] == ["5.0", "5.0"]
+    # touched partition's stats recomputed over the merged contents
+    assert man["stats"]["date=2024-01-02"]["v"] == ["100.0", "200.0"]
+
+    lo_only = sinks.read_manifest_table(spark, target, bounds={"v": (50.0, None)})
+    assert {r["v"] for r in lo_only.collect()} == {100.0, 200.0}
+    full = sinks.read_manifest_table(spark, target)
+    assert len(_files_read(lo_only)) < len(_files_read(full))
+    hi_only = sinks.read_manifest_table(spark, target, bounds={"v": (None, 10.0)})
+    assert {r["v"] for r in hi_only.collect()} == {5.0}
