@@ -1089,9 +1089,17 @@ def _probe_decisions(
     (docs too short to shingle have no band rows and trivially keep).
     One definition makes the two paths' equivalence structural, not
     just oracle-tested. probe: (new_doc_id, band, sig); index:
-    (index_doc_id, band, sig); universe: (new_doc_id)."""
+    (index_doc_id, band, sig); universe: (new_doc_id).
+
+    Self-matches are excluded (new_doc_id != index_doc_id): a no-op
+    for the registered keys (their probe/index splits are disjoint),
+    but REQUIRED for replay safety once the index grows — a replayed
+    micro-batch whose kept docs were already appended
+    (`append_lsh_index`) must not count each doc's own signatures as
+    collisions."""
     hits = (
         probe.join(index, ["band", "sig"])
+        .filter(F.col("new_doc_id") != F.col("index_doc_id"))
         .select("new_doc_id", "index_doc_id")
         .distinct()
     )
@@ -1198,6 +1206,84 @@ def probe_lsh_index(
     )
     universe = batch_docs.select(F.col("doc_id").alias("new_doc_id"))
     return _probe_decisions(probe, index, universe)
+
+
+def append_lsh_index(
+    spark: SparkSession, idx_dir: str, new_docs: DataFrame
+) -> None:
+    """GROW the materialized LSH index with a batch of (kept)
+    documents — the append path `dedup_incremental_batch`'s docstring
+    promises and a continuous crawl needs: after each daily/micro
+    batch, the kept documents' band signatures are appended to the
+    band-partitioned parquet so the NEXT batch's duplicates of them
+    are caught (r5 verdict item #1).
+
+    Replay-safe by key, not by blind append: a doc's signatures are a
+    deterministic function of its text, so the anti-join on doc_id
+    (a pruned scan of the index's doc_id column — the index is
+    signature-sized, never corpus-sized) makes a re-delivered batch a
+    no-op. The delta is materialized (persist + count) BEFORE the
+    write starts so the append never scans the directory it is
+    extending mid-write. Per-batch cost: O(batch) signature work +
+    one doc_id-column index scan."""
+    bands = _band_signatures(_minhash_signatures(new_docs))
+    existing = spark.read.parquet(idx_dir).select("doc_id").distinct()
+    delta = bands.join(existing, "doc_id", "left_anti").persist()
+    try:
+        if delta.count() > 0:
+            delta.write.mode("append").partitionBy("band").parquet(idx_dir)
+    finally:
+        delta.unpersist()
+
+
+_INDEX_APPEND_ORACLE = f"""
+WITH {_BANDS_CTE},
+colliding AS (
+  SELECT n.doc_id AS new_doc_id
+  FROM bands n JOIN bands x ON n.band = x.band AND n.sig = x.sig
+  WHERE n.doc_id % 10 = 0 AND x.doc_id % 10 != 0
+  GROUP BY 1
+)
+SELECT band,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT sig) AS BIGINT) AS n_sigs,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM bands
+WHERE doc_id % 10 != 0
+   OR doc_id NOT IN (SELECT new_doc_id FROM colliding)
+GROUP BY band"""
+
+
+@register("dedup_index_append", oracle=_INDEX_APPEND_ORACLE)
+def dedup_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the corpus index, probe the new batch (doc_id % 10 == 0),
+    APPEND the kept docs' signatures, and verify the grown ON-DISK
+    artifact per band against the expanding-index oracle: after the
+    append, the index must contain exactly the original corpus split
+    plus every kept (non-colliding) new doc's band rows. Run twice —
+    the second append must be a no-op (replay idempotence), which the
+    oracle enforces implicitly: a duplicated append would double
+    n_rows."""
+    idx = _lsh_index_dir(spark, sf_dir, prefix="lshidxa_")
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    decisions = probe_lsh_index(spark, idx, batch)
+    kept = decisions.filter(F.col("keep")).select(
+        F.col("new_doc_id").alias("doc_id")
+    )
+    kept_docs = batch.join(kept, "doc_id", "left_semi")
+    append_lsh_index(spark, idx, kept_docs)
+    append_lsh_index(spark, idx, kept_docs)  # replay: must not re-append
+    return (
+        spark.read.parquet(idx)
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("sig").alias("n_sigs"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .select(F.col("band").cast("long").alias("band"), "n_rows", "n_sigs", "n_docs")
+    )
 
 
 @register("dedup_index_build", oracle=_INDEX_BUILD_ORACLE)
