@@ -35,6 +35,10 @@ HEADLINE = [
     "similarity_bruteforce_topk",
     "text_quality_score",
     "streaming_tumbling_daily",
+    # r6: the production ops users actually run daily (r5 verdict #7)
+    "dedup_incremental_batch",   # asymmetric batch-vs-index probe
+    "dedup_index_probe",         # materialized band-partitioned index
+    "sink_upsert_manifest",      # real manifest-commit upsert writer
 ]
 
 

@@ -187,10 +187,19 @@ SELECT q_id, vec_id, ROUND(cosine, 6) AS cosine FROM (
 ) WHERE rn <= 3"""
 
 
-@register("similarity_ivf_topk", oracle=_IVF_ORACLE)
-def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ivf_topk(
+    spark: SparkSession, sf_dir: str, nprobe: int = 2, k: int = 3
+) -> DataFrame:
     """Hierarchical (two-level) IVF ANN with CONTENT-KEYED codebooks
-    and top-2 multi-probe — the r4->r5 curve-flattening rework.
+    and top-``nprobe`` multi-probe — the r4->r5 curve-flattening
+    rework, parameterized in r6 so RECALL IS A DIAL: each query probes
+    its ``nprobe`` nearest fine cells and the pooled candidates are
+    re-ranked by EXACT cosine (the scores inside the pool are true
+    cosines, never quantized approximations), so raising nprobe
+    monotonically raises recall toward brute force at linearly rising
+    probe cost — the measured recall/nprobe curve is recorded in
+    ML_BASELINE.md. The registered key pins nprobe=2, k=3 (the oracle
+    derives the identical codebooks and probes).
 
     Why content-keyed: real corpora are duplicate-heavy, and any
     codebook sampled BY ROW (id stride, uniform sample) collapses —
@@ -341,7 +350,7 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("fcent_id"), -F.col("q_ccent") - 1).alias("pc"),
         )
         .withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= 2)
+        .filter(F.col("rn") <= nprobe)
         .select("q_id", "qv", "qn", F.col("pc").alias("probe_cell"))
     )
     pairs = vf.join(
@@ -353,9 +362,17 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")
     return (
         scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
+        .filter(F.col("rn") <= k)
         .select("q_id", "vec_id", F.round("cosine", 6).alias("cosine"))
     )
+
+
+@register("similarity_ivf_topk", oracle=_IVF_ORACLE)
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered pin of `ivf_topk` at nprobe=2, k=3 — the exact
+    configuration the DuckDB oracle reproduces. See `ivf_topk` for the
+    algorithm and the recall/nprobe dial."""
+    return ivf_topk(spark, sf_dir, nprobe=2, k=3)
 
 
 _KMEANS_IVF_ORACLE = """

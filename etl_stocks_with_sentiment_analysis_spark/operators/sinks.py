@@ -964,6 +964,45 @@ def sink_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incoming.unionByName(kept)
 
 
+@register("sink_upsert_manifest", oracle=_S4_ORACLE)
+def sink_upsert_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 via the REAL manifest-commit writer (not just the pure-query
+    semantics `sink_upsert` verifies): first commit writes the
+    existing rows as a bucket-partitioned manifest table, the second
+    upserts the incoming refresh — reading back through
+    `read_manifest_table` must reproduce exactly the `ON CONFLICT DO
+    UPDATE` oracle. Exercises the full production path per round-5
+    verdict item #7: snapshot write, partition-scoped merge, version-
+    CAS publish, stats recording, retention GC. Shares `sink_upsert`'s
+    oracle verbatim: the protocol must be invisible in the results.
+
+    Partition layout is a BOUNDED bucket of the key (ticker % 8), not
+    raw ticker: a manifest entry per distinct ticker would mean a
+    union of #tickers per-dir scans at read time (1,000 at sf0.1,
+    unbounded at 100 TB) — manifest tables want partition columns of
+    bounded cardinality, exactly like any other lake layout."""
+    target = os.path.join(scratch_dir("s11_"), "manifest_table")
+    e = panel.explanations(spark, sf_dir)
+    bucket = (F.col("ticker") % 8).alias("tgrp")
+    existing = e.filter(F.col("date") < F.lit("1998-01-01").cast("date")).select(
+        "ticker", "date", "topic", bucket
+    )
+    incoming = e.filter(F.col("ticker") % 3 == 0).select(
+        "ticker", "date", F.lit("refreshed").alias("topic"), bucket
+    )
+    # tgrp is a pure function of ticker, so widening the key set with
+    # it cannot change which rows conflict
+    upsert(
+        spark, target, existing, ["ticker", "date", "tgrp"],
+        partition_col="tgrp", commit_mode="manifest",
+    )
+    upsert(
+        spark, target, incoming, ["ticker", "date", "tgrp"],
+        partition_col="tgrp", commit_mode="manifest",
+    )
+    return read_manifest_table(spark, target).select("ticker", "date", "topic")
+
+
 _S5_ORACLE = panel.sql_with(
     *panel.PANEL_CHG,
     panel.PREDICTIONS_CTE,
