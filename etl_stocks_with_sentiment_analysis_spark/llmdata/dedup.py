@@ -21,6 +21,7 @@ Spark and DuckDB); minhash minima are lexicographic string minima.
 from __future__ import annotations
 
 import os
+import shutil
 import sys
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1186,6 +1187,40 @@ def _lsh_index_dir(
     idx = os.path.join(scratch_dir(prefix), "bands")
     bands.write.mode("overwrite").partitionBy("band").parquet(idx)
     return idx
+
+
+def compact_lsh_index(spark: SparkSession, idx_dir: str) -> int:
+    """Maintenance companion of `append_lsh_index`: every appended
+    micro-batch adds one small file per band, so a long-running crawl
+    fragments the index (per-file open cost eventually dominates the
+    probe's pruned scans). Rewrite the index to one file per band —
+    `repartition(band)` aligns the shuffle with the partitionBy so each
+    band dir gets exactly one writer task — staged next to the live
+    dir and swapped in with the sinks module's atomic directory-swap
+    (crash leaves the old fully-intact index). Probes before and after
+    are row-identical (asserted in tests/test_round6_ops.py). Returns
+    the number of data files in the compacted index."""
+    from ..operators.sinks import _swap_dirs
+
+    staged = idx_dir.rstrip("/") + "__staging"
+    shutil.rmtree(staged, ignore_errors=True)
+    (
+        spark.read.parquet(idx_dir)
+        .repartition(F.col("band"))
+        .write.partitionBy("band")
+        .mode("overwrite")
+        .parquet(staged)
+    )
+    try:
+        _swap_dirs([(staged, idx_dir)])
+    finally:
+        shutil.rmtree(staged, ignore_errors=True)
+    return (
+        spark.read.parquet(idx_dir)
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .count()
+    )
 
 
 def probe_lsh_index(

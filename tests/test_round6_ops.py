@@ -200,6 +200,53 @@ def test_streaming_multi_batch_grows_index(spark, tmp_path):
     assert got[20] == (1, 11, False)  # cross-batch dup caught in-stream
 
 
+def test_compact_lsh_index_defragments_without_changing_probes(spark, tmp_path):
+    """After several appends each band holds multiple small files;
+    compaction must shrink to one file per band and leave probe
+    decisions row-identical."""
+    from pyspark.sql import functions as FF
+
+    from etl_stocks_with_sentiment_analysis_spark.llmdata.dedup import (
+        compact_lsh_index,
+    )
+
+    idx = _write_index(spark, tmp_path, "idx")
+    for batch in [_BATCH1, _BATCH2]:
+        append_lsh_index(spark, idx, spark.createDataFrame(batch, _SCHEMA))
+
+    def files_per_band():
+        return {
+            r["band"]: r["n"]
+            for r in spark.read.parquet(idx)
+            .select("band", FF.input_file_name().alias("f"))
+            .groupBy("band")
+            .agg(FF.countDistinct("f").alias("n"))
+            .collect()
+        }
+
+    probe_df = spark.createDataFrame(_BATCH3, _SCHEMA)
+    before_probe = {
+        tuple(r) for r in probe_lsh_index(spark, idx, probe_df).collect()
+    }
+    before_rows = {
+        (r["doc_id"], r["band"], r["sig"])
+        for r in spark.read.parquet(idx).collect()
+    }
+    assert max(files_per_band().values()) > 1  # fragmented by the appends
+
+    n_files = compact_lsh_index(spark, idx)
+    after_fpb = files_per_band()
+    assert max(after_fpb.values()) == 1
+    assert n_files == len(after_fpb)
+    assert {
+        (r["doc_id"], r["band"], r["sig"])
+        for r in spark.read.parquet(idx).collect()
+    } == before_rows
+    assert {
+        tuple(r) for r in probe_lsh_index(spark, idx, probe_df).collect()
+    } == before_probe
+
+
 def test_stream_documents_reads_directory_style_tables(spark, tmp_path):
     """r5 advice: against a Spark-written directory-style
     documents.parquet the stream must discover the part files (the
