@@ -1249,6 +1249,92 @@ def compact_small_files(
     )
 
 
+_SKIP_ORACLE = """
+SELECT COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents,
+       COUNT(DISTINCT user_id) AS n_users,
+       TRUE AS pruned_ok
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+  AND ts <= TIMESTAMP '2024-01-14 23:59:59.999999'"""
+
+
+@register("sink_manifest_data_skipping", oracle=_SKIP_ORACLE)
+def sink_manifest_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats-based data skipping through the manifest reader: events
+    are committed as a manifest table partitioned by a derived
+    week-group, then a RANGE QUERY ON A NON-PARTITION COLUMN (ts) runs
+    through `read_manifest_table(bounds=...)` — the recorded per-entry
+    [min, max] ts stats prune every week-group entry outside the
+    requested week before any file opens (`pruned_ok` asserts entries
+    were actually skipped: kept < total). The oracle is the plain
+    range query — skipping must be invisible in the results. This is
+    the 100 TB answer to \"my predicate isn't the partition key\":
+    partition pruning handles dgrp, stats pruning handles everything
+    else that correlates with layout."""
+    import datetime
+
+    target = os.path.join(scratch_dir("s12_"), "events_manifest")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value",
+        ((F.dayofmonth("ts") - 1) / 7).cast("int").alias("dgrp"),
+    )
+    upsert(
+        spark, target, ev, ["event_id", "dgrp"],
+        partition_col="dgrp", commit_mode="manifest",
+    )
+    lo = datetime.datetime(2024, 1, 8, 0, 0, 0)
+    hi = datetime.datetime(2024, 1, 14, 23, 59, 59, 999999)
+    bounds = {"ts": (lo, hi)}
+    # the pruning evidence, computed from the same machinery the
+    # reader uses: entries surviving the stats check < total entries
+    from pyspark.sql.types import StructType
+
+    _, man = _latest_manifest(target)
+    schema = StructType.fromJson(json.loads(man["schema"]))
+    kept = _prune_entry_keys(
+        spark, man, schema, sorted(man["partitions"]), bounds
+    )
+    pruned_ok = len(kept) < len(man["partitions"])
+    week = read_manifest_table(spark, target, bounds=bounds)
+    return week.agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("value_cents"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.lit(pruned_ok).alias("pruned_ok"),
+    )
+
+
+_TT_ORACLE = panel.sql_with(
+    panel.PRICES_CTE,
+    panel.EXPLANATIONS_CTE,
+    body="""
+SELECT ticker, date, topic FROM explanations WHERE date < DATE '1998-01-01'""",
+)
+
+
+@register("sink_manifest_time_travel", oracle=_TT_ORACLE)
+def sink_manifest_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read-at-version through the retention window: commit the
+    pre-cutoff explanations as version 0, upsert the refresh as
+    version 1, then read VERSION 0 BACK — it must be byte-equal to the
+    original commit (the oracle is the v0 dataset), proving the
+    retention GC really keeps superseded snapshots readable and the
+    version resolver pins the right manifest. The production use:
+    reproduce yesterday's training set after today's upsert."""
+    target = os.path.join(scratch_dir("s13_"), "tt_manifest")
+    e = panel.explanations(spark, sf_dir)
+    v0 = e.filter(F.col("date") < F.lit("1998-01-01").cast("date")).select(
+        "ticker", "date", "topic"
+    )
+    v1 = e.filter(F.col("ticker") % 3 == 0).select(
+        "ticker", "date", F.lit("refreshed").alias("topic")
+    )
+    upsert(spark, target, v0, ["ticker", "date"], commit_mode="manifest")
+    upsert(spark, target, v1, ["ticker", "date"], commit_mode="manifest")
+    return read_manifest_table(spark, target, version=0)
+
+
 _S10_ORACLE = """
 SELECT COUNT(*) AS n_rows,
        CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents,
