@@ -748,6 +748,48 @@ def test_manifest_concurrent_writers_both_survive(
     assert ver == 2  # v0 initial, v1 = B, v2 = A's retried commit
 
 
+def test_manifest_true_concurrent_writers_stress(spark, tmp_path):
+    """REAL concurrency (not a staged interleave): two driver threads
+    each commit 4 disjoint upserts into one manifest table
+    simultaneously. Every row from every commit must survive and the
+    final version count must equal the total number of commits — the
+    version-CAS serializes the racers, the retention window keeps each
+    loser's read-version files alive while it re-merges."""
+    import threading
+
+    target = str(tmp_path / "sink")
+    errors: list[Exception] = []
+
+    def writer(tag: str, n: int) -> None:
+        try:
+            for i in range(n):
+                batch = spark.createDataFrame(
+                    [(f"{tag}{i}", "2024-01-01", f"val-{tag}{i}")],
+                    "ticker STRING, date STRING, val STRING",
+                )
+                sinks.upsert(
+                    spark, target, batch, ["ticker", "date"],
+                    commit_mode="manifest",
+                )
+        except Exception as e:  # noqa: BLE001 - surfaced via main thread
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=writer, args=("a", 4)),
+        threading.Thread(target=writer, args=("b", 4)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not errors, errors
+
+    out = {r["ticker"] for r in sinks.read_manifest_table(spark, target).collect()}
+    assert out == {f"{tag}{i}" for tag in "ab" for i in range(4)}
+    ver, _ = sinks._latest_manifest(target)
+    assert ver == 7  # 8 commits -> versions 0..7, none lost or skipped
+
+
 def test_manifest_retention_keeps_old_versions_readable(spark, rows, tmp_path):
     """Snapshot retention: a lazy frame resolved before a commit still
     collects correctly after it (its files are retained), and
