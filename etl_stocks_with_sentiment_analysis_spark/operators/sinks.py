@@ -239,39 +239,47 @@ def _read_manifest_dirs(
     the manifest's recorded schema — an empty table reads as empty,
     never as an error.
 
-    SCHEMA EVOLUTION: entries carried forward from commits before a
-    column was added are unioned with allowMissingColumns and then
-    projected to the CURRENT manifest's recorded schema, so old
-    snapshots read with NULLs in the new columns — the standard
-    add-column semantics of a transactional table format."""
+    SCHEMA EVOLUTION: the CURRENT manifest's recorded schema is imposed
+    on the read — the parquet reader fills columns missing from older
+    carried-forward snapshots with NULLs (schema-on-read), the standard
+    add-column semantics of a transactional table format.
+
+    PLAN SHAPE (r6): entries are grouped BY SNAPSHOT and each group is
+    one multi-path scan with `basePath` at the snapshot root, so the
+    partition column is restored by Spark's own partition discovery
+    (typed by the imposed schema, not inference; the Hive NULL
+    sentinel maps back to a real NULL). A manifest referencing 10,000
+    partitions across 3 retained snapshots plans 3 scan nodes, not
+    10,000 — per-entry unions (the r5 shape) made high-cardinality
+    layouts unplannable."""
     from pyspark.sql.types import StructType
 
-    pcol, ptype = man["partition_col"], man.get("partition_type")
+    pcol = man["partition_col"]
     schema = StructType.fromJson(json.loads(man["schema"]))
     keys = sorted(man["partitions"]) if only_keys is None else sorted(only_keys)
     if bounds:
         keys = _prune_entry_keys(spark, man, schema, keys, bounds)
-    dfs = []
+    # group referenced dirs by their snapshot root: one scan per snap
+    by_snap: dict[str, list[str]] = {}
     for key in keys:
-        df = spark.read.parquet(os.path.join(target, man["partitions"][key]))
+        rel = man["partitions"][key]
+        by_snap.setdefault(rel.split("/", 1)[0], []).append(
+            os.path.join(target, rel)
+        )
+    dfs = []
+    for snap_rel, paths in sorted(by_snap.items()):
+        reader = spark.read.schema(schema)
         if pcol:
-            raw = _manifest_key_value(key)
-            val = F.lit(None) if raw == _HIVE_NULL else F.lit(raw)
-            df = df.withColumn(pcol, val.cast(ptype))
-        dfs.append(df)
+            reader = reader.option(
+                "basePath", os.path.join(target, snap_rel)
+            )
+        dfs.append(reader.parquet(*sorted(paths)))
     if not dfs:
         return spark.createDataFrame([], schema)
     out = dfs[0]
     for d in dfs[1:]:
-        out = out.unionByName(d, allowMissingColumns=True)
-    return out.select(
-        *[
-            F.col(f.name).cast(f.dataType)
-            if f.name in out.columns
-            else F.lit(None).cast(f.dataType).alias(f.name)
-            for f in schema.fields
-        ]
-    )
+        out = out.unionByName(d)
+    return out.select(*[F.col(f.name) for f in schema.fields])
 
 
 def read_manifest_table(
