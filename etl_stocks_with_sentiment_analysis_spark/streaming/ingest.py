@@ -211,7 +211,11 @@ def run_dedup_stream(
 
 
 def run_incremental_upsert(
-    spark: SparkSession, sf_dir: str, target: str, query_name: str = "daily_upsert"
+    spark: SparkSession,
+    sf_dir: str,
+    target: str,
+    query_name: str = "daily_upsert",
+    commit_mode: str = "rename",
 ):
     """Incremental materialization: the streaming daily agg merged
     into a parquet sink via foreachBatch + the partition-scoped
@@ -220,7 +224,15 @@ def run_incremental_upsert(
     (`stock_grok_pipeline.py:182-195`). `update` output mode emits
     only the groups a trigger changed; each batch rewrites only the
     day-partitions present in that batch. Rerunning the whole stream
-    is idempotent (same keys → same rows)."""
+    is idempotent (same keys → same rows).
+
+    ``commit_mode="manifest"`` routes each micro-batch through the
+    transactional manifest commit instead of directory renames: the
+    stream then coexists safely with concurrent maintenance
+    (compaction, a second writer) via the version-CAS, readers get
+    snapshot isolation across batches, and `read_manifest_table`
+    time-travels per micro-batch version — the combination a
+    production incremental pipeline actually runs."""
     from ..operators.sinks import upsert
 
     agg = _daily_agg(
@@ -234,6 +246,7 @@ def run_incremental_upsert(
             batch_df,
             keys=["day", "event_type"],
             partition_col="day",
+            commit_mode=commit_mode,
         )
 
     return (
