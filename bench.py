@@ -52,15 +52,27 @@ def main() -> None:
     # Per-query fault isolation: a raising key records its own "error"
     # entry and the suite still emits the JSON line — one broken
     # operator must never zero the round's perf evidence.
+    #
+    # SIGNAL QUALITY (r7): each query runs 1 warm + 3 timed; the
+    # reported wall is the MEDIAN and `spread` carries [min, max] per
+    # query — so a future round can tell a real regression from the
+    # ±15-25% single-shot session noise that forced two consecutive
+    # rounds of "box drift" adjudication.
     timings: dict[str, object] = {}
+    spread: dict[str, list[float]] = {}
     errors = 0
     for key in HEADLINE:
         try:
             df = qs[key](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()  # warm (JIT, listing)
-            t0 = time.time()
-            qs[key](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            timings[key] = round(time.time() - t0, 3)
+            walls = []
+            for _ in range(3):
+                t0 = time.time()
+                qs[key](spark, sf_dir).write.format("noop").mode("overwrite").save()
+                walls.append(time.time() - t0)
+            walls.sort()
+            timings[key] = round(walls[1], 3)  # median of 3
+            spread[key] = [round(walls[0], 3), round(walls[-1], 3)]
         except Exception as e:  # noqa: BLE001 - isolate per-query faults
             errors += 1
             timings[key] = f"error: {type(e).__name__}: {str(e).splitlines()[0][:200]}"
@@ -73,6 +85,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
                 "sf": sf,
                 "errors": errors,
             }

@@ -1,0 +1,249 @@
+"""Filesystem facade for commit-protocol METADATA I/O (manifests,
+markers, snapshot listings), routed through Hadoop's ``FileSystem``
+API so the manifest table protocol in `sinks.py` runs against any URI
+scheme Spark itself can reach — ``file:///``, ``hdfs://``, ``s3a://``
+— instead of being local-filesystem-only (`os.listdir`/`os.link`).
+
+The reference's durability layer is Postgres `ON CONFLICT`
+(`/root/reference/ml/data_loader.py:140-160`) and works wherever its
+engine runs; this module is the Spark-lake equivalent: data files go
+through Spark (URI-agnostic already), and the commit metadata goes
+through the SAME Hadoop filesystem abstraction the executors use.
+
+Every function takes a path string (plain local path, ``file://``,
+``hdfs://``, ``s3a://``…) and resolves the owning ``FileSystem`` from
+the live SparkSession's Hadoop configuration. Hadoop caches
+FileSystem instances per (scheme, authority, ugi), so per-call
+``getFileSystem`` is a map lookup after the first call.
+
+THE VERSION-CAS (`create_text_if_absent`) is the one primitive whose
+atomicity is store-specific, so it dispatches on scheme:
+
+- ``file`` (and plain paths): write a dot-temp then ``os.link`` to
+  the final name — link(2) fails with EEXIST if the name exists,
+  a genuinely atomic conditional-create on POSIX. (Hadoop's
+  ``RawLocalFileSystem.create(overwrite=false)`` is check-then-act —
+  two racing writers can both pass the exists() check — so the JVM
+  path is NOT used for local URIs; the two-writer stress test in
+  tests/test_sinks.py would be a coin flip under it.)
+- everything else: ``FileSystem.create(path, overwrite=false)`` —
+  atomic on HDFS-class stores (the namenode arbitrates the create).
+  On S3A specifically, conditional create requires the store's
+  If-None-Match conditional PUT (Hadoop 3.4.1+ exposes it via
+  ``fs.s3a.create.conditional.enabled``); older S3A's
+  create(overwrite=false) is check-then-act and needs an external
+  lock or a DynamoDB-style arbiter — documented, not silently
+  papered over.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from dataclasses import dataclass
+from urllib.parse import urlparse
+
+__all__ = [
+    "FileInfo",
+    "exists",
+    "is_dir",
+    "list_status",
+    "read_text",
+    "write_text",
+    "create_text_if_absent",
+    "delete",
+    "mkdirs",
+    "mtime",
+    "join",
+]
+
+
+@dataclass(frozen=True)
+class FileInfo:
+    name: str  # basename, no path
+    is_dir: bool
+    mtime: float  # seconds since epoch
+
+
+def _session():
+    from pyspark.sql import SparkSession
+
+    s = SparkSession.getActiveSession() or SparkSession._instantiatedSession
+    if s is None:  # pragma: no cover - protocol needs a live session
+        raise RuntimeError("manifest I/O requires an active SparkSession")
+    return s
+
+
+def _jfs(path: str):
+    """(jvm, FileSystem, Path) for `path`, via the session's Hadoop
+    conf. Multi-thread safe: py4j gives each Python thread its own
+    gateway connection, and Hadoop's FileSystem cache is the JVM's."""
+    spark = _session()
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return jvm, fs, jpath
+
+
+def _java_exc_name(err) -> str:
+    try:
+        return err.java_exception.getClass().getName()
+    except Exception:  # pragma: no cover
+        return ""
+
+
+def _is_local(path: str) -> bool:
+    scheme = urlparse(path).scheme
+    return scheme in ("", "file")
+
+
+def _local_path(path: str) -> str:
+    p = urlparse(path)
+    return p.path if p.scheme else path
+
+
+def join(path: str, *parts: str) -> str:
+    """URI-preserving path join (os.path.join would also work on
+    POSIX, but this never surprises on scheme'd URIs)."""
+    out = path.rstrip("/")
+    for p in parts:
+        out += "/" + p.strip("/")
+    return out
+
+
+def exists(path: str) -> bool:
+    _, fs, jp = _jfs(path)
+    return bool(fs.exists(jp))
+
+
+def is_dir(path: str) -> bool:
+    _, fs, jp = _jfs(path)
+    try:
+        return bool(fs.getFileStatus(jp).isDirectory())
+    except Exception as e:
+        if "FileNotFoundException" in _java_exc_name(e):
+            return False
+        raise
+
+
+def list_status(path: str) -> list[FileInfo]:
+    """Direct children with (name, is_dir, mtime) in ONE namenode/
+    store roundtrip — the listing primitive every manifest resolve and
+    GC sweep uses. Missing dir lists as empty (a table with no commits
+    reads as empty, never as an error)."""
+    _, fs, jp = _jfs(path)
+    try:
+        statuses = fs.listStatus(jp)
+    except Exception as e:
+        if "FileNotFoundException" in _java_exc_name(e):
+            return []
+        raise
+    return [
+        FileInfo(
+            name=st.getPath().getName(),
+            is_dir=bool(st.isDirectory()),
+            mtime=st.getModificationTime() / 1000.0,
+        )
+        for st in statuses
+    ]
+
+
+def mtime(path: str) -> float:
+    """Raises FileNotFoundError if absent."""
+    _, fs, jp = _jfs(path)
+    try:
+        return fs.getFileStatus(jp).getModificationTime() / 1000.0
+    except Exception as e:
+        if "FileNotFoundException" in _java_exc_name(e):
+            raise FileNotFoundError(path) from None
+        raise
+
+
+def read_text(path: str) -> str:
+    """Whole-file UTF-8 read; raises FileNotFoundError if absent (the
+    manifest resolver's raced-GC retry depends on that mapping)."""
+    jvm, fs, jp = _jfs(path)
+    try:
+        stream = fs.open(jp)
+    except Exception as e:
+        if "FileNotFoundException" in _java_exc_name(e):
+            raise FileNotFoundError(path) from None
+        raise
+    try:
+        data = jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+    finally:
+        stream.close()
+    return bytes(data).decode("utf-8")
+
+
+def write_text(path: str, text: str) -> None:
+    """Create-or-overwrite write (temp files, markers) — NOT the
+    commit CAS; see `create_text_if_absent`."""
+    _, fs, jp = _jfs(path)
+    out = fs.create(jp, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+        try:
+            out.hsync()
+        except Exception:
+            pass  # store without sync support: close() still persists
+    finally:
+        out.close()
+
+
+def create_text_if_absent(path: str, text: str) -> None:
+    """The version-CAS: publish `text` at `path` iff no object exists
+    there, atomically. Raises FileExistsError when the name is taken —
+    the manifest protocol's lost-race signal. Store dispatch is the
+    module docstring's contract: POSIX link(2) for local, HDFS
+    create(overwrite=false) elsewhere."""
+    if _is_local(path):
+        lp = _local_path(path)
+        d, name = os.path.split(lp)
+        tmp = os.path.join(d, f".{name}.tmp-{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as f:
+            f.write(text)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, lp)
+        except FileExistsError:
+            raise
+        finally:
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
+        return
+    _, fs, jp = _jfs(path)
+    try:
+        out = fs.create(jp, False)
+    except Exception as e:
+        name = _java_exc_name(e)
+        if "FileAlreadyExists" in name or "FileAlreadyExistsException" in name:
+            raise FileExistsError(path) from None
+        raise
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+        try:
+            out.hsync()
+        except Exception:
+            pass  # store without sync support: close() still persists
+    finally:
+        out.close()
+
+
+def delete(path: str, recursive: bool = False) -> bool:
+    """Best-effort delete; False if absent."""
+    _, fs, jp = _jfs(path)
+    try:
+        return bool(fs.delete(jp, recursive))
+    except Exception as e:
+        if "FileNotFoundException" in _java_exc_name(e):
+            return False
+        raise
+
+
+def mkdirs(path: str) -> None:
+    _, fs, jp = _jfs(path)
+    fs.mkdirs(jp)

@@ -28,6 +28,7 @@ import urllib.parse
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from . import fsio
 from ..plans import panel
 from ..registry import register
 from ..sources import load_table
@@ -115,11 +116,14 @@ def _latest_manifest(target: str) -> tuple[int | None, dict | None]:
     """Resolve the newest committed manifest: (version, parsed dict),
     or (None, None) for a table with no manifest commits yet. The file
     is reopened by its MATCHED name (not a reformatted version number),
-    so non-zero-padded names written by other tools still resolve."""
-    if not os.path.isdir(target):
-        return None, None
+    so non-zero-padded names written by other tools still resolve.
+
+    All I/O goes through the Hadoop FileSystem facade (`fsio`), so the
+    resolve works identically for plain local paths, file:///, and
+    hdfs://-class targets — one listing roundtrip plus one read."""
     best, best_name = None, None
-    for e in os.listdir(target):
+    for fi in fsio.list_status(target):
+        e = fi.name
         if e.startswith(_MANIFEST_PREFIX) and e.endswith(".json"):
             try:
                 v = int(e[len(_MANIFEST_PREFIX) : -len(".json")])
@@ -130,27 +134,25 @@ def _latest_manifest(target: str) -> tuple[int | None, dict | None]:
     if best is None:
         return None, None
     try:
-        with open(os.path.join(target, best_name)) as f:
-            return best, json.load(f)
+        return best, json.loads(fsio.read_text(fsio.join(target, best_name)))
     except FileNotFoundError:
         # raced a concurrent commit's GC (the old manifest vanished
-        # between listdir and open) — re-list, excluding the vanished
+        # between listing and open) — re-list, excluding the vanished
         # name. Bounded: each retry drops one candidate, so a
-        # pathological listable-but-unopenable entry (dangling
-        # symlink) degrades to (None, None) instead of recursing.
+        # pathological listable-but-unopenable entry degrades to
+        # (None, None) instead of recursing.
         remaining = [
-            (v, e)
-            for e in os.listdir(target)
-            if e.startswith(_MANIFEST_PREFIX)
-            and e.endswith(".json")
-            and e != best_name
-            for v in [_manifest_version(e)]
+            (v, e.name)
+            for e in fsio.list_status(target)
+            if e.name.startswith(_MANIFEST_PREFIX)
+            and e.name.endswith(".json")
+            and e.name != best_name
+            for v in [_manifest_version(e.name)]
             if v is not None
         ]
         for v, e in sorted(remaining, reverse=True):
             try:
-                with open(os.path.join(target, e)) as f:
-                    return v, json.load(f)
+                return v, json.loads(fsio.read_text(fsio.join(target, e)))
             except FileNotFoundError:
                 continue
         return None, None
@@ -251,29 +253,62 @@ def _read_manifest_dirs(
     sentinel maps back to a real NULL). A manifest referencing 10,000
     partitions across 3 retained snapshots plans 3 scan nodes, not
     10,000 — per-entry unions (the r5 shape) made high-cardinality
-    layouts unplannable."""
-    from pyspark.sql.types import StructType
+    layouts unplannable.
+
+    FIELD-ID RESOLUTION (r7, Iceberg-style): the manifest assigns each
+    column a permanent integer id (`field_ids`) and records, per
+    snapshot, the NAME each id had when that snapshot was written
+    (`snap_columns`). Old snapshots are read under their AT-WRITE
+    names and remapped id-wise to the current names, so a column
+    RENAME keeps every historical snapshot's data attached to the
+    renamed column, and a DROP + re-ADD of the same name gets a fresh
+    id — old values never resurrect under the new column. Snapshots
+    (or whole manifests) from before the field-id format fall back to
+    name-based resolution, which is exactly how they were written."""
+    from pyspark.sql.types import StructField, StructType
 
     pcol = man["partition_col"]
     schema = StructType.fromJson(json.loads(man["schema"]))
     keys = sorted(man["partitions"]) if only_keys is None else sorted(only_keys)
     if bounds:
         keys = _prune_entry_keys(spark, man, schema, keys, bounds)
+    field_ids = man.get("field_ids")  # {current name: id} or None (legacy)
+    snap_columns = man.get("snap_columns") or {}  # {snap_rel: {str(id): name}}
     # group referenced dirs by their snapshot root: one scan per snap
     by_snap: dict[str, list[str]] = {}
     for key in keys:
         rel = man["partitions"][key]
         by_snap.setdefault(rel.split("/", 1)[0], []).append(
-            os.path.join(target, rel)
+            fsio.join(target, rel)
         )
     dfs = []
     for snap_rel, paths in sorted(by_snap.items()):
-        reader = spark.read.schema(schema)
+        at_write = snap_columns.get(snap_rel) if field_ids else None
+        if at_write is None:
+            read_schema = schema  # legacy snapshot: name-based
+            projection = [F.col(f.name) for f in schema.fields]
+        else:
+            fields, projection = [], []
+            for f in schema.fields:
+                wname = (
+                    pcol
+                    if f.name == pcol  # partition col is rename-fixed
+                    else at_write.get(str(field_ids[f.name]))
+                )
+                if wname is None:  # column added after this snapshot
+                    projection.append(
+                        F.lit(None).cast(f.dataType).alias(f.name)
+                    )
+                else:
+                    fields.append(StructField(wname, f.dataType, True))
+                    projection.append(F.col(wname).alias(f.name))
+            read_schema = StructType(fields)
+        reader = spark.read.schema(read_schema)
         if pcol:
             reader = reader.option(
-                "basePath", os.path.join(target, snap_rel)
+                "basePath", fsio.join(target, snap_rel)
             )
-        dfs.append(reader.parquet(*sorted(paths)))
+        dfs.append(reader.parquet(*sorted(paths)).select(*projection))
     if not dfs:
         return spark.createDataFrame([], schema)
     out = dfs[0]
@@ -320,10 +355,9 @@ def read_manifest_table(
         if man is None:
             return None
     else:
-        path = os.path.join(target, f"{_MANIFEST_PREFIX}{version:012d}.json")
+        path = fsio.join(target, f"{_MANIFEST_PREFIX}{version:012d}.json")
         try:
-            with open(path) as f:
-                man = json.load(f)
+            man = json.loads(fsio.read_text(path))
         except FileNotFoundError:
             raise ValueError(
                 f"manifest version {version} not found at {target} — never "
@@ -343,41 +377,27 @@ def read_manifest_table(
 def _write_manifest_atomic(target: str, version: int, manifest: dict) -> None:
     """Publish a manifest with a single atomic CREATE-IF-ABSENT.
 
-    Write to a dot-temp name readers never match, fsync, then
-    `os.link` to the final name — link fails with EEXIST if the
-    version was already published, which is the version-CAS that makes
-    concurrent writers safe: the loser gets `ManifestConflictError`,
-    re-reads the fresh manifest, re-merges, and retries
-    (`_upsert_manifest`). On an S3-class store the analogous primitive
-    is a conditional PUT (If-None-Match: *) of the final object name.
-
-    NOTE: this module's manifest I/O (listdir/open/link) is LOCAL-
-    FILESYSTEM-ONLY — it cannot run against hdfs:// or s3a:// targets
-    as written; the docstrings describe the object-store mapping the
-    same protocol would use through that store's conditional-put API.
+    `fsio.create_text_if_absent` is the version-CAS: it fails with
+    FileExistsError if the version name was already published, which
+    is what makes concurrent writers safe — the loser gets
+    `ManifestConflictError`, re-reads the fresh manifest, re-merges,
+    and retries (`_upsert_manifest`). The CAS primitive is per-store
+    (fsio module docstring): POSIX link(2) on local/file://,
+    `FileSystem.create(path, overwrite=false)` on HDFS-class stores
+    (namenode-arbitrated), a conditional PUT (If-None-Match: *) on
+    S3-class stores. All other manifest I/O in this module goes
+    through the same Hadoop FileSystem facade, so the protocol runs
+    against any URI scheme Spark can reach.
     """
-    import uuid
-
-    final = os.path.join(target, f"{_MANIFEST_PREFIX}{version:012d}.json")
-    tmp = os.path.join(
-        target, f".{_MANIFEST_PREFIX}tmp-{version:012d}-{uuid.uuid4().hex[:8]}"
-    )
-    with open(tmp, "w") as f:
-        json.dump(manifest, f, indent=1, sort_keys=True)
-        f.flush()
-        os.fsync(f.fileno())
+    final = fsio.join(target, f"{_MANIFEST_PREFIX}{version:012d}.json")
+    text = json.dumps(manifest, indent=1, sort_keys=True)
     try:
-        os.link(tmp, final)
+        fsio.create_text_if_absent(final, text)
     except FileExistsError:
         raise ManifestConflictError(
             f"manifest version {version} at {target} was committed by a "
             "concurrent writer"
         )
-    finally:
-        try:
-            os.remove(tmp)
-        except OSError:
-            pass
 
 
 def _gc_superseded(target: str, manifest: dict) -> None:
@@ -399,43 +419,66 @@ def _gc_superseded(target: str, manifest: dict) -> None:
       commit's sweep.
 
     Best-effort: a crash mid-GC leaves garbage the next sweep removes.
+
+    SAFETY HARDENING (r7, per round-6 advice):
+
+    - A retained manifest that fails to open/parse ABORTS the snapshot
+      sweep for this commit instead of being treated as empty — a
+      transient read error must never let the sweep delete snapshots a
+      readable retained version still references. (Old MANIFEST files
+      below the retention floor are still removed; their deletability
+      never depends on parsing anything.)
+    - Snapshot age is the NEWEST mtime across the dir and its direct
+      children (which includes the writer's `.inflight` marker and the
+      per-partition dirs Spark fills during the write), not the dir's
+      own top-level mtime — a long snapshot write keeps refreshing
+      child mtimes, so an in-flight concurrent writer can't age past
+      the grace window mid-write. The residual uncovered window is the
+      stats-scan + publish gap between the writer's two marker
+      touches; `_GC_GRACE_SECONDS` must exceed that single phase (not
+      the whole data write, as the top-level-mtime rule required).
     """
     import time as _time
 
     cur = manifest["version"]
     keep_min = cur - _RETAIN_VERSIONS + 1
     live = {rel.split("/", 1)[0] for rel in manifest["partitions"].values()}
-    for e in os.listdir(target):
+    entries = fsio.list_status(target)
+    sweep_snapshots = True
+    for fi in entries:
+        e = fi.name
         v = _manifest_version(e) if (
             e.startswith(_MANIFEST_PREFIX) and e.endswith(".json")
         ) else None
         if v is not None and keep_min <= v and v != cur:
             try:
-                with open(os.path.join(target, e)) as f:
-                    retained = json.load(f)
+                retained = json.loads(fsio.read_text(fsio.join(target, e)))
                 live |= {
                     rel.split("/", 1)[0]
                     for rel in retained["partitions"].values()
                 }
-            except (OSError, json.JSONDecodeError, KeyError):
-                continue
+            except (OSError, FileNotFoundError, json.JSONDecodeError, KeyError):
+                # can't prove what this retained version references —
+                # skip snapshot reclamation entirely this commit
+                sweep_snapshots = False
     now = _time.time()
-    for e in os.listdir(target):
-        path = os.path.join(target, e)
+    for fi in entries:
+        e = fi.name
+        path = fsio.join(target, e)
         if e.startswith("snap-") and e not in live:
+            if not sweep_snapshots:
+                continue
             try:
-                age = now - os.path.getmtime(path)
+                children = fsio.list_status(path)
+                newest = max([fi.mtime] + [c.mtime for c in children])
             except OSError:
                 continue
-            if age >= _GC_GRACE_SECONDS:
-                shutil.rmtree(path, ignore_errors=True)
+            if now - newest >= _GC_GRACE_SECONDS:
+                fsio.delete(path, recursive=True)
         elif e.startswith(_MANIFEST_PREFIX) and e.endswith(".json"):
             v = _manifest_version(e)
             if v is not None and v < keep_min:
-                try:
-                    os.remove(path)
-                except OSError:
-                    pass
+                fsio.delete(path)
 
 
 def _touched_manifest_keys(
@@ -527,6 +570,9 @@ def _publish_snapshot(
     prev_pmap: dict | None,
     schema_json: str | None = None,
     prev_stats: dict | None = None,
+    field_ids: dict | None = None,
+    next_field_id: int | None = None,
+    prev_snap_columns: dict | None = None,
 ) -> dict:
     """Shared tail of every manifest commit (upsert AND compaction):
     write the snapshot data dir (name made unique per ATTEMPT so two
@@ -541,16 +587,23 @@ def _publish_snapshot(
     import uuid
 
     snap_rel = f"snap-{new_ver:012d}-{uuid.uuid4().hex[:8]}"
-    snap = os.path.join(target, snap_rel)
+    snap = fsio.join(target, snap_rel)
     w = merged.write.mode("overwrite")
     if partition_col:
         w = w.partitionBy(partition_col)
     w.parquet(snap)  # reads OLD snapshots, writes a NEW dir — no staging
+    # in-flight marker: a direct child whose mtime tells concurrent
+    # GC sweeps this snapshot is mid-commit (dot-name — Spark's reader
+    # ignores hidden files). Touched again right before the CAS, so
+    # the sweep's max-child-mtime age stays fresh across the stats
+    # scan; removed once the manifest referencing the snapshot lands.
+    marker = fsio.join(snap, ".inflight")
+    fsio.write_text(marker, "")
     if partition_col:
         parts = {
-            e: f"{snap_rel}/{e}"
-            for e in sorted(os.listdir(snap))
-            if e.startswith(f"{partition_col}=")
+            e.name: f"{snap_rel}/{e.name}"
+            for e in sorted(fsio.list_status(snap), key=lambda s: s.name)
+            if e.name.startswith(f"{partition_col}=")
         }
         pmap = dict(prev_pmap or {})
         pmap.update(parts)  # untouched partitions carry forward by reference
@@ -569,23 +622,42 @@ def _publish_snapshot(
         if k in pmap and k not in new_stats
     }
     stats.update(new_stats)
+    # field-id bookkeeping: the new snapshot's columns are the current
+    # (name -> id) mapping at write time; carried-forward snapshots
+    # keep their own recorded at-write maps (only for snaps still
+    # referenced by the new partition map)
+    if field_ids is None:
+        field_ids = {nm: i + 1 for i, nm in enumerate(merged.columns)}
+        next_field_id = len(field_ids) + 1
+    live_snaps = {rel.split("/", 1)[0] for rel in pmap.values()}
+    snap_columns = {
+        s: cols
+        for s, cols in (prev_snap_columns or {}).items()
+        if s in live_snaps
+    }
+    snap_columns[snap_rel] = {str(fid): nm for nm, fid in field_ids.items()}
     manifest = {
         "version": new_ver,
         "partition_col": partition_col,
         "partition_type": ptype,
         "partitions": pmap,
         "stats": stats,
+        "field_ids": field_ids,
+        "next_field_id": next_field_id or (max(field_ids.values()) + 1),
+        "snap_columns": snap_columns,
         # schema_json lets a pure rewrite (compaction) carry the
         # recorded schema forward verbatim — re-deriving it from a
         # read-back frame flips nullability/metadata and would show as
         # spurious schema drift across versions
         "schema": schema_json or merged.schema.json(),
     }
+    fsio.write_text(marker, "")  # refresh in-flight age post-stats-scan
     try:
         _write_manifest_atomic(target, new_ver, manifest)
     except ManifestConflictError:
-        shutil.rmtree(snap, ignore_errors=True)  # our attempt's files
+        fsio.delete(snap, recursive=True)  # our attempt's files
         raise
+    fsio.delete(marker)  # published: the snapshot is referenced now
     _gc_superseded(target, manifest)
     return manifest
 
@@ -616,9 +688,23 @@ def _upsert_manifest(
     version-CAS loses to a concurrent writer, the loop re-reads the
     fresh manifest, re-merges, and retries — so two interleaved
     upserts both land (the loser's merge re-applies on top of the
-    winner's rows). Retention (`_RETAIN_VERSIONS`) guarantees the
-    stale attempt's input files still exist while it merges."""
-    os.makedirs(target, exist_ok=True)
+    winner's rows). Retention (`_RETAIN_VERSIONS`) keeps the stale
+    attempt's input files alive while it merges PROVIDED fewer than
+    `_RETAIN_VERSIONS` commits land during one attempt's merge +
+    snapshot write (contention rate × merge duration < K); beyond
+    that bound an aged-out snapshot can be GC'd mid-scan and the read
+    fails loudly with FileNotFound (never corruption) — size K to the
+    table's expected contention.
+
+    SCHEMA EVOLUTION is ADD-ONLY by type: an incoming frame may add
+    new columns (old rows null-fill) or omit recorded columns (its
+    rows null-fill), but a column whose TYPE differs from the recorded
+    schema is rejected at commit time — accepting it would record a
+    widened type that older snapshots' parquet files can't serve
+    (Spark's vectorized reader throws on narrower physical types), so
+    one commit would brick every subsequent read and compaction.
+    Widen a type by rewriting the table under a new target."""
+    fsio.mkdirs(target)
     last_conflict: ManifestConflictError | None = None
     for _ in range(_CAS_MAX_RETRIES):
         ver, man = _latest_manifest(target)
@@ -629,6 +715,30 @@ def _upsert_manifest(
                 f"recorded partition_col {man['partition_col']!r} at {target} "
                 "— a manifest table's partitioning is fixed at first commit"
             )
+        recorded: dict[str, str] = {}
+        if man is not None:
+            from pyspark.sql.types import StructType
+
+            recorded = {
+                f.name: f.dataType.simpleString()
+                for f in StructType.fromJson(json.loads(man["schema"])).fields
+            }
+            changed = {
+                nm: (recorded[nm], dt)
+                for nm, dt in incoming.dtypes
+                if nm in recorded and dt != recorded[nm]
+            }
+            if changed:
+                raise ValueError(
+                    f"incoming column type(s) differ from the recorded "
+                    f"manifest schema at {target}: "
+                    + ", ".join(
+                        f"{nm}: table={old} incoming={new}"
+                        for nm, (old, new) in sorted(changed.items())
+                    )
+                    + " — manifest evolution is add-column only; type "
+                    "changes would leave older snapshots unreadable"
+                )
         if man is None:
             merged = incoming
         else:
@@ -642,11 +752,32 @@ def _upsert_manifest(
             # rows get NULLs) — the manifest records the widened schema and
             # the reader projects old snapshots to it
             merged = incoming.unionByName(kept, allowMissingColumns=True)
+        # field-id assignment: existing columns keep their permanent
+        # ids (legacy tables are seeded in recorded-schema order); NEW
+        # columns get fresh ids from the monotonic counter, so a
+        # dropped-then-re-added name can never alias old data
+        if man is None:
+            field_ids: dict | None = None
+            next_id: int | None = None
+        else:
+            field_ids = dict(man.get("field_ids") or {})
+            if not field_ids:
+                field_ids = {nm: i + 1 for i, nm in enumerate(recorded)}
+            next_id = man.get("next_field_id") or (
+                max(field_ids.values()) + 1
+            )
+            for nm in merged.columns:
+                if nm not in field_ids:
+                    field_ids[nm] = next_id
+                    next_id += 1
         try:
             _publish_snapshot(
                 target, new_ver, merged, partition_col,
                 man["partitions"] if man else None,
                 prev_stats=man.get("stats") if man else None,
+                field_ids=field_ids,
+                next_field_id=next_id,
+                prev_snap_columns=man.get("snap_columns") if man else None,
             )
             return
         except ManifestConflictError as e:
@@ -667,29 +798,162 @@ def compact_manifest_table(
     crash mid-compaction leaves readers on the fragmented-but-complete
     previous version. Partitioned tables compact to one file per
     partition (`repartition(partition_col)`); unpartitioned to
-    ceil(n/rows_per_file) files. Elective maintenance: if a concurrent
-    upsert wins the version-CAS mid-compaction, ManifestConflictError
-    propagates — rerun against the fresh version (an automatic retry
-    here would silently drop the interleaved upsert's rows from the
-    rewrite). Returns the number of data directories referenced by the
-    new manifest."""
-    ver, man = _latest_manifest(target)
-    if man is None:
-        raise ValueError(f"no manifest table at {target}")
-    df = _read_manifest_dirs(spark, target, man)
-    pcol = man["partition_col"]
-    if pcol:
-        df = df.repartition(F.col(pcol))
-    else:
-        n = df.count()
-        df = df.repartition(max(1, -(-n // rows_per_file)))
-    # prev_pmap=None: compaction rewrites EVERY partition, nothing
-    # carries forward — the new manifest references only the new snap;
-    # the recorded schema is carried verbatim (pure rewrite)
-    manifest = _publish_snapshot(
-        target, ver + 1, df, pcol, None, schema_json=man["schema"]
-    )
-    return len(manifest["partitions"])
+    ceil(n/rows_per_file) files. Returns the number of data
+    directories referenced by the new manifest.
+
+    LIVENESS UNDER CONCURRENT WRITERS (r7): a lost version-CAS is
+    retried with a FRESH manifest read — each attempt is a pure
+    rewrite of the CURRENT version, so the retry re-reads the
+    interleaved upsert's rows and can never drop them (the silent-drop
+    hazard only exists for retrying a STALE read, which this loop
+    never does). Bounded by `_CAS_MAX_RETRIES` so a pathologically hot
+    table fails loudly instead of starving forever; on a busy table
+    compaction still lands as soon as it wins one race."""
+    last_conflict: ManifestConflictError | None = None
+    for _ in range(_CAS_MAX_RETRIES):
+        ver, man = _latest_manifest(target)
+        if man is None:
+            raise ValueError(f"no manifest table at {target}")
+        df = _read_manifest_dirs(spark, target, man)
+        pcol = man["partition_col"]
+        if pcol:
+            df = df.repartition(F.col(pcol))
+        else:
+            n = df.count()
+            df = df.repartition(max(1, -(-n // rows_per_file)))
+        # prev_pmap=None: compaction rewrites EVERY partition, nothing
+        # carries forward — the new manifest references only the new
+        # snap; the recorded schema is carried verbatim (pure rewrite)
+        try:
+            manifest = _publish_snapshot(
+                target, ver + 1, df, pcol, None, schema_json=man["schema"],
+                field_ids=man.get("field_ids"),
+                next_field_id=man.get("next_field_id"),
+                # no prev_snap_columns: every entry now lives in the new
+                # snapshot, whose at-write map is the current one — this
+                # is also the UPGRADE path that gives a pre-field-id
+                # table rename/drop capability (everything rewritten
+                # under a recorded id map)
+            )
+            return len(manifest["partitions"])
+        except ManifestConflictError as e:
+            last_conflict = e
+            continue
+    raise ManifestConflictError(
+        f"compaction lost the manifest commit race {_CAS_MAX_RETRIES} "
+        f"times at {target}"
+    ) from last_conflict
+
+
+def _commit_metadata_only(target: str, mutate) -> dict:
+    """Publish a manifest whose DATA references are identical to the
+    latest version (schema-change commits: rename/drop). `mutate`
+    receives a deep-enough copy of the latest manifest and edits it in
+    place (or raises). Same optimistic CAS loop as data commits —
+    racing a concurrent upsert just re-reads and re-applies the edit,
+    which is always safe because the edit is a pure function of the
+    current manifest."""
+    last_conflict: ManifestConflictError | None = None
+    for _ in range(_CAS_MAX_RETRIES):
+        ver, man = _latest_manifest(target)
+        if man is None:
+            raise ValueError(f"no manifest table at {target}")
+        new = json.loads(json.dumps(man))  # deep copy
+        mutate(new)
+        new["version"] = ver + 1
+        try:
+            _write_manifest_atomic(target, ver + 1, new)
+        except ManifestConflictError as e:
+            last_conflict = e
+            continue
+        _gc_superseded(target, new)
+        return new
+    raise ManifestConflictError(
+        f"metadata commit lost the manifest race {_CAS_MAX_RETRIES} "
+        f"times at {target}"
+    ) from last_conflict
+
+
+def _require_field_ids(man: dict, target: str) -> None:
+    missing = [
+        rel.split("/", 1)[0]
+        for rel in man["partitions"].values()
+        if rel.split("/", 1)[0] not in (man.get("snap_columns") or {})
+    ]
+    if not man.get("field_ids") or missing:
+        raise ValueError(
+            f"manifest table at {target} references snapshot(s) written "
+            "before the field-id format — run compact_manifest_table "
+            "first (the rewrite records an id map for every file), then "
+            "rename/drop"
+        )
+
+
+def rename_manifest_column(target: str, old: str, new: str) -> dict:
+    """RENAME a column with defined semantics (metadata-only commit —
+    zero data rewritten): the column's permanent field id keeps every
+    historical snapshot's data attached to the new name; per-entry
+    stats follow the rename, so data skipping keeps working. Rejects:
+    unknown/duplicate names, the partition column (its name is baked
+    into directory keys), and tables still referencing pre-field-id
+    snapshots (compact first). Old-version readers within the
+    retention window see the old name — time travel returns each
+    version exactly as committed."""
+
+    def mutate(man: dict) -> None:
+        _require_field_ids(man, target)
+        fids = man["field_ids"]
+        if old not in fids:
+            raise ValueError(f"no column {old!r} in manifest table {target}")
+        if new in fids:
+            raise ValueError(
+                f"column {new!r} already exists in manifest table {target}"
+            )
+        if old == man["partition_col"]:
+            raise ValueError(
+                f"cannot rename partition column {old!r} — its name is "
+                "encoded in every partition directory key"
+            )
+        fids[new] = fids.pop(old)
+        sch = json.loads(man["schema"])
+        for f in sch["fields"]:
+            if f["name"] == old:
+                f["name"] = new
+        man["schema"] = json.dumps(sch)
+        for entry_stats in (man.get("stats") or {}).values():
+            if old in entry_stats:
+                entry_stats[new] = entry_stats.pop(old)
+
+    return _commit_metadata_only(target, mutate)
+
+
+def drop_manifest_column(target: str, col: str) -> dict:
+    """DROP a column (metadata-only commit): the field id is removed
+    from the current schema so every read projects it away, but
+    historical snapshots keep their bytes (time travel within
+    retention still shows the column). Re-ADDING the same name later
+    gets a FRESH id from the monotonic counter, so the old values can
+    never resurrect under the new column — the exact hazard column-ID
+    table formats exist to prevent. Partition column is not
+    droppable."""
+
+    def mutate(man: dict) -> None:
+        _require_field_ids(man, target)
+        fids = man["field_ids"]
+        if col not in fids:
+            raise ValueError(f"no column {col!r} in manifest table {target}")
+        if col == man["partition_col"]:
+            raise ValueError(f"cannot drop partition column {col!r}")
+        sch = json.loads(man["schema"])
+        if len(sch["fields"]) <= 1:
+            raise ValueError("cannot drop the last column")
+        fids.pop(col)
+        sch["fields"] = [f for f in sch["fields"] if f["name"] != col]
+        man["schema"] = json.dumps(sch)
+        for entry_stats in (man.get("stats") or {}).values():
+            entry_stats.pop(col, None)
+
+    return _commit_metadata_only(target, mutate)
 
 
 def upsert(
@@ -742,11 +1006,13 @@ def upsert(
     last `_RETAIN_VERSIONS` versions stay readable
     (`read_manifest_table(version=N)`), and per-entry min/max stats
     enable data skipping on non-partition predicates (``bounds=``).
-    NOTE: the manifest I/O as implemented is LOCAL-FILESYSTEM-ONLY
-    (os.listdir/os.link) — against a real hdfs:///s3a:// target, route
-    it through that store's listing + conditional-put API (the
-    protocol itself is designed for exactly that mapping); the data
-    files go through Spark and are URI-agnostic.
+    All manifest metadata I/O goes through the Hadoop FileSystem
+    facade (`fsio`), so the protocol runs against any URI scheme
+    Spark can reach (plain paths, file:///, hdfs://); the version-CAS
+    primitive is per-store (POSIX link(2) locally, namenode-arbitrated
+    create(overwrite=false) on HDFS, conditional PUT on S3 — see the
+    fsio module docstring). Data files go through Spark and are
+    URI-agnostic.
     """
     if partition_col is not None and partition_col not in keys:
         raise ValueError(f"partition_col {partition_col!r} must be one of keys {keys}")
@@ -1283,9 +1549,17 @@ def sink_manifest_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     import datetime
 
     target = os.path.join(scratch_dir("s12_"), "events_manifest")
+    # dgrp = CALENDAR week (epoch-week number, Monday-anchored): weeks
+    # stay disjoint per entry no matter how many months/years the
+    # events span, so entry ts-stats never widen across periods —
+    # (dayofmonth-1)/7 would merge the same week-of-month across
+    # months and defeat the pruning assertion on multi-month data
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "value",
-        ((F.dayofmonth("ts") - 1) / 7).cast("int").alias("dgrp"),
+        F.floor(
+            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-05").cast("date"))
+            / 7
+        ).cast("int").alias("dgrp"),
     )
     upsert(
         spark, target, ev, ["event_id", "dgrp"],

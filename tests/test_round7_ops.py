@@ -1,0 +1,379 @@
+"""Round-7 manifest hardening: Hadoop-FS routing (file:/// URI
+targets), add-only type evolution, GC safety under in-flight and
+unreadable-retained states, compaction liveness under contention."""
+
+import json
+import os
+import threading
+import time
+
+import pytest
+
+from etl_stocks_with_sentiment_analysis_spark.operators import fsio, sinks
+
+
+@pytest.fixture()
+def rows(spark):
+    return spark.createDataFrame(
+        [(1, "2024-01-01", "a"), (1, "2024-01-02", "b"), (2, "2024-01-01", "c")],
+        "ticker INT, date STRING, val STRING",
+    )
+
+
+def _mread(spark, target):
+    return {
+        (r["ticker"], r["date"], r["val"])
+        for r in sinks.read_manifest_table(spark, target).collect()
+    }
+
+
+# --- Hadoop-FS routing: file:/// URI targets end-to-end ----------------
+
+
+def test_manifest_lifecycle_with_file_uri_target(spark, rows, tmp_path):
+    """The whole manifest protocol — first commit, conflicting upsert,
+    time travel, compaction, read-back — against a `file:///` URI
+    target, exercising the Hadoop FileSystem facade for every
+    metadata operation (listing, read, CAS publish, GC, markers)."""
+    target = (tmp_path / "uri_sink").as_uri()  # file:///...
+    assert target.startswith("file:///")
+    sinks.upsert(
+        spark, target, rows, ["ticker", "date"],
+        partition_col="date", commit_mode="manifest",
+    )
+    clash = spark.createDataFrame(
+        [(1, "2024-01-01", "NEW"), (3, "2024-01-03", "d")],
+        "ticker INT, date STRING, val STRING",
+    )
+    sinks.upsert(
+        spark, target, clash, ["ticker", "date"],
+        partition_col="date", commit_mode="manifest",
+    )
+    assert _mread(spark, target) == {
+        (1, "2024-01-01", "NEW"), (1, "2024-01-02", "b"),
+        (2, "2024-01-01", "c"), (3, "2024-01-03", "d"),
+    }
+    # time travel within retention through the same URI
+    v0 = {
+        (r["ticker"], r["date"], r["val"])
+        for r in sinks.read_manifest_table(spark, target, version=0).collect()
+    }
+    assert v0 == {
+        (1, "2024-01-01", "a"), (1, "2024-01-02", "b"), (2, "2024-01-01", "c"),
+    }
+    # compaction through the URI path too
+    n_dirs = sinks.compact_manifest_table(spark, target, rows_per_file=1000)
+    assert n_dirs == 3  # one entry per distinct date partition
+    assert _mread(spark, target) == {
+        (1, "2024-01-01", "NEW"), (1, "2024-01-02", "b"),
+        (2, "2024-01-01", "c"), (3, "2024-01-03", "d"),
+    }
+    ver, man = sinks._latest_manifest(target)
+    assert ver == 2 and man["partition_col"] == "date"
+
+
+def test_manifest_concurrent_writers_on_file_uri(spark, tmp_path):
+    """Version-CAS atomicity holds for file:/// URI targets: two
+    threads, 3 commits each, all rows survive, versions contiguous."""
+    target = (tmp_path / "uri_race").as_uri()
+    errors: list[Exception] = []
+
+    def writer(tag: str, n: int) -> None:
+        try:
+            for i in range(n):
+                batch = spark.createDataFrame(
+                    [(f"{tag}{i}", "2024-01-01", f"v-{tag}{i}")],
+                    "ticker STRING, date STRING, val STRING",
+                )
+                sinks.upsert(
+                    spark, target, batch, ["ticker", "date"],
+                    commit_mode="manifest",
+                )
+        except Exception as e:  # noqa: BLE001 - surfaced via main thread
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=writer, args=("a", 3)),
+        threading.Thread(target=writer, args=("b", 3)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not errors, errors
+    out = {r["ticker"] for r in sinks.read_manifest_table(spark, target).collect()}
+    assert out == {f"{t}{i}" for t in "ab" for i in range(3)}
+    ver, _ = sinks._latest_manifest(target)
+    assert ver == 5  # 6 commits -> versions 0..5
+
+
+def test_fsio_primitives_roundtrip(spark, tmp_path):
+    """The facade's own contract: text roundtrip, CAS conflict,
+    listing with types/mtimes, delete, missing-path behaviors."""
+    base = str(tmp_path / "fsio")
+    fsio.mkdirs(base)
+    p = fsio.join(base, "x.json")
+    fsio.write_text(p, '{"k": 1}')
+    assert fsio.read_text(p) == '{"k": 1}'
+    fsio.write_text(p, '{"k": 2}')  # overwrite allowed
+    assert json.loads(fsio.read_text(p))["k"] == 2
+    with pytest.raises(FileExistsError):
+        fsio.create_text_if_absent(p, "nope")
+    assert json.loads(fsio.read_text(p))["k"] == 2  # loser changed nothing
+    fsio.mkdirs(fsio.join(base, "sub"))
+    names = {(fi.name, fi.is_dir) for fi in fsio.list_status(base)}
+    assert ("x.json", False) in names and ("sub", True) in names
+    assert all(fi.mtime > 0 for fi in fsio.list_status(base))
+    with pytest.raises(FileNotFoundError):
+        fsio.read_text(fsio.join(base, "absent.json"))
+    assert fsio.list_status(fsio.join(base, "nodir")) == []
+    assert fsio.delete(p) is True
+    assert not fsio.exists(p)
+    # same contract through a file:// URI
+    up = (tmp_path / "fsio" / "u.json").as_uri()
+    fsio.create_text_if_absent(up, "via-uri")
+    assert fsio.read_text(up) == "via-uri"
+    with pytest.raises(FileExistsError):
+        fsio.create_text_if_absent(up, "again")
+
+
+# --- add-only type evolution (r6 advice: widening bricks old snaps) ----
+
+
+def test_manifest_rejects_type_change_at_commit(spark, rows, tmp_path):
+    """An incoming column whose type differs from the recorded schema
+    must be REJECTED at commit time: accepting e.g. int->long would
+    record the widened type while older snapshots' files stay narrow,
+    making the table unreadable after the commit succeeded."""
+    target = str(tmp_path / "sink")
+    sinks.upsert(spark, target, rows, ["ticker", "date"], commit_mode="manifest")
+    widened = spark.createDataFrame(
+        [(9, "2024-01-09", "z")], "ticker BIGINT, date STRING, val STRING"
+    )
+    with pytest.raises(ValueError, match="add-column only"):
+        sinks.upsert(
+            spark, target, widened, ["ticker", "date"], commit_mode="manifest"
+        )
+    # the reject left the table fully readable and unchanged
+    assert _mread(spark, target) == {
+        (1, "2024-01-01", "a"), (1, "2024-01-02", "b"), (2, "2024-01-01", "c"),
+    }
+    ver, _ = sinks._latest_manifest(target)
+    assert ver == 0
+
+
+# --- GC safety: in-flight snapshots and unreadable retained manifests --
+
+
+def test_gc_keeps_snapshot_with_fresh_child_mtime(spark, rows, tmp_path):
+    """A concurrent writer's in-flight snapshot whose TOP-LEVEL dir
+    mtime has aged past the grace window must survive the sweep as
+    long as any direct child (partition dir, .inflight marker) is
+    fresh — the r6 top-level-mtime rule would delete it and the
+    concurrent writer would publish a manifest referencing deleted
+    files."""
+    target = str(tmp_path / "sink")
+    sinks.upsert(spark, target, rows, ["ticker", "date"], commit_mode="manifest")
+    # simulate an in-flight concurrent snapshot: old dir mtime, fresh
+    # marker inside (as the real writer maintains via fsio.write_text)
+    snap = os.path.join(target, "snap-000000000099-deadbeef")
+    os.makedirs(snap)
+    with open(os.path.join(snap, ".inflight"), "w"):
+        pass
+    old = time.time() - 10 * 3600
+    os.utime(snap, (old, old))  # dir itself looks ancient
+    _, man = sinks._latest_manifest(target)
+    sinks._gc_superseded(target, man)
+    assert os.path.isdir(snap), "sweep deleted an in-flight snapshot"
+    # once the children age out too, the sweep reclaims it
+    os.utime(os.path.join(snap, ".inflight"), (old, old))
+    os.utime(snap, (old, old))
+    sinks._gc_superseded(target, man)
+    assert not os.path.isdir(snap)
+
+
+def test_gc_aborts_snapshot_sweep_on_unreadable_retained_manifest(
+    spark, rows, tmp_path, monkeypatch
+):
+    """If a RETAINED manifest fails to parse, the sweep cannot prove
+    which snapshots are still referenced — it must skip snapshot
+    reclamation entirely for this commit rather than treat the
+    manifest as referencing nothing."""
+    monkeypatch.setattr(sinks, "_GC_GRACE_SECONDS", 0.0)
+    target = str(tmp_path / "sink")
+    sinks.upsert(spark, target, rows, ["ticker", "date"], commit_mode="manifest")
+    sinks.upsert(spark, target, rows, ["ticker", "date"], commit_mode="manifest")
+    snaps_before = {e for e in os.listdir(target) if e.startswith("snap-")}
+    assert len(snaps_before) == 2
+    # corrupt the RETAINED version-0 manifest, then age both snapshots
+    with open(os.path.join(target, "manifest-000000000000.json"), "w") as f:
+        f.write("{ not json")
+    old = time.time() - 10 * 3600
+    for e in snaps_before:
+        os.utime(os.path.join(target, e), (old, old))
+        for c in os.listdir(os.path.join(target, e)):
+            os.utime(os.path.join(target, e, c), (old, old))
+    _, man = sinks._latest_manifest(target)
+    sinks._gc_superseded(target, man)
+    snaps_after = {e for e in os.listdir(target) if e.startswith("snap-")}
+    assert snaps_after == snaps_before, (
+        "sweep reclaimed snapshots while a retained manifest was unreadable"
+    )
+
+
+# --- compaction liveness under concurrent writers ----------------------
+
+
+def test_compaction_lands_despite_concurrent_upserts(spark, tmp_path):
+    """Interleaved upserts race a compaction; the compaction retries
+    with a FRESH manifest read per attempt and eventually lands with
+    every committed row intact (a stale-read retry would drop the
+    interleaved rows — this asserts it doesn't)."""
+    target = str(tmp_path / "sink")
+    first = spark.createDataFrame(
+        [(f"s{i}", "2024-01-01", f"v{i}") for i in range(4)],
+        "ticker STRING, date STRING, val STRING",
+    )
+    sinks.upsert(spark, target, first, ["ticker", "date"], commit_mode="manifest")
+
+    errors: list[Exception] = []
+    compacted = {}
+
+    def upserter() -> None:
+        try:
+            for i in range(3):
+                batch = spark.createDataFrame(
+                    [(f"u{i}", "2024-01-01", f"uv{i}")],
+                    "ticker STRING, date STRING, val STRING",
+                )
+                sinks.upsert(
+                    spark, target, batch, ["ticker", "date"],
+                    commit_mode="manifest",
+                )
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    def compactor() -> None:
+        try:
+            compacted["n"] = sinks.compact_manifest_table(
+                spark, target, rows_per_file=1000
+            )
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=upserter), threading.Thread(target=compactor)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not errors, errors
+    assert compacted.get("n", 0) >= 1  # the compaction landed
+    out = {r["ticker"] for r in sinks.read_manifest_table(spark, target).collect()}
+    # every upsert that committed BEFORE or DURING the compaction must
+    # survive it; the ones after land on top — all 7 keys present
+    assert out == {f"s{i}" for i in range(4)} | {f"u{i}" for i in range(3)}
+
+
+# --- field-id schema evolution: add / rename / drop matrix -------------
+
+
+def test_manifest_rename_column_keeps_history_attached(spark, rows, tmp_path):
+    """RENAME via permanent field id: rows committed under the old
+    name must come back under the new name (not null-filled, the r6
+    orphaning hazard), stats follow, and time travel still shows the
+    old name at old versions."""
+    target = str(tmp_path / "sink")
+    sinks.upsert(spark, target, rows, ["ticker", "date"], commit_mode="manifest")
+    sinks.rename_manifest_column(target, "val", "label")
+    out = sinks.read_manifest_table(spark, target)
+    assert out.columns == ["ticker", "date", "label"]
+    got = {(r["ticker"], r["date"], r["label"]) for r in out.collect()}
+    assert got == {
+        (1, "2024-01-01", "a"), (1, "2024-01-02", "b"), (2, "2024-01-01", "c"),
+    }, "renamed column lost its historical data"
+    # stats followed the rename (pruning still works on the new name)
+    _, man = sinks._latest_manifest(target)
+    assert all("label" in s and "val" not in s for s in man["stats"].values())
+    # time travel: version 0 still reads under its as-committed name
+    v0 = sinks.read_manifest_table(spark, target, version=0)
+    assert v0.columns == ["ticker", "date", "val"]
+    # upserting under the NEW name merges into the same column
+    more = spark.createDataFrame(
+        [(3, "2024-01-03", "d")], "ticker INT, date STRING, label STRING"
+    )
+    sinks.upsert(spark, target, more, ["ticker", "date"], commit_mode="manifest")
+    got = {
+        (r["ticker"], r["date"], r["label"])
+        for r in sinks.read_manifest_table(spark, target).collect()
+    }
+    assert (3, "2024-01-03", "d") in got and (1, "2024-01-01", "a") in got
+
+
+def test_manifest_drop_then_readd_does_not_resurrect(spark, rows, tmp_path):
+    """DROP removes the field id from the current schema; re-ADDING
+    the same name gets a FRESH id, so the dropped values must NOT
+    resurrect under the new column — old rows read NULL there."""
+    target = str(tmp_path / "sink")
+    sinks.upsert(spark, target, rows, ["ticker", "date"], commit_mode="manifest")
+    sinks.drop_manifest_column(target, "val")
+    out = sinks.read_manifest_table(spark, target)
+    assert out.columns == ["ticker", "date"]
+    assert out.count() == 3
+    # re-add "val" via an upsert that carries it
+    readd = spark.createDataFrame(
+        [(9, "2024-01-09", "fresh")], "ticker INT, date STRING, val STRING"
+    )
+    sinks.upsert(spark, target, readd, ["ticker", "date"], commit_mode="manifest")
+    got = {
+        (r["ticker"], r["date"], r["val"])
+        for r in sinks.read_manifest_table(spark, target).collect()
+    }
+    assert (9, "2024-01-09", "fresh") in got
+    # THE assertion: pre-drop rows must be NULL, not their old values
+    assert (1, "2024-01-01", None) in got and (1, "2024-01-01", "a") not in got
+    # time travel inside retention still shows the dropped column
+    v0 = sinks.read_manifest_table(spark, target, version=0)
+    assert "val" in v0.columns
+
+
+def test_manifest_rename_guards(spark, rows, tmp_path):
+    target = str(tmp_path / "sink")
+    sinks.upsert(
+        spark, target, rows, ["ticker", "date"],
+        partition_col="date", commit_mode="manifest",
+    )
+    with pytest.raises(ValueError, match="partition"):
+        sinks.rename_manifest_column(target, "date", "day")
+    with pytest.raises(ValueError, match="already exists"):
+        sinks.rename_manifest_column(target, "val", "ticker")
+    with pytest.raises(ValueError, match="no column"):
+        sinks.rename_manifest_column(target, "ghost", "x")
+    with pytest.raises(ValueError, match="partition"):
+        sinks.drop_manifest_column(target, "date")
+
+
+def test_manifest_legacy_format_reads_and_upgrades(spark, rows, tmp_path):
+    """A pre-field-id manifest (r6 format) still reads name-based;
+    rename is refused until compaction rewrites every snapshot under
+    a recorded id map, after which rename works."""
+    target = str(tmp_path / "sink")
+    sinks.upsert(spark, target, rows, ["ticker", "date"], commit_mode="manifest")
+    # strip the r7 metadata to simulate an r6-written table
+    mpath = os.path.join(target, "manifest-000000000000.json")
+    man = json.loads(open(mpath).read())
+    for k in ("field_ids", "next_field_id", "snap_columns"):
+        man.pop(k, None)
+    os.remove(mpath)
+    with open(mpath, "w") as f:
+        json.dump(man, f)
+    assert {
+        (r["ticker"], r["date"], r["val"])
+        for r in sinks.read_manifest_table(spark, target).collect()
+    } == {(1, "2024-01-01", "a"), (1, "2024-01-02", "b"), (2, "2024-01-01", "c")}
+    with pytest.raises(ValueError, match="compact_manifest_table"):
+        sinks.rename_manifest_column(target, "val", "label")
+    sinks.compact_manifest_table(spark, target, rows_per_file=1000)
+    sinks.rename_manifest_column(target, "val", "label")
+    out = sinks.read_manifest_table(spark, target)
+    assert out.columns == ["ticker", "date", "label"]
+    assert out.filter(out.label.isNotNull()).count() == 3
