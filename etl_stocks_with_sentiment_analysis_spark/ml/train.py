@@ -80,6 +80,62 @@ def chrono_split(df: DataFrame, test_frac: float = 0.3) -> tuple[DataFrame, Data
     return df.filter(F.col("date") <= boundary), df.filter(F.col("date") > boundary)
 
 
+# One persisted assembled train/test split per sf_dir, shared by BOTH
+# trainers (RF and GBT) in a harness run. The iterative fits drive
+# many passes over their input (tree learning levels, boosting
+# rounds, OneVsRest's three binary problems) and the evaluator makes
+# four more — without this cache each pass re-runs the whole feature-
+# matrix lineage (two lineitem scans + join + window spine), which
+# measured 22s per trainer at sf0.01 vs ~2s for the fit itself. The
+# assembled frame is O(panel rows) × ~20 columns — small relative to
+# executor memory at any per-partition granularity (MEMORY_AND_DISK
+# spills, never fails).
+_SPLIT_CACHE: dict[str, tuple[DataFrame, DataFrame]] = {}
+
+
+def assembled_split(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    if sf_dir not in _SPLIT_CACHE:
+        from pyspark import StorageLevel
+
+        # persist the PREPARED matrix before splitting: the split
+        # boundary's `.first()` materializes it, and both assembled
+        # halves then derive from the cache — one matrix pass total
+        # instead of boundary + per-half re-lineage
+        df = prepare(feature_matrix(spark, sf_dir)).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        train_df, test_df = chrono_split(df)
+        assembler = VectorAssembler(
+            inputCols=BASE_FEATURES, outputCol="features", handleInvalid="keep"
+        )
+        atr = assembler.transform(train_df).persist(StorageLevel.MEMORY_AND_DISK)
+        ate = assembler.transform(test_df).persist(StorageLevel.MEMORY_AND_DISK)
+        atr.count()
+        ate.count()
+        df.unpersist()  # assembled halves carry the data from here on
+        _SPLIT_CACHE[sf_dir] = (atr, ate)
+    return _SPLIT_CACHE[sf_dir]
+
+
+def _holdout_metrics(pred: DataFrame) -> dict[str, float]:
+    """The four MulticlassClassificationEvaluator metrics over ONE
+    persisted (label, prediction) projection — each `evaluate` is a
+    full pass over its input, so evaluating the raw prediction frame
+    four times would re-run model.transform + the matrix lineage four
+    times."""
+    small = pred.select("label", "prediction").persist()
+    try:
+        metrics = {}
+        for name in ("accuracy", "f1", "weightedRecall", "weightedPrecision"):
+            ev = MulticlassClassificationEvaluator(
+                labelCol="label", predictionCol="prediction", metricName=name
+            )
+            metrics[name] = ev.evaluate(small)
+        return metrics
+    finally:
+        small.unpersist()
+
+
 def train(
     spark: SparkSession,
     sf_dir: str,
@@ -87,11 +143,7 @@ def train(
     max_depth: int = 10,
     model_version: str = "rf-v1.0",
 ) -> TrainResult:
-    df = prepare(feature_matrix(spark, sf_dir))
-    train_df, test_df = chrono_split(df)
-    assembler = VectorAssembler(
-        inputCols=BASE_FEATURES, outputCol="features", handleInvalid="keep"
-    )
+    assembled_train, assembled_test = assembled_split(spark, sf_dir)
     rf = RandomForestClassifier(
         numTrees=num_trees,
         maxDepth=max_depth,
@@ -101,15 +153,9 @@ def train(
         featuresCol="features",
         weightCol="weight",
     )
-    model = rf.fit(assembler.transform(train_df))
-    pred = model.transform(assembler.transform(test_df))
-
-    metrics = {}
-    for name in ("accuracy", "f1", "weightedRecall", "weightedPrecision"):
-        ev = MulticlassClassificationEvaluator(
-            labelCol="label", predictionCol="prediction", metricName=name
-        )
-        metrics[name] = ev.evaluate(pred)
+    model = rf.fit(assembled_train)
+    pred = model.transform(assembled_test)
+    metrics = _holdout_metrics(pred)
 
     importances = sorted(
         zip(BASE_FEATURES, model.featureImportances.toArray().tolist()),
@@ -139,11 +185,7 @@ def train_gbt(
     """
     from pyspark.ml.classification import GBTClassifier, OneVsRest
 
-    df = prepare(feature_matrix(spark, sf_dir))
-    train_df, test_df = chrono_split(df)
-    assembler = VectorAssembler(
-        inputCols=BASE_FEATURES, outputCol="features", handleInvalid="keep"
-    )
+    assembled_train, assembled_test = assembled_split(spark, sf_dir)
     if HAS_XGB:  # pragma: no cover - not in this image
         clf = SparkXGBClassifier(
             num_workers=1,
@@ -168,15 +210,9 @@ def train_gbt(
             weightCol="weight",
             parallelism=3,  # the three binary fits run concurrently
         )
-    model = clf.fit(assembler.transform(train_df))
-    pred = model.transform(assembler.transform(test_df))
-
-    metrics = {}
-    for name in ("accuracy", "f1", "weightedRecall", "weightedPrecision"):
-        ev = MulticlassClassificationEvaluator(
-            labelCol="label", predictionCol="prediction", metricName=name
-        )
-        metrics[name] = ev.evaluate(pred)
+    model = clf.fit(assembled_train)
+    pred = model.transform(assembled_test)
+    metrics = _holdout_metrics(pred)
     return TrainResult(model, metrics, [], model_version, pred)
 
 
