@@ -50,19 +50,49 @@ def feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the two agg outputs while both are still hash-partitioned on
     the grouping key, and every window feature below reuses enriched's
     (ticker)-partitioning and date sort — one window exchange for the
-    entire matrix (4 exchanges total vs 6 for the window-first shape)."""
+    entire matrix (4 exchanges total vs 6 for the window-first shape).
+
+    ROLLING SUMS AS CUMSUM DIFFERENCES (r7): Spark evaluates a bounded
+    sliding frame (`rowsBetween(-k+1, 0)`) by re-aggregating the whole
+    k-row frame for every row — O(n·k) per partition — while the
+    running frame (unboundedPreceding..0) is a single O(n) accumulator
+    and LAG is an O(n) offset lookup. The k=5/10/20 rolling sums here
+    are therefore computed as `cum[i] - cum[i-k]` over the exact-scaled
+    BIGINTs (integer subtraction — bit-identical to the frame sum, no
+    float cancellation), collapsing ~35 adds/row to ~2. Same window
+    partitioning and sort; the extra Window node is offset-frame only,
+    no new exchange. NULL semantics match: sums run over
+    coalesce(sc, 0) while the count runs over sc itself, so an
+    all-null frame yields n=0 → NULL mean/std exactly as before."""
     w = Window.partitionBy("ticker").orderBy("date")
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
     base = panel.enriched(spark, sf_dir)
 
     sc = exact.scaled(F.col("pct_change"), 10000)
+    sc0 = F.coalesce(sc, F.lit(0))
+    base = base.select(
+        "*",
+        F.sum(sc0).over(wcum).alias("_cs"),
+        F.sum(sc0 * sc0).over(wcum).alias("_css"),
+        F.count(sc).over(wcum).alias("_cn"),
+        F.sum("volume").over(wcum).alias("_cv"),
+        F.row_number().over(w).alias("_rn"),
+    )
     roll = []
     for k in (5, 10):
-        f = w.rowsBetween(-(k - 1), 0)
-        s, ssq, n = F.sum(sc).over(f), F.sum(sc * sc).over(f), F.count(sc).over(f)
+        n = F.col("_cn") - F.lag("_cn", k, 0).over(w)
+        # NULL when the frame holds no non-null values — restores the
+        # frame-SUM's null so ANSI mode sees NULL/0 (→ NULL), not 0/0
+        s = F.when(n > 0, F.col("_cs") - F.lag("_cs", k, 0).over(w))
+        ssq = F.when(n > 0, F.col("_css") - F.lag("_css", k, 0).over(w))
         roll.append(exact.mean_from_sums(s, n, 10000).alias(f"pct_mean_{k}"))
         roll.append(exact.std_from_sums(s, ssq, n, 10000).alias(f"pct_std_{k}"))
 
-    vma = F.avg("volume").over(w.rowsBetween(-19, 0))
+    # volume is never NULL (it is a grouped SUM), so the frame count is
+    # just min(row_number, 20) and avg = exact long diff / count
+    vma = (F.col("_cv") - F.lag("_cv", 20, 0).over(w)) / F.least(
+        F.col("_rn"), F.lit(20)
+    )
     sent = F.lower("sentiment")
     next_pct = F.lead("pct_change", 1).over(w)
     abs_next = F.abs(next_pct)

@@ -171,16 +171,26 @@ def explanations(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (sort-per-partition before the partial agg). Measured at sf0.1:
     # ~1.2s vs ~1.6s for this subplan. Output decodes to the identical
     # sentiment/topic strings, so every oracle is unchanged.
+    # encode the 1-char codes BEFORE the join: at 32×+ scale this join
+    # is a shuffle join (orders outgrows the broadcast threshold), and
+    # projecting orders to (orderkey, 2 ints) up front shrinks what the
+    # exchange carries — the agg output is identical either way
+    ocodes = orders.select(
+        "o_orderkey",
+        F.ascii(F.substring("o_orderstatus", 1, 1)).alias("status_code"),
+        F.ascii(F.substring("o_orderpriority", 1, 1)).alias("priority_code"),
+    )
     base = (
         li.filter(F.col("l_orderkey") % 5 < 4)
-        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(ocodes, li.l_orderkey == ocodes.o_orderkey)
         .groupBy(
             F.col("l_suppkey").cast("long").alias("ticker"),
             F.col("l_shipdate").cast("date").alias("date"),
         )
         .agg(
-            F.min(F.ascii(F.substring("o_orderstatus", 1, 1))).alias("status_c"),
-            F.min(F.ascii(F.substring("o_orderpriority", 1, 1))).alias("priority_c"),
+            F.min("status_code").alias("status_c"),
+            F.min("priority_code").alias("priority_c"),
         )
     )
     topic = (
