@@ -85,15 +85,23 @@ def recall_at_3(truth: dict, got: dict) -> float:
 
 
 def timed_runs(spark, sf_dir: str, repeats: int) -> list[float]:
-    walls = []
+    """Each recorded wall is the MEDIAN OF 3 back-to-back runs (r7):
+    single-shot walls on this shared box carry ±15-25% scheduler
+    noise, which made the r6 cross-run ratio band ±25%; medians
+    suppress the single-run outliers the band construction is
+    sensitive to."""
     df = ivf_topk(spark, sf_dir, nprobe=2, k=3)
     df.write.format("noop").mode("overwrite").save()  # warm
+    walls = []
     for _ in range(repeats):
-        t0 = time.time()
-        ivf_topk(spark, sf_dir, nprobe=2, k=3).write.format("noop").mode(
-            "overwrite"
-        ).save()
-        walls.append(round(time.time() - t0, 2))
+        inner = []
+        for _ in range(3):
+            t0 = time.time()
+            ivf_topk(spark, sf_dir, nprobe=2, k=3).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            inner.append(time.time() - t0)
+        walls.append(round(statistics.median(inner), 2))
     return walls
 
 
@@ -152,7 +160,7 @@ def main() -> None:
     hdr = "## ANN recall — `ivf_topk` vs exact ground truth (k=3)\n"
     body = [
         "",
-        f"Measured {today} (r6, `python tools/ivf_recall.py --k {args.k} "
+        f"Measured {today} (r7, `python tools/ivf_recall.py --k {args.k} "
         f"--repeats {args.repeats}`), hierarchical content-keyed IVF with "
         "exact-cosine re-rank of the pooled candidates; nprobe is the "
         "recall dial. Ground truth: exact cosine top-3 per query "
@@ -182,7 +190,7 @@ def main() -> None:
     hdr2 = f"## IVF {args.k}x repeat-run band\n"
     body2 = [
         "",
-        f"Measured {today} (r6): `similarity_ivf_topk` (nprobe=2) walls over "
+        f"Measured {today} (r7): `similarity_ivf_topk` (nprobe=2) walls over "
         f"{args.repeats} repeats at each scale, warm.",
         "",
         f"- sf0.1 walls: {base_walls} (median {med_b:.2f}s)",
