@@ -188,7 +188,11 @@ SELECT q_id, vec_id, ROUND(cosine, 6) AS cosine FROM (
 
 
 def ivf_topk(
-    spark: SparkSession, sf_dir: str, nprobe: int = 2, k: int = 3
+    spark: SparkSession,
+    sf_dir: str,
+    nprobe: int = 2,
+    k: int = 3,
+    coarse_probe: int = 1,
 ) -> DataFrame:
     """Hierarchical (two-level) IVF ANN with CONTENT-KEYED codebooks
     and top-``nprobe`` multi-probe — the r4->r5 curve-flattening
@@ -336,18 +340,54 @@ def ivf_topk(
         F.col("nrm").alias("qn"),
         F.col("ccent_id").alias("q_ccent"),
     )
-    # top-2 fine cells per query (multi-probe), sentinel fallback when
-    # the query's coarse cell owns no fine centroid
+    # COARSE multi-probe (r7, default 1 = the assigned coarse cell,
+    # byte-identical to the r6 path): the hierarchical router's hard
+    # recall ceiling is that fine multi-probe only explores cells
+    # under ONE coarse cell — when per-member noise rivals the gap
+    # between coarse-anchor distances (measured on the loose clustered
+    # corpus, ML_BASELINE.md), a group's members scatter across coarse
+    # cells fine probing can never reach. coarse_probe=c ranks the
+    # query against ALL coarse anchors (nc ~ N^0.25, broadcast — the
+    # same O(queries * nc) the assignment already paid) and probes the
+    # top-nprobe fine cells under EACH of its top-c coarse cells
+    # (budget c*nprobe). Per-coarse budgets, not a pooled top-nprobe,
+    # so raising the dial strictly GROWS the candidate pool — with
+    # exact re-rank, every query's rank-i score is monotone in c
+    # (pytest-asserted). Same tie-break (distance, ccent_id) as
+    # assignment, so c=1 reproduces q_ccent byte-identically.
+    if coarse_probe > 1:
+        qc_dist = (
+            F.col("qn") - 2 * F.expr(_DOT.format(a="qv", b="ccv")) + F.col("cnrm")
+        )
+        wc = Window.partitionBy("q_id").orderBy("qcd", "ccent_id")
+        qcc = (
+            q.select("q_id", "qv", "qn")
+            .join(F.broadcast(ccand))
+            .select("q_id", "qv", "qn", qc_dist.alias("qcd"), "ccent_id")
+            .withColumn("crn", F.row_number().over(wc))
+            .filter(F.col("crn") <= coarse_probe)
+            .select("q_id", "qv", "qn", "ccent_id")
+        )
+    else:
+        qcc = q.select(
+            "q_id", "qv", "qn", F.col("q_ccent").alias("ccent_id")
+        )
+    # top-nprobe fine cells per (query, probed coarse cell), sentinel
+    # fallback when a coarse cell owns no fine centroid. The window is
+    # per coarse cell so each probed coarse cell contributes its own
+    # nprobe budget; at coarse_probe=1 that partitioning degenerates
+    # to per-query — the registered key's exact plan.
     qf_dist = F.col("qn") - 2 * F.expr(_DOT.format(a="qv", b="fcv")) + F.col("fnrm")
-    wq = Window.partitionBy("q_id").orderBy("qd", "pc")
+    wq = Window.partitionBy("q_id", "ccent_id").orderBy("qd", "pc")
     qp = (
-        q.join(F.broadcast(f2c), F.col("q_ccent") == F.col("ccent_id"), "left")
+        qcc.join(F.broadcast(f2c), "ccent_id", "left")
         .select(
             "q_id",
             "qv",
             "qn",
+            "ccent_id",
             F.coalesce(qf_dist, F.lit(0.0)).alias("qd"),
-            F.coalesce(F.col("fcent_id"), -F.col("q_ccent") - 1).alias("pc"),
+            F.coalesce(F.col("fcent_id"), -F.col("ccent_id") - 1).alias("pc"),
         )
         .withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= nprobe)

@@ -1617,6 +1617,52 @@ def sink_manifest_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_manifest_table(spark, target, version=0)
 
 
+_EVOLVE_ORACLE = panel.sql_with(
+    panel.PRICES_CTE,
+    panel.EXPLANATIONS_CTE,
+    """existing AS (
+  SELECT ticker, date, topic FROM explanations WHERE date < DATE '1998-01-01'
+)""",
+    """incoming AS (
+  SELECT ticker, date, 'refreshed' AS topic FROM explanations WHERE ticker % 3 = 0
+)""",
+    body="""
+SELECT ticker, date, topic AS subject FROM incoming
+UNION ALL
+SELECT x.ticker, x.date, x.topic AS subject FROM existing x
+WHERE NOT EXISTS (SELECT 1 FROM incoming i WHERE i.ticker = x.ticker AND i.date = x.date)""",
+)
+
+
+@register("sink_manifest_evolution", oracle=_EVOLVE_ORACLE)
+def sink_manifest_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-ID schema evolution through the REAL writer (r7): commit
+    the pre-cutoff explanations, RENAME topic → subject (metadata-only
+    commit), upsert the refresh UNDER THE NEW NAME plus a brand-new
+    `note` column, then DROP the added column again. The read-back must
+    equal the plain upsert oracle with the renamed column: every
+    pre-rename row's topic must surface under `subject` (field-id
+    remap — the r6 reader would null-fill them), the incoming rows
+    merge into the same column, and the dropped column leaves no trace.
+    Three data commits + two metadata commits, one oracle."""
+    target = os.path.join(scratch_dir("s14_"), "evolve_manifest")
+    e = panel.explanations(spark, sf_dir)
+    v0 = e.filter(F.col("date") < F.lit("1998-01-01").cast("date")).select(
+        "ticker", "date", "topic"
+    )
+    upsert(spark, target, v0, ["ticker", "date"], commit_mode="manifest")
+    rename_manifest_column(target, "topic", "subject")
+    v1 = e.filter(F.col("ticker") % 3 == 0).select(
+        "ticker",
+        "date",
+        F.lit("refreshed").alias("subject"),
+        F.lit("batch-2").alias("note"),  # add-column evolution
+    )
+    upsert(spark, target, v1, ["ticker", "date"], commit_mode="manifest")
+    drop_manifest_column(target, "note")
+    return read_manifest_table(spark, target).select("ticker", "date", "subject")
+
+
 _S10_ORACLE = """
 SELECT COUNT(*) AS n_rows,
        CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents,

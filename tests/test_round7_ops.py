@@ -377,3 +377,37 @@ def test_manifest_legacy_format_reads_and_upgrades(spark, rows, tmp_path):
     out = sinks.read_manifest_table(spark, target)
     assert out.columns == ["ticker", "date", "label"]
     assert out.filter(out.label.isNotNull()).count() == 3
+
+
+# --- IVF coarse multi-probe (r7): candidate pool monotonicity ----------
+
+
+def test_ivf_coarse_probe_monotone_improves_topk(spark):
+    """coarse_probe=c pools fine candidates under the query's top-c
+    coarse cells — a SUPERSET of the c=1 pool — so with exact re-rank
+    every query's rank-i cosine must be >= the c=1 run's rank-i cosine
+    (and the default c=1 path is the registered key's oracle-verified
+    one)."""
+    from etl_stocks_with_sentiment_analysis_spark.llmdata.similarity import (
+        ivf_topk,
+    )
+
+    sf = "/root/testdata/sf0.001"
+
+    def ranked(cp):
+        out = {}
+        rows = ivf_topk(spark, sf, nprobe=2, k=3, coarse_probe=cp).collect()
+        for r in sorted(rows, key=lambda r: (r["q_id"], -r["cosine"], r["vec_id"])):
+            out.setdefault(r["q_id"], []).append(r["cosine"])
+        return out
+
+    base, wider = ranked(1), ranked(2)
+    assert set(wider) == set(base)  # same query set
+    for qid, scores in base.items():
+        w = wider[qid]
+        assert len(w) >= len(scores)
+        for i, s in enumerate(scores):
+            assert w[i] >= s - 1e-9, (
+                f"q {qid} rank {i}: coarse_probe=2 cosine {w[i]} < "
+                f"coarse_probe=1 {s}"
+            )

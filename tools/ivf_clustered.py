@@ -95,7 +95,17 @@ def timed_median(fn, repeats: int = 3) -> float:
     return round(statistics.median(walls), 2)
 
 
-def measure(spark, out: str, nprobes: list[int]):
+def _ivf_top3_cp(spark, out: str, nprobe: int, coarse_probe: int):
+    rows = ivf_topk(
+        spark, out, nprobe=nprobe, k=3, coarse_probe=coarse_probe
+    ).collect()
+    got: dict[int, list[int]] = {}
+    for r in sorted(rows, key=lambda r: (r["q_id"], -r["cosine"], r["vec_id"])):
+        got.setdefault(r["q_id"], []).append(r["vec_id"])
+    return got
+
+
+def measure(spark, out: str, nprobes: list[int], coarse: list[tuple] = ()):
     truth = ground_truth_top3(spark, out)
     rows = []
     for p in nprobes:
@@ -106,8 +116,23 @@ def measure(spark, out: str, nprobes: list[int]):
             .mode("overwrite")
             .save()
         )
-        rows.append((p, rec, wall))
+        rows.append((1, p, rec, wall))
         print(f"  nprobe={p}: recall@3={rec} wall={wall}s", flush=True)
+    for cp, p in coarse:  # the coarse multi-probe dial (loose regime)
+        rec = round(recall_at_3(truth, _ivf_top3_cp(spark, out, p, cp)), 3)
+        wall = timed_median(
+            lambda p=p, cp=cp: ivf_topk(
+                spark, out, nprobe=p, k=3, coarse_probe=cp
+            )
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        rows.append((cp, p, rec, wall))
+        print(
+            f"  coarse_probe={cp} nprobe={p}: recall@3={rec} wall={wall}s",
+            flush=True,
+        )
     brute_wall = timed_median(
         lambda: similarity_bruteforce_topk(spark, out)
         .write.format("noop")
@@ -136,7 +161,8 @@ def main() -> None:
     for noise in (0.01, 0.05):
         print(f"noise={noise}:", flush=True)
         build_clustered(spark, out, args.n, args.groups, noise)
-        results[noise] = measure(spark, out, args.nprobes)
+        coarse = [(2, 8), (4, 16), (8, 32)] if noise == 0.05 else []
+        results[noise] = measure(spark, out, args.nprobes, coarse)
 
     today = datetime.date.today().isoformat()
     hdr = "## ANN recall — clustered corpus (production shape)\n"
@@ -151,19 +177,19 @@ def main() -> None:
         "worst case). Ground truth: exact cosine top-3 (numpy, same "
         "tie-break). Walls are medians of 3 on local[32].",
         "",
-        "| regime | nprobe | recall@3 | wall (s) | vs brute |",
-        "|---|---|---|---|---|",
+        "| regime | coarse_probe | nprobe | recall@3 | wall (s) | vs brute |",
+        "|---|---|---|---|---|---|",
     ]
     for noise, (rows, brute) in results.items():
         tag = "near-dup σ=0.01" if noise == 0.01 else "loose σ=0.05"
-        for p, rec, wall in rows:
+        for cp, p, rec, wall in rows:
             body.append(
-                f"| {tag} | {p} | {rec} | {wall} | "
+                f"| {tag} | {cp} | {p} | {rec} | {wall} | "
                 f"{round(wall / brute, 2)}× |"
             )
     b01 = results[0.01][1]
     b05 = results[0.05][1]
-    r01 = dict((p, r) for p, r, _ in results[0.01][0])
+    r01 = dict((p, r) for cp, p, r, _ in results[0.01][0] if cp == 1)
     body += [
         "",
         f"Brute-force exact walls: {b01} s (near-dup corpus), {b05} s "
@@ -175,16 +201,21 @@ def main() -> None:
         "designed for (duplicate groups collapse to one representative, "
         "so group members co-cell and 2 probes cover them).",
         "",
-        "**Known boundary (measured, documented)**: in the LOOSE regime "
-        "recall plateaus (~0.73) regardless of nprobe because the "
-        "hierarchical router single-probes the COARSE level — when "
-        "per-member noise (norm ~0.4) rivals the gap between coarse-"
-        "anchor distances (high-dim distance concentration), a group's "
-        "members scatter across coarse cells that fine multi-probe can "
-        "never reach. The fix, if loose-cluster corpora become the "
-        "target, is coarse-level multi-probe (top-2 coarse cells) — a "
-        "routing change, not a codebook change; the near-dup regime "
-        "does not need it.",
+        "**Loose-regime plateau + the coarse dial (measured)**: at "
+        "coarse_probe=1 loose-regime recall plateaus (~0.73) regardless "
+        "of nprobe — per-member noise (norm ~0.4) rivals the gap "
+        "between coarse-anchor distances (high-dim distance "
+        "concentration), so a group's members scatter across coarse "
+        "cells that fine multi-probe alone can never reach. "
+        "`ivf_topk(coarse_probe=c)` (r7) probes the top-nprobe fine "
+        "cells under EACH of the query's top-c coarse cells (budget "
+        "c×nprobe, monotone in c by construction — pytest-asserted) "
+        "and lifts the ceiling: see the coarse_probe rows above. The "
+        "highest settings approach brute-force cost on this small "
+        "corpus (probing most cells) — recorded honestly; the dial's "
+        "useful range is where the wall stays well under brute. "
+        "coarse_probe=1 is byte-identical to the registered key's "
+        "pinned path (oracle re-verified).",
         "",
     ]
     replace_section(os.path.join(REPO, "ML_BASELINE.md"), hdr, "\n".join(body))
