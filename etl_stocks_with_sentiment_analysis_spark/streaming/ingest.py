@@ -137,7 +137,7 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_events(spark: SparkSession, sf_dir: str, **options) -> DataFrame:
     """File-source stream over the events parquet.
 
     A file-source stream needs a static schema up front; rather than
@@ -148,11 +148,13 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch reader so batch and stream twins stay comparable.
     """
     ensure_nanos_conf(spark)
-    raw = _stream_table(spark, sf_dir, "events")
+    raw = _stream_table(spark, sf_dir, "events", **options)
     return normalize_event_ts(raw)
 
 
-def _stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _stream_table(
+    spark: SparkSession, sf_dir: str, name: str, **options
+) -> DataFrame:
     """File-source stream over `{sf_dir}/{name}.parquet`, handling BOTH
     table layouts (r5 advice): a Spark-written DIRECTORY-style table is
     loaded by its own path (a leaf-name pathGlobFilter would match its
@@ -166,6 +168,8 @@ def _stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir}/{name}.parquet"
     file_schema = spark.read.parquet(path).schema
     reader = spark.readStream.schema(file_schema).format("parquet")
+    for k, v in options.items():  # e.g. maxFilesPerTrigger for tests
+        reader = reader.option(k, v)
     if os.path.isdir(path.replace("file:", "")):
         return reader.load(path)
     return reader.option("pathGlobFilter", f"{name}.parquet").load(sf_dir)
@@ -216,6 +220,7 @@ def run_incremental_upsert(
     target: str,
     query_name: str = "daily_upsert",
     commit_mode: str = "rename",
+    **reader_options,
 ):
     """Incremental materialization: the streaming daily agg merged
     into a parquet sink via foreachBatch + the partition-scoped
@@ -236,7 +241,8 @@ def run_incremental_upsert(
     from ..operators.sinks import upsert
 
     agg = _daily_agg(
-        stream_events(spark, sf_dir).withWatermark("ts", "1 day"), streaming=True
+        stream_events(spark, sf_dir, **reader_options).withWatermark("ts", "1 day"),
+        streaming=True,
     )
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
@@ -256,6 +262,43 @@ def run_incremental_upsert(
         .queryName(query_name)
         .start()
     )
+
+
+_MANIFEST_SINK_ORACLE = """
+SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS day,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
+FROM events
+GROUP BY 1, 2"""
+
+
+@register("streaming_manifest_sink", oracle=_MANIFEST_SINK_ORACLE)
+def streaming_manifest_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE production incremental pipeline end-to-end, oracle-checked:
+    a REAL readStream (AvailableNow) aggregates daily bars and each
+    micro-batch lands through the TRANSACTIONAL manifest commit
+    (`run_incremental_upsert(commit_mode="manifest")` — version-CAS
+    publish, day-partition scoping, retention, stats), then the final
+    table is read back through `read_manifest_table` and must equal
+    the plain batch aggregate. Everything exact in the result is
+    asserted (counts + cents-sum); `n_users` is approx_count_distinct
+    in the streaming plan (the documented unbounded-state tradeoff)
+    and is projected away rather than soft-compared. Multi-batch
+    growth, per-batch version advance, and replay convergence are
+    driven in tests/test_round7_ops.py with maxFilesPerTrigger=1."""
+    import os as _os
+
+    from ..operators.sinks import read_manifest_table, scratch_dir
+
+    target = _os.path.join(scratch_dir("s15_"), "daily_manifest")
+    q = run_incremental_upsert(
+        spark, sf_dir, target,
+        query_name="s15_manifest_sink", commit_mode="manifest",
+    )
+    q.awaitTermination()
+    out = read_manifest_table(spark, target)
+    return out.select("day", "event_type", "n_events", "total_value")
 
 
 def _attribute(clicks: DataFrame, purchases: DataFrame) -> DataFrame:

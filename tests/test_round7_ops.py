@@ -411,3 +411,98 @@ def test_ivf_coarse_probe_monotone_improves_topk(spark):
                 f"q {qid} rank {i}: coarse_probe=2 cosine {w[i]} < "
                 f"coarse_probe=1 {s}"
             )
+
+
+# --- streaming -> manifest sink: multi-batch versions + replay ---------
+
+
+def test_streaming_manifest_sink_multibatch_and_replay(spark, tmp_path):
+    """Each micro-batch of the streaming daily-bars upsert must land
+    as its OWN manifest version (version-CAS per batch), the final
+    read-back must equal the batch aggregate, time travel must show
+    the cumulative growth, and a full REPLAY from a fresh checkpoint
+    must converge to the identical table (idempotent-by-key merge)."""
+    from pyspark.sql import functions as F
+
+    from etl_stocks_with_sentiment_analysis_spark.sources import load_table
+    from etl_stocks_with_sentiment_analysis_spark.streaming import ingest
+
+    # source: one calendar day of events (so the 1-day watermark can
+    # never drop rows regardless of file arrival order), split into 3
+    # files -> 3 micro-batches under maxFilesPerTrigger=1
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    day0 = ev.select(F.min(F.to_date("ts")).alias("d")).first()["d"]
+    one_day = ev.filter(F.to_date("ts") == F.lit(day0)).persist()
+    n = one_day.count()
+    assert n > 30
+    src = tmp_path / "src"
+    (tmp_path / "src").mkdir()
+    third = n // 3
+    numbered = one_day.withColumn(
+        "rn",
+        F.row_number().over(
+            __import__("pyspark.sql.window", fromlist=["Window"])
+            .Window.orderBy("event_id")
+        ),
+    )
+    for i in range(3):
+        lo, hi = i * third, (i + 1) * third if i < 2 else n
+        (
+            numbered.filter((F.col("rn") > lo) & (F.col("rn") <= hi))
+            .drop("rn")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(str(src / "events.parquet"))
+        )
+    one_day.unpersist()
+
+    target = str(tmp_path / "daily_manifest")
+    q = ingest.run_incremental_upsert(
+        spark, str(src), target, query_name="t_mbatch",
+        commit_mode="manifest", maxFilesPerTrigger=1,
+    )
+    q.awaitTermination()
+
+    from etl_stocks_with_sentiment_analysis_spark.operators import sinks
+
+    ver, man = sinks._latest_manifest(target)
+    # 3 file-batches plus (on some trigger schedules) a final
+    # watermark-flush batch — at least one version per file batch
+    assert ver >= 2, f"expected >=3 manifest versions (one per micro-batch), got {ver + 1}"
+
+    # final == batch aggregate over the same source rows
+    expect = {
+        (r["day"], r["event_type"], r["n_events"], r["total_value"])
+        for r in ingest._daily_agg(
+            ingest.normalize_event_ts(spark.read.parquet(str(src / "events.parquet")))
+        ).collect()
+    }
+    def table():
+        return {
+            (r["day"], r["event_type"], r["n_events"], r["total_value"])
+            for r in sinks.read_manifest_table(spark, target)
+            .select("day", "event_type", "n_events", "total_value")
+            .collect()
+        }
+    assert table() == expect
+
+    # time travel: the OLDEST RETAINED version (K=3 keeps the last
+    # three; earlier ones age out — itself part of what's under test)
+    # holds strictly fewer events than the final table
+    oldest = max(0, ver - 2)
+    vold = sinks.read_manifest_table(spark, target, version=oldest)
+    assert (
+        vold.agg(F.sum("n_events")).first()[0]
+        < sum(r[2] for r in expect)
+    )
+
+    # replay from a fresh checkpoint converges (foreachBatch upsert is
+    # idempotent by (day, event_type)); versions keep advancing
+    q2 = ingest.run_incremental_upsert(
+        spark, str(src), target, query_name="t_mbatch2",
+        commit_mode="manifest", maxFilesPerTrigger=1,
+    )
+    q2.awaitTermination()
+    assert table() == expect
+    ver2, _ = sinks._latest_manifest(target)
+    assert ver2 == 2 * ver + 1  # replay committed the same batch count
