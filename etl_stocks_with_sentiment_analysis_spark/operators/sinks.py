@@ -845,6 +845,91 @@ def compact_manifest_table(
     ) from last_conflict
 
 
+def delete_from_manifest_table(
+    spark: SparkSession, target: str, condition
+) -> int:
+    """Row-level DELETE through the manifest commit protocol: rows
+    where ``condition`` (SQL string or Column) evaluates TRUE are
+    removed; FALSE and NULL rows are kept (SQL DELETE semantics).
+    Partition-scoped like upsert: only entries that actually contain
+    matching rows are rewritten (one column-pruned scan finds them);
+    untouched partitions carry forward by reference, and a partition
+    whose rows are ALL deleted drops out of the partition map (its
+    entry simply has no new dir and is not carried). Same version-CAS
+    + retention + GC tail as every other commit, so readers never see
+    a half-applied delete and time travel shows the pre-delete
+    versions. Returns the number of rows deleted."""
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    hit = F.coalesce(cond, F.lit(False))
+    last_conflict: ManifestConflictError | None = None
+    for _ in range(_CAS_MAX_RETRIES):
+        ver, man = _latest_manifest(target)
+        if man is None:
+            raise ValueError(f"no manifest table at {target}")
+        pcol = man["partition_col"]
+        if pcol:
+            full = _read_manifest_dirs(spark, target, man)
+            only = _touched_manifest_keys(
+                spark, man, full.filter(hit).select(pcol), pcol
+            )
+            if not only:
+                return 0
+            scoped = _read_manifest_dirs(spark, target, man, only_keys=only)
+            prev_pmap = {
+                k: v for k, v in man["partitions"].items() if k not in only
+            }
+        else:
+            scoped = _read_manifest_dirs(spark, target, man)
+            prev_pmap = None
+        n_deleted = scoped.filter(hit).count()
+        if n_deleted == 0:
+            return 0
+        kept = scoped.filter(~hit)
+        try:
+            _publish_snapshot(
+                target, ver + 1, kept, pcol, prev_pmap,
+                schema_json=man["schema"],  # pure row removal
+                prev_stats=man.get("stats"),
+                field_ids=man.get("field_ids"),
+                next_field_id=man.get("next_field_id"),
+                prev_snap_columns=man.get("snap_columns"),
+            )
+            return n_deleted
+        except ManifestConflictError as e:
+            last_conflict = e
+            continue
+    raise ManifestConflictError(
+        f"delete lost the manifest commit race {_CAS_MAX_RETRIES} times "
+        f"at {target}"
+    ) from last_conflict
+
+
+def manifest_table_changes(
+    spark: SparkSession, target: str, from_version: int, to_version: int
+) -> DataFrame:
+    """CHANGE FEED between two retained versions: the multiset
+    row-level diff — rows only in `to_version` tagged ``insert``, rows
+    only in `from_version` tagged ``delete`` (an update surfaces as a
+    delete of the old image + an insert of the new one; the protocol
+    stores no per-row lineage, so image-diff IS the defined feed).
+    Computed engine-side with exceptAll (hash-aggregate multiset
+    difference — two shuffles, no driver materialization). Raises if
+    the two versions' recorded schemas differ (diff across a schema
+    change has no single defined row shape — read each side explicitly
+    and reconcile instead)."""
+    a = read_manifest_table(spark, target, version=from_version)
+    b = read_manifest_table(spark, target, version=to_version)
+    if [f.name for f in a.schema.fields] != [f.name for f in b.schema.fields]:
+        raise ValueError(
+            f"versions {from_version} and {to_version} at {target} have "
+            "different recorded schemas — change feed is defined only "
+            "between same-schema versions"
+        )
+    return b.exceptAll(a).withColumn("change", F.lit("insert")).unionByName(
+        a.exceptAll(b).withColumn("change", F.lit("delete"))
+    )
+
+
 def _commit_metadata_only(target: str, mutate) -> dict:
     """Publish a manifest whose DATA references are identical to the
     latest version (schema-change commits: rename/drop). `mutate`
@@ -1661,6 +1746,89 @@ def sink_manifest_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     upsert(spark, target, v1, ["ticker", "date"], commit_mode="manifest")
     drop_manifest_column(target, "note")
     return read_manifest_table(spark, target).select("ticker", "date", "subject")
+
+
+_DELETE_ORACLE = panel.sql_with(
+    panel.PRICES_CTE,
+    panel.EXPLANATIONS_CTE,
+    """existing AS (
+  SELECT ticker, date, topic,
+         CAST(ticker % 8 AS INT) AS tgrp
+  FROM explanations WHERE date < DATE '1998-01-01'
+)""",
+    body="""
+SELECT ticker, date, topic FROM existing
+WHERE NOT (ticker % 3 = 0 AND date >= DATE '1997-06-01')""",
+)
+
+
+@register("sink_manifest_delete", oracle=_DELETE_ORACLE)
+def sink_manifest_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DELETE through the real manifest writer: commit the
+    pre-cutoff explanations bucket-partitioned, delete a predicate
+    slice (`ticker % 3 = 0 AND date >= 1997-06-01`), read back — must
+    equal the SQL anti-filter exactly. Partition-scoped: only buckets
+    containing matching rows are rewritten; the rest carry forward by
+    reference (asserted structurally in tests/test_round7_ops.py,
+    including full-partition removal)."""
+    target = os.path.join(scratch_dir("s16_"), "delete_manifest")
+    e = panel.explanations(spark, sf_dir)
+    existing = e.filter(F.col("date") < F.lit("1998-01-01").cast("date")).select(
+        "ticker", "date", "topic", (F.col("ticker") % 8).cast("int").alias("tgrp")
+    )
+    upsert(
+        spark, target, existing, ["ticker", "date", "tgrp"],
+        partition_col="tgrp", commit_mode="manifest",
+    )
+    n = delete_from_manifest_table(
+        spark, target,
+        "ticker % 3 = 0 AND date >= DATE '1997-06-01'",
+    )
+    assert n > 0  # the predicate is non-empty at every sf
+    return read_manifest_table(spark, target).select("ticker", "date", "topic")
+
+
+_CHANGES_ORACLE = panel.sql_with(
+    panel.PRICES_CTE,
+    panel.EXPLANATIONS_CTE,
+    """v0 AS (
+  SELECT ticker, date, topic FROM explanations WHERE date < DATE '1998-01-01'
+)""",
+    """incoming AS (
+  SELECT ticker, date, 'refreshed' AS topic FROM explanations WHERE ticker % 3 = 0
+)""",
+    """v1 AS (
+  SELECT * FROM incoming
+  UNION ALL
+  SELECT x.* FROM v0 x
+  WHERE NOT EXISTS (SELECT 1 FROM incoming i WHERE i.ticker = x.ticker AND i.date = x.date)
+)""",
+    body="""
+SELECT *, 'insert' AS change FROM (SELECT * FROM v1 EXCEPT ALL SELECT * FROM v0)
+UNION ALL
+SELECT *, 'delete' AS change FROM (SELECT * FROM v0 EXCEPT ALL SELECT * FROM v1)""",
+)
+
+
+@register("sink_manifest_changes", oracle=_CHANGES_ORACLE)
+def sink_manifest_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE FEED between two committed versions: commit v0, upsert
+    the refresh as v1, then `manifest_table_changes(0, 1)` must equal
+    the SQL multiset diff — each updated key surfaces as a delete of
+    its old image plus an insert of the new one; inserts of brand-new
+    keys have no paired delete. Exercises read-at-version + exceptAll
+    in one oracle."""
+    target = os.path.join(scratch_dir("s17_"), "changes_manifest")
+    e = panel.explanations(spark, sf_dir)
+    v0 = e.filter(F.col("date") < F.lit("1998-01-01").cast("date")).select(
+        "ticker", "date", "topic"
+    )
+    inc = e.filter(F.col("ticker") % 3 == 0).select(
+        "ticker", "date", F.lit("refreshed").alias("topic")
+    )
+    upsert(spark, target, v0, ["ticker", "date"], commit_mode="manifest")
+    upsert(spark, target, inc, ["ticker", "date"], commit_mode="manifest")
+    return manifest_table_changes(spark, target, 0, 1)
 
 
 _S10_ORACLE = """

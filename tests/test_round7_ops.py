@@ -506,3 +506,70 @@ def test_streaming_manifest_sink_multibatch_and_replay(spark, tmp_path):
     assert table() == expect
     ver2, _ = sinks._latest_manifest(target)
     assert ver2 == 2 * ver + 1  # replay committed the same batch count
+
+
+# --- row-level DELETE + change feed ------------------------------------
+
+
+def test_manifest_delete_scopes_and_drops_empty_partitions(spark, tmp_path):
+    """DELETE rewrites only partitions containing matching rows
+    (untouched entries keep their exact prior snapshot reference);
+    a fully-deleted partition drops out of the partition map; NULL
+    predicate rows are KEPT (SQL DELETE semantics)."""
+    from pyspark.sql import functions as F
+
+    target = str(tmp_path / "sink")
+    rows = spark.createDataFrame(
+        [
+            (1, "2024-01-01", "a"),
+            (2, "2024-01-01", "b"),
+            (3, "2024-01-02", "c"),
+            (4, "2024-01-03", None),  # NULL val -> predicate NULL -> kept
+        ],
+        "ticker INT, date STRING, val STRING",
+    )
+    sinks.upsert(
+        spark, target, rows, ["ticker", "date"],
+        partition_col="date", commit_mode="manifest",
+    )
+    _, man0 = sinks._latest_manifest(target)
+
+    # delete day-2 entirely plus one day-1 row; day-3's predicate is
+    # NULL for its row (val IS NULL) so it must be kept untouched
+    n = sinks.delete_from_manifest_table(
+        spark, target, "date = '2024-01-02' OR val = 'b'"
+    )
+    assert n == 2
+    _, man1 = sinks._latest_manifest(target)
+    assert "date=2024-01-02" not in man1["partitions"], "emptied partition kept"
+    # untouched day-3 partition carries forward BY REFERENCE
+    assert (
+        man1["partitions"]["date=2024-01-03"]
+        == man0["partitions"]["date=2024-01-03"]
+    )
+    # day-1 was rewritten into the new snapshot
+    assert (
+        man1["partitions"]["date=2024-01-01"]
+        != man0["partitions"]["date=2024-01-01"]
+    )
+    got = {
+        (r["ticker"], r["date"], r["val"])
+        for r in sinks.read_manifest_table(spark, target).collect()
+    }
+    assert got == {(1, "2024-01-01", "a"), (4, "2024-01-03", None)}
+    # no-match delete is a no-op commit-wise
+    ver_before, _ = sinks._latest_manifest(target)
+    assert sinks.delete_from_manifest_table(spark, target, "ticker = 99") == 0
+    ver_after, _ = sinks._latest_manifest(target)
+    assert ver_after == ver_before
+    # time travel still shows the pre-delete table
+    v0 = sinks.read_manifest_table(spark, target, version=0)
+    assert v0.count() == 4
+
+
+def test_manifest_changes_schema_mismatch_raises(spark, rows, tmp_path):
+    target = str(tmp_path / "sink")
+    sinks.upsert(spark, target, rows, ["ticker", "date"], commit_mode="manifest")
+    sinks.rename_manifest_column(target, "val", "label")
+    with pytest.raises(ValueError, match="different recorded schemas"):
+        sinks.manifest_table_changes(spark, target, 0, 1)
