@@ -846,7 +846,7 @@ def compact_manifest_table(
 
 
 def delete_from_manifest_table(
-    spark: SparkSession, target: str, condition
+    spark: SparkSession, target: str, condition, bounds: dict | None = None
 ) -> int:
     """Row-level DELETE through the manifest commit protocol: rows
     where ``condition`` (SQL string or Column) evaluates TRUE are
@@ -858,7 +858,18 @@ def delete_from_manifest_table(
     entry simply has no new dir and is not carried). Same version-CAS
     + retention + GC tail as every other commit, so readers never see
     a half-applied delete and time travel shows the pre-delete
-    versions. Returns the number of rows deleted."""
+    versions. Returns the number of rows deleted.
+
+    ``bounds`` (``{column: (lo, hi)}``, either side None) is the
+    100 TB lever for the discovery scan: entries whose recorded
+    min/max stats are provably disjoint from the bounds are skipped
+    WITHOUT OPENING A FILE — the same stats machinery the reader's
+    data skipping uses. It is the CALLER'S CONTRACT that every row
+    matching ``condition`` lies within ``bounds`` (e.g. condition
+    ``ts >= X AND user = u`` with bounds ``{"ts": (X, None)}``);
+    rows outside the bounds are guaranteed untouched, so an
+    inconsistent hint deletes fewer rows than the predicate implies,
+    never more."""
     cond = F.expr(condition) if isinstance(condition, str) else condition
     hit = F.coalesce(cond, F.lit(False))
     last_conflict: ManifestConflictError | None = None
@@ -867,8 +878,18 @@ def delete_from_manifest_table(
         if man is None:
             raise ValueError(f"no manifest table at {target}")
         pcol = man["partition_col"]
+        cand = None
+        if bounds:
+            from pyspark.sql.types import StructType
+
+            schema = StructType.fromJson(json.loads(man["schema"]))
+            cand = _prune_entry_keys(
+                spark, man, schema, sorted(man["partitions"]), bounds
+            )
+            if not cand:
+                return 0
         if pcol:
-            full = _read_manifest_dirs(spark, target, man)
+            full = _read_manifest_dirs(spark, target, man, only_keys=cand)
             only = _touched_manifest_keys(
                 spark, man, full.filter(hit).select(pcol), pcol
             )

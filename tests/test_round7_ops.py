@@ -573,3 +573,35 @@ def test_manifest_changes_schema_mismatch_raises(spark, rows, tmp_path):
     sinks.rename_manifest_column(target, "val", "label")
     with pytest.raises(ValueError, match="different recorded schemas"):
         sinks.manifest_table_changes(spark, target, 0, 1)
+
+
+def test_manifest_delete_with_stats_bounds(spark, tmp_path):
+    """bounds-pruned DELETE: a disjoint bounds hint proves no entry
+    can match and commits nothing; a consistent hint deletes exactly
+    what the unbounded predicate would."""
+    target = str(tmp_path / "sink")
+    rows = spark.createDataFrame(
+        [(i, "2024-01-0%d" % (1 + i % 3), float(i)) for i in range(30)],
+        "ticker INT, date STRING, v DOUBLE",
+    )
+    sinks.upsert(
+        spark, target, rows, ["ticker", "date"],
+        partition_col="date", commit_mode="manifest",
+    )
+    ver0, _ = sinks._latest_manifest(target)
+    # disjoint bounds: v only spans [0, 29]
+    assert (
+        sinks.delete_from_manifest_table(
+            spark, target, "v >= 100.0", bounds={"v": (100.0, None)}
+        )
+        == 0
+    )
+    ver1, _ = sinks._latest_manifest(target)
+    assert ver1 == ver0  # nothing committed
+    # consistent bounds delete == plain predicate delete
+    n = sinks.delete_from_manifest_table(
+        spark, target, "v >= 25.0", bounds={"v": (25.0, None)}
+    )
+    assert n == 5
+    left = sinks.read_manifest_table(spark, target)
+    assert left.count() == 25 and left.agg({"v": "max"}).first()[0] == 24.0
