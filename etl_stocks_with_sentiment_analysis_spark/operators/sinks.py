@@ -940,7 +940,11 @@ def manifest_table_changes(
     and reconcile instead)."""
     a = read_manifest_table(spark, target, version=from_version)
     b = read_manifest_table(spark, target, version=to_version)
-    if [f.name for f in a.schema.fields] != [f.name for f in b.schema.fields]:
+    # names AND types: a drop + re-add with a different type keeps the
+    # name list identical while exceptAll would fail mid-plan
+    if [(f.name, f.dataType.simpleString()) for f in a.schema.fields] != [
+        (f.name, f.dataType.simpleString()) for f in b.schema.fields
+    ]:
         raise ValueError(
             f"versions {from_version} and {to_version} at {target} have "
             "different recorded schemas — change feed is defined only "
