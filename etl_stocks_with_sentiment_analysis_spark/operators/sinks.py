@@ -355,15 +355,7 @@ def read_manifest_table(
         if man is None:
             return None
     else:
-        path = fsio.join(target, f"{_MANIFEST_PREFIX}{version:012d}.json")
-        try:
-            man = json.loads(fsio.read_text(path))
-        except FileNotFoundError:
-            raise ValueError(
-                f"manifest version {version} not found at {target} — never "
-                f"committed, or reclaimed past the {_RETAIN_VERSIONS}-version "
-                "retention window"
-            )
+        man = _manifest_at_version(target, version)
     df = _read_manifest_dirs(spark, target, man, bounds=bounds)
     if bounds:
         for c, (lo, hi) in bounds.items():
@@ -713,7 +705,8 @@ def _upsert_manifest(
             raise ValueError(
                 f"partition_col {partition_col!r} does not match the table's "
                 f"recorded partition_col {man['partition_col']!r} at {target} "
-                "— a manifest table's partitioning is fixed at first commit"
+                "— a manifest table's partitioning is fixed per version; "
+                "change the layout with repartition_manifest_table"
             )
         recorded: dict[str, str] = {}
         if man is not None:
@@ -845,6 +838,58 @@ def compact_manifest_table(
     ) from last_conflict
 
 
+def repartition_manifest_table(
+    spark: SparkSession, target: str, new_partition_col: str | None
+) -> int:
+    """ALTER TABLE ... PARTITIONED BY, online: rewrite the current
+    version under a different partition column (or None to
+    de-partition) and publish it as the next manifest version. Rows,
+    schema, and field ids are untouched — only the physical layout
+    changes; prior versions stay readable under their OLD layout
+    through the retention window (the manifest records partitioning
+    per version), and subsequent upserts must pass the NEW column.
+
+    This is the escape hatch for the protocol's "partitioning is
+    fixed at first commit" rule, and the operational fix when a
+    table's dominant predicate stops matching its layout — e.g. a
+    user-bucketed table that is now mostly queried by time range:
+    re-laying it out by calendar week turns every entry's time-stats
+    disjoint, so the reader's bounds pruning starts skipping entries
+    it previously had to read (`sink_manifest_repartition` proves
+    exactly that flip). Costs one full rewrite (same as compaction —
+    one shuffle on the new key), retried CAS-style against a fresh
+    read so concurrent upserts are never dropped. Returns the number
+    of entries in the new layout."""
+    last_conflict: ManifestConflictError | None = None
+    for _ in range(_CAS_MAX_RETRIES):
+        ver, man = _latest_manifest(target)
+        if man is None:
+            raise ValueError(f"no manifest table at {target}")
+        df = _read_manifest_dirs(spark, target, man)
+        if new_partition_col is not None:
+            if new_partition_col not in df.columns:
+                raise ValueError(
+                    f"new partition column {new_partition_col!r} is not a "
+                    f"table column at {target} (have {df.columns})"
+                )
+            df = df.repartition(F.col(new_partition_col))
+        try:
+            manifest = _publish_snapshot(
+                target, ver + 1, df, new_partition_col, None,
+                schema_json=man["schema"],
+                field_ids=man.get("field_ids"),
+                next_field_id=man.get("next_field_id"),
+            )
+            return len(manifest["partitions"])
+        except ManifestConflictError as e:
+            last_conflict = e
+            continue
+    raise ManifestConflictError(
+        f"repartition lost the manifest commit race {_CAS_MAX_RETRIES} "
+        f"times at {target}"
+    ) from last_conflict
+
+
 def delete_from_manifest_table(
     spark: SparkSession, target: str, condition, bounds: dict | None = None
 ) -> int:
@@ -925,6 +970,20 @@ def delete_from_manifest_table(
     ) from last_conflict
 
 
+def _manifest_at_version(target: str, version: int) -> dict:
+    """Load one retained manifest by version, with the same error text
+    as `read_manifest_table`'s explicit-version path."""
+    path = fsio.join(target, f"{_MANIFEST_PREFIX}{version:012d}.json")
+    try:
+        return json.loads(fsio.read_text(path))
+    except FileNotFoundError:
+        raise ValueError(
+            f"manifest version {version} not found at {target} — never "
+            f"committed, or reclaimed past the {_RETAIN_VERSIONS}-version "
+            "retention window"
+        )
+
+
 def manifest_table_changes(
     spark: SparkSession, target: str, from_version: int, to_version: int
 ) -> DataFrame:
@@ -937,21 +996,124 @@ def manifest_table_changes(
     difference — two shuffles, no driver materialization). Raises if
     the two versions' recorded schemas differ (diff across a schema
     change has no single defined row shape — read each side explicitly
-    and reconcile instead)."""
-    a = read_manifest_table(spark, target, version=from_version)
-    b = read_manifest_table(spark, target, version=to_version)
+    and reconcile instead).
+
+    PARTITION SCOPING (the 100 TB lever): a partition entry whose
+    manifest reference (relative snapshot dir) is IDENTICAL in both
+    versions points at the very same files — commits carry untouched
+    partitions forward BY REFERENCE, never rewriting them — so its
+    row-diff is empty by construction and it is excluded from both
+    scans. The feed therefore costs O(changed partitions), not
+    O(table): one upsert touching 3 of 10,000 partitions diffs 3.
+    Falls back to the full diff when the two versions' partition
+    columns differ (a `repartition_manifest_table` commit relocates
+    every row, so every entry legitimately changed)."""
+    man_a = _manifest_at_version(target, from_version)
+    man_b = _manifest_at_version(target, to_version)
     # names AND types: a drop + re-add with a different type keeps the
     # name list identical while exceptAll would fail mid-plan
-    if [(f.name, f.dataType.simpleString()) for f in a.schema.fields] != [
-        (f.name, f.dataType.simpleString()) for f in b.schema.fields
+    from pyspark.sql.types import StructType
+
+    sch_a = StructType.fromJson(json.loads(man_a["schema"]))
+    sch_b = StructType.fromJson(json.loads(man_b["schema"]))
+    if [(f.name, f.dataType.simpleString()) for f in sch_a.fields] != [
+        (f.name, f.dataType.simpleString()) for f in sch_b.fields
     ]:
         raise ValueError(
             f"versions {from_version} and {to_version} at {target} have "
             "different recorded schemas — change feed is defined only "
             "between same-schema versions"
         )
+    only_a = only_b = None
+    if man_a["partition_col"] == man_b["partition_col"]:
+        pa, pb = man_a["partitions"], man_b["partitions"]
+        only_a = sorted(k for k in pa if pb.get(k) != pa[k])
+        only_b = sorted(k for k in pb if pa.get(k) != pb[k])
+    a = _read_manifest_dirs(spark, target, man_a, only_keys=only_a)
+    b = _read_manifest_dirs(spark, target, man_b, only_keys=only_b)
     return b.exceptAll(a).withColumn("change", F.lit("insert")).unionByName(
         a.exceptAll(b).withColumn("change", F.lit("delete"))
+    )
+
+
+def materialize_manifest_aggregate(
+    spark: SparkSession,
+    target: str,
+    group_cols: list[str],
+    measures: dict[str, str],
+    version: int | None = None,
+) -> DataFrame:
+    """Full compute of a maintainable aggregate VIEW over a manifest
+    table version: per `group_cols` group, SUM of each `measures`
+    expression (output name → SQL expression string) plus the group's
+    row count as ``n_rows``. The output shape is exactly what
+    `maintain_manifest_aggregate` consumes and produces, so views
+    chain: materialize once at v0, then maintain v0→v1→v2…
+
+    Only SUM/COUNT-class measures are offered because they are the
+    aggregates that stay incrementally maintainable under DELETES
+    (retractable: -x undoes +x). MIN/MAX would need per-group full
+    state to survive a retraction — recompute those, don't maintain
+    them. For exact cross-engine checksums, make the expression
+    integer-valued (e.g. ``CAST(ROUND(value*100,0) AS BIGINT)``) —
+    float SUM order-dependence is the usual oracle killer."""
+    df = read_manifest_table(spark, target, version=version)
+    if df is None:
+        raise ValueError(f"no manifest table at {target}")
+    return df.groupBy(*group_cols).agg(
+        *[F.sum(F.expr(e)).alias(n) for n, e in measures.items()],
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def maintain_manifest_aggregate(
+    spark: SparkSession,
+    target: str,
+    view: DataFrame,
+    group_cols: list[str],
+    measures: dict[str, str],
+    from_version: int,
+    to_version: int,
+) -> DataFrame:
+    """INCREMENTAL VIEW MAINTENANCE: roll a materialized aggregate
+    `view` (the output of `materialize_manifest_aggregate` at
+    `from_version`) forward to `to_version` by applying the signed
+    change feed instead of recomputing the table. Inserts contribute
+    +measure/+1 row, deletes −measure/−1 row (an update is its
+    delete+insert pair, so a row moving between groups debits one
+    group and credits the other); groups whose maintained row count
+    reaches zero drop out of the view, exactly as they would vanish
+    from a full recompute.
+
+    COST: O(changed partitions) to build the feed (see
+    `manifest_table_changes`) + one aggregation of the delta + one
+    merge shuffled by the view's group key — independent of table row
+    count. At 100 TB this is the difference between a nightly
+    full-table aggregate job and a seconds-long delta apply after each
+    commit. Equivalence with full recompute is oracle-checked
+    (`sink_manifest_ivm`) and pytest-asserted across upsert AND delete
+    commits."""
+    expected = [*group_cols, *measures, "n_rows"]
+    if sorted(view.columns) != sorted(expected):
+        raise ValueError(
+            f"view columns {sorted(view.columns)} do not match the "
+            f"maintained shape {sorted(expected)} — pass the frame "
+            "materialize_manifest_aggregate produced"
+        )
+    ch = manifest_table_changes(spark, target, from_version, to_version)
+    sign = F.when(F.col("change") == "insert", F.lit(1)).otherwise(F.lit(-1))
+    delta = ch.groupBy(*group_cols).agg(
+        *[F.sum(sign * F.expr(e)).alias(n) for n, e in measures.items()],
+        F.sum(sign).alias("n_rows"),
+    )
+    return (
+        view.unionByName(delta)
+        .groupBy(*group_cols)
+        .agg(
+            *[F.sum(n).alias(n) for n in measures],
+            F.sum("n_rows").alias("n_rows"),
+        )
+        .filter(F.col("n_rows") > 0)
     )
 
 
@@ -1854,6 +2016,128 @@ def sink_manifest_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     upsert(spark, target, v0, ["ticker", "date"], commit_mode="manifest")
     upsert(spark, target, inc, ["ticker", "date"], commit_mode="manifest")
     return manifest_table_changes(spark, target, 0, 1)
+
+
+_IVM_ORACLE = """
+WITH v0 AS (
+  SELECT event_id, user_id, event_type, value FROM events WHERE event_id % 4 <> 3
+), inc AS (
+  SELECT event_id, user_id, 'refreshed' AS event_type, value FROM events
+  WHERE event_id % 5 = 0
+), v1 AS (
+  SELECT * FROM inc
+  UNION ALL
+  SELECT x.* FROM v0 x
+  WHERE NOT EXISTS (SELECT 1 FROM inc i WHERE i.event_id = x.event_id)
+), v2 AS (
+  SELECT * FROM v1 WHERE NOT (user_id % 7 = 0)
+)
+SELECT event_type,
+       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents,
+       COUNT(*) AS n_rows
+FROM v2 GROUP BY event_type"""
+
+
+@register("sink_manifest_ivm", oracle=_IVM_ORACLE)
+def sink_manifest_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL VIEW MAINTENANCE through the real commit chain:
+    commit v0 (events minus a quarter), upsert a refresh that MOVES
+    rows between groups (event_type overwritten — each moved row must
+    debit its old group and credit 'refreshed'), then DELETE a user
+    slice as v2. The materialized per-event_type aggregate is
+    computed ONCE at v0 and rolled forward v0→v1→v2 purely from the
+    change feed; the key asserts the maintained view is multiset-equal
+    to a full recompute of v2, and the oracle recomputes the final
+    aggregate from scratch in SQL. The production claim: after each
+    commit the dashboard aggregate updates in O(changed partitions),
+    never O(table)."""
+    target = os.path.join(scratch_dir("s18_"), "ivm_manifest")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value",
+        (F.col("user_id") % 8).cast("int").alias("ugrp"),
+    )
+    v0 = ev.filter(F.col("event_id") % 4 != 3)
+    inc = ev.filter(F.col("event_id") % 5 == 0).withColumn(
+        "event_type", F.lit("refreshed")
+    )
+    upsert(spark, target, v0, ["event_id", "ugrp"], partition_col="ugrp",
+           commit_mode="manifest")
+    upsert(spark, target, inc, ["event_id", "ugrp"], partition_col="ugrp",
+           commit_mode="manifest")
+    delete_from_manifest_table(spark, target, "user_id % 7 = 0")
+    gcols = ["event_type"]
+    measures = {"value_cents": "CAST(ROUND(value * 100, 0) AS BIGINT)"}
+    view = materialize_manifest_aggregate(spark, target, gcols, measures,
+                                          version=0)
+    for a, b in [(0, 1), (1, 2)]:
+        view = maintain_manifest_aggregate(spark, target, view, gcols,
+                                           measures, a, b)
+    full = materialize_manifest_aggregate(spark, target, gcols, measures)
+    assert view.exceptAll(full).count() == 0
+    assert full.exceptAll(view).count() == 0
+    return view
+
+
+_REPART_ORACLE = """
+SELECT COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents,
+       TRUE AS before_no_prune,
+       TRUE AS after_prunes
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+  AND ts <= TIMESTAMP '2024-01-14 23:59:59.999999'"""
+
+
+@register("sink_manifest_repartition", oracle=_REPART_ORACLE)
+def sink_manifest_repartition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online re-layout: events are first committed partitioned by a
+    USER bucket — every bucket spans the full time range, so the
+    recorded ts-stats cannot prune a time-range query
+    (`before_no_prune` asserts all entries survive the stats check).
+    `repartition_manifest_table` then rewrites the table under the
+    calendar-week column as the next version; the SAME range query now
+    skips every off-week entry (`after_prunes`: kept < total), and the
+    returned aggregate must still equal the plain range query — the
+    layout change is invisible in results, visible only in scan cost.
+    This is ALTER TABLE ... PARTITIONED BY for a 100 TB table whose
+    query mix drifted away from its original layout."""
+    import datetime
+
+    from pyspark.sql.types import StructType
+
+    target = os.path.join(scratch_dir("s19_"), "repart_manifest")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value",
+        (F.col("user_id") % 8).cast("int").alias("ugrp"),
+        F.floor(
+            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-05").cast("date"))
+            / 7
+        ).cast("int").alias("dgrp"),
+    )
+    upsert(spark, target, ev, ["event_id", "ugrp"], partition_col="ugrp",
+           commit_mode="manifest")
+    lo = datetime.datetime(2024, 1, 8, 0, 0, 0)
+    hi = datetime.datetime(2024, 1, 14, 23, 59, 59, 999999)
+    bounds = {"ts": (lo, hi)}
+
+    def _kept_vs_total() -> tuple[int, int]:
+        _, man = _latest_manifest(target)
+        schema = StructType.fromJson(json.loads(man["schema"]))
+        kept = _prune_entry_keys(
+            spark, man, schema, sorted(man["partitions"]), bounds
+        )
+        return len(kept), len(man["partitions"])
+
+    k0, t0 = _kept_vs_total()
+    repartition_manifest_table(spark, target, "dgrp")
+    k1, t1 = _kept_vs_total()
+    week = read_manifest_table(spark, target, bounds=bounds)
+    return week.agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("value_cents"),
+        F.lit(k0 == t0).alias("before_no_prune"),
+        F.lit(k1 < t1).alias("after_prunes"),
+    )
 
 
 _S10_ORACLE = """

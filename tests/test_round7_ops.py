@@ -605,3 +605,122 @@ def test_manifest_delete_with_stats_bounds(spark, tmp_path):
     assert n == 5
     left = sinks.read_manifest_table(spark, target)
     assert left.count() == 25 and left.agg({"v": "max"}).first()[0] == 24.0
+
+
+# --- incremental view maintenance + online repartition ------------------
+
+
+def _ev8(spark):
+    """16 rows across 4 partitions (p = id % 4), two groups (g)."""
+    return spark.createDataFrame(
+        [(i, i % 4, "a" if i < 10 else "b", float(i)) for i in range(16)],
+        "id INT, p INT, g STRING, v DOUBLE",
+    )
+
+
+def test_ivm_matches_recompute_and_drops_empty_groups(spark, tmp_path):
+    """Maintained view == full recompute across an upsert that moves
+    rows between groups and a delete that EMPTIES one group — the
+    emptied group must vanish from the maintained view exactly as it
+    does from the recompute."""
+    target = str(tmp_path / "ivm")
+    df = _ev8(spark)
+    sinks.upsert(spark, target, df, ["id", "p"], partition_col="p",
+                 commit_mode="manifest")
+    from pyspark.sql import functions as F
+
+    # move ids 12..15 from group b to group c (b keeps 10, 11)
+    moved = df.filter("id >= 12").withColumn("g", F.lit("c"))
+    sinks.upsert(spark, target, moved, ["id", "p"], partition_col="p",
+                 commit_mode="manifest")
+    # empty group b entirely
+    sinks.delete_from_manifest_table(spark, target, "g = 'b'")
+    gcols, measures = ["g"], {"v_sum": "CAST(v AS BIGINT)"}
+    view = sinks.materialize_manifest_aggregate(
+        spark, target, gcols, measures, version=0)
+    for a, b in [(0, 1), (1, 2)]:
+        view = sinks.maintain_manifest_aggregate(
+            spark, target, view, gcols, measures, a, b)
+    got = {(r["g"], r["v_sum"], r["n_rows"]) for r in view.collect()}
+    full = sinks.materialize_manifest_aggregate(spark, target, gcols, measures)
+    want = {(r["g"], r["v_sum"], r["n_rows"]) for r in full.collect()}
+    assert got == want
+    assert "b" not in {g for g, _, _ in got}  # emptied group dropped
+
+
+def test_ivm_rejects_wrong_view_shape(spark, tmp_path):
+    target = str(tmp_path / "ivm_shape")
+    sinks.upsert(spark, target, _ev8(spark), ["id", "p"], partition_col="p",
+                 commit_mode="manifest")
+    bad = _ev8(spark).select("g", "v")  # not a maintained view
+    with pytest.raises(ValueError, match="maintained shape"):
+        sinks.maintain_manifest_aggregate(
+            spark, target, bad, ["g"], {"v_sum": "CAST(v AS BIGINT)"}, 0, 0)
+
+
+def test_change_feed_is_partition_scoped_but_exact(spark, tmp_path):
+    """An upsert touching ONE of four partitions: the feed must list
+    exactly that partition's changed rows — identical to the full
+    image diff — while reading only changed entries (asserted via the
+    manifest references: untouched entries carry forward unchanged)."""
+    target = str(tmp_path / "scoped")
+    df = _ev8(spark)
+    sinks.upsert(spark, target, df, ["id", "p"], partition_col="p",
+                 commit_mode="manifest")
+    from pyspark.sql import functions as F
+
+    one = df.filter("id = 5").withColumn("v", F.lit(99.0))
+    sinks.upsert(spark, target, one, ["id", "p"], partition_col="p",
+                 commit_mode="manifest")
+    # structural: 3 of 4 entries carried forward by reference
+    from etl_stocks_with_sentiment_analysis_spark.operators.sinks import (
+        _manifest_at_version,
+    )
+    m0, m1 = _manifest_at_version(target, 0), _manifest_at_version(target, 1)
+    same = [k for k in m0["partitions"]
+            if m1["partitions"].get(k) == m0["partitions"][k]]
+    assert len(same) == 3
+    feed = sinks.manifest_table_changes(spark, target, 0, 1)
+    got = {(r["id"], r["v"], r["change"]) for r in feed.collect()}
+    assert got == {(5, 5.0, "delete"), (5, 99.0, "insert")}
+
+
+def test_repartition_manifest_table_roundtrip(spark, tmp_path):
+    """Re-layout preserves rows exactly, records the new partition
+    column, keeps the OLD version readable under its old layout, and
+    subsequent upserts must use the new column."""
+    target = str(tmp_path / "repart")
+    df = _ev8(spark)
+    sinks.upsert(spark, target, df, ["id", "p"], partition_col="p",
+                 commit_mode="manifest")
+    n = sinks.repartition_manifest_table(spark, target, "g")
+    assert n == 2  # two g-values -> two entries
+    now = {(r["id"], r["p"], r["g"], r["v"])
+           for r in sinks.read_manifest_table(spark, target).collect()}
+    before = {(r["id"], r["p"], r["g"], r["v"])
+              for r in sinks.read_manifest_table(spark, target, version=0).collect()}
+    want = {(i, i % 4, "a" if i < 10 else "b", float(i)) for i in range(16)}
+    assert now == want and before == want
+    # upsert under the OLD column now raises; under the NEW one lands
+    from pyspark.sql import functions as F
+
+    inc = df.filter("id = 0").withColumn("v", F.lit(42.0))
+    with pytest.raises(ValueError, match="partition_col"):
+        sinks.upsert(spark, target, inc, ["id", "p"], partition_col="p",
+                     commit_mode="manifest")
+    sinks.upsert(spark, target, inc, ["id", "g"], partition_col="g",
+                 commit_mode="manifest")
+    got = {r["v"] for r in sinks.read_manifest_table(spark, target)
+           .filter("id = 0").collect()}
+    assert got == {42.0}
+
+
+def test_repartition_to_unpartitioned_and_missing_column(spark, tmp_path):
+    target = str(tmp_path / "repart_none")
+    sinks.upsert(spark, target, _ev8(spark), ["id", "p"], partition_col="p",
+                 commit_mode="manifest")
+    with pytest.raises(ValueError, match="not a table column"):
+        sinks.repartition_manifest_table(spark, target, "nope")
+    n = sinks.repartition_manifest_table(spark, target, None)
+    assert n == 1  # single __ALL__ entry
+    assert sinks.read_manifest_table(spark, target).count() == 16
