@@ -505,27 +505,30 @@ def _entry_stats(
     partition_col: str | None,
     ptype: str | None,
     new_keys: list[str],
-) -> dict:
-    """Per-entry min/max stats for the data dirs THIS snapshot wrote
-    (carried-forward entries keep their prior stats). Read back from
-    the written files with the merged schema imposed (so the partition
-    column keeps its recorded type instead of partition-inference's
-    guess), one map-side-combinable agg, then the same typed key-value
-    join discipline as `_touched_manifest_keys` to map partition
-    VALUES back to directory KEYS without re-implementing Spark's dir
-    escaping. Values are serialized with cast(string) and cast back on
-    the prune side. Cost: one scan of just-written files."""
+) -> tuple[dict, dict]:
+    """Per-entry min/max stats AND row counts for the data dirs THIS
+    snapshot wrote (carried-forward entries keep their prior stats and
+    counts). Read back from the written files with the merged schema
+    imposed (so the partition column keeps its recorded type instead
+    of partition-inference's guess), one map-side-combinable agg, then
+    the same typed key-value join discipline as
+    `_touched_manifest_keys` to map partition VALUES back to directory
+    KEYS without re-implementing Spark's dir escaping. Values are
+    serialized with cast(string) and cast back on the prune side.
+    Cost: one scan of just-written files — the counts ride the stats
+    scan for free. Returns ``(stats, entry_rows)``."""
+    if not new_keys:
+        return {}, {}
     stat_cols = _stat_columns(merged_schema, partition_col)
-    if not stat_cols or not new_keys:
-        return {}
     back = spark.read.schema(merged_schema).parquet(snap)
-    aggs = []
+    aggs = [F.count(F.lit(1)).alias("__nr")]
     for i, c in enumerate(stat_cols):
         aggs += [
             F.min(c).cast("string").alias(f"mn{i}"),
             F.max(c).cast("string").alias(f"mx{i}"),
         ]
     out: dict = {}
+    rows: dict = {}
     if partition_col:
         srows = back.groupBy(partition_col).agg(*aggs)
         pairs = [
@@ -543,15 +546,20 @@ def _entry_stats(
         for r in kdf.join(
             srows, kdf["v"].eqNullSafe(srows[partition_col]), "inner"
         ).collect():
-            out[r["k"]] = {
-                c: [r[f"mn{i}"], r[f"mx{i}"]] for i, c in enumerate(stat_cols)
-            }
+            rows[r["k"]] = r["__nr"]
+            if stat_cols:
+                out[r["k"]] = {
+                    c: [r[f"mn{i}"], r[f"mx{i}"]]
+                    for i, c in enumerate(stat_cols)
+                }
     else:
         r = back.agg(*aggs).collect()[0]
-        out["__ALL__"] = {
-            c: [r[f"mn{i}"], r[f"mx{i}"]] for i, c in enumerate(stat_cols)
-        }
-    return out
+        rows["__ALL__"] = r["__nr"]
+        if stat_cols:
+            out["__ALL__"] = {
+                c: [r[f"mn{i}"], r[f"mx{i}"]] for i, c in enumerate(stat_cols)
+            }
+    return out, rows
 
 
 def _publish_snapshot(
@@ -565,6 +573,7 @@ def _publish_snapshot(
     field_ids: dict | None = None,
     next_field_id: int | None = None,
     prev_snap_columns: dict | None = None,
+    prev_entry_rows: dict | None = None,
 ) -> dict:
     """Shared tail of every manifest commit (upsert AND compaction):
     write the snapshot data dir (name made unique per ATTEMPT so two
@@ -605,7 +614,7 @@ def _publish_snapshot(
         pmap = {"__ALL__": snap_rel}
         ptype = None
         new_keys = ["__ALL__"]
-    new_stats = _entry_stats(
+    new_stats, new_rows = _entry_stats(
         merged.sparkSession, snap, merged.schema, partition_col, ptype, new_keys
     )
     stats = {
@@ -614,6 +623,12 @@ def _publish_snapshot(
         if k in pmap and k not in new_stats
     }
     stats.update(new_stats)
+    entry_rows = {
+        k: v
+        for k, v in (prev_entry_rows or {}).items()
+        if k in pmap and k not in new_rows
+    }
+    entry_rows.update(new_rows)
     # field-id bookkeeping: the new snapshot's columns are the current
     # (name -> id) mapping at write time; carried-forward snapshots
     # keep their own recorded at-write maps (only for snaps still
@@ -634,6 +649,7 @@ def _publish_snapshot(
         "partition_type": ptype,
         "partitions": pmap,
         "stats": stats,
+        "entry_rows": entry_rows,
         "field_ids": field_ids,
         "next_field_id": next_field_id or (max(field_ids.values()) + 1),
         "snap_columns": snap_columns,
@@ -771,6 +787,7 @@ def _upsert_manifest(
                 field_ids=field_ids,
                 next_field_id=next_id,
                 prev_snap_columns=man.get("snap_columns") if man else None,
+                prev_entry_rows=man.get("entry_rows") if man else None,
             )
             return
         except ManifestConflictError as e:
@@ -959,6 +976,7 @@ def delete_from_manifest_table(
                 field_ids=man.get("field_ids"),
                 next_field_id=man.get("next_field_id"),
                 prev_snap_columns=man.get("snap_columns"),
+                prev_entry_rows=man.get("entry_rows"),
             )
             return n_deleted
         except ManifestConflictError as e:
@@ -982,6 +1000,155 @@ def _manifest_at_version(target: str, version: int) -> dict:
             f"committed, or reclaimed past the {_RETAIN_VERSIONS}-version "
             "retention window"
         )
+
+
+def manifest_table_stats(
+    spark: SparkSession, target: str, version: int | None = None
+) -> DataFrame:
+    """ANALYZE output from METADATA ONLY: one row per manifest entry
+    with its typed partition value and recorded row count — no data
+    file is opened (counts are recorded at commit time, riding the
+    per-commit stats scan of just-written files; carried-forward
+    entries keep theirs). At 100 TB this answers "how big is each
+    partition / is the layout skewed" in O(manifest entries) driver
+    work, the same question a full GROUP BY scan answers in minutes.
+    Raises for pre-entry_rows manifests (commit once to upgrade).
+    Exact by construction — oracle-checked (`sink_manifest_analyze`)
+    against the real per-group counts after partial commits."""
+    if version is None:
+        _, man = _latest_manifest(target)
+        if man is None:
+            raise ValueError(f"no manifest table at {target}")
+    else:
+        man = _manifest_at_version(target, version)
+    entry_rows = man.get("entry_rows")
+    if entry_rows is None:
+        raise ValueError(
+            f"manifest at {target} predates entry row counts — run any "
+            "commit (upsert/compaction) to record them"
+        )
+    pcol, ptype = man["partition_col"], man.get("partition_type")
+    if pcol:
+        pairs = [
+            (
+                None
+                if _manifest_key_value(k) == _HIVE_NULL
+                else _manifest_key_value(k),
+                int(n),
+            )
+            for k, n in sorted(entry_rows.items())
+        ]
+        return spark.createDataFrame(pairs, "raw STRING, n_rows BIGINT").select(
+            F.col("raw").cast(ptype).alias(pcol), "n_rows"
+        )
+    n = int(entry_rows.get("__ALL__", 0))
+    return spark.createDataFrame([(n,)], "n_rows BIGINT")
+
+
+def count_manifest_table(target: str, version: int | None = None) -> int:
+    """COUNT(*) from metadata alone — the sum of recorded entry row
+    counts; zero scans, zero Spark jobs. Raises for pre-entry_rows
+    manifests rather than silently guessing."""
+    if version is None:
+        _, man = _latest_manifest(target)
+        if man is None:
+            raise ValueError(f"no manifest table at {target}")
+    else:
+        man = _manifest_at_version(target, version)
+    entry_rows = man.get("entry_rows")
+    if entry_rows is None:
+        raise ValueError(
+            f"manifest at {target} predates entry row counts — run any "
+            "commit (upsert/compaction) to record them"
+        )
+    return sum(int(n) for n in entry_rows.values())
+
+
+_VIEW_KEEP = 2  # view artifact versions retained (current + previous)
+
+
+def _latest_view_version(view_path: str) -> int | None:
+    """Highest COMPLETE view version at `view_path` (marked by the
+    `_OK` file written after the parquet data) — incomplete dirs from
+    a crashed maintainer are invisible, exactly like unpublished
+    manifest snapshots."""
+    entries = fsio.list_status(view_path)  # missing dir lists as empty
+    best = None
+    for e in entries:
+        if e.name.startswith("v") and e.name[1:].isdigit():
+            if fsio.exists(fsio.join(view_path, e.name, "_OK")):
+                v = int(e.name[1:])
+                best = v if best is None or v > best else best
+    return best
+
+
+def maintain_view_artifact(
+    spark: SparkSession,
+    target: str,
+    view_path: str,
+    group_cols: list[str],
+    measures: dict[str, str],
+) -> int:
+    """Keep a PERSISTED materialized view in lockstep with a manifest
+    table: roll the parquet artifact at `view_path` forward to the
+    table's current version and return that version. Call it after
+    every commit (or from a stream's foreachBatch — see
+    `run_streaming_view_maintenance`); each call costs O(changed
+    partitions + view size), never O(table).
+
+    CATCH-UP AND CRASH SAFETY: the artifact records which table
+    version it reflects (dir name `v{N}`, completeness marked by an
+    `_OK` file written after the data — a maintainer that dies
+    mid-write leaves an ignored incomplete dir). The next call rolls
+    from the last COMPLETE version to the current one in ONE hop (the
+    change feed diffs any two retained versions), so a maintainer
+    that missed commits catches up without replaying them one by one;
+    if the view has fallen behind the retention window (its base
+    manifest was reclaimed) — or the table's schema changed under it —
+    it falls back to one full materialization. Single maintainer per
+    view by design — the view is derived state; two maintainers would
+    just duplicate work."""
+    ver, man = _latest_manifest(target)
+    if man is None:
+        raise ValueError(f"no manifest table at {target}")
+    done = _latest_view_version(view_path)
+    if done == ver:
+        return ver
+    view = None
+    if done is not None:
+        try:
+            prev = spark.read.parquet(fsio.join(view_path, f"v{done:012d}"))
+            view = maintain_manifest_aggregate(
+                spark, target, prev, group_cols, measures, done, ver
+            )
+        except ValueError:
+            view = None  # base version reclaimed → full recompute
+    if view is None:
+        view = materialize_manifest_aggregate(
+            spark, target, group_cols, measures
+        )
+    out = fsio.join(view_path, f"v{ver:012d}")
+    view.write.mode("overwrite").parquet(out)
+    fsio.write_text(fsio.join(out, "_OK"), "")
+    for e in fsio.list_status(view_path):  # retention: keep newest K
+        if (
+            e.name.startswith("v")
+            and e.name[1:].isdigit()
+            and int(e.name[1:]) <= ver - _VIEW_KEEP
+        ):
+            fsio.delete(fsio.join(view_path, e.name), recursive=True)
+    return ver
+
+
+def read_view_artifact(
+    spark: SparkSession, view_path: str
+) -> tuple[DataFrame, int]:
+    """Read the newest complete view artifact; returns (frame, table
+    version it reflects). Raises if no complete version exists."""
+    done = _latest_view_version(view_path)
+    if done is None:
+        raise ValueError(f"no complete view artifact at {view_path}")
+    return spark.read.parquet(fsio.join(view_path, f"v{done:012d}")), done
 
 
 def manifest_table_changes(
@@ -2138,6 +2305,52 @@ def sink_manifest_repartition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(k0 == t0).alias("before_no_prune"),
         F.lit(k1 < t1).alias("after_prunes"),
     )
+
+
+_ANALYZE_ORACLE = """
+WITH v0 AS (
+  SELECT event_id, user_id FROM events WHERE event_id % 3 <> 0
+), inc AS (
+  SELECT event_id, user_id FROM events WHERE user_id % 8 IN (1, 3)
+), v1 AS (
+  SELECT * FROM inc
+  UNION ALL
+  SELECT x.* FROM v0 x
+  WHERE NOT EXISTS (SELECT 1 FROM inc i WHERE i.event_id = x.event_id)
+), v2 AS (
+  SELECT * FROM v1 WHERE NOT (event_id % 7 = 0)
+)
+SELECT CAST(user_id % 8 AS INT) AS ugrp, COUNT(*) AS n_rows
+FROM v2 GROUP BY 1"""
+
+
+@register("sink_manifest_analyze", oracle=_ANALYZE_ORACLE)
+def sink_manifest_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE from metadata: after an initial commit, a partial
+    upsert (touching only buckets 1 and 3 — the other entries carry
+    their recorded counts forward), and a row-level DELETE (rewritten
+    entries recounted), `manifest_table_stats` must report EXACTLY the
+    per-partition row counts a full GROUP BY scan computes — without
+    opening a data file. The key also asserts the metadata COUNT(*)
+    (`count_manifest_table`, zero Spark jobs) equals the scanned
+    count. The 100 TB claim: table size and skew diagnostics are
+    O(manifest entries) driver work."""
+    target = os.path.join(scratch_dir("s20_"), "analyze_manifest")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id",
+        (F.col("user_id") % 8).cast("int").alias("ugrp"),
+    )
+    v0 = ev.filter(F.col("event_id") % 3 != 0)
+    inc = ev.filter(F.col("ugrp").isin(1, 3))
+    upsert(spark, target, v0, ["event_id", "ugrp"], partition_col="ugrp",
+           commit_mode="manifest")
+    upsert(spark, target, inc, ["event_id", "ugrp"], partition_col="ugrp",
+           commit_mode="manifest")
+    delete_from_manifest_table(spark, target, "event_id % 7 = 0")
+    assert count_manifest_table(target) == read_manifest_table(
+        spark, target
+    ).count()
+    return manifest_table_stats(spark, target)
 
 
 _S10_ORACLE = """

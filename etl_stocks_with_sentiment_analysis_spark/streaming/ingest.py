@@ -301,6 +301,115 @@ def streaming_manifest_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("day", "event_type", "n_events", "total_value")
 
 
+def run_streaming_view_maintenance(
+    spark: SparkSession,
+    sf_dir: str,
+    target: str,
+    view_path: str,
+    query_name: str = "view_maint",
+    **reader_options,
+):
+    """STREAMING INCREMENTAL VIEW MAINTENANCE: each micro-batch of raw
+    events lands in the manifest table through the transactional
+    upsert, then the persisted per-event_type aggregate artifact rolls
+    forward from that commit's change feed (`maintain_view_artifact`)
+    — the dashboard view is never recomputed from the table, only
+    advanced by the batch's delta. A batch-side writer (backfill,
+    DELETE, compaction) can interleave freely: the next micro-batch's
+    maintain call catches the view up across every version it missed
+    in one hop. This is the composition a production pipeline runs:
+    stream → ACID table → derived views, all incremental."""
+    from ..operators.sinks import maintain_view_artifact, upsert
+
+    ev = stream_events(spark, sf_dir, **reader_options)
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        rows = batch_df.select(
+            "event_id", "user_id", "event_type", "value",
+            (F.col("user_id") % 8).cast("int").alias("ugrp"),
+        )
+        upsert(s, target, rows, ["event_id", "ugrp"], partition_col="ugrp",
+               commit_mode="manifest")
+        maintain_view_artifact(
+            s, target, view_path, ["event_type"],
+            {"value_cents": "CAST(ROUND(value * 100, 0) AS BIGINT)"},
+        )
+
+    return (
+        ev.writeStream.outputMode("append")
+        .foreachBatch(step)
+        .trigger(availableNow=True)
+        .queryName(query_name)
+        .start()
+    )
+
+
+_VIEW_MAINT_ORACLE = """
+WITH base AS (
+  SELECT event_id, user_id, event_type, value FROM events
+), inc AS (
+  SELECT event_id, user_id, 'refreshed' AS event_type, value FROM events
+  WHERE event_id % 5 = 0
+), v1 AS (
+  SELECT * FROM inc
+  UNION ALL
+  SELECT b.* FROM base b
+  WHERE NOT EXISTS (SELECT 1 FROM inc i WHERE i.event_id = b.event_id)
+), v2 AS (
+  SELECT * FROM v1 WHERE NOT (user_id % 7 = 0)
+)
+SELECT event_type,
+       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents,
+       COUNT(*) AS n_rows
+FROM v2 GROUP BY event_type"""
+
+
+@register("streaming_view_maintenance", oracle=_VIEW_MAINT_ORACLE)
+def streaming_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream → ACID table → incrementally-maintained view, end to
+    end: a REAL readStream lands all events in the manifest table and
+    advances the persisted aggregate artifact per micro-batch; then
+    TWO batch commits interleave (an upsert that moves rows between
+    groups, a row-level DELETE) with NO maintain call between them,
+    and one final `maintain_view_artifact` must catch the view up
+    across both versions in a single change-feed hop. The returned
+    artifact must equal the from-scratch SQL aggregate of the final
+    state — proving the view never drifts no matter how batch and
+    stream writers interleave."""
+    import os as _os
+
+    from ..operators.sinks import (
+        delete_from_manifest_table,
+        maintain_view_artifact,
+        read_view_artifact,
+        scratch_dir,
+        upsert,
+    )
+
+    base = scratch_dir("s21_")
+    target = _os.path.join(base, "events_table")
+    view_path = _os.path.join(base, "etype_view")
+    q = run_streaming_view_maintenance(
+        spark, sf_dir, target, view_path, query_name="s21_view_maint"
+    )
+    q.awaitTermination()
+    ev = load_table(spark, sf_dir, "events")
+    inc = ev.select(
+        "event_id", "user_id", F.lit("refreshed").alias("event_type"), "value",
+        (F.col("user_id") % 8).cast("int").alias("ugrp"),
+    ).filter(F.col("event_id") % 5 == 0)
+    upsert(spark, target, inc, ["event_id", "ugrp"], partition_col="ugrp",
+           commit_mode="manifest")
+    delete_from_manifest_table(spark, target, "user_id % 7 = 0")
+    maintain_view_artifact(
+        spark, target, view_path, ["event_type"],
+        {"value_cents": "CAST(ROUND(value * 100, 0) AS BIGINT)"},
+    )
+    view, _ = read_view_artifact(spark, view_path)
+    return view
+
+
 def _attribute(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
     """Shared click→purchase attribution for batch and streaming: each
     purchase is credited to every click by the same user in the

@@ -724,3 +724,163 @@ def test_repartition_to_unpartitioned_and_missing_column(spark, tmp_path):
     n = sinks.repartition_manifest_table(spark, target, None)
     assert n == 1  # single __ALL__ entry
     assert sinks.read_manifest_table(spark, target).count() == 16
+
+
+# --- metadata row counts + persisted view maintenance -------------------
+
+
+def test_metadata_counts_track_commits(spark, tmp_path):
+    """entry_rows must stay exact through upsert (partial), delete
+    (rewritten entries recounted), and compaction; unpartitioned
+    tables report one __ALL__ count; manifests predating the field
+    raise instead of guessing."""
+    from pyspark.sql import functions as F
+
+    target = str(tmp_path / "counts")
+    df = _ev8(spark)
+    sinks.upsert(spark, target, df, ["id", "p"], partition_col="p",
+                 commit_mode="manifest")
+    assert sinks.count_manifest_table(target) == 16
+    stats = {r["p"]: r["n_rows"]
+             for r in sinks.manifest_table_stats(spark, target).collect()}
+    assert stats == {0: 4, 1: 4, 2: 4, 3: 4}
+    # touch one partition only; others carry recorded counts forward
+    one = df.filter("id = 1").withColumn("v", F.lit(50.0))
+    sinks.upsert(spark, target, one, ["id", "p"], partition_col="p",
+                 commit_mode="manifest")
+    assert sinks.count_manifest_table(target) == 16
+    sinks.delete_from_manifest_table(spark, target, "id IN (2, 6)")
+    assert sinks.count_manifest_table(target) == 14
+    sinks.compact_manifest_table(spark, target, rows_per_file=100)
+    assert sinks.count_manifest_table(target) == 14
+    # unpartitioned
+    t2 = str(tmp_path / "counts_flat")
+    sinks.upsert(spark, t2, df, ["id"], commit_mode="manifest")
+    assert sinks.count_manifest_table(t2) == 16
+    assert [r["n_rows"] for r in
+            sinks.manifest_table_stats(spark, t2).collect()] == [16]
+    # legacy manifest (no entry_rows) must raise, not guess
+    import json as _json
+    ver, man = sinks._latest_manifest(t2)
+    man.pop("entry_rows")
+    mpath = os.path.join(t2, f"manifest-{ver:012d}.json")
+    with open(mpath, "w") as fh:
+        _json.dump(man, fh)
+    with pytest.raises(ValueError, match="predates entry row counts"):
+        sinks.count_manifest_table(t2)
+
+
+_VIEW_MEASURES = {"v_sum": "CAST(v AS BIGINT)"}
+
+
+def _maintain(spark, target, vp):
+    return sinks.maintain_view_artifact(
+        spark, target, vp, ["g"], _VIEW_MEASURES)
+
+
+def _view_rows(spark, vp):
+    df, ver = sinks.read_view_artifact(spark, vp)
+    return {(r["g"], r["v_sum"], r["n_rows"]) for r in df.collect()}, ver
+
+
+def _recompute(spark, target):
+    full = sinks.materialize_manifest_aggregate(
+        spark, target, ["g"], _VIEW_MEASURES)
+    return {(r["g"], r["v_sum"], r["n_rows"]) for r in full.collect()}
+
+
+def test_view_artifact_catchup_and_crash(spark, tmp_path):
+    """The artifact must catch up across MULTIPLE missed versions in
+    one hop, and a crashed maintainer's incomplete dir (no _OK) must
+    be invisible to readers and safely overwritten by the next run."""
+    from pyspark.sql import functions as F
+
+    target, vp = str(tmp_path / "t"), str(tmp_path / "view")
+    df = _ev8(spark)
+    sinks.upsert(spark, target, df, ["id", "p"], partition_col="p",
+                 commit_mode="manifest")
+    assert _maintain(spark, target, vp) == 0
+    assert _maintain(spark, target, vp) == 0  # no-op when current
+    # two commits with NO maintain between them
+    sinks.upsert(spark, target,
+                 df.filter("id >= 12").withColumn("g", F.lit("c")),
+                 ["id", "p"], partition_col="p", commit_mode="manifest")
+    sinks.delete_from_manifest_table(spark, target, "g = 'b'")
+    # crash-sim: a dead maintainer left v2 without its _OK marker
+    partial = os.path.join(vp, f"v{2:012d}")
+    os.makedirs(partial)
+    _, ver = _view_rows(spark, vp)
+    assert ver == 0  # incomplete dir invisible
+    assert _maintain(spark, target, vp) == 2  # one 2-hop catch-up
+    got, ver = _view_rows(spark, vp)
+    assert ver == 2
+    assert got == _recompute(spark, target)
+    assert "b" not in {g for g, _, _ in got}
+
+
+def test_view_artifact_falls_back_past_retention(spark, tmp_path):
+    """A view whose base version aged out of the manifest retention
+    window must rebuild via full materialization, not fail."""
+    from pyspark.sql import functions as F
+
+    target, vp = str(tmp_path / "t"), str(tmp_path / "view")
+    df = _ev8(spark)
+    sinks.upsert(spark, target, df, ["id", "p"], partition_col="p",
+                 commit_mode="manifest")
+    _maintain(spark, target, vp)
+    for k in range(4):  # v1..v4 -> v0's manifest is reclaimed (K=3)
+        inc = df.filter("id = 0").withColumn("v", F.lit(float(100 + k)))
+        sinks.upsert(spark, target, inc, ["id", "p"], partition_col="p",
+                     commit_mode="manifest")
+    assert _maintain(spark, target, vp) == 4
+    got, _ = _view_rows(spark, vp)
+    assert got == _recompute(spark, target)
+
+
+def test_streaming_view_maintenance_multibatch(spark, tmp_path):
+    """3 micro-batches (maxFilesPerTrigger=1) each commit a table
+    version AND advance the artifact; the final view must equal the
+    batch aggregate of everything streamed."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from etl_stocks_with_sentiment_analysis_spark.sources import load_table
+    from etl_stocks_with_sentiment_analysis_spark.streaming import ingest
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    sl = ev.filter(F.col("event_id") % 10 == 0).persist()
+    n = sl.count()
+    assert n > 20
+    src = tmp_path / "src"
+    src.mkdir()
+    third = n // 3
+    numbered = sl.withColumn("rn", F.row_number().over(Window.orderBy("event_id")))
+    for i in range(3):
+        lo, hi = i * third, (i + 1) * third if i < 2 else n
+        (numbered.filter((F.col("rn") > lo) & (F.col("rn") <= hi)).drop("rn")
+         .coalesce(1).write.mode("append").parquet(str(src / "events.parquet")))
+    sl.unpersist()
+
+    target = str(tmp_path / "table")
+    vp = str(tmp_path / "view")
+    q = ingest.run_streaming_view_maintenance(
+        spark, str(src), target, vp,
+        query_name="t_view_maint", maxFilesPerTrigger=1,
+    )
+    q.awaitTermination()
+    ver, _ = sinks._latest_manifest(target)
+    assert ver >= 2  # one version per file-batch
+    view, vver = sinks.read_view_artifact(spark, vp)
+    assert vver == ver  # artifact is current
+    got = {(r["event_type"], r["value_cents"], r["n_rows"])
+           for r in view.collect()}
+    want = {
+        (r["event_type"], r["value_cents"], r["n_rows"])
+        for r in sl.sparkSession.read.parquet(str(src / "events.parquet"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)")).alias("value_cents"),
+            F.count(F.lit(1)).alias("n_rows"),
+        ).collect()
+    }
+    assert got == want
