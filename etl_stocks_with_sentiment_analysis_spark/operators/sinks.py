@@ -190,14 +190,19 @@ def _prune_entry_keys(
 ) -> list[str]:
     """Manifest-level DATA SKIPPING: drop entries whose recorded
     [min, max] range is provably disjoint from the requested bounds on
-    any column. Entries with no stats for a bounded column (older
-    commits, pre-evolution snapshots) are kept unconditionally — stats
-    only ever REMOVE work, never change results. The compare runs in
+    any column. A bound on the PARTITION column prunes from the
+    partition map itself (each entry's dir value is the column's exact
+    min = max), so partition-range predicates never open a file —
+    true partition pruning, not stats pruning. Entries with no stats
+    for a bounded non-partition column (older commits, pre-evolution
+    snapshots) are kept unconditionally — pruning only ever REMOVES
+    work, never changes results. The compare runs in
     the engine with the column's recorded type (string mins cast back
     to date/double/bool exactly as the writer cast them out), mirroring
     `_touched_manifest_keys`' typed-match discipline. Driver cost is
     O(manifest entries), never row count."""
     stats = man.get("stats") or {}
+    pcol = man.get("partition_col")
     dtypes = {f.name: f.dataType for f in schema.fields}
     for c in bounds:
         if c not in dtypes:
@@ -208,8 +213,16 @@ def _prune_entry_keys(
         st = stats.get(k) or {}
         row = [k]
         for c in bcols:
-            mn_mx = st.get(c) or [None, None]
-            row += [mn_mx[0], mn_mx[1]]
+            if pcol and c == pcol:
+                # the entry's key IS the column's exact value: min = max
+                # = the dir value (partition-range pruning from the map
+                # alone — partition columns carry no recorded stats)
+                raw = _manifest_key_value(k)
+                v = None if raw == _HIVE_NULL else raw
+                row += [v, v]
+            else:
+                mn_mx = st.get(c) or [None, None]
+                row += [mn_mx[0], mn_mx[1]]
         rows.append(row)
     if not rows:
         return keys
@@ -226,7 +239,15 @@ def _prune_entry_keys(
             disjoint = disjoint | (F.col(f"mn{i}").cast(t) > F.lit(hi).cast(t))
         if lo is not None:
             disjoint = disjoint | (F.col(f"mx{i}").cast(t) < F.lit(lo).cast(t))
-        keep = keep & ~F.coalesce(disjoint, F.lit(False))
+        disjoint = F.coalesce(disjoint, F.lit(False))
+        if pcol and c == pcol and (lo is not None or hi is not None):
+            # a NULL partition value cannot satisfy a real range bound
+            # (the reader's residual filter drops its rows anyway), so
+            # the NULL entry is provably skippable — but ONLY under an
+            # actual bound; (None, None) filters nothing and NULL rows
+            # must survive
+            disjoint = disjoint | F.col(f"mn{i}").isNull()
+        keep = keep & ~disjoint
     return [r["k"] for r in df.filter(keep).select("k").collect()]
 
 

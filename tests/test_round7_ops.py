@@ -884,3 +884,35 @@ def test_streaming_view_maintenance_multibatch(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_partition_column_bounds_prune_from_the_map(spark, tmp_path):
+    """A range bound on the PARTITION column must prune entries using
+    the partition map alone (each entry's dir value is min=max), with
+    results identical to the unpruned read; NULL-partition entries are
+    skipped under a real bound (their rows can't satisfy it) but kept
+    under (None, None)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    target = str(tmp_path / "pprune")
+    df = spark.createDataFrame(
+        [(i, (i % 4) if i % 5 else None, float(i)) for i in range(20)],
+        "id INT, p INT, v DOUBLE",
+    )
+    sinks.upsert(spark, target, df, ["id", "p"], partition_col="p",
+                 commit_mode="manifest")
+    _, man = sinks._latest_manifest(target)
+    schema = StructType.fromJson(json.loads(man["schema"]))
+    keys = sorted(man["partitions"])
+    assert len(keys) == 5  # 0..3 plus the NULL entry
+    kept = sinks._prune_entry_keys(spark, man, schema, keys, {"p": (1, 2)})
+    assert len(kept) == 2  # p=1, p=2 only: NULL and out-of-range pruned
+    got = {(r["id"], r["p"]) for r in
+           sinks.read_manifest_table(spark, target, bounds={"p": (1, 2)}).collect()}
+    want = {(i, i % 4) for i in range(20) if i % 5 and i % 4 in (1, 2)}
+    assert got == want
+    # unbounded "bounds" must not prune the NULL entry
+    kept_all = sinks._prune_entry_keys(
+        spark, man, schema, keys, {"p": (None, None)})
+    assert len(kept_all) == 5
