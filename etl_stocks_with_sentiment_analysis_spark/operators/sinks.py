@@ -295,13 +295,17 @@ def _read_manifest_dirs(
         keys = _prune_entry_keys(spark, man, schema, keys, bounds)
     field_ids = man.get("field_ids")  # {current name: id} or None (legacy)
     snap_columns = man.get("snap_columns") or {}  # {snap_rel: {str(id): name}}
+    # snapshots living in ANOTHER table's directory (zero-copy clones):
+    # {snap_rel: absolute base} — resolved against that base instead of
+    # `target`; everything else (schema, field-ids, stats) is identical
+    ext_bases = man.get("external_bases") or {}
     # group referenced dirs by their snapshot root: one scan per snap
     by_snap: dict[str, list[str]] = {}
     for key in keys:
         rel = man["partitions"][key]
-        by_snap.setdefault(rel.split("/", 1)[0], []).append(
-            fsio.join(target, rel)
-        )
+        snap_rel = rel.split("/", 1)[0]
+        base = ext_bases.get(snap_rel, target)
+        by_snap.setdefault(snap_rel, []).append(fsio.join(base, rel))
     dfs = []
     for snap_rel, paths in sorted(by_snap.items()):
         at_write = snap_columns.get(snap_rel) if field_ids else None
@@ -327,7 +331,8 @@ def _read_manifest_dirs(
         reader = spark.read.schema(read_schema)
         if pcol:
             reader = reader.option(
-                "basePath", fsio.join(target, snap_rel)
+                "basePath",
+                fsio.join(ext_bases.get(snap_rel, target), snap_rel),
             )
         dfs.append(reader.parquet(*sorted(paths)).select(*projection))
     if not dfs:
@@ -595,6 +600,7 @@ def _publish_snapshot(
     next_field_id: int | None = None,
     prev_snap_columns: dict | None = None,
     prev_entry_rows: dict | None = None,
+    prev_external: dict | None = None,
 ) -> dict:
     """Shared tail of every manifest commit (upsert AND compaction):
     write the snapshot data dir (name made unique per ATTEMPT so two
@@ -671,6 +677,14 @@ def _publish_snapshot(
         "partitions": pmap,
         "stats": stats,
         "entry_rows": entry_rows,
+        # carried-forward external (clone-source) snapshots keep their
+        # base; a full rewrite (compaction/repartition) passes None and
+        # thereby LOCALIZES the table
+        "external_bases": {
+            s: b
+            for s, b in (prev_external or {}).items()
+            if s in live_snaps
+        },
         "field_ids": field_ids,
         "next_field_id": next_field_id or (max(field_ids.values()) + 1),
         "snap_columns": snap_columns,
@@ -809,6 +823,7 @@ def _upsert_manifest(
                 next_field_id=next_id,
                 prev_snap_columns=man.get("snap_columns") if man else None,
                 prev_entry_rows=man.get("entry_rows") if man else None,
+                prev_external=man.get("external_bases") if man else None,
             )
             return
         except ManifestConflictError as e:
@@ -928,6 +943,66 @@ def repartition_manifest_table(
     ) from last_conflict
 
 
+def clone_manifest_table(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    version: int | None = None,
+    materialize: bool = False,
+    rows_per_file: int = 1_000_000,
+) -> dict:
+    """ZERO-COPY CLONE: publish a new table at `dst` whose version-0
+    manifest references the SOURCE's snapshot directories in place
+    (recorded in `external_bases`) — cloning a 100 TB table costs one
+    manifest write, no data movement. The freeze-for-training workflow:
+    clone the corpus at today's version and hand the clone to a job
+    while the source keeps evolving.
+
+    A shallow clone depends on the source's retention: once the source
+    commits `_RETAIN_VERSIONS` more times, its GC may reclaim the
+    snapshots the clone references (the sweep runs at the source, which
+    cannot see foreign manifests — the same contract as Delta's shallow
+    clone vs VACUUM). Pass ``materialize=True`` (or later run
+    `compact_manifest_table` on the clone — any full rewrite localizes)
+    to copy the data into the clone's own directory and sever the
+    dependency. Upserts/deletes on a shallow clone write only their own
+    deltas locally; untouched entries stay external until a rewrite.
+    Cloning a clone keeps the ORIGINAL base per snapshot. Returns the
+    clone's manifest."""
+    if version is None:
+        _, man = _latest_manifest(src)
+        if man is None:
+            raise ValueError(f"no manifest table at {src}")
+    else:
+        man = _manifest_at_version(src, version)
+    ver0, _ = _latest_manifest(dst)
+    if ver0 is not None:
+        raise ValueError(
+            f"clone target {dst} already holds a manifest table"
+        )
+    new = json.loads(json.dumps(man))  # deep copy: stats, field ids, …
+    prev_ext = man.get("external_bases") or {}
+    # a relative local src would later resolve against the READER's
+    # cwd — pin it to an absolute path at clone time
+    src_base = (
+        src
+        if "://" in src or os.path.isabs(src)
+        else os.path.abspath(src)
+    )
+    new["external_bases"] = {
+        snap: prev_ext.get(snap, src_base)
+        for snap in {
+            rel.split("/", 1)[0] for rel in man["partitions"].values()
+        }
+    }
+    new["version"] = 0
+    fsio.mkdirs(dst)
+    _write_manifest_atomic(dst, 0, new)
+    if materialize:
+        compact_manifest_table(spark, dst, rows_per_file=rows_per_file)
+    return new
+
+
 def delete_from_manifest_table(
     spark: SparkSession, target: str, condition, bounds: dict | None = None
 ) -> int:
@@ -998,6 +1073,7 @@ def delete_from_manifest_table(
                 next_field_id=man.get("next_field_id"),
                 prev_snap_columns=man.get("snap_columns"),
                 prev_entry_rows=man.get("entry_rows"),
+                prev_external=man.get("external_bases"),
             )
             return n_deleted
         except ManifestConflictError as e:
@@ -2372,6 +2448,59 @@ def sink_manifest_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, target
     ).count()
     return manifest_table_stats(spark, target)
+
+
+_CLONE_ORACLE = panel.sql_with(
+    panel.PRICES_CTE,
+    panel.EXPLANATIONS_CTE,
+    """v0 AS (
+  SELECT ticker, date, topic FROM explanations WHERE date < DATE '1998-01-01'
+)""",
+    """incoming AS (
+  SELECT ticker, date, 'refreshed' AS topic FROM explanations WHERE ticker % 3 = 0
+)""",
+    """v1 AS (
+  SELECT * FROM incoming
+  UNION ALL
+  SELECT x.* FROM v0 x
+  WHERE NOT EXISTS (SELECT 1 FROM incoming i WHERE i.ticker = x.ticker AND i.date = x.date)
+)""",
+    body="""
+SELECT ticker, date, topic FROM v1""",
+)
+
+
+@register("sink_manifest_clone", oracle=_CLONE_ORACLE)
+def sink_manifest_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FREEZE-FOR-TRAINING: the source table takes two commits, is
+    cloned (zero-copy manifest publish) and MATERIALIZED, then keeps
+    evolving — five more commits including a delete, enough to age
+    every snapshot the clone once referenced past the source's
+    retention window and let its GC reclaim them. The clone must still
+    read EXACTLY the state at clone time: the frozen dataset a
+    training job was handed is immune to the source's later life.
+    Shallow-clone reference semantics (no data copied until
+    materialize; source GC breaks an unmaterialized clone) are
+    pytest-driven in tests/test_round7_ops.py."""
+    target = os.path.join(scratch_dir("s22_"), "clone_src")
+    frozen = os.path.join(scratch_dir("s22f_"), "frozen")
+    e = panel.explanations(spark, sf_dir)
+    v0 = e.filter(F.col("date") < F.lit("1998-01-01").cast("date")).select(
+        "ticker", "date", "topic"
+    )
+    v1 = e.filter(F.col("ticker") % 3 == 0).select(
+        "ticker", "date", F.lit("refreshed").alias("topic")
+    )
+    upsert(spark, target, v0, ["ticker", "date"], commit_mode="manifest")
+    upsert(spark, target, v1, ["ticker", "date"], commit_mode="manifest")
+    clone_manifest_table(spark, target, frozen, materialize=True)
+    for i in range(4):  # source moves on, ages out the cloned snaps
+        rev = e.filter(F.col("ticker") % 5 == i).select(
+            "ticker", "date", F.lit(f"rev-{i}").alias("topic")
+        )
+        upsert(spark, target, rev, ["ticker", "date"], commit_mode="manifest")
+    delete_from_manifest_table(spark, target, "ticker % 2 = 0")
+    return read_manifest_table(spark, frozen)
 
 
 _S10_ORACLE = """

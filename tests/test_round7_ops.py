@@ -916,3 +916,109 @@ def test_partition_column_bounds_prune_from_the_map(spark, tmp_path):
     kept_all = sinks._prune_entry_keys(
         spark, man, schema, keys, {"p": (None, None)})
     assert len(kept_all) == 5
+
+
+# --- zero-copy clone ----------------------------------------------------
+
+
+def test_clone_is_zero_copy_then_localizes(spark, tmp_path):
+    """A shallow clone publishes ONE manifest and no data dirs; reads
+    resolve into the source's snapshots; materializing localizes the
+    data so the clone survives the source's GC; an unmaterialized
+    clone breaks once the source reclaims the referenced snapshots
+    (the documented shallow contract)."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    df = _ev8(spark)
+    sinks.upsert(spark, src, df, ["id", "p"], partition_col="p",
+                 commit_mode="manifest")
+    want = {(r["id"], r["p"], r["g"], r["v"]) for r in df.collect()}
+
+    shallow = str(tmp_path / "shallow")
+    sinks.clone_manifest_table(spark, src, shallow)
+    # zero-copy: only the manifest file exists at the clone
+    names = {fi.name for fi in fsio.list_status(shallow)}
+    assert names == {"manifest-000000000000.json"}
+    got = {(r["id"], r["p"], r["g"], r["v"])
+           for r in sinks.read_manifest_table(spark, shallow).collect()}
+    assert got == want
+    assert sinks.count_manifest_table(shallow) == 16  # metadata cloned too
+
+    deep = str(tmp_path / "deep")
+    sinks.clone_manifest_table(spark, src, deep, materialize=True)
+    _, man = sinks._latest_manifest(deep)
+    assert man["external_bases"] == {}  # localized
+
+    # cloning over an existing table refuses
+    with pytest.raises(ValueError, match="already holds"):
+        sinks.clone_manifest_table(spark, src, deep)
+
+    # source evolves past retention; partial upserts alone would keep
+    # the original snapshot alive through carried-forward entries in
+    # retained manifests (that's the protocol working), so a full
+    # rewrite (compaction) plus enough further commits pushes every
+    # retained manifest past the original snapshot
+    sinks.compact_manifest_table(spark, src, rows_per_file=100)
+    for i in range(4):
+        inc = df.filter("id = 0").withColumn("v", F.lit(float(i)))
+        sinks.upsert(spark, src, inc, ["id", "p"], partition_col="p",
+                     commit_mode="manifest")
+    # grace window would keep fresh dirs; age them and sweep again
+    import os as _os
+    import time as _time
+    old = _time.time() - 10 * 3600
+    for fi in fsio.list_status(src):
+        if fi.name.startswith("snap-"):
+            d = _os.path.join(src, fi.name)
+            for root, dirs, files in _os.walk(d):
+                for x in dirs + files:
+                    _os.utime(_os.path.join(root, x), (old, old))
+            _os.utime(d, (old, old))
+    _, cur = sinks._latest_manifest(src)
+    sinks._gc_superseded(src, cur)
+
+    # the materialized clone is immune
+    got_deep = {(r["id"], r["p"], r["g"], r["v"])
+                for r in sinks.read_manifest_table(spark, deep).collect()}
+    assert got_deep == want
+    # the shallow clone's referenced snapshot is gone -> read fails
+    with pytest.raises(Exception):
+        sinks.read_manifest_table(spark, shallow).collect()
+
+
+def test_clone_upsert_writes_only_local_deltas(spark, tmp_path):
+    """An upsert on a shallow clone lands its delta in the clone's own
+    directory while untouched entries keep pointing at the source;
+    a clone of the clone keeps the ORIGINAL base."""
+    from pyspark.sql import functions as F
+
+    src, c1, c2 = (str(tmp_path / n) for n in ("src", "c1", "c2"))
+    df = _ev8(spark)
+    sinks.upsert(spark, src, df, ["id", "p"], partition_col="p",
+                 commit_mode="manifest")
+    sinks.clone_manifest_table(spark, src, c1)
+    one = df.filter("id = 5").withColumn("v", F.lit(99.0))
+    sinks.upsert(spark, c1, one, ["id", "p"], partition_col="p",
+                 commit_mode="manifest")
+    _, man = sinks._latest_manifest(c1)
+    ext = man["external_bases"]
+    # 3 untouched entries external, 1 rewritten entry local
+    refs = {k: rel.split("/", 1)[0] for k, rel in man["partitions"].items()}
+    external = {k for k, s in refs.items() if s in ext}
+    assert len(external) == 3 and len(refs) == 4
+    got = {(r["id"], r["v"]) for r in
+           sinks.read_manifest_table(spark, c1).collect()}
+    assert (5, 99.0) in got and len(got) == 16
+    # source unchanged
+    src_rows = {(r["id"], r["v"]) for r in
+                sinks.read_manifest_table(spark, src).collect()}
+    assert (5, 5.0) in src_rows
+    # clone-of-clone: external refs still point at the ORIGINAL source
+    sinks.clone_manifest_table(spark, c1, c2)
+    _, man2 = sinks._latest_manifest(c2)
+    assert any(b.endswith("/src") for b in man2["external_bases"].values())
+    assert any(b.endswith("/c1") for b in man2["external_bases"].values())
+    got2 = {(r["id"], r["v"]) for r in
+            sinks.read_manifest_table(spark, c2).collect()}
+    assert got2 == got
