@@ -1142,6 +1142,46 @@ def manifest_table_stats(
     return spark.createDataFrame([(n,)], "n_rows BIGINT")
 
 
+def manifest_table_history(spark: SparkSession, target: str) -> DataFrame:
+    """DESCRIBE HISTORY from metadata alone: one row per RETAINED
+    version (older manifests are reclaimed by the retention sweep,
+    so the history window equals the time-travel window), with the
+    layout and size facts each manifest records — no data file is
+    opened. Columns: version, partition_col, n_entries, n_rows
+    (NULL for pre-entry_rows manifests), n_snapshots,
+    n_external_snapshots (non-zero for shallow clones)."""
+    rows = []
+    for fi in fsio.list_status(target):
+        v = (
+            _manifest_version(fi.name)
+            if fi.name.startswith(_MANIFEST_PREFIX)
+            and fi.name.endswith(".json")
+            else None
+        )
+        if v is None:
+            continue
+        man = json.loads(fsio.read_text(fsio.join(target, fi.name)))
+        er = man.get("entry_rows")
+        rows.append(
+            (
+                v,
+                man["partition_col"],
+                len(man["partitions"]),
+                sum(int(n) for n in er.values()) if er is not None else None,
+                len({
+                    rel.split("/", 1)[0]
+                    for rel in man["partitions"].values()
+                }),
+                len(man.get("external_bases") or {}),
+            )
+        )
+    return spark.createDataFrame(
+        sorted(rows),
+        "version INT, partition_col STRING, n_entries INT, "
+        "n_rows BIGINT, n_snapshots INT, n_external_snapshots INT",
+    )
+
+
 def count_manifest_table(target: str, version: int | None = None) -> int:
     """COUNT(*) from metadata alone — the sum of recorded entry row
     counts; zero scans, zero Spark jobs. Raises for pre-entry_rows

@@ -1022,3 +1022,39 @@ def test_clone_upsert_writes_only_local_deltas(spark, tmp_path):
     got2 = {(r["id"], r["v"]) for r in
             sinks.read_manifest_table(spark, c2).collect()}
     assert got2 == got
+
+
+def test_manifest_table_history(spark, tmp_path):
+    """DESCRIBE HISTORY: one row per retained version with recorded
+    layout/size facts; the window shrinks with retention; shallow
+    clones surface their external snapshot count."""
+    from pyspark.sql import functions as F
+
+    target = str(tmp_path / "hist")
+    df = _ev8(spark)
+    sinks.upsert(spark, target, df, ["id", "p"], partition_col="p",
+                 commit_mode="manifest")
+    sinks.upsert(spark, target,
+                 df.filter("id = 5").withColumn("v", F.lit(99.0)),
+                 ["id", "p"], partition_col="p", commit_mode="manifest")
+    sinks.delete_from_manifest_table(spark, target, "id IN (2, 6)")
+    h = sinks.manifest_table_history(spark, target).collect()
+    assert [(r["version"], r["n_entries"], r["n_rows"]) for r in h] == [
+        (0, 4, 16), (1, 4, 16), (2, 4, 14),
+    ]
+    assert all(r["partition_col"] == "p" for r in h)
+    assert h[1]["n_snapshots"] == 2  # v1 = new snap + 3 carried entries
+    # two more commits -> v0/v1 age out (K=3)
+    for i in range(2):
+        sinks.upsert(spark, target,
+                     df.filter("id = 0").withColumn("v", F.lit(float(i))),
+                     ["id", "p"], partition_col="p", commit_mode="manifest")
+    versions = [r["version"]
+                for r in sinks.manifest_table_history(spark, target).collect()]
+    assert versions == [2, 3, 4]
+    # a shallow clone's history shows its external references
+    c = str(tmp_path / "c")
+    sinks.clone_manifest_table(spark, target, c)
+    hc = sinks.manifest_table_history(spark, c).collect()
+    assert len(hc) == 1 and hc[0]["n_external_snapshots"] >= 1
+    assert hc[0]["n_rows"] == 14
