@@ -7,6 +7,8 @@
     python -m etl_stocks_with_sentiment_analysis_spark dashboard [--sf-dir D]
     python -m etl_stocks_with_sentiment_analysis_spark ml-train [--trees N] [--out PATH]
     python -m etl_stocks_with_sentiment_analysis_spark ml-predict [--out CSV_DIR]
+    python -m etl_stocks_with_sentiment_analysis_spark table ACTION TARGET [...]
+        ACTION: history | count | stats | compact | repartition | clone | show
 """
 
 from __future__ import annotations
@@ -40,6 +42,26 @@ def main(argv: list[str] | None = None) -> int:
     p_pred = sub.add_parser("ml-predict", help="next-day inference → upsert/CSV")
     p_pred.add_argument("--sf-dir", default=DEFAULT_SF)
     p_pred.add_argument("--out", default=None, help="CSV output dir (S7)")
+
+    p_tbl = sub.add_parser(
+        "table", help="manifest-table maintenance (history/count/stats/"
+        "compact/repartition/clone/show)"
+    )
+    p_tbl.add_argument(
+        "action",
+        choices=[
+            "history", "count", "stats", "compact", "repartition",
+            "clone", "show",
+        ],
+    )
+    p_tbl.add_argument("target", help="manifest table path/URI")
+    p_tbl.add_argument("--to", default=None, help="clone destination")
+    p_tbl.add_argument("--partition-col", default=None,
+                       help="repartition: new partition column ('' = none)")
+    p_tbl.add_argument("--rows-per-file", type=int, default=1_000_000)
+    p_tbl.add_argument("--version", type=int, default=None)
+    p_tbl.add_argument("--materialize", action="store_true",
+                       help="clone: copy data (sever source dependency)")
 
     args = ap.parse_args(argv)
 
@@ -87,6 +109,47 @@ def main(argv: list[str] | None = None) -> int:
         if args.out:
             sinks.write_csv(preds, args.out)
             print(f"csv → {args.out}")
+    elif args.cmd == "table":
+        from .operators import sinks
+
+        if args.action == "history":
+            sinks.manifest_table_history(spark, args.target).show(
+                50, truncate=False
+            )
+        elif args.action == "count":
+            print(sinks.count_manifest_table(args.target, args.version))
+        elif args.action == "stats":
+            sinks.manifest_table_stats(
+                spark, args.target, args.version
+            ).show(100, truncate=False)
+        elif args.action == "compact":
+            n = sinks.compact_manifest_table(
+                spark, args.target, args.rows_per_file
+            )
+            print(f"compacted → {n} entries")
+        elif args.action == "repartition":
+            n = sinks.repartition_manifest_table(
+                spark, args.target, args.partition_col or None
+            )
+            print(f"re-laid-out → {n} entries")
+        elif args.action == "clone":
+            if not args.to:
+                ap.error("clone requires --to DEST")
+            sinks.clone_manifest_table(
+                spark, args.target, args.to,
+                version=args.version, materialize=args.materialize,
+            )
+            print(f"cloned → {args.to}"
+                  + (" (materialized)" if args.materialize else " (shallow)"))
+        elif args.action == "show":
+            df = sinks.read_manifest_table(
+                spark, args.target, version=args.version
+            )
+            if df is None:
+                print("no manifest table at", args.target)
+                return 1
+            df.show(20, truncate=False)
+            print(f"rows: {df.count()}")
     return 0
 
 
