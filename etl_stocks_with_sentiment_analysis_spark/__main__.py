@@ -59,6 +59,11 @@ def main(argv: list[str] | None = None) -> int:
     p_tbl.add_argument("--partition-col", default=None,
                        help="repartition: new partition column ('' = none)")
     p_tbl.add_argument("--rows-per-file", type=int, default=1_000_000)
+    p_tbl.add_argument(
+        "--cluster-by", default=None,
+        help="compact: comma-separated Z-ORDER columns (multi-column "
+        "file skipping; unpartitioned tables only)",
+    )
     p_tbl.add_argument("--version", type=int, default=None)
     p_tbl.add_argument("--materialize", action="store_true",
                        help="clone: copy data (sever source dependency)")
@@ -124,7 +129,10 @@ def main(argv: list[str] | None = None) -> int:
             ).show(100, truncate=False)
         elif args.action == "compact":
             n = sinks.compact_manifest_table(
-                spark, args.target, args.rows_per_file
+                spark, args.target, args.rows_per_file,
+                cluster_by=(
+                    args.cluster_by.split(",") if args.cluster_by else None
+                ),
             )
             print(f"compacted → {n} entries")
         elif args.action == "repartition":

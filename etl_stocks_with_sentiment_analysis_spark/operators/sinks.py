@@ -174,10 +174,14 @@ def _stat_columns(schema, partition_col: str | None) -> list[str]:
         DateType,
         NumericType,
         StringType,
+        TimestampNTZType,
         TimestampType,
     )
 
-    ok = (NumericType, StringType, DateType, TimestampType, BooleanType)
+    ok = (
+        NumericType, StringType, DateType, TimestampType,
+        TimestampNTZType, BooleanType,
+    )
     return [
         f.name
         for f in schema.fields
@@ -251,6 +255,63 @@ def _prune_entry_keys(
     return [r["k"] for r in df.filter(keep).select("k").collect()]
 
 
+def _prune_entry_files(
+    spark: SparkSession, man: dict, schema, keys: list[str], bounds: dict
+) -> dict:
+    """FILE-level data skipping inside kept entries: for every entry
+    with recorded per-file stats, drop files whose [min, max] range is
+    provably disjoint from the bounds — the granularity that makes
+    skipping work on UNPARTITIONED tables (one `__ALL__` entry covers
+    everything, so entry pruning can never skip) and on Z-ordered
+    layouts where each file holds a tight multi-column range. Returns
+    ``{entry_key: None | [file, ...]}`` — None means "no file stats,
+    read the whole directory" (older commits; pruning only ever
+    removes work). An empty list means every file was pruned and the
+    entry can be skipped outright. Bounds on the PARTITION column are
+    ignored here (constant within an entry; `_prune_entry_keys`
+    already handled them). Same typed string-cast compare discipline
+    and O(files-in-kept-entries) driver cost as the entry pass."""
+    fstats_all = man.get("file_stats") or {}
+    pcol = man.get("partition_col")
+    dtypes = {f.name: f.dataType for f in schema.fields}
+    bcols = [c for c in bounds if c in dtypes and c != pcol]
+    out: dict = {k: None for k in keys}
+    if not bcols or not fstats_all:
+        return out
+    rows = []
+    for k in keys:
+        fst = fstats_all.get(k)
+        if not fst:
+            continue
+        out[k] = []
+        for fn in sorted(fst):
+            st = fst[fn].get("stats") or {}
+            row = [k, fn]
+            for c in bcols:
+                mn_mx = st.get(c) or [None, None]
+                row += [mn_mx[0], mn_mx[1]]
+            rows.append(row)
+    if not rows:
+        return out
+    sch = "k STRING, f STRING" + "".join(
+        f", mn{i} STRING, mx{i} STRING" for i in range(len(bcols))
+    )
+    df = spark.createDataFrame(rows, sch)
+    keep = F.lit(True)
+    for i, c in enumerate(bcols):
+        lo, hi = bounds[c]
+        t = dtypes[c]
+        disjoint = F.lit(False)
+        if hi is not None:
+            disjoint = disjoint | (F.col(f"mn{i}").cast(t) > F.lit(hi).cast(t))
+        if lo is not None:
+            disjoint = disjoint | (F.col(f"mx{i}").cast(t) < F.lit(lo).cast(t))
+        keep = keep & ~F.coalesce(disjoint, F.lit(False))
+    for r in df.filter(keep).select("k", "f").collect():
+        out[r["k"]].append(r["f"])
+    return out
+
+
 def _read_manifest_dirs(
     spark: SparkSession, target: str, man: dict, only_keys=None, bounds=None
 ) -> DataFrame:
@@ -291,8 +352,12 @@ def _read_manifest_dirs(
     pcol = man["partition_col"]
     schema = StructType.fromJson(json.loads(man["schema"]))
     keys = sorted(man["partitions"]) if only_keys is None else sorted(only_keys)
+    file_sel: dict = {}
     if bounds:
         keys = _prune_entry_keys(spark, man, schema, keys, bounds)
+        # second pass, finer granularity: skip FILES inside kept
+        # entries wherever per-file stats were recorded
+        file_sel = _prune_entry_files(spark, man, schema, keys, bounds)
     field_ids = man.get("field_ids")  # {current name: id} or None (legacy)
     snap_columns = man.get("snap_columns") or {}  # {snap_rel: {str(id): name}}
     # snapshots living in ANOTHER table's directory (zero-copy clones):
@@ -305,7 +370,15 @@ def _read_manifest_dirs(
         rel = man["partitions"][key]
         snap_rel = rel.split("/", 1)[0]
         base = ext_bases.get(snap_rel, target)
-        by_snap.setdefault(snap_rel, []).append(fsio.join(base, rel))
+        sel = file_sel.get(key)
+        if sel is None:  # no file stats: the whole directory is the unit
+            by_snap.setdefault(snap_rel, []).append(fsio.join(base, rel))
+        elif sel:  # pruned file list (partition discovery still works:
+            # file paths resolve against the same basePath as dirs)
+            by_snap.setdefault(snap_rel, []).extend(
+                fsio.join(base, rel, fn) for fn in sel
+            )
+        # sel == []: every file in this entry is disjoint — skip it
     dfs = []
     for snap_rel, paths in sorted(by_snap.items()):
         at_write = snap_columns.get(snap_rel) if field_ids else None
@@ -531,32 +604,62 @@ def _entry_stats(
     partition_col: str | None,
     ptype: str | None,
     new_keys: list[str],
-) -> tuple[dict, dict]:
+) -> tuple[dict, dict, dict]:
     """Per-entry min/max stats AND row counts for the data dirs THIS
     snapshot wrote (carried-forward entries keep their prior stats and
-    counts). Read back from the written files with the merged schema
-    imposed (so the partition column keeps its recorded type instead
-    of partition-inference's guess), one map-side-combinable agg, then
-    the same typed key-value join discipline as
+    counts), plus PER-FILE stats within each entry. Read back from the
+    written files with the merged schema imposed (so the partition
+    column keeps its recorded type instead of partition-inference's
+    guess): one map-side-combinable agg grouped by
+    ``input_file_name()``, the entry rollup re-aggregated FROM that
+    tiny per-file frame (typed, engine-side — string-cast mins would
+    collate wrong), then the same typed key-value join discipline as
     `_touched_manifest_keys` to map partition VALUES back to directory
     KEYS without re-implementing Spark's dir escaping. Values are
     serialized with cast(string) and cast back on the prune side.
-    Cost: one scan of just-written files — the counts ride the stats
-    scan for free. Returns ``(stats, entry_rows)``."""
+    Cost: one scan of just-written files — counts, entry stats and
+    file stats all ride it. Returns ``(stats, entry_rows,
+    file_stats)`` where file_stats is
+    ``{entry_key: {file_basename: {"rows": n, "stats": {col: [mn, mx]}}}}``
+    — the manifest-level analog of Iceberg/Delta per-file column
+    ranges, what lets the reader skip FILES inside a kept entry (the
+    only skipping granularity an unpartitioned table has)."""
     if not new_keys:
-        return {}, {}
+        return {}, {}, {}
     stat_cols = _stat_columns(merged_schema, partition_col)
     back = spark.read.schema(merged_schema).parquet(snap)
-    aggs = [F.count(F.lit(1)).alias("__nr")]
+    fcol = F.element_at(F.split(F.input_file_name(), "/"), -1).alias("__f")
+    typed_aggs = [F.count(F.lit(1)).alias("__nr")]
     for i, c in enumerate(stat_cols):
-        aggs += [
-            F.min(c).cast("string").alias(f"mn{i}"),
-            F.max(c).cast("string").alias(f"mx{i}"),
+        typed_aggs += [
+            F.min(c).alias(f"tmn{i}"),
+            F.max(c).alias(f"tmx{i}"),
+        ]
+    gcols = ([partition_col] if partition_col else []) + [fcol]
+    perfile = back.groupBy(*gcols).agg(*typed_aggs).persist()
+    str_proj = [
+        F.col(f"tmn{i}").cast("string").alias(f"mn{i}")
+        for i in range(len(stat_cols))
+    ] + [
+        F.col(f"tmx{i}").cast("string").alias(f"mx{i}")
+        for i in range(len(stat_cols))
+    ]
+    roll = [F.sum("__nr").alias("__nr")]
+    for i in range(len(stat_cols)):
+        roll += [
+            F.min(f"tmn{i}").alias(f"tmn{i}"),
+            F.max(f"tmx{i}").alias(f"tmx{i}"),
         ]
     out: dict = {}
     rows: dict = {}
+    fstats: dict = {}
+
+    def _rec(r) -> dict:
+        return {
+            c: [r[f"mn{i}"], r[f"mx{i}"]] for i, c in enumerate(stat_cols)
+        }
+
     if partition_col:
-        srows = back.groupBy(partition_col).agg(*aggs)
         pairs = [
             (
                 k,
@@ -569,23 +672,34 @@ def _entry_stats(
         kdf = spark.createDataFrame(pairs, "k STRING, raw STRING").select(
             "k", F.col("raw").cast(ptype).alias("v")
         )
+        entry = perfile.groupBy(partition_col).agg(*roll)
         for r in kdf.join(
-            srows, kdf["v"].eqNullSafe(srows[partition_col]), "inner"
-        ).collect():
+            entry, kdf["v"].eqNullSafe(entry[partition_col]), "inner"
+        ).select("k", "__nr", *str_proj).collect():
             rows[r["k"]] = r["__nr"]
             if stat_cols:
-                out[r["k"]] = {
-                    c: [r[f"mn{i}"], r[f"mx{i}"]]
-                    for i, c in enumerate(stat_cols)
-                }
+                out[r["k"]] = _rec(r)
+        for r in kdf.join(
+            perfile, kdf["v"].eqNullSafe(perfile[partition_col]), "inner"
+        ).select("k", "__f", "__nr", *str_proj).collect():
+            fstats.setdefault(r["k"], {})[r["__f"]] = {
+                "rows": r["__nr"],
+                "stats": _rec(r) if stat_cols else {},
+            }
     else:
-        r = back.agg(*aggs).collect()[0]
+        r = perfile.agg(*roll).select("__nr", *str_proj).collect()[0]
         rows["__ALL__"] = r["__nr"]
         if stat_cols:
-            out["__ALL__"] = {
-                c: [r[f"mn{i}"], r[f"mx{i}"]] for i, c in enumerate(stat_cols)
+            out["__ALL__"] = _rec(r)
+        fstats["__ALL__"] = {
+            r["__f"]: {
+                "rows": r["__nr"],
+                "stats": _rec(r) if stat_cols else {},
             }
-    return out, rows
+            for r in perfile.select("__f", "__nr", *str_proj).collect()
+        }
+    perfile.unpersist()
+    return out, rows, fstats
 
 
 def _publish_snapshot(
@@ -601,6 +715,7 @@ def _publish_snapshot(
     prev_snap_columns: dict | None = None,
     prev_entry_rows: dict | None = None,
     prev_external: dict | None = None,
+    prev_file_stats: dict | None = None,
 ) -> dict:
     """Shared tail of every manifest commit (upsert AND compaction):
     write the snapshot data dir (name made unique per ATTEMPT so two
@@ -641,7 +756,7 @@ def _publish_snapshot(
         pmap = {"__ALL__": snap_rel}
         ptype = None
         new_keys = ["__ALL__"]
-    new_stats, new_rows = _entry_stats(
+    new_stats, new_rows, new_fstats = _entry_stats(
         merged.sparkSession, snap, merged.schema, partition_col, ptype, new_keys
     )
     stats = {
@@ -656,6 +771,12 @@ def _publish_snapshot(
         if k in pmap and k not in new_rows
     }
     entry_rows.update(new_rows)
+    file_stats = {
+        k: v
+        for k, v in (prev_file_stats or {}).items()
+        if k in pmap and k not in new_fstats
+    }
+    file_stats.update(new_fstats)
     # field-id bookkeeping: the new snapshot's columns are the current
     # (name -> id) mapping at write time; carried-forward snapshots
     # keep their own recorded at-write maps (only for snaps still
@@ -677,6 +798,7 @@ def _publish_snapshot(
         "partitions": pmap,
         "stats": stats,
         "entry_rows": entry_rows,
+        "file_stats": file_stats,
         # carried-forward external (clone-source) snapshots keep their
         # base; a full rewrite (compaction/repartition) passes None and
         # thereby LOCALIZES the table
@@ -824,6 +946,7 @@ def _upsert_manifest(
                 prev_snap_columns=man.get("snap_columns") if man else None,
                 prev_entry_rows=man.get("entry_rows") if man else None,
                 prev_external=man.get("external_bases") if man else None,
+                prev_file_stats=man.get("file_stats") if man else None,
             )
             return
         except ManifestConflictError as e:
@@ -834,8 +957,82 @@ def _upsert_manifest(
     ) from last_conflict
 
 
+def _with_zvalue(df: DataFrame, cluster_by: list[str]) -> DataFrame:
+    """Append an interleaved-bit Z-VALUE column ``__z`` over
+    `cluster_by` (the Morton-curve layout key Delta's OPTIMIZE ZORDER
+    BY uses): each column is quantile-bucketized into 256 ranks (one
+    `approxQuantile` pass for ALL columns — a distributed sketch, no
+    global sort or single-reducer window anywhere), then the 8-bit
+    rank codes are bit-interleaved with pure built-in shift/mask
+    arithmetic (whole-stage codegen, no UDF). Rows close in __z are
+    close in EVERY cluster column, so range-splitting files by __z
+    gives each file a tight [min, max] on all of them — that is what
+    turns the per-file stats into a multi-column skipping index.
+    Supported types: numeric, date, timestamp (rank-ordering needs a
+    total order; strings would need prefix-byte codes — rejected
+    explicitly). NULLs rank into the top bucket (they cluster
+    together; bounds pruning keeps null-stat files anyway)."""
+    from pyspark.ml.feature import Bucketizer
+    from pyspark.sql.types import (
+        DateType,
+        NumericType,
+        TimestampNTZType,
+        TimestampType,
+    )
+
+    B = 256  # 8-bit rank per column
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
+    zc, bc = [], []
+    tmp = df
+    for i, c in enumerate(cluster_by):
+        if c not in dtypes:
+            raise ValueError(f"cluster_by column {c!r} not in table")
+        t = dtypes[c]
+        if isinstance(t, NumericType):
+            e = F.col(c).cast("double")
+        elif isinstance(t, (DateType, TimestampType, TimestampNTZType)):
+            e = F.col(c).cast("timestamp").cast("double")
+        else:
+            raise ValueError(
+                f"cluster_by column {c!r} has unorderable-for-zorder "
+                f"type {t.simpleString()} (numeric/date/timestamp only)"
+            )
+        # Bucketizer treats NaN as the invalid value under
+        # handleInvalid='keep' (extra top bucket); nulls map to NaN so
+        # they cluster instead of erroring
+        tmp = tmp.withColumn(
+            f"__zc{i}", F.coalesce(e, F.lit(float("nan")))
+        )
+        zc.append(f"__zc{i}")
+        bc.append(f"__zb{i}")
+    probs = [j / B for j in range(1, B)]
+    quantiles = tmp.stat.approxQuantile(zc, probs, 1.0 / (4 * B))
+    splits_array = []
+    for q in quantiles:
+        edges = sorted({v for v in q if v == v})  # drop NaN, dedupe
+        splits_array.append(
+            [float("-inf")] + edges + [float("inf")]
+        )
+    tmp = Bucketizer(
+        inputCols=zc, outputCols=bc, splitsArray=splits_array,
+        handleInvalid="keep",
+    ).transform(tmp)
+    n = len(cluster_by)
+    z = F.lit(0).cast("long")
+    for j in range(8):
+        for i in range(n):
+            bit = (
+                F.shiftright(
+                    F.least(F.col(bc[i]).cast("int"), F.lit(B - 1)), j
+                ).bitwiseAND(F.lit(1))
+            )
+            z = z.bitwiseOR(F.shiftleft(bit.cast("long"), j * n + i))
+    return tmp.withColumn("__z", z).drop(*zc, *bc)
+
+
 def compact_manifest_table(
-    spark: SparkSession, target: str, rows_per_file: int
+    spark: SparkSession, target: str, rows_per_file: int,
+    cluster_by: list[str] | None = None,
 ) -> int:
     """OPTIMIZE for manifest tables: rewrite every referenced data
     directory into one bin-packed snapshot and publish it as the next
@@ -846,6 +1043,14 @@ def compact_manifest_table(
     partition (`repartition(partition_col)`); unpartitioned to
     ceil(n/rows_per_file) files. Returns the number of data
     directories referenced by the new manifest.
+
+    With ``cluster_by`` (unpartitioned tables only): OPTIMIZE ZORDER
+    BY — files are range-split on the bit-interleaved quantile-rank
+    z-value of the given columns and sorted within each file, so the
+    recorded per-file stats carry tight [min, max] ranges on EVERY
+    cluster column and `read_manifest_table(bounds=...)` skips files
+    on any of them (`_with_zvalue`; proven by `sink_manifest_zorder`'s
+    oracle key and the dual-dimension pruning pytest).
 
     LIVENESS UNDER CONCURRENT WRITERS (r7): a lost version-CAS is
     retried with a FRESH manifest read — each attempt is a pure
@@ -862,7 +1067,27 @@ def compact_manifest_table(
             raise ValueError(f"no manifest table at {target}")
         df = _read_manifest_dirs(spark, target, man)
         pcol = man["partition_col"]
-        if pcol:
+        if cluster_by:
+            # OPTIMIZE ... ZORDER BY: range-split on the interleaved
+            # z-value and sort within each file, so every output file
+            # covers a tight [min, max] on EVERY cluster column and
+            # the per-file stats become a multi-column skipping index
+            if pcol:
+                raise ValueError(
+                    "cluster_by requires an unpartitioned manifest "
+                    "table — repartition_manifest_table(None) first "
+                    "(a partitioned layout writes one file per "
+                    "partition; there is nothing to z-split)"
+                )
+            n = df.count()
+            nf = max(1, -(-n // rows_per_file))
+            df = (
+                _with_zvalue(df, list(cluster_by))
+                .repartitionByRange(nf, F.col("__z"))
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+        elif pcol:
             df = df.repartition(F.col(pcol))
         else:
             n = df.count()
@@ -1074,6 +1299,7 @@ def delete_from_manifest_table(
                 prev_snap_columns=man.get("snap_columns"),
                 prev_entry_rows=man.get("entry_rows"),
                 prev_external=man.get("external_bases"),
+                prev_file_stats=man.get("file_stats"),
             )
             return n_deleted
         except ManifestConflictError as e:
@@ -1499,6 +1725,11 @@ def rename_manifest_column(target: str, old: str, new: str) -> dict:
         for entry_stats in (man.get("stats") or {}).values():
             if old in entry_stats:
                 entry_stats[new] = entry_stats.pop(old)
+        for entry_files in (man.get("file_stats") or {}).values():
+            for rec in entry_files.values():
+                st = rec.get("stats") or {}
+                if old in st:
+                    st[new] = st.pop(old)
 
     return _commit_metadata_only(target, mutate)
 
@@ -1528,6 +1759,9 @@ def drop_manifest_column(target: str, col: str) -> dict:
         man["schema"] = json.dumps(sch)
         for entry_stats in (man.get("stats") or {}).values():
             entry_stats.pop(col, None)
+        for entry_files in (man.get("file_stats") or {}).values():
+            for rec in entry_files.values():
+                (rec.get("stats") or {}).pop(col, None)
 
     return _commit_metadata_only(target, mutate)
 
@@ -2160,6 +2394,70 @@ def sink_manifest_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("value_cents"),
         F.countDistinct("user_id").alias("n_users"),
         F.lit(pruned_ok).alias("pruned_ok"),
+    )
+
+
+_ZORDER_ORACLE = """
+SELECT COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents,
+       COUNT(DISTINCT user_id) AS n_users,
+       TRUE AS pruned_value_ok,
+       TRUE AS pruned_ts_ok
+FROM events
+WHERE value >= 10.0 AND value <= 30.0"""
+
+
+@register("sink_manifest_zorder", oracle=_ZORDER_ORACLE)
+def sink_manifest_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER BY for manifest tables: events are committed
+    UNPARTITIONED (one `__ALL__` entry — entry-level pruning can never
+    skip anything), compacted with ``cluster_by=["ts", "value"]``
+    (quantile-rank bucketize → bit-interleave → range-split files on
+    the Morton value), then a range query on `value` runs through
+    `read_manifest_table(bounds=...)` and the recorded PER-FILE
+    [min, max] stats skip files inside the single entry. Both
+    assertion columns are computed from the same `_prune_entry_files`
+    machinery the reader uses: a bounds query on EITHER z-dimension
+    (`value` AND `ts`) must open strictly fewer files than the layout
+    holds — the multi-column locality no single-column sort can give.
+    The oracle is the plain range query — skipping must be invisible
+    in the results. This is the 100 TB maintenance job for tables
+    whose hot predicates span two+ columns; on a real lake the same
+    layout is Delta's OPTIMIZE ZORDER / Iceberg's sort-order rewrite."""
+    target = os.path.join(scratch_dir("s13_"), "events_zorder")
+    ev = load_table(spark, sf_dir, "events")
+    upsert(spark, target, ev, ["event_id"], commit_mode="manifest")
+    n = ev.count()
+    # scale-invariant layout: ~12 files at every sf so the pruning
+    # assertion is meaningful at sf0.001 and sf0.01 alike
+    compact_manifest_table(
+        spark, target, rows_per_file=max(1, -(-n // 12)),
+        cluster_by=["ts", "value"],
+    )
+    from pyspark.sql.types import StructType
+
+    _, man = _latest_manifest(target)
+    schema = StructType.fromJson(json.loads(man["schema"]))
+    total_files = sum(len(v) for v in man["file_stats"].values())
+    keys = sorted(man["partitions"])
+
+    def _kept(bounds: dict) -> int:
+        sel = _prune_entry_files(spark, man, schema, keys, bounds)
+        return sum(len(v) for v in sel.values() if v is not None)
+
+    vb = {"value": (10.0, 30.0)}
+    lo, hi = ev.select(F.min("ts"), F.max("ts")).first()
+    span = hi - lo
+    tb = {"ts": (lo + span / 3, lo + span / 2)}  # middle sixth of time
+    pruned_value_ok = _kept(vb) < total_files
+    pruned_ts_ok = _kept(tb) < total_files
+    sel = read_manifest_table(spark, target, bounds=vb)
+    return sel.agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("value_cents"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.lit(pruned_value_ok).alias("pruned_value_ok"),
+        F.lit(pruned_ts_ok).alias("pruned_ts_ok"),
     )
 
 

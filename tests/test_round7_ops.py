@@ -1058,3 +1058,140 @@ def test_manifest_table_history(spark, tmp_path):
     hc = sinks.manifest_table_history(spark, c).collect()
     assert len(hc) == 1 and hc[0]["n_external_snapshots"] >= 1
     assert hc[0]["n_rows"] == 14
+
+
+# --- Z-order compaction + per-file stats skipping ----------------------
+
+
+def _zdf(spark, n=2000):
+    from pyspark.sql import functions as F
+
+    return (
+        spark.range(n)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") % 97).cast("double").alias("x"),
+            ((F.col("id") * 7919) % 101).cast("double").alias("y"),
+        )
+    )
+
+
+def test_zorder_compaction_row_parity_and_file_stats(spark, tmp_path):
+    """cluster_by rewrite changes ONLY the layout: rows identical,
+    per-file stats recorded for every written file, entry count 1
+    (unpartitioned)."""
+    target = str(tmp_path / "zt")
+    df = _zdf(spark)
+    sinks.upsert(spark, target, df, ["k"], commit_mode="manifest")
+    before = {tuple(r) for r in sinks.read_manifest_table(spark, target).collect()}
+    n = sinks.compact_manifest_table(
+        spark, target, rows_per_file=200, cluster_by=["x", "y"]
+    )
+    assert n == 1  # one __ALL__ entry
+    after = {tuple(r) for r in sinks.read_manifest_table(spark, target).collect()}
+    assert after == before
+    _, man = sinks._latest_manifest(target)
+    fstats = man["file_stats"]["__ALL__"]
+    assert len(fstats) >= 8  # ~2000/200 files
+    assert sum(rec["rows"] for rec in fstats.values()) == 2000
+    for rec in fstats.values():
+        assert {"x", "y", "k"} <= set(rec["stats"])
+
+
+def test_zorder_file_pruning_skips_on_both_dimensions(spark, tmp_path):
+    """A bounds read on EITHER cluster column opens strictly fewer
+    files than the layout holds, and results equal the plain filter."""
+    from pyspark.sql.types import StructType
+
+    target = str(tmp_path / "zt")
+    df = _zdf(spark)
+    sinks.upsert(spark, target, df, ["k"], commit_mode="manifest")
+    sinks.compact_manifest_table(
+        spark, target, rows_per_file=200, cluster_by=["x", "y"]
+    )
+    _, man = sinks._latest_manifest(target)
+    schema = StructType.fromJson(json.loads(man["schema"]))
+    total = sum(len(v) for v in man["file_stats"].values())
+    keys = sorted(man["partitions"])
+    for col in ("x", "y"):
+        bounds = {col: (10.0, 25.0)}
+        sel = sinks._prune_entry_files(spark, man, schema, keys, bounds)
+        kept = sum(len(v) for v in sel.values() if v is not None)
+        assert kept < total, f"no file skipped on {col}"
+        got = {
+            tuple(r)
+            for r in sinks.read_manifest_table(spark, target, bounds=bounds)
+            .collect()
+        }
+        want = {
+            tuple(r)
+            for r in sinks.read_manifest_table(spark, target)
+            .filter(f"{col} >= 10.0 and {col} <= 25.0")
+            .collect()
+        }
+        assert got == want
+
+
+def test_zorder_all_files_pruned_reads_empty(spark, tmp_path):
+    """Bounds fully outside the data prune EVERY file of the single
+    entry — the read plans zero scans and returns an empty frame with
+    the recorded schema."""
+    target = str(tmp_path / "zt")
+    sinks.upsert(spark, target, _zdf(spark), ["k"], commit_mode="manifest")
+    sinks.compact_manifest_table(
+        spark, target, rows_per_file=500, cluster_by=["x", "y"]
+    )
+    out = sinks.read_manifest_table(
+        spark, target, bounds={"x": (1000.0, 2000.0)}
+    )
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["k", "x", "y"]
+
+
+def test_zorder_rejects_partitioned_and_string_columns(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    target = str(tmp_path / "zp")
+    df = _zdf(spark, 200).withColumn("p", (F.col("k") % 3).cast("int"))
+    sinks.upsert(
+        spark, target, df, ["k", "p"], partition_col="p",
+        commit_mode="manifest",
+    )
+    with pytest.raises(ValueError, match="unpartitioned"):
+        sinks.compact_manifest_table(
+            spark, target, rows_per_file=100, cluster_by=["x"]
+        )
+    target2 = str(tmp_path / "zs")
+    df2 = _zdf(spark, 200).withColumn("s", F.lit("abc"))
+    sinks.upsert(spark, target2, df2, ["k"], commit_mode="manifest")
+    with pytest.raises(ValueError, match="zorder"):
+        sinks.compact_manifest_table(
+            spark, target2, rows_per_file=100, cluster_by=["s"]
+        )
+
+
+def test_file_stats_carry_forward_on_partition_scoped_upsert(spark, tmp_path):
+    """An upsert touching one partition keeps the other entries'
+    per-file stats by reference (same carry-forward rule as entry
+    stats) and records fresh file stats for the rewritten entry."""
+    from pyspark.sql import functions as F
+
+    target = str(tmp_path / "cf")
+    df = _zdf(spark, 300).withColumn("p", (F.col("k") % 3).cast("int"))
+    sinks.upsert(
+        spark, target, df, ["k", "p"], partition_col="p",
+        commit_mode="manifest",
+    )
+    _, man0 = sinks._latest_manifest(target)
+    untouched = man0["file_stats"]["p=2"]
+    delta = df.filter("p = 0").withColumn("x", F.col("x") + 1000.0)
+    sinks.upsert(
+        spark, target, delta, ["k", "p"], partition_col="p",
+        commit_mode="manifest",
+    )
+    _, man1 = sinks._latest_manifest(target)
+    assert man1["file_stats"]["p=2"] == untouched  # carried by reference
+    new_p0 = man1["file_stats"]["p=0"]
+    assert all(
+        float(rec["stats"]["x"][0]) >= 1000.0 for rec in new_p0.values()
+    )
