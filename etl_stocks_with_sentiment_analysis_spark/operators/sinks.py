@@ -97,6 +97,11 @@ _GC_GRACE_SECONDS = 3600.0
 # Optimistic-concurrency retry budget for the manifest version-CAS.
 _CAS_MAX_RETRIES = 10
 
+# per-entry cap on recorded PER-FILE stats (manifest JSON growth
+# bound); past it the entry keeps entry-level stats only — see
+# _entry_stats
+_FILE_STATS_MAX_PER_ENTRY = 512
+
 
 class ManifestConflictError(RuntimeError):
     """A concurrent writer committed the manifest version this writer
@@ -627,6 +632,13 @@ def _entry_stats(
     if not new_keys:
         return {}, {}, {}
     stat_cols = _stat_columns(merged_schema, partition_col)
+    # MANIFEST SIZE GOVERNANCE: per-file stats are O(files x columns)
+    # of manifest JSON — the exact problem Iceberg splits manifests
+    # into manifest-files to solve. An entry that fragments past the
+    # cap records ENTRY stats only (file-level skipping degrades to
+    # entry-level, correctness unchanged); compaction restores
+    # file-level granularity by rewriting to few files. The cap bounds
+    # manifest growth at any scale: entries x cap x stat columns.
     back = spark.read.schema(merged_schema).parquet(snap)
     fcol = F.element_at(F.split(F.input_file_name(), "/"), -1).alias("__f")
     typed_aggs = [F.count(F.lit(1)).alias("__nr")]
@@ -699,6 +711,11 @@ def _entry_stats(
             for r in perfile.select("__f", "__nr", *str_proj).collect()
         }
     perfile.unpersist()
+    fstats = {
+        k: v
+        for k, v in fstats.items()
+        if len(v) <= _FILE_STATS_MAX_PER_ENTRY
+    }
     return out, rows, fstats
 
 
@@ -771,10 +788,13 @@ def _publish_snapshot(
         if k in pmap and k not in new_rows
     }
     entry_rows.update(new_rows)
+    # carry forward by REWRITE status, not by presence in new_fstats:
+    # a rewritten entry whose file stats were cap-dropped must lose
+    # its stale file list (its files no longer exist), never keep it
     file_stats = {
         k: v
         for k, v in (prev_file_stats or {}).items()
-        if k in pmap and k not in new_fstats
+        if k in pmap and k not in new_keys
     }
     file_stats.update(new_fstats)
     # field-id bookkeeping: the new snapshot's columns are the current

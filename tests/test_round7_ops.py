@@ -1195,3 +1195,30 @@ def test_file_stats_carry_forward_on_partition_scoped_upsert(spark, tmp_path):
     assert all(
         float(rec["stats"]["x"][0]) >= 1000.0 for rec in new_p0.values()
     )
+
+
+def test_file_stats_cap_drops_not_stales(spark, tmp_path, monkeypatch):
+    """Past the per-entry cap, file stats are OMITTED (entry-level
+    skipping only) — and a rewrite of a previously-file-stated entry
+    under the cap must DROP the old file list, never carry a stale
+    one (those files are gone)."""
+    target = str(tmp_path / "cap")
+    df = _zdf(spark, 400)
+    sinks.upsert(spark, target, df, ["k"], commit_mode="manifest")
+    _, man0 = sinks._latest_manifest(target)
+    assert man0["file_stats"].get("__ALL__")  # under cap: recorded
+    monkeypatch.setattr(sinks, "_FILE_STATS_MAX_PER_ENTRY", 0)
+    sinks.upsert(
+        spark, target, df.limit(10), ["k"], commit_mode="manifest"
+    )
+    _, man1 = sinks._latest_manifest(target)
+    assert "__ALL__" not in man1["file_stats"]  # capped AND not stale
+    # reads (with and without bounds) still correct via entry stats
+    assert sinks.read_manifest_table(spark, target).count() == 400
+    got = sinks.read_manifest_table(
+        spark, target, bounds={"x": (10.0, 25.0)}
+    ).count()
+    want = sinks.read_manifest_table(spark, target).filter(
+        "x >= 10.0 and x <= 25.0"
+    ).count()
+    assert got == want
