@@ -64,6 +64,11 @@ def main(argv: list[str] | None = None) -> int:
         help="compact: comma-separated Z-ORDER columns (multi-column "
         "file skipping; unpartitioned tables only)",
     )
+    p_tbl.add_argument(
+        "--point-index", default=None,
+        help="compact: comma-separated columns to build per-file "
+        "equality-probe bucket sets for (id = X file skipping)",
+    )
     p_tbl.add_argument("--version", type=int, default=None)
     p_tbl.add_argument("--materialize", action="store_true",
                        help="clone: copy data (sever source dependency)")
@@ -132,6 +137,9 @@ def main(argv: list[str] | None = None) -> int:
                 spark, args.target, args.rows_per_file,
                 cluster_by=(
                     args.cluster_by.split(",") if args.cluster_by else None
+                ),
+                point_index=(
+                    args.point_index.split(",") if args.point_index else None
                 ),
             )
             print(f"compacted → {n} entries")

@@ -102,6 +102,13 @@ _CAS_MAX_RETRIES = 10
 # _entry_stats
 _FILE_STATS_MAX_PER_ENTRY = 512
 
+# hash-bucket domain of the per-file POINT INDEX (equality-probe file
+# skipping, the Delta/Iceberg bloom-filter-index analog); a file whose
+# bucket set saturates past the fill cap stores None (kept, filter
+# useless there) — see _file_point_index
+_POINT_INDEX_BUCKETS = 4096
+_POINT_INDEX_MAX_FILL = 0.6
+
 
 class ManifestConflictError(RuntimeError):
     """A concurrent writer committed the manifest version this writer
@@ -317,6 +324,68 @@ def _prune_entry_files(
     return out
 
 
+def _prune_point_files(
+    spark: SparkSession,
+    man: dict,
+    schema,
+    keys: list[str],
+    bounds: dict,
+    file_sel: dict,
+) -> dict:
+    """Equality-probe file skipping via the point index: for every
+    bound that pins a single value (lo == hi) on an indexed column,
+    drop files whose recorded bucket set provably lacks the probe's
+    bucket. The probe is hashed THROUGH THE ENGINE with the column's
+    recorded type (one tiny local-relation job per probed column) so
+    reader and writer hashes can never diverge. Composes with
+    min/max file pruning: narrows existing `file_sel` lists, and may
+    enumerate an entry's files from the index alone (an entry's index
+    always lists every file — saturated files store None buckets but
+    stay enumerated). Files/columns without an index are kept —
+    pruning only ever removes provably-empty reads."""
+    pidx_all = man.get("file_point_index") or {}
+    if not pidx_all:
+        return file_sel
+    pcol = man.get("partition_col")
+    dtypes = {f.name: f.dataType for f in schema.fields}
+    probes = {
+        c: lo
+        for c, (lo, hi) in bounds.items()
+        if c in dtypes and c != pcol and lo is not None and lo == hi
+    }
+    if not probes:
+        return file_sel
+    buckets = {}
+    for c, v in probes.items():
+        buckets[c] = spark.range(1).select(
+            F.pmod(
+                F.xxhash64(F.lit(v).cast(dtypes[c])),
+                F.lit(_POINT_INDEX_BUCKETS),
+            ).cast("int").alias("b")
+        ).first()["b"]
+    out = dict(file_sel)
+    for k in keys:
+        pidx = pidx_all.get(k)
+        if not pidx:
+            continue
+        cand = out.get(k)
+        if cand is None:
+            cand = sorted(pidx)  # index enumerates the entry's files
+        kept = []
+        for fn in cand:
+            rec = pidx.get(fn)
+            if rec is None:  # file newer than the index: keep
+                kept.append(fn)
+                continue
+            if all(
+                rec.get(c) is None or buckets[c] in rec[c]
+                for c in probes
+            ):
+                kept.append(fn)
+        out[k] = kept
+    return out
+
+
 def _read_manifest_dirs(
     spark: SparkSession, target: str, man: dict, only_keys=None, bounds=None
 ) -> DataFrame:
@@ -363,6 +432,10 @@ def _read_manifest_dirs(
         # second pass, finer granularity: skip FILES inside kept
         # entries wherever per-file stats were recorded
         file_sel = _prune_entry_files(spark, man, schema, keys, bounds)
+        # third pass: equality probes through the point index
+        file_sel = _prune_point_files(
+            spark, man, schema, keys, bounds, file_sel
+        )
     field_ids = man.get("field_ids")  # {current name: id} or None (legacy)
     snap_columns = man.get("snap_columns") or {}  # {snap_rel: {str(id): name}}
     # snapshots living in ANOTHER table's directory (zero-copy clones):
@@ -639,38 +712,31 @@ def _entry_stats(
     # entry-level, correctness unchanged); compaction restores
     # file-level granularity by rewriting to few files. The cap bounds
     # manifest growth at any scale: entries x cap x stat columns.
+    #
+    # COMMIT LATENCY: ONE scan, ONE action. The per-file frame carries
+    # typed mins (for the entry rollup — string mins would collate
+    # wrong, e.g. "9" > "10") AND their string casts (what the
+    # manifest stores); the entry rollup happens driver-side over the
+    # collected per-file rows, picking each winner by TYPED compare
+    # and keeping the engine-produced string of that same value — so
+    # entry stats are byte-identical to what a second engine-side
+    # rollup would serialize, without the extra jobs.
     back = spark.read.schema(merged_schema).parquet(snap)
     fcol = F.element_at(F.split(F.input_file_name(), "/"), -1).alias("__f")
-    typed_aggs = [F.count(F.lit(1)).alias("__nr")]
+    aggs = [F.count(F.lit(1)).alias("__nr")]
     for i, c in enumerate(stat_cols):
-        typed_aggs += [
+        aggs += [
             F.min(c).alias(f"tmn{i}"),
             F.max(c).alias(f"tmx{i}"),
         ]
-    gcols = ([partition_col] if partition_col else []) + [fcol]
-    perfile = back.groupBy(*gcols).agg(*typed_aggs).persist()
-    str_proj = [
-        F.col(f"tmn{i}").cast("string").alias(f"mn{i}")
-        for i in range(len(stat_cols))
-    ] + [
-        F.col(f"tmx{i}").cast("string").alias(f"mx{i}")
-        for i in range(len(stat_cols))
-    ]
-    roll = [F.sum("__nr").alias("__nr")]
+    str_proj = []
     for i in range(len(stat_cols)):
-        roll += [
-            F.min(f"tmn{i}").alias(f"tmn{i}"),
-            F.max(f"tmx{i}").alias(f"tmx{i}"),
+        str_proj += [
+            F.col(f"tmn{i}").cast("string").alias(f"mn{i}"),
+            F.col(f"tmx{i}").cast("string").alias(f"mx{i}"),
         ]
-    out: dict = {}
-    rows: dict = {}
-    fstats: dict = {}
-
-    def _rec(r) -> dict:
-        return {
-            c: [r[f"mn{i}"], r[f"mx{i}"]] for i, c in enumerate(stat_cols)
-        }
-
+    gcols = ([partition_col] if partition_col else []) + [fcol]
+    perfile = back.groupBy(*gcols).agg(*aggs)
     if partition_col:
         pairs = [
             (
@@ -684,39 +750,145 @@ def _entry_stats(
         kdf = spark.createDataFrame(pairs, "k STRING, raw STRING").select(
             "k", F.col("raw").cast(ptype).alias("v")
         )
-        entry = perfile.groupBy(partition_col).agg(*roll)
-        for r in kdf.join(
-            entry, kdf["v"].eqNullSafe(entry[partition_col]), "inner"
-        ).select("k", "__nr", *str_proj).collect():
-            rows[r["k"]] = r["__nr"]
-            if stat_cols:
-                out[r["k"]] = _rec(r)
-        for r in kdf.join(
+        collected = kdf.join(
             perfile, kdf["v"].eqNullSafe(perfile[partition_col]), "inner"
-        ).select("k", "__f", "__nr", *str_proj).collect():
-            fstats.setdefault(r["k"], {})[r["__f"]] = {
-                "rows": r["__nr"],
-                "stats": _rec(r) if stat_cols else {},
-            }
+        ).select(
+            "k", "__f", "__nr",
+            *[f"tmn{i}" for i in range(len(stat_cols))],
+            *[f"tmx{i}" for i in range(len(stat_cols))],
+            *str_proj,
+        ).collect()
     else:
-        r = perfile.agg(*roll).select("__nr", *str_proj).collect()[0]
-        rows["__ALL__"] = r["__nr"]
+        collected = perfile.select(
+            F.lit("__ALL__").alias("k"), "__f", "__nr",
+            *[f"tmn{i}" for i in range(len(stat_cols))],
+            *[f"tmx{i}" for i in range(len(stat_cols))],
+            *str_proj,
+        ).collect()
+
+    def _lt(a, b) -> bool:
+        # Spark ordering for the typed compare: NaN sorts greatest
+        if isinstance(a, float) and a != a:
+            return False
+        if isinstance(b, float) and b != b:
+            return True
+        return a < b
+
+    out: dict = {}
+    rows: dict = {}
+    fstats: dict = {}
+    by_key: dict = {}
+    for r in collected:
+        by_key.setdefault(r["k"], []).append(r)
+    for k, rs in by_key.items():
+        rows[k] = sum(r["__nr"] for r in rs)
         if stat_cols:
-            out["__ALL__"] = _rec(r)
-        fstats["__ALL__"] = {
+            entry: dict = {}
+            for i, c in enumerate(stat_cols):
+                mn = mx = None  # (typed, string) winners; nulls ignored
+                for r in rs:
+                    tn, tx = r[f"tmn{i}"], r[f"tmx{i}"]
+                    if tn is not None and (mn is None or _lt(tn, mn[0])):
+                        mn = (tn, r[f"mn{i}"])
+                    if tx is not None and (mx is None or _lt(mx[0], tx)):
+                        mx = (tx, r[f"mx{i}"])
+                entry[c] = [
+                    mn[1] if mn else None,
+                    mx[1] if mx else None,
+                ]
+            out[k] = entry
+        fstats[k] = {
             r["__f"]: {
                 "rows": r["__nr"],
-                "stats": _rec(r) if stat_cols else {},
+                "stats": {
+                    c: [r[f"mn{i}"], r[f"mx{i}"]]
+                    for i, c in enumerate(stat_cols)
+                },
             }
-            for r in perfile.select("__f", "__nr", *str_proj).collect()
+            for r in rs
         }
-    perfile.unpersist()
     fstats = {
         k: v
         for k, v in fstats.items()
         if len(v) <= _FILE_STATS_MAX_PER_ENTRY
     }
     return out, rows, fstats
+
+
+def _file_point_index(
+    spark: SparkSession,
+    snap: str,
+    merged_schema,
+    partition_col: str | None,
+    ptype: str | None,
+    new_keys: list[str],
+    cols: list[str],
+) -> dict:
+    """Per-file POINT INDEX for equality-probe skipping: the set of
+    ``xxhash64(col) % _POINT_INDEX_BUCKETS`` buckets present in each
+    file, per indexed column — min/max ranges can't skip `id = X`
+    probes on high-cardinality columns, a bucket set can (bucket
+    absent PROVES the value is absent; present only means "maybe", so
+    pruning is sound under collisions). Built by one collect_set agg
+    grouped by `input_file_name()` — bounded memory (≤ buckets ints
+    per file per column). A file whose set fills past
+    `_POINT_INDEX_MAX_FILL` stores None (filter useless there, file
+    always kept) — but the file STAYS enumerated, so an entry's index
+    always lists every file it holds (the reader may enumerate an
+    entry's files from the index alone). Returns
+    ``{entry_key: {file: {col: [buckets] | None}}}``."""
+    names = {f.name for f in merged_schema.fields}
+    for c in cols:
+        if c not in names:
+            raise ValueError(f"point_index column {c!r} not in table")
+        if c == partition_col:
+            raise ValueError(
+                f"point_index on partition column {c!r} is redundant — "
+                "the partition map is its exact-match index"
+            )
+    back = spark.read.schema(merged_schema).parquet(snap)
+    fcol = F.element_at(F.split(F.input_file_name(), "/"), -1).alias("__f")
+    aggs = [
+        F.sort_array(
+            F.collect_set(
+                F.pmod(
+                    F.xxhash64(F.col(c)), F.lit(_POINT_INDEX_BUCKETS)
+                ).cast("int")
+            )
+        ).alias(f"b{i}")
+        for i, c in enumerate(cols)
+    ]
+    gcols = ([partition_col] if partition_col else []) + [fcol]
+    pf = back.groupBy(*gcols).agg(*aggs)
+    cap = int(_POINT_INDEX_BUCKETS * _POINT_INDEX_MAX_FILL)
+
+    def _rec(r) -> dict:
+        return {
+            c: (list(r[f"b{i}"]) if len(r[f"b{i}"]) <= cap else None)
+            for i, c in enumerate(cols)
+        }
+
+    out: dict = {}
+    if partition_col:
+        pairs = [
+            (
+                k,
+                None
+                if _manifest_key_value(k) == _HIVE_NULL
+                else _manifest_key_value(k),
+            )
+            for k in new_keys
+        ]
+        kdf = spark.createDataFrame(pairs, "k STRING, raw STRING").select(
+            "k", F.col("raw").cast(ptype).alias("v")
+        )
+        for r in kdf.join(
+            pf, kdf["v"].eqNullSafe(pf[partition_col]), "inner"
+        ).collect():
+            out.setdefault(r["k"], {})[r["__f"]] = _rec(r)
+    else:
+        out["__ALL__"] = {r["__f"]: _rec(r) for r in pf.collect()}
+    return out
 
 
 def _publish_snapshot(
@@ -733,6 +905,8 @@ def _publish_snapshot(
     prev_entry_rows: dict | None = None,
     prev_external: dict | None = None,
     prev_file_stats: dict | None = None,
+    prev_point_index: dict | None = None,
+    point_index: list[str] | None = None,
 ) -> dict:
     """Shared tail of every manifest commit (upsert AND compaction):
     write the snapshot data dir (name made unique per ATTEMPT so two
@@ -797,6 +971,21 @@ def _publish_snapshot(
         if k in pmap and k not in new_keys
     }
     file_stats.update(new_fstats)
+    # point index: same rewrite-keyed carry-forward (a rewritten
+    # entry's old file buckets describe deleted files); NEW index
+    # entries only when the caller asked for them (compaction)
+    file_point = {
+        k: v
+        for k, v in (prev_point_index or {}).items()
+        if k in pmap and k not in new_keys
+    }
+    if point_index:
+        file_point.update(
+            _file_point_index(
+                merged.sparkSession, snap, merged.schema, partition_col,
+                ptype, new_keys, point_index,
+            )
+        )
     # field-id bookkeeping: the new snapshot's columns are the current
     # (name -> id) mapping at write time; carried-forward snapshots
     # keep their own recorded at-write maps (only for snaps still
@@ -819,6 +1008,7 @@ def _publish_snapshot(
         "stats": stats,
         "entry_rows": entry_rows,
         "file_stats": file_stats,
+        "file_point_index": file_point,
         # carried-forward external (clone-source) snapshots keep their
         # base; a full rewrite (compaction/repartition) passes None and
         # thereby LOCALIZES the table
@@ -967,6 +1157,9 @@ def _upsert_manifest(
                 prev_entry_rows=man.get("entry_rows") if man else None,
                 prev_external=man.get("external_bases") if man else None,
                 prev_file_stats=man.get("file_stats") if man else None,
+                prev_point_index=(
+                    man.get("file_point_index") if man else None
+                ),
             )
             return
         except ManifestConflictError as e:
@@ -1053,6 +1246,7 @@ def _with_zvalue(df: DataFrame, cluster_by: list[str]) -> DataFrame:
 def compact_manifest_table(
     spark: SparkSession, target: str, rows_per_file: int,
     cluster_by: list[str] | None = None,
+    point_index: list[str] | None = None,
 ) -> int:
     """OPTIMIZE for manifest tables: rewrite every referenced data
     directory into one bin-packed snapshot and publish it as the next
@@ -1071,6 +1265,13 @@ def compact_manifest_table(
     cluster column and `read_manifest_table(bounds=...)` skips files
     on any of them (`_with_zvalue`; proven by `sink_manifest_zorder`'s
     oracle key and the dual-dimension pruning pytest).
+
+    With ``point_index``: the rewrite also records each file's
+    xxhash64 bucket set for the given columns — equality-probe file
+    skipping for `id = X` lookups that min/max ranges can't serve
+    (`_file_point_index`; `sink_manifest_point_lookup` oracle key).
+    Like any index product of a rewrite, later upserts' fresh files
+    are unindexed until the next compaction.
 
     LIVENESS UNDER CONCURRENT WRITERS (r7): a lost version-CAS is
     retried with a FRESH manifest read — each attempt is a pure
@@ -1120,6 +1321,7 @@ def compact_manifest_table(
                 target, ver + 1, df, pcol, None, schema_json=man["schema"],
                 field_ids=man.get("field_ids"),
                 next_field_id=man.get("next_field_id"),
+                point_index=point_index,
                 # no prev_snap_columns: every entry now lives in the new
                 # snapshot, whose at-write map is the current one — this
                 # is also the UPGRADE path that gives a pre-field-id
@@ -1320,6 +1522,7 @@ def delete_from_manifest_table(
                 prev_entry_rows=man.get("entry_rows"),
                 prev_external=man.get("external_bases"),
                 prev_file_stats=man.get("file_stats"),
+                prev_point_index=man.get("file_point_index"),
             )
             return n_deleted
         except ManifestConflictError as e:
@@ -1750,6 +1953,10 @@ def rename_manifest_column(target: str, old: str, new: str) -> dict:
                 st = rec.get("stats") or {}
                 if old in st:
                     st[new] = st.pop(old)
+        for entry_idx in (man.get("file_point_index") or {}).values():
+            for rec in entry_idx.values():
+                if old in rec:
+                    rec[new] = rec.pop(old)
 
     return _commit_metadata_only(target, mutate)
 
@@ -1782,6 +1989,9 @@ def drop_manifest_column(target: str, col: str) -> dict:
         for entry_files in (man.get("file_stats") or {}).values():
             for rec in entry_files.values():
                 (rec.get("stats") or {}).pop(col, None)
+        for entry_idx in (man.get("file_point_index") or {}).values():
+            for rec in entry_idx.values():
+                rec.pop(col, None)
 
     return _commit_metadata_only(target, mutate)
 
@@ -2478,6 +2688,59 @@ def sink_manifest_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         F.lit(pruned_value_ok).alias("pruned_value_ok"),
         F.lit(pruned_ts_ok).alias("pruned_ts_ok"),
+    )
+
+
+_POINT_ORACLE = """
+SELECT event_id, user_id, event_type,
+       CAST(ROUND(value * 100, 0) AS BIGINT) AS value_cents,
+       TRUE AS pruned_ok
+FROM events
+WHERE event_id = 500"""
+
+
+@register("sink_manifest_point_lookup", oracle=_POINT_ORACLE)
+def sink_manifest_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Needle-in-haystack lookup through the per-file POINT INDEX
+    (the Delta/Iceberg bloom-filter-index analog): events are
+    committed unpartitioned, compacted with
+    ``point_index=["event_id"]`` (each file records its xxhash64
+    bucket set), then `event_id = 500` runs through
+    `read_manifest_table(bounds={"event_id": (500, 500)})`. Min/max
+    ranges can't skip equality probes on a high-cardinality id — the
+    bucket set can: absent bucket PROVES the id is absent (sound
+    under collisions; present only means "maybe", and the residual
+    filter drops false positives). `pruned_ok` asserts the probe
+    opened strictly fewer files than the layout holds, computed with
+    the same `_prune_point_files` machinery the reader uses. The
+    oracle is the plain equality query — skipping must be invisible
+    in the results."""
+    target = os.path.join(scratch_dir("s14_"), "events_point")
+    ev = load_table(spark, sf_dir, "events")
+    upsert(spark, target, ev, ["event_id"], commit_mode="manifest")
+    n = ev.count()
+    compact_manifest_table(
+        spark, target, rows_per_file=max(1, -(-n // 12)),
+        point_index=["event_id"],
+    )
+    from pyspark.sql.types import StructType
+
+    _, man = _latest_manifest(target)
+    schema = StructType.fromJson(json.loads(man["schema"]))
+    total = sum(len(v) for v in man["file_point_index"].values())
+    bounds = {"event_id": (500, 500)}
+    keys = sorted(man["partitions"])
+    sel = _prune_point_files(
+        spark, man, schema, keys, bounds,
+        {k: None for k in keys},
+    )
+    kept = sum(len(v) for v in sel.values() if v is not None)
+    pruned_ok = kept < total
+    hit = read_manifest_table(spark, target, bounds=bounds)
+    return hit.select(
+        "event_id", "user_id", "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("value_cents"),
+        F.lit(pruned_ok).alias("pruned_ok"),
     )
 
 

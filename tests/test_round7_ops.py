@@ -1222,3 +1222,106 @@ def test_file_stats_cap_drops_not_stales(spark, tmp_path, monkeypatch):
         "x >= 10.0 and x <= 25.0"
     ).count()
     assert got == want
+
+
+# --- Point index (equality-probe file skipping) ------------------------
+
+
+def test_point_index_prunes_and_is_exact(spark, tmp_path):
+    """Equality probe on a unique id opens fewer files; results match
+    the plain filter for present AND absent ids (absent → empty,
+    usually zero files opened)."""
+    target = str(tmp_path / "pi")
+    df = _zdf(spark, 2000)
+    sinks.upsert(spark, target, df, ["k"], commit_mode="manifest")
+    sinks.compact_manifest_table(
+        spark, target, rows_per_file=200, point_index=["k"]
+    )
+    from pyspark.sql.types import StructType
+
+    _, man = sinks._latest_manifest(target)
+    schema = StructType.fromJson(json.loads(man["schema"]))
+    keys = sorted(man["partitions"])
+    total = sum(len(v) for v in man["file_point_index"].values())
+    assert total >= 8
+    sel = sinks._prune_point_files(
+        spark, man, schema, keys, {"k": (1234, 1234)},
+        {k: None for k in keys},
+    )
+    kept = sum(len(v) for v in sel.values() if v is not None)
+    assert kept < total
+    got = sinks.read_manifest_table(
+        spark, target, bounds={"k": (1234, 1234)}
+    ).collect()
+    assert [(r["k"], r["x"], r["y"]) for r in got] == [
+        (r["k"], r["x"], r["y"])
+        for r in sinks.read_manifest_table(spark, target)
+        .filter("k = 1234").collect()
+    ]
+    # absent id: provably-empty read
+    assert sinks.read_manifest_table(
+        spark, target, bounds={"k": (999_999, 999_999)}
+    ).count() == 0
+
+
+def test_point_index_dropped_on_rewrite_fresh_files_unindexed(
+    spark, tmp_path
+):
+    """An upsert after indexing rewrites the entry: the stale index
+    must NOT survive (its files are gone), and the probe falls back
+    to reading normally with identical results."""
+    target = str(tmp_path / "pi2")
+    df = _zdf(spark, 500)
+    sinks.upsert(spark, target, df, ["k"], commit_mode="manifest")
+    sinks.compact_manifest_table(
+        spark, target, rows_per_file=100, point_index=["k"]
+    )
+    _, man0 = sinks._latest_manifest(target)
+    assert man0["file_point_index"].get("__ALL__")
+    from pyspark.sql import functions as F
+
+    sinks.upsert(
+        spark, target,
+        df.limit(5).withColumn("x", F.lit(9999.0)),
+        ["k"], commit_mode="manifest",
+    )
+    _, man1 = sinks._latest_manifest(target)
+    assert "__ALL__" not in man1["file_point_index"]
+    got = sinks.read_manifest_table(
+        spark, target, bounds={"k": (3, 3)}
+    ).collect()
+    assert len(got) == 1 and got[0]["x"] == 9999.0
+
+
+def test_point_index_composes_with_zorder_minmax(spark, tmp_path):
+    """cluster_by + point_index in one rewrite: a query pinning the
+    indexed column AND bounding a z-column prunes through both
+    mechanisms and still matches the plain filter."""
+    target = str(tmp_path / "pi3")
+    df = _zdf(spark, 2000)
+    sinks.upsert(spark, target, df, ["k"], commit_mode="manifest")
+    sinks.compact_manifest_table(
+        spark, target, rows_per_file=200,
+        cluster_by=["x", "y"], point_index=["k"],
+    )
+    b = {"k": (777, 777), "x": (0.0, 100.0)}
+    got = sinks.read_manifest_table(spark, target, bounds=b).collect()
+    want = sinks.read_manifest_table(spark, target).filter(
+        "k = 777 and x >= 0.0 and x <= 100.0"
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_point_index_rejects_partition_column(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    target = str(tmp_path / "pi4")
+    df = _zdf(spark, 200).withColumn("p", (F.col("k") % 3).cast("int"))
+    sinks.upsert(
+        spark, target, df, ["k", "p"], partition_col="p",
+        commit_mode="manifest",
+    )
+    with pytest.raises(ValueError, match="redundant"):
+        sinks.compact_manifest_table(
+            spark, target, rows_per_file=100, point_index=["p"]
+        )
