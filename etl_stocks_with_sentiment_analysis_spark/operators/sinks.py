@@ -907,6 +907,7 @@ def _publish_snapshot(
     prev_file_stats: dict | None = None,
     prev_point_index: dict | None = None,
     point_index: list[str] | None = None,
+    layout: dict | None = None,
 ) -> dict:
     """Shared tail of every manifest commit (upsert AND compaction):
     write the snapshot data dir (name made unique per ATTEMPT so two
@@ -1009,6 +1010,11 @@ def _publish_snapshot(
         "entry_rows": entry_rows,
         "file_stats": file_stats,
         "file_point_index": file_point,
+        # how the last full rewrite laid the table out (z-order /
+        # point-index columns); carried by incremental commits whose
+        # fresh files dilute but don't destroy it, cleared by a plain
+        # rewrite
+        "layout": layout or {},
         # carried-forward external (clone-source) snapshots keep their
         # base; a full rewrite (compaction/repartition) passes None and
         # thereby LOCALIZES the table
@@ -1160,6 +1166,7 @@ def _upsert_manifest(
                 prev_point_index=(
                     man.get("file_point_index") if man else None
                 ),
+                layout=man.get("layout") if man else None,
             )
             return
         except ManifestConflictError as e:
@@ -1322,6 +1329,14 @@ def compact_manifest_table(
                 field_ids=man.get("field_ids"),
                 next_field_id=man.get("next_field_id"),
                 point_index=point_index,
+                layout={
+                    k: v
+                    for k, v in (
+                        ("cluster_by", list(cluster_by or [])),
+                        ("point_index", list(point_index or [])),
+                    )
+                    if v
+                },
                 # no prev_snap_columns: every entry now lives in the new
                 # snapshot, whose at-write map is the current one — this
                 # is also the UPGRADE path that gives a pre-field-id
@@ -1523,6 +1538,7 @@ def delete_from_manifest_table(
                 prev_external=man.get("external_bases"),
                 prev_file_stats=man.get("file_stats"),
                 prev_point_index=man.get("file_point_index"),
+                layout=man.get("layout"),
             )
             return n_deleted
         except ManifestConflictError as e:
@@ -1598,7 +1614,9 @@ def manifest_table_history(spark: SparkSession, target: str) -> DataFrame:
     layout and size facts each manifest records — no data file is
     opened. Columns: version, partition_col, n_entries, n_rows
     (NULL for pre-entry_rows manifests), n_snapshots,
-    n_external_snapshots (non-zero for shallow clones)."""
+    n_external_snapshots (non-zero for shallow clones), layout (the
+    last full rewrite's clustering, e.g. ``zorder(ts,value)
+    point(event_id)``; NULL when never clustered)."""
     rows = []
     for fi in fsio.list_status(target):
         v = (
@@ -1611,6 +1629,15 @@ def manifest_table_history(spark: SparkSession, target: str) -> DataFrame:
             continue
         man = json.loads(fsio.read_text(fsio.join(target, fi.name)))
         er = man.get("entry_rows")
+        lay = man.get("layout") or {}
+        lay_str = " ".join(
+            f"{tag}({','.join(cols)})"
+            for tag, cols in (
+                ("zorder", lay.get("cluster_by")),
+                ("point", lay.get("point_index")),
+            )
+            if cols
+        ) or None
         rows.append(
             (
                 v,
@@ -1622,12 +1649,14 @@ def manifest_table_history(spark: SparkSession, target: str) -> DataFrame:
                     for rel in man["partitions"].values()
                 }),
                 len(man.get("external_bases") or {}),
+                lay_str,
             )
         )
     return spark.createDataFrame(
         sorted(rows),
         "version INT, partition_col STRING, n_entries INT, "
-        "n_rows BIGINT, n_snapshots INT, n_external_snapshots INT",
+        "n_rows BIGINT, n_snapshots INT, n_external_snapshots INT, "
+        "layout STRING",
     )
 
 
