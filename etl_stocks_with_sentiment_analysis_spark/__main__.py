@@ -8,7 +8,8 @@
     python -m etl_stocks_with_sentiment_analysis_spark ml-train [--trees N] [--out PATH]
     python -m etl_stocks_with_sentiment_analysis_spark ml-predict [--out CSV_DIR]
     python -m etl_stocks_with_sentiment_analysis_spark table ACTION TARGET [...]
-        ACTION: history | count | stats | compact | repartition | clone | show
+        ACTION: history | count | stats | compact | repartition | clone
+                | show | delete
 """
 
 from __future__ import annotations
@@ -51,7 +52,7 @@ def main(argv: list[str] | None = None) -> int:
         "action",
         choices=[
             "history", "count", "stats", "compact", "repartition",
-            "clone", "show",
+            "clone", "show", "delete",
         ],
     )
     p_tbl.add_argument("target", help="manifest table path/URI")
@@ -72,6 +73,12 @@ def main(argv: list[str] | None = None) -> int:
     p_tbl.add_argument("--version", type=int, default=None)
     p_tbl.add_argument("--materialize", action="store_true",
                        help="clone: copy data (sever source dependency)")
+    p_tbl.add_argument("--where", default=None,
+                       help="delete: SQL predicate for rows to remove")
+    p_tbl.add_argument("--mode", default="copy_on_write",
+                       choices=["copy_on_write", "merge_on_read"],
+                       help="delete: rewrite touched entries, or record "
+                       "the predicate as a metadata-only commit")
 
     args = ap.parse_args(argv)
 
@@ -157,6 +164,13 @@ def main(argv: list[str] | None = None) -> int:
             )
             print(f"cloned → {args.to}"
                   + (" (materialized)" if args.materialize else " (shallow)"))
+        elif args.action == "delete":
+            if not args.where:
+                ap.error("delete requires --where SQL")
+            n = sinks.delete_from_manifest_table(
+                spark, args.target, args.where, mode=args.mode
+            )
+            print(f"deleted {n} rows ({args.mode})")
         elif args.action == "show":
             df = sinks.read_manifest_table(
                 spark, args.target, version=args.version

@@ -442,23 +442,40 @@ def _read_manifest_dirs(
     # {snap_rel: absolute base} — resolved against that base instead of
     # `target`; everything else (schema, field-ids, stats) is identical
     ext_bases = man.get("external_bases") or {}
-    # group referenced dirs by their snapshot root: one scan per snap
-    by_snap: dict[str, list[str]] = {}
+    # pending merge-on-read DELETE predicates: each is scoped to the
+    # entry rels that existed when it committed, so rows written
+    # AFTER the delete (new rels) are never re-deleted on read
+    del_preds = man.get("delete_predicates") or []
+    rel_preds = {}  # rel -> sorted tuple of applicable predicate ids
+    if del_preds:
+        for key in keys:
+            rel = man["partitions"][key]
+            ids = tuple(
+                pr["id"] for pr in del_preds if rel in pr["applies_to"]
+            )
+            if ids:
+                rel_preds[rel] = ids
+    pred_sql = {pr["id"]: pr["sql"] for pr in del_preds}
+    # group referenced dirs by (snapshot root, applicable predicate
+    # set): one scan per group — without pending deletes this is
+    # exactly one scan per snap, the r6 plan shape
+    by_snap: dict[tuple, list[str]] = {}
     for key in keys:
         rel = man["partitions"][key]
         snap_rel = rel.split("/", 1)[0]
         base = ext_bases.get(snap_rel, target)
+        gk = (snap_rel, rel_preds.get(rel, ()))
         sel = file_sel.get(key)
         if sel is None:  # no file stats: the whole directory is the unit
-            by_snap.setdefault(snap_rel, []).append(fsio.join(base, rel))
+            by_snap.setdefault(gk, []).append(fsio.join(base, rel))
         elif sel:  # pruned file list (partition discovery still works:
             # file paths resolve against the same basePath as dirs)
-            by_snap.setdefault(snap_rel, []).extend(
+            by_snap.setdefault(gk, []).extend(
                 fsio.join(base, rel, fn) for fn in sel
             )
         # sel == []: every file in this entry is disjoint — skip it
     dfs = []
-    for snap_rel, paths in sorted(by_snap.items()):
+    for (snap_rel, pids), paths in sorted(by_snap.items()):
         at_write = snap_columns.get(snap_rel) if field_ids else None
         if at_write is None:
             read_schema = schema  # legacy snapshot: name-based
@@ -485,7 +502,13 @@ def _read_manifest_dirs(
                 "basePath",
                 fsio.join(ext_bases.get(snap_rel, target), snap_rel),
             )
-        dfs.append(reader.parquet(*sorted(paths)).select(*projection))
+        part = reader.parquet(*sorted(paths)).select(*projection)
+        for pid in pids:  # predicates speak CURRENT column names —
+            # applied after the field-id projection restores them
+            part = part.filter(
+                ~F.coalesce(F.expr(pred_sql[pid]), F.lit(False))
+            )
+        dfs.append(part)
     if not dfs:
         return spark.createDataFrame([], schema)
     out = dfs[0]
@@ -908,6 +931,7 @@ def _publish_snapshot(
     prev_point_index: dict | None = None,
     point_index: list[str] | None = None,
     layout: dict | None = None,
+    prev_delete_preds: list | None = None,
 ) -> dict:
     """Shared tail of every manifest commit (upsert AND compaction):
     write the snapshot data dir (name made unique per ATTEMPT so two
@@ -987,6 +1011,18 @@ def _publish_snapshot(
                 ptype, new_keys, point_index,
             )
         )
+    # pending merge-on-read delete predicates: scoped to the entry
+    # rels that existed when each delete committed. A rewritten entry
+    # gets a NEW rel, so its rows were read THROUGH the predicate and
+    # the delete is now physical there — the predicate self-retires
+    # from that entry; when no scoped rel survives, it drops entirely
+    # (a full rewrite therefore clears all pending deletes).
+    live_rels = set(pmap.values())
+    delete_preds = []
+    for pr in prev_delete_preds or []:
+        still = [rel for rel in pr["applies_to"] if rel in live_rels]
+        if still:
+            delete_preds.append({**pr, "applies_to": still})
     # field-id bookkeeping: the new snapshot's columns are the current
     # (name -> id) mapping at write time; carried-forward snapshots
     # keep their own recorded at-write maps (only for snaps still
@@ -1015,6 +1051,7 @@ def _publish_snapshot(
         # fresh files dilute but don't destroy it, cleared by a plain
         # rewrite
         "layout": layout or {},
+        "delete_predicates": delete_preds,
         # carried-forward external (clone-source) snapshots keep their
         # base; a full rewrite (compaction/repartition) passes None and
         # thereby LOCALIZES the table
@@ -1167,6 +1204,9 @@ def _upsert_manifest(
                     man.get("file_point_index") if man else None
                 ),
                 layout=man.get("layout") if man else None,
+                prev_delete_preds=(
+                    man.get("delete_predicates") if man else None
+                ),
             )
             return
         except ManifestConflictError as e:
@@ -1466,7 +1506,8 @@ def clone_manifest_table(
 
 
 def delete_from_manifest_table(
-    spark: SparkSession, target: str, condition, bounds: dict | None = None
+    spark: SparkSession, target: str, condition, bounds: dict | None = None,
+    mode: str = "copy_on_write",
 ) -> int:
     """Row-level DELETE through the manifest commit protocol: rows
     where ``condition`` (SQL string or Column) evaluates TRUE are
@@ -1489,9 +1530,67 @@ def delete_from_manifest_table(
     ``ts >= X AND user = u`` with bounds ``{"ts": (X, None)}``);
     rows outside the bounds are guaranteed untouched, so an
     inconsistent hint deletes fewer rows than the predicate implies,
-    never more."""
+    never more.
+
+    ``mode="merge_on_read"``: the DELETE commits as METADATA ONLY —
+    the predicate (which must be a SQL string, it is serialized into
+    the manifest) is recorded scoped to the entry rels that exist at
+    commit time, and every reader applies it to rows from those
+    entries (the Delta deletion-vector / Iceberg equality-delete
+    idea, at predicate granularity). The commit costs O(1) regardless
+    of table size — deleting 100 rows from a 100 TB table rewrites
+    nothing. Entry scoping makes later re-inserts safe: an upsert
+    writes a NEW rel, so the old predicate never touches the new
+    rows, and entries it rewrites pass through the reader (predicate
+    applied) so the delete becomes physical there and the predicate
+    self-retires from that entry; any full rewrite (compaction /
+    repartition) applies and clears all pending predicates. The
+    trade: reads carry an extra filter until then, metadata row
+    counts (`count_manifest_table`, entry stats) remain PRE-DELETE
+    upper bounds while predicates are pending (count raises rather
+    than overcounting), and rename/drop are rejected while pending
+    (recorded SQL speaks current column names). The returned count
+    costs one scan (no rewrite) and is best-effort under concurrent
+    writers — the commit itself retries CAS-style like every other.
+    """
     cond = F.expr(condition) if isinstance(condition, str) else condition
     hit = F.coalesce(cond, F.lit(False))
+    if mode == "merge_on_read":
+        if not isinstance(condition, str):
+            raise ValueError(
+                "merge_on_read delete needs the predicate as a SQL "
+                "string — it is recorded in the manifest verbatim"
+            )
+        cur = read_manifest_table(spark, target)
+        if cur is None:
+            raise ValueError(f"no manifest table at {target}")
+        n_deleted = cur.filter(hit).count()
+        if n_deleted == 0:
+            return 0
+
+        def mutate(man: dict) -> None:
+            rels = set(man["partitions"].values())
+            if bounds:
+                from pyspark.sql.types import StructType
+
+                schema = StructType.fromJson(json.loads(man["schema"]))
+                kept = _prune_entry_keys(
+                    spark, man, schema, sorted(man["partitions"]), bounds
+                )
+                rels = {man["partitions"][k] for k in kept}
+            preds = man.setdefault("delete_predicates", [])
+            preds.append(
+                {
+                    "id": max((p["id"] for p in preds), default=-1) + 1,
+                    "sql": condition,
+                    "applies_to": sorted(rels),
+                }
+            )
+
+        _commit_metadata_only(target, mutate)
+        return n_deleted
+    if mode != "copy_on_write":
+        raise ValueError(f"unknown delete mode {mode!r}")
     last_conflict: ManifestConflictError | None = None
     for _ in range(_CAS_MAX_RETRIES):
         ver, man = _latest_manifest(target)
@@ -1539,6 +1638,7 @@ def delete_from_manifest_table(
                 prev_file_stats=man.get("file_stats"),
                 prev_point_index=man.get("file_point_index"),
                 layout=man.get("layout"),
+                prev_delete_preds=man.get("delete_predicates"),
             )
             return n_deleted
         except ManifestConflictError as e:
@@ -1630,6 +1730,7 @@ def manifest_table_history(spark: SparkSession, target: str) -> DataFrame:
         man = json.loads(fsio.read_text(fsio.join(target, fi.name)))
         er = man.get("entry_rows")
         lay = man.get("layout") or {}
+        n_pending = len(man.get("delete_predicates") or [])
         lay_str = " ".join(
             f"{tag}({','.join(cols)})"
             for tag, cols in (
@@ -1649,6 +1750,7 @@ def manifest_table_history(spark: SparkSession, target: str) -> DataFrame:
                     for rel in man["partitions"].values()
                 }),
                 len(man.get("external_bases") or {}),
+                n_pending,
                 lay_str,
             )
         )
@@ -1656,7 +1758,7 @@ def manifest_table_history(spark: SparkSession, target: str) -> DataFrame:
         sorted(rows),
         "version INT, partition_col STRING, n_entries INT, "
         "n_rows BIGINT, n_snapshots INT, n_external_snapshots INT, "
-        "layout STRING",
+        "n_pending_deletes INT, layout STRING",
     )
 
 
@@ -1675,6 +1777,13 @@ def count_manifest_table(target: str, version: int | None = None) -> int:
         raise ValueError(
             f"manifest at {target} predates entry row counts — run any "
             "commit (upsert/compaction) to record them"
+        )
+    if man.get("delete_predicates"):
+        raise ValueError(
+            f"manifest table {target} has pending merge-on-read "
+            "deletes — recorded counts are pre-delete upper bounds; "
+            "compact_manifest_table to apply them, or count the "
+            "reader's frame"
         )
     return sum(int(n) for n in entry_rows.values())
 
@@ -1809,8 +1918,27 @@ def manifest_table_changes(
     only_a = only_b = None
     if man_a["partition_col"] == man_b["partition_col"]:
         pa, pb = man_a["partitions"], man_b["partitions"]
-        only_a = sorted(k for k in pa if pb.get(k) != pa[k])
-        only_b = sorted(k for k in pb if pa.get(k) != pb[k])
+
+        def _pred_ids(man: dict, key: str) -> tuple:
+            # a merge-on-read DELETE changes no entry rel — the entry
+            # is still CHANGED for feed purposes when its applicable
+            # predicate set differs between the two versions
+            rel = man["partitions"][key]
+            return tuple(
+                p["id"]
+                for p in man.get("delete_predicates") or []
+                if rel in p["applies_to"]
+            )
+
+        def _changed(k: str) -> bool:
+            if pa.get(k) != pb.get(k):
+                return True
+            return (k in pa and _pred_ids(man_a, k)) != (
+                k in pb and _pred_ids(man_b, k)
+            )
+
+        only_a = sorted(k for k in pa if _changed(k))
+        only_b = sorted(k for k in pb if _changed(k))
     a = _read_manifest_dirs(spark, target, man_a, only_keys=only_a)
     b = _read_manifest_dirs(spark, target, man_b, only_keys=only_b)
     return b.exceptAll(a).withColumn("change", F.lit("insert")).unionByName(
@@ -1956,6 +2084,13 @@ def rename_manifest_column(target: str, old: str, new: str) -> dict:
 
     def mutate(man: dict) -> None:
         _require_field_ids(man, target)
+        if man.get("delete_predicates"):
+            raise ValueError(
+                f"manifest table {target} has pending merge-on-read "
+                "deletes whose recorded SQL speaks the CURRENT column "
+                "names — compact_manifest_table to apply them before "
+                "schema changes"
+            )
         fids = man["field_ids"]
         if old not in fids:
             raise ValueError(f"no column {old!r} in manifest table {target}")
@@ -2002,6 +2137,13 @@ def drop_manifest_column(target: str, col: str) -> dict:
 
     def mutate(man: dict) -> None:
         _require_field_ids(man, target)
+        if man.get("delete_predicates"):
+            raise ValueError(
+                f"manifest table {target} has pending merge-on-read "
+                "deletes whose recorded SQL speaks the CURRENT column "
+                "names — compact_manifest_table to apply them before "
+                "schema changes"
+            )
         fids = man["field_ids"]
         if col not in fids:
             raise ValueError(f"no column {col!r} in manifest table {target}")
@@ -2717,6 +2859,75 @@ def sink_manifest_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         F.lit(pruned_value_ok).alias("pruned_value_ok"),
         F.lit(pruned_ts_ok).alias("pruned_ts_ok"),
+    )
+
+
+_MOR_ORACLE = """
+SELECT COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents,
+       TRUE AS metadata_only_ok,
+       TRUE AS scoped_retire_ok
+FROM events
+WHERE event_type <> 'click'
+   OR (ts >= TIMESTAMP '2024-01-08 00:00:00'
+       AND ts < TIMESTAMP '2024-01-15 00:00:00')"""
+
+
+@register("sink_manifest_delete_mor", oracle=_MOR_ORACLE)
+def sink_manifest_delete_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ DELETE (the deletion-vector idea at predicate
+    granularity): events are committed partitioned by calendar week,
+    all clicks are deleted with ``mode="merge_on_read"`` — a
+    METADATA-ONLY commit (`metadata_only_ok` asserts the partition
+    map is byte-identical across the delete version: nothing was
+    rewritten — the O(1)-commit property that makes DELETE affordable
+    on a 100 TB table), then ONE week is re-upserted with its
+    original rows. Entry scoping does two things the oracle checks:
+    the rewritten week passed through the predicate-applying reader
+    and then received the incoming rows, so ITS clicks are restored
+    (new rel — the old predicate never touches rows written after
+    it), while every other week's clicks stay logically deleted;
+    `scoped_retire_ok` asserts the predicate is still pending but no
+    longer scoped to the rewritten entry. The oracle is the plain
+    query over what must survive."""
+    import datetime
+
+    target = os.path.join(scratch_dir("s15_"), "events_mor")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value",
+        F.floor(
+            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-05").cast("date"))
+            / 7
+        ).cast("int").alias("dgrp"),
+    )
+    upsert(
+        spark, target, ev, ["event_id", "dgrp"],
+        partition_col="dgrp", commit_mode="manifest",
+    )
+    _, man0 = _latest_manifest(target)
+    delete_from_manifest_table(
+        spark, target, "event_type = 'click'", mode="merge_on_read"
+    )
+    _, man1 = _latest_manifest(target)
+    metadata_only_ok = man1["partitions"] == man0["partitions"]
+    w = (datetime.date(2024, 1, 8) - datetime.date(1970, 1, 5)).days // 7
+    refresh = ev.filter(F.col("dgrp") == w)
+    upsert(
+        spark, target, refresh, ["event_id", "dgrp"],
+        partition_col="dgrp", commit_mode="manifest",
+    )
+    _, man2 = _latest_manifest(target)
+    rel_w = man2["partitions"].get(f"dgrp={w}")
+    preds = man2.get("delete_predicates") or []
+    scoped_retire_ok = bool(preds) and all(
+        rel_w not in p["applies_to"] for p in preds
+    )
+    out = read_manifest_table(spark, target)
+    return out.agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("value_cents"),
+        F.lit(metadata_only_ok).alias("metadata_only_ok"),
+        F.lit(scoped_retire_ok).alias("scoped_retire_ok"),
     )
 
 

@@ -1325,3 +1325,108 @@ def test_point_index_rejects_partition_column(spark, tmp_path):
         sinks.compact_manifest_table(
             spark, target, rows_per_file=100, point_index=["p"]
         )
+
+
+# --- Merge-on-read (predicate) deletes ---------------------------------
+
+
+def test_mor_delete_lifecycle_unpartitioned(spark, tmp_path):
+    """Metadata-only commit; reads apply the predicate; an upsert
+    (full rewrite on an unpartitioned table) makes it physical and
+    re-inserted rows survive; compaction clears; counts guarded."""
+    target = str(tmp_path / "mor")
+    df = _zdf(spark, 100)
+    sinks.upsert(spark, target, df, ["k"], commit_mode="manifest")
+    n = sinks.delete_from_manifest_table(
+        spark, target, "x = 3.0", mode="merge_on_read"
+    )
+    assert n == sum(1 for r in df.collect() if r["x"] == 3.0) > 0
+    _, man = sinks._latest_manifest(target)
+    assert len(man["delete_predicates"]) == 1
+    assert sinks.read_manifest_table(spark, target).count() == 100 - n
+    with pytest.raises(ValueError, match="pending merge-on-read"):
+        sinks.count_manifest_table(target)
+    with pytest.raises(ValueError, match="pending merge-on-read"):
+        sinks.rename_manifest_column(target, "x", "x2")
+    # re-insert one matching row: the rewrite applies the predicate to
+    # OLD rows and the new row survives (entry scoping)
+    one = spark.createDataFrame([(3, 3.0, 0.0)], "k LONG, x DOUBLE, y DOUBLE")
+    sinks.upsert(spark, target, one, ["k"], commit_mode="manifest")
+    got = sinks.read_manifest_table(spark, target)
+    assert got.filter("k = 3").count() == 1
+    assert got.count() == 100 - n + 1
+    _, man2 = sinks._latest_manifest(target)
+    assert man2["delete_predicates"] == []  # full rewrite retired it
+    assert sinks.count_manifest_table(target) == 100 - n + 1
+
+
+def test_mor_delete_partition_scoped_retire(spark, tmp_path):
+    """On a partitioned table only the rewritten entry retires the
+    predicate; other entries keep deleting; time travel pre-delete
+    shows everything; the change feed reports the logical deletes
+    even though no entry rel changed."""
+    from pyspark.sql import functions as F
+
+    target = str(tmp_path / "morp")
+    df = _zdf(spark, 300).withColumn("p", (F.col("k") % 3).cast("int"))
+    sinks.upsert(
+        spark, target, df, ["k", "p"], partition_col="p",
+        commit_mode="manifest",
+    )
+    v0, _ = sinks._latest_manifest(target)
+    n = sinks.delete_from_manifest_table(
+        spark, target, "x < 10.0", mode="merge_on_read"
+    )
+    v1, _ = sinks._latest_manifest(target)
+    assert sinks.read_manifest_table(
+        spark, target, version=v0
+    ).count() == 300
+    feed = sinks.manifest_table_changes(spark, target, v0, v1)
+    assert feed.filter("change = 'delete'").count() == n
+    assert feed.filter("change = 'insert'").count() == 0
+    # rewrite partition 0 with its ORIGINAL rows: its x<10 rows come
+    # back, other partitions stay logically deleted
+    refresh = df.filter("p = 0")
+    sinks.upsert(
+        spark, target, refresh, ["k", "p"], partition_col="p",
+        commit_mode="manifest",
+    )
+    got = sinks.read_manifest_table(spark, target)
+    want = df.filter("p = 0 or x >= 10.0")
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    _, man = sinks._latest_manifest(target)
+    preds = man["delete_predicates"]
+    assert len(preds) == 1
+    rel0 = man["partitions"]["p=0"]
+    assert rel0 not in preds[0]["applies_to"]
+    assert man["partitions"]["p=1"] in preds[0]["applies_to"]
+
+
+def test_mor_delete_stacks_and_bounds_scope(spark, tmp_path):
+    """Two pending predicates compose on read; a bounds hint narrows
+    applies_to to the non-disjoint entries only."""
+    from pyspark.sql import functions as F
+
+    target = str(tmp_path / "morb")
+    df = _zdf(spark, 300).withColumn("p", (F.col("k") % 3).cast("int"))
+    sinks.upsert(
+        spark, target, df, ["k", "p"], partition_col="p",
+        commit_mode="manifest",
+    )
+    sinks.delete_from_manifest_table(
+        spark, target, "x = 1.0", mode="merge_on_read"
+    )
+    # k is unique per partition residue; bound k to partition p=1's
+    # range is impossible — instead bound on k full range but assert
+    # predicate 2 scoped by a k-bounds hint covering only some entries
+    sinks.delete_from_manifest_table(
+        spark, target, "y = 2.0 and k <= 50", bounds={"k": (None, 50)},
+        mode="merge_on_read",
+    )
+    got = sinks.read_manifest_table(spark, target)
+    want = df.filter("x <> 1.0 and not (y = 2.0 and k <= 50)")
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    _, man = sinks._latest_manifest(target)
+    assert len(man["delete_predicates"]) == 2
