@@ -1430,3 +1430,35 @@ def test_mor_delete_stacks_and_bounds_scope(spark, tmp_path):
     assert got.exceptAll(want).count() == 0
     _, man = sinks._latest_manifest(target)
     assert len(man["delete_predicates"]) == 2
+
+
+def test_ivm_maintains_across_mor_delete(spark, tmp_path):
+    """Cross-feature invariant: a merge-on-read delete flows through
+    the change feed as logical delete rows, so incremental view
+    maintenance lands on exactly the recompute."""
+    from pyspark.sql import functions as F
+
+    target = str(tmp_path / "ivmmor")
+    df = _zdf(spark, 300).withColumn("p", (F.col("k") % 3).cast("int"))
+    sinks.upsert(
+        spark, target, df, ["k", "p"], partition_col="p",
+        commit_mode="manifest",
+    )
+    v0, _ = sinks._latest_manifest(target)
+    measures = {"sx": "CAST(ROUND(x * 100, 0) AS BIGINT)"}
+    view0 = sinks.materialize_manifest_aggregate(
+        spark, target, ["p"], measures, version=v0
+    )
+    sinks.delete_from_manifest_table(
+        spark, target, "x < 20.0", mode="merge_on_read"
+    )
+    v1, _ = sinks._latest_manifest(target)
+    maintained = sinks.maintain_manifest_aggregate(
+        spark, target, view0, ["p"], measures, v0, v1
+    )
+    recomputed = sinks.materialize_manifest_aggregate(
+        spark, target, ["p"], measures, version=v1
+    )
+    assert sorted(map(tuple, maintained.collect())) == sorted(
+        map(tuple, recomputed.collect())
+    )
