@@ -1393,6 +1393,39 @@ def compact_manifest_table(
     ) from last_conflict
 
 
+def maybe_compact_manifest_table(
+    spark: SparkSession, target: str, rows_per_file: int = 1_000_000,
+    max_files: int = 64,
+) -> bool:
+    """AUTO-OPTIMIZE policy: compact only when the table needs it —
+    when the referenced data-file count exceeds ``max_files`` (append
+    churn fragments one-file-at-a-time; entries without per-file
+    stats count as one file) or when merge-on-read delete predicates
+    are pending (applying them restores metadata counts and removes
+    the read-time filters). The rewrite PRESERVES the recorded layout:
+    a table last optimized with `cluster_by`/`point_index` is
+    re-clustered and re-indexed the same way, so the scheduled
+    maintenance loop every table format needs ("OPTIMIZE when
+    fragmented") is one idempotent call with no layout knowledge in
+    the caller. Returns True when a compaction ran."""
+    _, man = _latest_manifest(target)
+    if man is None:
+        raise ValueError(f"no manifest table at {target}")
+    fs = man.get("file_stats") or {}
+    n_files = sum(
+        len(fs[k]) if fs.get(k) else 1 for k in man["partitions"]
+    )
+    if n_files <= max_files and not man.get("delete_predicates"):
+        return False
+    lay = man.get("layout") or {}
+    compact_manifest_table(
+        spark, target, rows_per_file,
+        cluster_by=lay.get("cluster_by") or None,
+        point_index=lay.get("point_index") or None,
+    )
+    return True
+
+
 def repartition_manifest_table(
     spark: SparkSession, target: str, new_partition_col: str | None
 ) -> int:

@@ -1462,3 +1462,37 @@ def test_ivm_maintains_across_mor_delete(spark, tmp_path):
     assert sorted(map(tuple, maintained.collect())) == sorted(
         map(tuple, recomputed.collect())
     )
+
+
+def test_maybe_compact_triggers_and_preserves_layout(spark, tmp_path):
+    """Auto-optimize: no-op under the threshold; triggers on
+    fragmentation OR pending merge-on-read deletes; the rewrite
+    re-applies the recorded cluster_by/point_index layout."""
+    target = str(tmp_path / "auto")
+    df = _zdf(spark, 1000)
+    sinks.upsert(spark, target, df, ["k"], commit_mode="manifest")
+    sinks.compact_manifest_table(
+        spark, target, rows_per_file=200,
+        cluster_by=["x", "y"], point_index=["k"],
+    )
+    # ~5 files, compacted, nothing pending: no-op
+    assert sinks.maybe_compact_manifest_table(
+        spark, target, rows_per_file=200, max_files=64
+    ) is False
+    # pending MoR delete forces a run even under the file threshold
+    sinks.delete_from_manifest_table(
+        spark, target, "x = 5.0", mode="merge_on_read"
+    )
+    assert sinks.maybe_compact_manifest_table(
+        spark, target, rows_per_file=200, max_files=64
+    ) is True
+    _, man = sinks._latest_manifest(target)
+    assert man["delete_predicates"] == []  # applied
+    assert man["layout"] == {"cluster_by": ["x", "y"], "point_index": ["k"]}
+    assert man["file_point_index"].get("__ALL__")  # re-indexed
+    n = sinks.read_manifest_table(spark, target).count()
+    assert n == 1000 - df.filter("x = 5.0").count()
+    # fragmentation trigger: tiny max_files
+    assert sinks.maybe_compact_manifest_table(
+        spark, target, rows_per_file=200, max_files=2
+    ) is True
