@@ -1703,7 +1703,9 @@ def manifest_table_stats(
     """ANALYZE output from METADATA ONLY: one row per manifest entry
     with its typed partition value and recorded row count — no data
     file is opened (counts are recorded at commit time, riding the
-    per-commit stats scan of just-written files; carried-forward
+    per-commit stats scan of just-written files; with pending
+    merge-on-read deletes they are PRE-DELETE upper bounds — the
+    history's `n_pending_deletes` column says when; carried-forward
     entries keep theirs). At 100 TB this answers "how big is each
     partition / is the layout skewed" in O(manifest entries) driver
     work, the same question a full GROUP BY scan answers in minutes.

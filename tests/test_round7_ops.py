@@ -1496,3 +1496,28 @@ def test_maybe_compact_triggers_and_preserves_layout(spark, tmp_path):
     assert sinks.maybe_compact_manifest_table(
         spark, target, rows_per_file=200, max_files=2
     ) is True
+
+
+def test_clone_carries_pending_mor_deletes(spark, tmp_path):
+    """A zero-copy clone deep-copies the manifest, so pending
+    merge-on-read deletes stay logically applied on the clone (the
+    predicate's applies_to rels resolve through external_bases), and
+    materializing the clone makes them physical there."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    df = _zdf(spark, 200)
+    sinks.upsert(spark, src, df, ["k"], commit_mode="manifest")
+    n = sinks.delete_from_manifest_table(
+        spark, src, "x = 4.0", mode="merge_on_read"
+    )
+    sinks.clone_manifest_table(spark, src, dst)
+    assert sinks.read_manifest_table(spark, dst).count() == 200 - n
+    sinks.compact_manifest_table(spark, dst, 1000)  # localize + apply
+    _, man = sinks._latest_manifest(dst)
+    assert man["delete_predicates"] == []
+    assert man["external_bases"] == {}
+    assert sinks.read_manifest_table(spark, dst).count() == 200 - n
+    # the SOURCE still has its predicate pending, untouched by the
+    # clone's life
+    _, sman = sinks._latest_manifest(src)
+    assert len(sman["delete_predicates"]) == 1
