@@ -593,9 +593,11 @@ def _write_manifest_atomic(target: str, version: int, manifest: dict) -> None:
 
 
 def _gc_superseded(target: str, manifest: dict) -> None:
-    """Reclaim what the retention window no longer covers: manifest
-    files older than the newest `_RETAIN_VERSIONS` versions, and
-    snapshot directories referenced by NO retained manifest.
+    """Reclaim the snapshot DATA the retention window no longer
+    covers: snapshot directories referenced by NO retained manifest.
+    Manifest FILES are never deleted — the log is append-only (see
+    the inline note below: freeing a version name would break the
+    version-CAS for stalled writers).
 
     Two safety rules beyond the r5 immediate-GC sweep:
 
@@ -667,10 +669,19 @@ def _gc_superseded(target: str, manifest: dict) -> None:
                 continue
             if now - newest >= _GC_GRACE_SECONDS:
                 fsio.delete(path, recursive=True)
-        elif e.startswith(_MANIFEST_PREFIX) and e.endswith(".json"):
-            v = _manifest_version(e)
-            if v is not None and v < keep_min:
-                fsio.delete(path)
+        # MANIFEST FILES ARE NEVER DELETED — the log is APPEND-ONLY.
+        # The version-CAS (`create-if-absent` on the version name) is
+        # only sound if a committed version's name stays taken
+        # FOREVER: deleting old manifests frees their names, and a
+        # writer stalled long enough for K commits to land could then
+        # re-publish a version BELOW the floor — its CAS "succeeds"
+        # against the freed name, `_latest_manifest` never sees it,
+        # and the commit is silently lost (caught by the r7
+        # true-thread MoR-vs-upsert stress test). Snapshot DATA is
+        # still reclaimed above; an old manifest whose snapshots are
+        # gone is just history metadata (tiny JSON, exactly Delta's
+        # append-only _delta_log), and `_manifest_at_version` refuses
+        # reads below the retention floor.
 
 
 def _touched_manifest_keys(
@@ -1684,8 +1695,18 @@ def delete_from_manifest_table(
 
 
 def _manifest_at_version(target: str, version: int) -> dict:
-    """Load one retained manifest by version, with the same error text
-    as `read_manifest_table`'s explicit-version path."""
+    """Load one RETAINED manifest by version. The manifest log is
+    append-only (see `_gc_superseded`), so versions below the
+    retention floor still exist as files — but their snapshot DATA
+    may be reclaimed, so reading them is refused with the same error
+    as a never-committed version rather than failing mid-scan."""
+    cur, _ = _latest_manifest(target)
+    if cur is not None and version < cur - _RETAIN_VERSIONS + 1:
+        raise ValueError(
+            f"manifest version {version} not found at {target} — never "
+            f"committed, or reclaimed past the {_RETAIN_VERSIONS}-version "
+            "retention window"
+        )
     path = fsio.join(target, f"{_MANIFEST_PREFIX}{version:012d}.json")
     try:
         return json.loads(fsio.read_text(path))
@@ -1743,9 +1764,10 @@ def manifest_table_stats(
 
 
 def manifest_table_history(spark: SparkSession, target: str) -> DataFrame:
-    """DESCRIBE HISTORY from metadata alone: one row per RETAINED
-    version (older manifests are reclaimed by the retention sweep,
-    so the history window equals the time-travel window), with the
+    """DESCRIBE HISTORY from metadata alone: one row per COMMITTED
+    version — the manifest log is append-only, so the full history
+    survives even though only the last `_RETAIN_VERSIONS` versions'
+    data remains time-travel-readable — with the
     layout and size facts each manifest records — no data file is
     opened. Columns: version, partition_col, n_entries, n_rows
     (NULL for pre-entry_rows manifests), n_snapshots,

@@ -1025,9 +1025,10 @@ def test_clone_upsert_writes_only_local_deltas(spark, tmp_path):
 
 
 def test_manifest_table_history(spark, tmp_path):
-    """DESCRIBE HISTORY: one row per retained version with recorded
-    layout/size facts; the window shrinks with retention; shallow
-    clones surface their external snapshot count."""
+    """DESCRIBE HISTORY: one row per committed version with recorded
+    layout/size facts; the log is append-only so history outlives the
+    data-retention window; shallow clones surface their external
+    snapshot count."""
     from pyspark.sql import functions as F
 
     target = str(tmp_path / "hist")
@@ -1044,14 +1045,17 @@ def test_manifest_table_history(spark, tmp_path):
     ]
     assert all(r["partition_col"] == "p" for r in h)
     assert h[1]["n_snapshots"] == 2  # v1 = new snap + 3 carried entries
-    # two more commits -> v0/v1 age out (K=3)
+    # two more commits -> v0/v1 data ages out (K=3) but the history
+    # keeps every version (append-only manifest log)
     for i in range(2):
         sinks.upsert(spark, target,
                      df.filter("id = 0").withColumn("v", F.lit(float(i))),
                      ["id", "p"], partition_col="p", commit_mode="manifest")
     versions = [r["version"]
                 for r in sinks.manifest_table_history(spark, target).collect()]
-    assert versions == [2, 3, 4]
+    assert versions == [0, 1, 2, 3, 4]
+    with pytest.raises(ValueError, match="retention"):
+        sinks.read_manifest_table(spark, target, version=0)
     # a shallow clone's history shows its external references
     c = str(tmp_path / "c")
     sinks.clone_manifest_table(spark, target, c)
@@ -1521,3 +1525,72 @@ def test_clone_carries_pending_mor_deletes(spark, tmp_path):
     # clone's life
     _, sman = sinks._latest_manifest(src)
     assert len(sman["delete_predicates"]) == 1
+
+
+def test_true_concurrent_mor_deletes_vs_upserts(spark, tmp_path):
+    """REAL concurrency: one thread streams 4 partition-scoped upserts
+    into p=0 while another issues 4 merge-on-read deletes targeting
+    sentinel rows that live only in p=1. Every serialization must
+    land versions 0..8 contiguous, keep every upserted row (the
+    predicates never match them), logically delete all 4 sentinels
+    (p=1 is never rewritten, so every predicate stays scoped to it),
+    and keep p=1's innocent rows."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    target = str(tmp_path / "race")
+    base = spark.createDataFrame(
+        [(i, float(100 + i) if i < 4 else 0.0, 1) for i in range(8)]
+        + [(100, 0.0, 0)],
+        "k LONG, x DOUBLE, p INT",
+    )
+    sinks.upsert(
+        spark, target, base, ["k", "p"], partition_col="p",
+        commit_mode="manifest",
+    )
+    errors: list[Exception] = []
+
+    def upserter() -> None:
+        try:
+            for i in range(4):
+                batch = spark.createDataFrame(
+                    [(200 + i, 0.0, 0)], "k LONG, x DOUBLE, p INT"
+                )
+                sinks.upsert(
+                    spark, target, batch, ["k", "p"], partition_col="p",
+                    commit_mode="manifest",
+                )
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    def deleter() -> None:
+        try:
+            for i in range(4):
+                sinks.delete_from_manifest_table(
+                    spark, target, f"x = {100 + i}.0",
+                    mode="merge_on_read",
+                )
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=upserter),
+        threading.Thread(target=deleter),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not errors, errors
+    ver, man = sinks._latest_manifest(target)
+    assert ver == 8  # 1 seed + 4 upserts + 4 metadata deletes
+    assert len(man["delete_predicates"]) == 4  # p=1 never rewritten
+    got = {
+        (r["k"], r["x"], r["p"])
+        for r in sinks.read_manifest_table(spark, target).collect()
+    }
+    assert {(200 + i, 0.0, 0) for i in range(4)} <= got
+    assert not any(x >= 100.0 for _, x, _ in got)  # sentinels gone
+    assert {(i, 0.0, 1) for i in range(4, 8)} <= got  # innocents kept
+    assert (100, 0.0, 0) in got

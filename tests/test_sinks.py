@@ -558,9 +558,10 @@ def test_manifest_null_partition_value_roundtrips_as_null(spark, tmp_path):
 def test_manifest_superseded_versions_are_garbage_collected(
     spark, rows, tmp_path, monkeypatch
 ):
-    """With retention=1, after commit N version N-1's manifest file is
-    reclaimed (the K=1 corner); at the default retention the last K
-    manifests survive — checked in test_manifest_retention below."""
+    """The manifest LOG is append-only (deleting a version name would
+    let a stalled writer re-CAS it and lose a commit silently), but
+    superseded SNAPSHOT data past the window is reclaimed: with
+    retention=1, after commit N only version N's snapshot survives."""
     import os
 
     monkeypatch.setattr(sinks, "_RETAIN_VERSIONS", 1)
@@ -569,7 +570,13 @@ def test_manifest_superseded_versions_are_garbage_collected(
     sinks.upsert(spark, target, rows, ["ticker", "date"], commit_mode="manifest")
     sinks.upsert(spark, target, rows, ["ticker", "date"], commit_mode="manifest")
     manifests = [e for e in os.listdir(target) if e.startswith("manifest-")]
-    assert manifests == ["manifest-000000000001.json"]
+    assert sorted(manifests) == [
+        "manifest-000000000000.json", "manifest-000000000001.json"
+    ]  # append-only log: every committed version name stays taken
+    _, man = sinks._latest_manifest(target)
+    live = {rel.split("/", 1)[0] for rel in man["partitions"].values()}
+    snaps = {e for e in os.listdir(target) if e.startswith("snap-")}
+    assert snaps == live  # superseded snapshot data reclaimed
 
 
 def test_manifest_schema_evolution_adds_column_with_nulls(spark, rows, tmp_path):
@@ -830,8 +837,9 @@ def test_manifest_retention_keeps_old_versions_readable(spark, rows, tmp_path):
 def test_manifest_version_past_retention_window_is_reclaimed(
     spark, rows, tmp_path, monkeypatch
 ):
-    """Versions older than _RETAIN_VERSIONS are GC'd: their manifest
-    files disappear and read-at-version raises."""
+    """Versions older than _RETAIN_VERSIONS lose their DATA (snapshots
+    reclaimed) and read-at-version raises cleanly — but their manifest
+    files stay (append-only log protects the version-CAS namespace)."""
     monkeypatch.setattr(sinks, "_RETAIN_VERSIONS", 2)
     monkeypatch.setattr(sinks, "_GC_GRACE_SECONDS", 0.0)
     target = str(tmp_path / "sink")
@@ -847,7 +855,7 @@ def test_manifest_version_past_retention_window_is_reclaimed(
         for e in os.listdir(target)
         if e.startswith("manifest-") and e.endswith(".json")
     )
-    assert versions == [2, 3]
+    assert versions == [0, 1, 2, 3]  # append-only log keeps all names
     with pytest.raises(ValueError, match="retention"):
         sinks.read_manifest_table(spark, target, version=0)
     # retained old version still fully readable
