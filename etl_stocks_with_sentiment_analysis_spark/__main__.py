@@ -9,7 +9,7 @@
     python -m etl_stocks_with_sentiment_analysis_spark ml-predict [--out CSV_DIR]
     python -m etl_stocks_with_sentiment_analysis_spark table ACTION TARGET [...]
         ACTION: history | count | stats | compact | repartition | clone
-                | show | delete
+                | show | delete | update
 """
 
 from __future__ import annotations
@@ -52,7 +52,7 @@ def main(argv: list[str] | None = None) -> int:
         "action",
         choices=[
             "history", "count", "stats", "compact", "repartition",
-            "clone", "show", "delete",
+            "clone", "show", "delete", "update",
         ],
     )
     p_tbl.add_argument("target", help="manifest table path/URI")
@@ -74,7 +74,10 @@ def main(argv: list[str] | None = None) -> int:
     p_tbl.add_argument("--materialize", action="store_true",
                        help="clone: copy data (sever source dependency)")
     p_tbl.add_argument("--where", default=None,
-                       help="delete: SQL predicate for rows to remove")
+                       help="delete/update: SQL predicate selecting rows")
+    p_tbl.add_argument("--set", action="append", default=None,
+                       metavar="COL=EXPR",
+                       help="update: column assignment (repeatable)")
     p_tbl.add_argument("--mode", default="copy_on_write",
                        choices=["copy_on_write", "merge_on_read"],
                        help="delete: rewrite touched entries, or record "
@@ -171,6 +174,14 @@ def main(argv: list[str] | None = None) -> int:
                 spark, args.target, args.where, mode=args.mode
             )
             print(f"deleted {n} rows ({args.mode})")
+        elif args.action == "update":
+            if not args.where or not args.set:
+                ap.error("update requires --where SQL and --set COL=EXPR")
+            assignments = dict(a.split("=", 1) for a in args.set)
+            n = sinks.update_manifest_table(
+                spark, args.target, assignments, args.where
+            )
+            print(f"updated {n} rows")
         elif args.action == "show":
             df = sinks.read_manifest_table(
                 spark, args.target, version=args.version

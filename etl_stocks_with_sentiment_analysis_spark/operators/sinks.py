@@ -1694,6 +1694,112 @@ def delete_from_manifest_table(
     ) from last_conflict
 
 
+def update_manifest_table(
+    spark: SparkSession,
+    target: str,
+    set: dict[str, str],
+    condition,
+    bounds: dict | None = None,
+) -> int:
+    """Row-level UPDATE through the manifest commit protocol (the SQL
+    ``UPDATE t SET col = expr WHERE cond``): rows where ``condition``
+    evaluates TRUE get each ``set`` column replaced by its SQL
+    expression (evaluated against the pre-update row, so swaps like
+    ``{"a": "b", "b": "a"}`` see consistent inputs); FALSE/NULL rows
+    pass through untouched. Partition-scoped like delete: only
+    entries that contain matching rows are rewritten, everything else
+    carries forward by reference, and ``bounds`` skips provably
+    disjoint entries from the discovery scan without opening a file
+    (same caller contract as delete's). Completes the DML triad with
+    upsert (INSERT/MERGE-by-key) and delete.
+
+    Guard rails: the partition column is not updatable (rows would
+    have to MOVE between entries — express that as delete + upsert),
+    and each updated expression is cast back to the column's recorded
+    type, preserving the add-only type-evolution rule (a widening
+    update would brick older snapshots exactly like a widening
+    upsert). Returns the number of rows updated."""
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    hit = F.coalesce(cond, F.lit(False))
+    last_conflict: ManifestConflictError | None = None
+    for _ in range(_CAS_MAX_RETRIES):
+        ver, man = _latest_manifest(target)
+        if man is None:
+            raise ValueError(f"no manifest table at {target}")
+        pcol = man["partition_col"]
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(json.loads(man["schema"]))
+        dtypes = {f.name: f.dataType for f in schema.fields}
+        for c in set:
+            if c not in dtypes:
+                raise ValueError(f"SET column {c!r} not in table schema")
+            if c == pcol:
+                raise ValueError(
+                    f"cannot UPDATE partition column {c!r} — rows would "
+                    "move between entries; delete + upsert instead"
+                )
+        cand = None
+        if bounds:
+            cand = _prune_entry_keys(
+                spark, man, schema, sorted(man["partitions"]), bounds
+            )
+            if not cand:
+                return 0
+        if pcol:
+            full = _read_manifest_dirs(spark, target, man, only_keys=cand)
+            only = _touched_manifest_keys(
+                spark, man, full.filter(hit).select(pcol), pcol
+            )
+            if not only:
+                return 0
+            scoped = _read_manifest_dirs(spark, target, man, only_keys=only)
+            prev_pmap = {
+                k: v for k, v in man["partitions"].items() if k not in only
+            }
+        else:
+            scoped = _read_manifest_dirs(spark, target, man)
+            prev_pmap = None
+        n_updated = scoped.filter(hit).count()
+        if n_updated == 0:
+            return 0
+        updated = scoped.select(
+            *[
+                (
+                    F.when(hit, F.expr(set[f.name]).cast(f.dataType))
+                    .otherwise(F.col(f.name))
+                    .alias(f.name)
+                    if f.name in set
+                    else F.col(f.name)
+                )
+                for f in schema.fields
+            ]
+        )
+        try:
+            _publish_snapshot(
+                target, ver + 1, updated, pcol, prev_pmap,
+                schema_json=man["schema"],  # pure value change
+                prev_stats=man.get("stats"),
+                field_ids=man.get("field_ids"),
+                next_field_id=man.get("next_field_id"),
+                prev_snap_columns=man.get("snap_columns"),
+                prev_entry_rows=man.get("entry_rows"),
+                prev_external=man.get("external_bases"),
+                prev_file_stats=man.get("file_stats"),
+                prev_point_index=man.get("file_point_index"),
+                layout=man.get("layout"),
+                prev_delete_preds=man.get("delete_predicates"),
+            )
+            return n_updated
+        except ManifestConflictError as e:
+            last_conflict = e
+            continue
+    raise ManifestConflictError(
+        f"update lost the manifest commit race {_CAS_MAX_RETRIES} times "
+        f"at {target}"
+    ) from last_conflict
+
+
 def _manifest_at_version(target: str, version: int) -> dict:
     """Load one RETAINED manifest by version. The manifest log is
     append-only (see `_gc_superseded`), so versions below the
@@ -2916,6 +3022,68 @@ def sink_manifest_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         F.lit(pruned_value_ok).alias("pruned_value_ok"),
         F.lit(pruned_ts_ok).alias("pruned_ts_ok"),
+    )
+
+
+_UPD_ORACLE = """
+SELECT COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(
+         (CASE WHEN event_type = 'click'
+                    AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+                    AND ts < TIMESTAMP '2024-01-15 00:00:00'
+               THEN value * 2 ELSE value END) * 100, 0) AS BIGINT)) AS BIGINT)
+         AS value_cents,
+       TRUE AS scoped_ok
+FROM events"""
+
+
+@register("sink_manifest_update", oracle=_UPD_ORACLE)
+def sink_manifest_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level UPDATE through the manifest protocol (the third leg
+    of the DML triad): events are committed partitioned by calendar
+    week, then ``UPDATE SET value = value * 2 WHERE event_type =
+    'click' AND <one week>`` runs with a week-aligned ``bounds`` hint
+    — the discovery scan prunes disjoint weeks from their recorded ts
+    stats, ONLY the matching week's entry is rewritten, and
+    `scoped_ok` asserts every other entry's manifest reference is
+    byte-identical across the commit (carried forward, bytes never
+    touched). The oracle recomputes the CASE expression over the raw
+    table — the update must equal it exactly."""
+    import datetime
+
+    target = os.path.join(scratch_dir("s16_"), "events_upd")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value",
+        F.floor(
+            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-05").cast("date"))
+            / 7
+        ).cast("int").alias("dgrp"),
+    )
+    upsert(
+        spark, target, ev, ["event_id", "dgrp"],
+        partition_col="dgrp", commit_mode="manifest",
+    )
+    _, man0 = _latest_manifest(target)
+    lo = datetime.datetime(2024, 1, 8)
+    hi = datetime.datetime(2024, 1, 15)
+    update_manifest_table(
+        spark, target, {"value": "value * 2"},
+        "event_type = 'click' AND ts >= TIMESTAMP '2024-01-08 00:00:00' "
+        "AND ts < TIMESTAMP '2024-01-15 00:00:00'",
+        bounds={"ts": (lo, hi)},
+    )
+    _, man1 = _latest_manifest(target)
+    w = (datetime.date(2024, 1, 8) - datetime.date(1970, 1, 5)).days // 7
+    scoped_ok = all(
+        man1["partitions"][k] == man0["partitions"][k]
+        for k in man0["partitions"]
+        if k != f"dgrp={w}"
+    ) and man1["partitions"][f"dgrp={w}"] != man0["partitions"][f"dgrp={w}"]
+    out = read_manifest_table(spark, target)
+    return out.agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("value_cents"),
+        F.lit(scoped_ok).alias("scoped_ok"),
     )
 
 

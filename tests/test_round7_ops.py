@@ -1594,3 +1594,85 @@ def test_true_concurrent_mor_deletes_vs_upserts(spark, tmp_path):
     assert not any(x >= 100.0 for _, x, _ in got)  # sentinels gone
     assert {(i, 0.0, 1) for i in range(4, 8)} <= got  # innocents kept
     assert (100, 0.0, 0) in got
+
+
+# --- UPDATE (DML triad) -------------------------------------------------
+
+
+def test_update_swap_semantics_and_type_cast(spark, tmp_path):
+    """SET expressions evaluate against the PRE-update row (a column
+    swap works), untouched rows pass through, and expressions cast
+    back to the recorded column type."""
+    target = str(tmp_path / "upd")
+    df = _zdf(spark, 100)
+    sinks.upsert(spark, target, df, ["k"], commit_mode="manifest")
+    n = sinks.update_manifest_table(
+        spark, target, {"x": "y", "y": "x"}, "k < 10"
+    )
+    assert n == 10
+    got = {r["k"]: (r["x"], r["y"])
+           for r in sinks.read_manifest_table(spark, target).collect()}
+    want = {r["k"]: ((r["y"], r["x"]) if r["k"] < 10 else (r["x"], r["y"]))
+            for r in df.collect()}
+    assert got == want
+    # int-typed expression on a double column casts back to double
+    sinks.update_manifest_table(spark, target, {"x": "42"}, "k = 50")
+    _, man = sinks._latest_manifest(target)
+    import json as _json
+    from pyspark.sql.types import StructType
+
+    sch = StructType.fromJson(_json.loads(man["schema"]))
+    assert dict((f.name, f.dataType.simpleString()) for f in sch.fields)[
+        "x"
+    ] == "double"
+    assert sinks.read_manifest_table(spark, target).filter(
+        "k = 50"
+    ).first()["x"] == 42.0
+
+
+def test_update_rejects_partition_column_and_unknown(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    target = str(tmp_path / "updp")
+    df = _zdf(spark, 90).withColumn("p", (F.col("k") % 3).cast("int"))
+    sinks.upsert(
+        spark, target, df, ["k", "p"], partition_col="p",
+        commit_mode="manifest",
+    )
+    with pytest.raises(ValueError, match="partition column"):
+        sinks.update_manifest_table(spark, target, {"p": "1"}, "k = 1")
+    with pytest.raises(ValueError, match="not in table"):
+        sinks.update_manifest_table(spark, target, {"zz": "1"}, "k = 1")
+    # partition scoping: updating rows in p=0 leaves p=1/p=2 entries
+    # carried by reference
+    _, man0 = sinks._latest_manifest(target)
+    n = sinks.update_manifest_table(
+        spark, target, {"x": "x + 1000"}, "p = 0 and k < 30"
+    )
+    assert n == 10
+    _, man1 = sinks._latest_manifest(target)
+    assert man1["partitions"]["p=1"] == man0["partitions"]["p=1"]
+    assert man1["partitions"]["p=2"] == man0["partitions"]["p=2"]
+    assert man1["partitions"]["p=0"] != man0["partitions"]["p=0"]
+
+
+def test_update_respects_pending_mor_delete(spark, tmp_path):
+    """An UPDATE whose entry rewrite passes through the reader keeps
+    logically-deleted rows dead (they are not resurrected into the
+    new snapshot) and the pending predicate retires from the
+    rewritten entry."""
+    target = str(tmp_path / "updmor")
+    df = _zdf(spark, 100)
+    sinks.upsert(spark, target, df, ["k"], commit_mode="manifest")
+    sinks.delete_from_manifest_table(
+        spark, target, "k < 5", mode="merge_on_read"
+    )
+    n = sinks.update_manifest_table(
+        spark, target, {"x": "x + 1.0"}, "k >= 90"
+    )
+    assert n == 10
+    got = sinks.read_manifest_table(spark, target)
+    assert got.count() == 95
+    assert got.filter("k < 5").count() == 0
+    _, man = sinks._latest_manifest(target)
+    assert man["delete_predicates"] == []  # full rewrite retired it
