@@ -1694,6 +1694,93 @@ def delete_from_manifest_table(
     ) from last_conflict
 
 
+def apply_changes_manifest_table(
+    spark: SparkSession,
+    target: str,
+    changes: DataFrame,
+    keys: list[str],
+    partition_col: str | None = None,
+) -> None:
+    """CDC APPLY: replay a change feed — rows tagged ``insert`` /
+    ``delete`` in a ``change`` column, the EXACT output shape of
+    `manifest_table_changes` — onto a manifest table in ONE atomic
+    commit. Inserts upsert by `keys`; deletes remove their keys
+    (unless the same key is also inserted in the batch — an update in
+    image-diff form is delete-old + insert-new, and the insert wins).
+    Because the feed shape is the change feed's, a table's commits
+    REPLICATE: read A's feed between two versions, apply it to a
+    clone of A's older version, get A's newer version
+    (`sink_manifest_apply_changes` proves the round-trip
+    row-for-row). Partition-scoped like upsert: only entries whose
+    partition values appear in the batch are read and rewritten —
+    applying a small CDC batch to a 100 TB table costs O(touched
+    partitions) — and unlike upsert-then-delete, mixed batches land
+    atomically (readers see all of the batch or none)."""
+    if "change" not in changes.columns:
+        raise ValueError("changes frame needs a 'change' column "
+                         "(insert/delete) — manifest_table_changes' shape")
+    if partition_col is not None and partition_col not in keys:
+        raise ValueError("partition_col must be one of keys")
+    inserts = changes.filter(F.col("change") == "insert").drop("change")
+    dels = changes.filter(F.col("change") == "delete").drop("change")
+    # net key-set to remove from existing data: every changed key; the
+    # insert side then contributes the new images
+    changed_keys = (
+        inserts.select(*keys).unionByName(dels.select(*keys)).distinct()
+    )
+    fsio.mkdirs(target)
+    last_conflict: ManifestConflictError | None = None
+    for _ in range(_CAS_MAX_RETRIES):
+        ver, man = _latest_manifest(target)
+        if man is None:
+            raise ValueError(
+                f"no manifest table at {target} — CDC apply needs an "
+                "existing table (clone the source's base version first)"
+            )
+        if man["partition_col"] != partition_col:
+            raise ValueError(
+                f"partition_col {partition_col!r} does not match the "
+                f"table's recorded {man['partition_col']!r} at {target}"
+            )
+        if partition_col:
+            only = _touched_manifest_keys(
+                spark, man,
+                changes.select(partition_col).distinct(), partition_col,
+            )
+            scoped = _read_manifest_dirs(spark, target, man, only_keys=only)
+            prev_pmap = {
+                k: v for k, v in man["partitions"].items() if k not in only
+            }
+        else:
+            scoped = _read_manifest_dirs(spark, target, man)
+            prev_pmap = None
+        kept = scoped.join(changed_keys, keys, "left_anti")
+        merged = inserts.unionByName(kept)
+        try:
+            _publish_snapshot(
+                target, ver + 1, merged, partition_col, prev_pmap,
+                schema_json=man["schema"],
+                prev_stats=man.get("stats"),
+                field_ids=man.get("field_ids"),
+                next_field_id=man.get("next_field_id"),
+                prev_snap_columns=man.get("snap_columns"),
+                prev_entry_rows=man.get("entry_rows"),
+                prev_external=man.get("external_bases"),
+                prev_file_stats=man.get("file_stats"),
+                prev_point_index=man.get("file_point_index"),
+                layout=man.get("layout"),
+                prev_delete_preds=man.get("delete_predicates"),
+            )
+            return
+        except ManifestConflictError as e:
+            last_conflict = e
+            continue
+    raise ManifestConflictError(
+        f"CDC apply lost the manifest commit race {_CAS_MAX_RETRIES} "
+        f"times at {target}"
+    ) from last_conflict
+
+
 def update_manifest_table(
     spark: SparkSession,
     target: str,
@@ -3022,6 +3109,80 @@ def sink_manifest_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         F.lit(pruned_value_ok).alias("pruned_value_ok"),
         F.lit(pruned_ts_ok).alias("pruned_ts_ok"),
+    )
+
+
+_CDC_ORACLE = """
+SELECT COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(
+         (CASE WHEN ts >= TIMESTAMP '2024-01-08 00:00:00'
+                    AND ts < TIMESTAMP '2024-01-15 00:00:00'
+               THEN value * 2 ELSE value END) * 100, 0) AS BIGINT)) AS BIGINT)
+         AS value_cents,
+       TRUE AS replicated_ok,
+       TRUE AS atomic_ok
+FROM events
+WHERE event_type <> 'click'"""
+
+
+@register("sink_manifest_apply_changes", oracle=_CDC_ORACLE)
+def sink_manifest_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC REPLICATION round-trip: table A (events by week) evolves
+    through two commits — a week-W refresh that doubles values, then
+    a copy-on-write delete of all clicks. B starts as a zero-copy
+    clone of A's BASE version; A's change feed across both commits is
+    applied to B with `apply_changes_manifest_table` in ONE commit.
+    `replicated_ok` asserts B's rows equal A's final rows exactly
+    (multiset-equal via exceptAll both ways); `atomic_ok` asserts B
+    advanced exactly one version — the mixed insert+delete batch
+    landed atomically where upsert-then-delete would take two commits
+    with a readable in-between state. The oracle is A's final state
+    computed from the raw table."""
+    base = scratch_dir("s17_")
+    a = os.path.join(base, "cdc_a")
+    b = os.path.join(base, "cdc_b")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value",
+        F.floor(
+            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-05").cast("date"))
+            / 7
+        ).cast("int").alias("dgrp"),
+    )
+    upsert(
+        spark, a, ev, ["event_id", "dgrp"],
+        partition_col="dgrp", commit_mode="manifest",
+    )
+    v0, _ = _latest_manifest(a)
+    clone_manifest_table(spark, a, b, version=v0)
+    import datetime
+
+    w = (datetime.date(2024, 1, 8) - datetime.date(1970, 1, 5)).days // 7
+    refresh = ev.filter(F.col("dgrp") == w).withColumn(
+        "value", F.col("value") * 2
+    )
+    upsert(
+        spark, a, refresh, ["event_id", "dgrp"],
+        partition_col="dgrp", commit_mode="manifest",
+    )
+    delete_from_manifest_table(spark, a, "event_type = 'click'")
+    v2, _ = _latest_manifest(a)
+    feed = manifest_table_changes(spark, a, v0, v2)
+    apply_changes_manifest_table(
+        spark, b, feed, ["event_id", "dgrp"], partition_col="dgrp"
+    )
+    vb, _ = _latest_manifest(b)
+    atomic_ok = vb == 1  # clone at 0, one CDC commit
+    a_rows = read_manifest_table(spark, a)
+    b_rows = read_manifest_table(spark, b)
+    replicated_ok = (
+        b_rows.exceptAll(a_rows).count() == 0
+        and a_rows.exceptAll(b_rows).count() == 0
+    )
+    return b_rows.agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("value_cents"),
+        F.lit(replicated_ok).alias("replicated_ok"),
+        F.lit(atomic_ok).alias("atomic_ok"),
     )
 
 

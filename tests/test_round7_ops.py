@@ -1676,3 +1676,56 @@ def test_update_respects_pending_mor_delete(spark, tmp_path):
     assert got.filter("k < 5").count() == 0
     _, man = sinks._latest_manifest(target)
     assert man["delete_predicates"] == []  # full rewrite retired it
+
+
+# --- CDC apply ----------------------------------------------------------
+
+
+def test_apply_changes_update_delete_and_entry_drop(spark, tmp_path):
+    """A mixed batch: update (delete+insert same key) takes the new
+    image, plain delete removes, a partition fully deleted drops out
+    of the map, untouched partitions carry by reference."""
+    from pyspark.sql import functions as F
+
+    target = str(tmp_path / "cdc")
+    df = _zdf(spark, 90).withColumn("p", (F.col("k") % 3).cast("int"))
+    sinks.upsert(
+        spark, target, df, ["k", "p"], partition_col="p",
+        commit_mode="manifest",
+    )
+    _, man0 = sinks._latest_manifest(target)
+    # update k=0 (p=0): delete old image + insert new; delete ALL p=1
+    p1_rows = df.filter("p = 1")
+    old0 = df.filter("k = 0").withColumn("change", F.lit("delete"))
+    new0 = (
+        df.filter("k = 0")
+        .withColumn("x", F.lit(777.0))
+        .withColumn("change", F.lit("insert"))
+    )
+    dels = p1_rows.withColumn("change", F.lit("delete"))
+    batch = old0.unionByName(new0).unionByName(dels)
+    sinks.apply_changes_manifest_table(
+        spark, target, batch, ["k", "p"], partition_col="p"
+    )
+    _, man1 = sinks._latest_manifest(target)
+    assert "p=1" not in man1["partitions"]  # fully deleted entry drops
+    assert man1["partitions"]["p=2"] == man0["partitions"]["p=2"]  # untouched
+    got = sinks.read_manifest_table(spark, target)
+    assert got.filter("k = 0").first()["x"] == 777.0
+    assert got.filter("p = 1").count() == 0
+    assert got.count() == 90 - p1_rows.count()
+
+
+def test_apply_changes_validation(spark, tmp_path):
+    df = _zdf(spark, 10)
+    target = str(tmp_path / "cdcv")
+    sinks.upsert(spark, target, df, ["k"], commit_mode="manifest")
+    with pytest.raises(ValueError, match="change"):
+        sinks.apply_changes_manifest_table(spark, target, df, ["k"])
+    from pyspark.sql import functions as F
+
+    batch = df.withColumn("change", F.lit("insert"))
+    with pytest.raises(ValueError, match="no manifest table"):
+        sinks.apply_changes_manifest_table(
+            spark, str(tmp_path / "nope"), batch, ["k"]
+        )
