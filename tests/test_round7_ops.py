@@ -1729,3 +1729,25 @@ def test_apply_changes_validation(spark, tmp_path):
         sinks.apply_changes_manifest_table(
             spark, str(tmp_path / "nope"), batch, ["k"]
         )
+
+
+def test_entry_stats_nan_rollup_matches_spark_semantics(spark, tmp_path):
+    """The driver-side entry rollup must mirror Spark's ordering:
+    NaN sorts GREATEST — max picks NaN when present, min never does
+    (unless all values are NaN); nulls are ignored."""
+    import math
+
+    target = str(tmp_path / "nan")
+    df = spark.createDataFrame(
+        [(0, 1.0), (1, float("nan")), (2, None), (3, -5.0)],
+        "k LONG, x DOUBLE",
+    )
+    sinks.upsert(spark, target, df, ["k"], commit_mode="manifest")
+    _, man = sinks._latest_manifest(target)
+    mn, mx = man["stats"]["__ALL__"]["x"]
+    assert float(mn) == -5.0
+    assert math.isnan(float(mx))  # NaN is Spark's greatest double
+    # bounds pruning on x stays sound: NaN max can't prove disjoint
+    assert sinks.read_manifest_table(
+        spark, target, bounds={"x": (0.0, 2.0)}
+    ).count() == 1
