@@ -83,6 +83,30 @@ def main(argv: list[str] | None = None) -> int:
                        help="delete: rewrite touched entries, or record "
                        "the predicate as a metadata-only commit")
 
+    p_ann = sub.add_parser(
+        "ann", help="approximate-nearest-neighbor top-k over an "
+        "embeddings table (hierarchical IVF, exact re-rank)"
+    )
+    p_ann.add_argument("--sf-dir", default=DEFAULT_SF,
+                       help="dir holding embeddings.parquet")
+    p_ann.add_argument("--k", type=int, default=3)
+    p_ann.add_argument(
+        "--nprobe", type=int, default=2,
+        help="fine cells probed per coarse cell — the primary recall "
+        "dial (recall rises monotonically toward brute force; "
+        "measured curve in ML_BASELINE.md)",
+    )
+    p_ann.add_argument(
+        "--coarse-probe", type=int, default=1,
+        help="coarse cells probed per query (budget coarse_probe x "
+        "nprobe). Raise past 1 for LOOSE/high-noise corpora, where "
+        "members of one duplicate group scatter across coarse cells "
+        "and fine multi-probe alone plateaus (~0.73 recall@3 on the "
+        "measured loose corpus; coarse_probe=2,nprobe=8 lifts it to "
+        "0.9 at 0.4x the brute wall — see ML_BASELINE.md)",
+    )
+    p_ann.add_argument("--show", type=int, default=20)
+
     args = ap.parse_args(argv)
 
     from .session import get_spark
@@ -191,6 +215,23 @@ def main(argv: list[str] | None = None) -> int:
                 return 1
             df.show(20, truncate=False)
             print(f"rows: {df.count()}")
+    elif args.cmd == "ann":
+        from pyspark.sql import functions as F
+
+        from .llmdata.similarity import ivf_topk
+
+        out = ivf_topk(
+            spark, args.sf_dir, nprobe=args.nprobe, k=args.k,
+            coarse_probe=args.coarse_probe,
+        )
+        out.orderBy("q_id", F.col("cosine").desc()).show(
+            args.show, truncate=False
+        )
+        print(
+            f"ann top-{args.k}: nprobe={args.nprobe} "
+            f"coarse_probe={args.coarse_probe} "
+            f"(recall dials; curves in ML_BASELINE.md)"
+        )
     return 0
 
 

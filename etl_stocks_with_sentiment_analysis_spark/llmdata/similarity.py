@@ -242,6 +242,19 @@ def ivf_topk(
     the query side fits and shuffles on cell_id beyond that. Ties
     everywhere break on centroid id, keeping both engines'
     assignments bit-identical.
+
+    ``coarse_probe`` (r7, the SECOND recall dial): probe the
+    top-``nprobe`` fine cells under EACH of the query's top-c COARSE
+    cells (budget c × nprobe, monotone in c — pytest-asserted). Keep
+    the default 1 for deduplicated/near-dup corpora (the pinned
+    regime: recall@3 ≈ 0.91 at nprobe=2, ~0.2× brute wall); raise it
+    for LOOSE/high-noise embeddings, where one group's members
+    scatter across coarse cells and fine multi-probe alone plateaus
+    (~0.73 on the measured loose corpus; coarse_probe=2 × nprobe=8
+    reaches 0.90 at 0.4× brute). Measured curves + the per-round
+    pinned-default regression row live in ML_BASELINE.md; CLI:
+    ``python -m etl_stocks_with_sentiment_analysis_spark ann
+    --nprobe N --coarse-probe C``.
     """
     vecs = _scaled_vectors(spark, sf_dir)
     hk = F.expr(

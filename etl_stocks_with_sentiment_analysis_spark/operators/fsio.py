@@ -26,8 +26,12 @@ atomicity is store-specific, so it dispatches on scheme:
   two racing writers can both pass the exists() check — so the JVM
   path is NOT used for local URIs; the two-writer stress test in
   tests/test_sinks.py would be a coin flip under it.)
-- everything else: ``FileSystem.create(path, overwrite=false)`` —
-  atomic on HDFS-class stores (the namenode arbitrates the create).
+- everything else: write the FULL bytes to a dot-temp sibling, then
+  ``FileSystem.rename(temp, final)`` — atomic on HDFS-class stores
+  (the namenode arbitrates; rename fails when the destination
+  exists), and the destination name is never visible with partial
+  bytes (r8, closing the torn-read window the direct
+  create(overwrite=false)+write publish had).
   On S3A specifically, conditional create requires the store's
   If-None-Match conditional PUT (Hadoop 3.4.1+ exposes it via
   ``fs.s3a.create.conditional.enabled``); older S3A's
@@ -74,14 +78,36 @@ def _session():
     return s
 
 
+# (session, jvm, Path class, IOUtils class, hadoopConfiguration) —
+# resolved once per live SparkSession. py4j resolves a JavaPackage
+# chain (`jvm.org.apache.hadoop.fs.Path`) with reflection round-trips
+# per call; the manifest resolver runs several fsio ops per resolve,
+# so caching the resolved JavaClass handles measurably trims the
+# metadata hot path. Keyed by session IDENTITY so a stopped/restarted
+# session can never serve stale JVM handles.
+_jvm_cache: tuple | None = None
+
+
 def _jfs(path: str):
     """(jvm, FileSystem, Path) for `path`, via the session's Hadoop
     conf. Multi-thread safe: py4j gives each Python thread its own
     gateway connection, and Hadoop's FileSystem cache is the JVM's."""
+    global _jvm_cache
     spark = _session()
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    c = _jvm_cache
+    if c is None or c[0] is not spark:
+        jvm = spark._jvm
+        c = (
+            spark,
+            jvm,
+            jvm.org.apache.hadoop.fs.Path,
+            jvm.org.apache.commons.io.IOUtils,
+            spark._jsc.hadoopConfiguration(),
+        )
+        _jvm_cache = c
+    _, jvm, jpath_cls, _, conf = c
+    jpath = jpath_cls(path)
+    fs = jpath.getFileSystem(conf)
     return jvm, fs, jpath
 
 
@@ -170,7 +196,7 @@ def read_text(path: str) -> str:
             raise FileNotFoundError(path) from None
         raise
     try:
-        data = jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        data = _jvm_cache[3].toByteArray(stream)
     finally:
         stream.close()
     return bytes(data).decode("utf-8")
@@ -215,14 +241,23 @@ def create_text_if_absent(path: str, text: str) -> None:
             except OSError:
                 pass
         return
-    _, fs, jp = _jfs(path)
-    try:
-        out = fs.create(jp, False)
-    except Exception as e:
-        name = _java_exc_name(e)
-        if "FileAlreadyExists" in name or "FileAlreadyExistsException" in name:
-            raise FileExistsError(path) from None
-        raise
+    # Non-local: publish via WRITE-TEMP + RENAME, not
+    # create(overwrite=false)+write. The latter makes the committed
+    # name visible as an empty/partial object before the bytes land,
+    # so a reader racing the commit can observe a torn manifest.
+    # HDFS-class stores rename atomically and the rename FAILS
+    # (returns false) when the destination exists — dst-must-not-exist
+    # rename IS the conditional create, with full bytes already
+    # durable at the temp name before the destination ever appears.
+    # (S3A's rename is a non-atomic server-side copy; true S3
+    # conditional publish needs the If-None-Match conditional PUT —
+    # Hadoop 3.4.1+ `fs.s3a.create.conditional.enabled` — as the
+    # module docstring documents.)
+    jvm, fs, jp = _jfs(path)
+    d, name = path.rsplit("/", 1)
+    tmp = f"{d}/.{name}.tmp-{uuid.uuid4().hex[:8]}"
+    jtmp = jvm.org.apache.hadoop.fs.Path(tmp)
+    out = fs.create(jtmp, True)
     try:
         out.write(bytearray(text.encode("utf-8")))
         try:
@@ -231,6 +266,23 @@ def create_text_if_absent(path: str, text: str) -> None:
             pass  # store without sync support: close() still persists
     finally:
         out.close()
+    try:
+        renamed = bool(fs.rename(jtmp, jp))
+    except Exception as e:
+        if "FileAlreadyExists" in _java_exc_name(e):
+            renamed = False
+        else:
+            try:
+                fs.delete(jtmp, False)
+            except Exception:
+                pass
+            raise
+    if not renamed:
+        try:
+            fs.delete(jtmp, False)
+        except Exception:
+            pass
+        raise FileExistsError(path)
 
 
 def delete(path: str, recursive: bool = False) -> bool:

@@ -237,7 +237,12 @@ def run_incremental_upsert(
     (compaction, a second writer) via the version-CAS, readers get
     snapshot isolation across batches, and `read_manifest_table`
     time-travels per micro-batch version — the combination a
-    production incremental pipeline actually runs."""
+    production incremental pipeline actually runs. In manifest mode
+    each batch also commits its ``(query_name, batch_id)`` transaction
+    watermark (r8): a batch REPLAYED after checkpoint recovery is
+    skipped at the commit layer — value-independent exactly-once, not
+    merely key-idempotence (the Delta txnAppId/txnVersion contract),
+    proven by the force-replay pytest in tests/test_round8_ops.py."""
     from ..operators.sinks import upsert
 
     agg = _daily_agg(
@@ -253,6 +258,11 @@ def run_incremental_upsert(
             keys=["day", "event_type"],
             partition_col="day",
             commit_mode=commit_mode,
+            txn=(
+                (query_name, batch_id)
+                if commit_mode == "manifest"
+                else None
+            ),
         )
 
     return (

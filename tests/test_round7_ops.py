@@ -1,5 +1,5 @@
 """Round-7 manifest hardening: Hadoop-FS routing (file:/// URI
-targets), add-only type evolution, GC safety under in-flight and
+targets), type evolution (widening accepted since r8), GC safety under in-flight and
 unreadable-retained states, compaction liveness under contention."""
 
 import json
@@ -137,22 +137,24 @@ def test_fsio_primitives_roundtrip(spark, tmp_path):
         fsio.create_text_if_absent(up, "again")
 
 
-# --- add-only type evolution (r6 advice: widening bricks old snaps) ----
+# --- type-evolution commit guard (r6 advice; r8 allows safe widening) --
 
 
 def test_manifest_rejects_type_change_at_commit(spark, rows, tmp_path):
-    """An incoming column whose type differs from the recorded schema
-    must be REJECTED at commit time: accepting e.g. int->long would
-    record the widened type while older snapshots' files stay narrow,
-    making the table unreadable after the commit succeeded."""
+    """A NON-WIDENING type change must be REJECTED at commit time:
+    accepting e.g. int->string would record a type older snapshots'
+    files can't serve. (r8 narrows this guard: the strictly-widening
+    numeric moves int->bigint / float->double are now ACCEPTED and
+    served by at-write-type cast-projection — tests/test_round8_ops.py
+    covers that path; everything else still rejects.)"""
     target = str(tmp_path / "sink")
     sinks.upsert(spark, target, rows, ["ticker", "date"], commit_mode="manifest")
-    widened = spark.createDataFrame(
-        [(9, "2024-01-09", "z")], "ticker BIGINT, date STRING, val STRING"
+    changed = spark.createDataFrame(
+        [(9, "2024-01-09", 7.5)], "ticker INT, date STRING, val DOUBLE"
     )
-    with pytest.raises(ValueError, match="add-column only"):
+    with pytest.raises(ValueError, match="widenings"):
         sinks.upsert(
-            spark, target, widened, ["ticker", "date"], commit_mode="manifest"
+            spark, target, changed, ["ticker", "date"], commit_mode="manifest"
         )
     # the reject left the table fully readable and unchanged
     assert _mread(spark, target) == {
@@ -160,6 +162,20 @@ def test_manifest_rejects_type_change_at_commit(spark, rows, tmp_path):
     }
     ver, _ = sinks._latest_manifest(target)
     assert ver == 0
+    # r8: the previously-rejected int->bigint widening now COMMITS and
+    # the carried-forward narrow files read back exactly
+    widened = spark.createDataFrame(
+        [(9, "2024-01-09", "z")], "ticker BIGINT, date STRING, val STRING"
+    )
+    sinks.upsert(
+        spark, target, widened, ["ticker", "date"], commit_mode="manifest"
+    )
+    out = sinks.read_manifest_table(spark, target)
+    assert dict(out.dtypes)["ticker"] == "bigint"
+    assert _mread(spark, target) == {
+        (1, "2024-01-01", "a"), (1, "2024-01-02", "b"),
+        (2, "2024-01-01", "c"), (9, "2024-01-09", "z"),
+    }
 
 
 # --- GC safety: in-flight snapshots and unreadable retained manifests --
@@ -206,7 +222,7 @@ def test_gc_aborts_snapshot_sweep_on_unreadable_retained_manifest(
     snaps_before = {e for e in os.listdir(target) if e.startswith("snap-")}
     assert len(snaps_before) == 2
     # corrupt the RETAINED version-0 manifest, then age both snapshots
-    with open(os.path.join(target, "manifest-000000000000.json"), "w") as f:
+    with open(os.path.join(target, "_manifest_log", "manifest-000000000000.json"), "w") as f:
         f.write("{ not json")
     old = time.time() - 10 * 3600
     for e in snaps_before:
@@ -359,7 +375,7 @@ def test_manifest_legacy_format_reads_and_upgrades(spark, rows, tmp_path):
     target = str(tmp_path / "sink")
     sinks.upsert(spark, target, rows, ["ticker", "date"], commit_mode="manifest")
     # strip the r7 metadata to simulate an r6-written table
-    mpath = os.path.join(target, "manifest-000000000000.json")
+    mpath = os.path.join(target, "_manifest_log", "manifest-000000000000.json")
     man = json.loads(open(mpath).read())
     for k in ("field_ids", "next_field_id", "snap_columns"):
         man.pop(k, None)
@@ -763,7 +779,7 @@ def test_metadata_counts_track_commits(spark, tmp_path):
     import json as _json
     ver, man = sinks._latest_manifest(t2)
     man.pop("entry_rows")
-    mpath = os.path.join(t2, f"manifest-{ver:012d}.json")
+    mpath = os.path.join(t2, "_manifest_log", f"manifest-{ver:012d}.json")
     with open(mpath, "w") as fh:
         _json.dump(man, fh)
     with pytest.raises(ValueError, match="predates entry row counts"):
@@ -937,9 +953,12 @@ def test_clone_is_zero_copy_then_localizes(spark, tmp_path):
 
     shallow = str(tmp_path / "shallow")
     sinks.clone_manifest_table(spark, src, shallow)
-    # zero-copy: only the manifest file exists at the clone
-    names = {fi.name for fi in fsio.list_status(shallow)}
-    assert names == {"manifest-000000000000.json"}
+    # zero-copy: only the manifest log + checkpoint pointer exist at the clone
+    names = {
+        fi.name for fi in fsio.list_status(shallow)
+        if not fi.name.startswith(".")  # Hadoop local-FS .crc sidecars
+    }
+    assert names == {"_manifest_log", "_last_checkpoint"}
     got = {(r["id"], r["p"], r["g"], r["v"])
            for r in sinks.read_manifest_table(spark, shallow).collect()}
     assert got == want

