@@ -22,9 +22,31 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from contextlib import contextmanager
+
 from ..registry import register
 from ..sources import ensure_nanos_conf, load_table
 from ..sources.readers import normalize_event_ts
+
+
+@contextmanager
+def _stream_shuffle(spark: SparkSession, n: int = 8):
+    """Temporarily size ``spark.sql.shuffle.partitions`` for a stream.
+    Streaming STATE partitioning is fixed at query start from this
+    conf — AQE never re-plans a stateful stream — so a daily-bars
+    aggregate over a small corpus otherwise creates the batch default
+    (32) state-store partitions per micro-batch and pays their
+    commit/validation overhead forever. Per-query state sizing is the
+    standard production tuning knob (state partitions should track
+    keyspace, not batch shuffle width); restored on exit. Keep the
+    whole start→awaitTermination span inside the context: foreachBatch
+    jobs read the session conf at batch time."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def _daily_agg(events: DataFrame, streaming: bool = False) -> DataFrame:
@@ -302,11 +324,12 @@ def streaming_manifest_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sinks import read_manifest_table, scratch_dir
 
     target = _os.path.join(scratch_dir("s15_"), "daily_manifest")
-    q = run_incremental_upsert(
-        spark, sf_dir, target,
-        query_name="s15_manifest_sink", commit_mode="manifest",
-    )
-    q.awaitTermination()
+    with _stream_shuffle(spark):
+        q = run_incremental_upsert(
+            spark, sf_dir, target,
+            query_name="s15_manifest_sink", commit_mode="manifest",
+        )
+        q.awaitTermination()
     out = read_manifest_table(spark, target)
     return out.select("day", "event_type", "n_events", "total_value")
 
@@ -400,10 +423,11 @@ def streaming_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = scratch_dir("s21_")
     target = _os.path.join(base, "events_table")
     view_path = _os.path.join(base, "etype_view")
-    q = run_streaming_view_maintenance(
-        spark, sf_dir, target, view_path, query_name="s21_view_maint"
-    )
-    q.awaitTermination()
+    with _stream_shuffle(spark):
+        q = run_streaming_view_maintenance(
+            spark, sf_dir, target, view_path, query_name="s21_view_maint"
+        )
+        q.awaitTermination()
     ev = load_table(spark, sf_dir, "events")
     inc = ev.select(
         "event_id", "user_id", F.lit("refreshed").alias("event_type"), "value",
