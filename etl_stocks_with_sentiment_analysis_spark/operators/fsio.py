@@ -202,17 +202,23 @@ def read_text(path: str) -> str:
     return bytes(data).decode("utf-8")
 
 
-def write_text(path: str, text: str) -> None:
+def write_text(path: str, text: str, sync: bool = True) -> None:
     """Create-or-overwrite write (temp files, markers) — NOT the
-    commit CAS; see `create_text_if_absent`."""
+    commit CAS; see `create_text_if_absent`. ``sync=False`` skips the
+    hsync for BEST-EFFORT files whose loss costs only a fallback
+    (checkpoint pointer, in-flight markers): a disk sync per marker
+    touch is measurable protocol overhead at per-micro-batch commit
+    rates, and durability of these files is explicitly not part of
+    the commit contract."""
     _, fs, jp = _jfs(path)
     out = fs.create(jp, True)
     try:
         out.write(bytearray(text.encode("utf-8")))
-        try:
-            out.hsync()
-        except Exception:
-            pass  # store without sync support: close() still persists
+        if sync:
+            try:
+                out.hsync()
+            except Exception:
+                pass  # store without sync support: close() persists
     finally:
         out.close()
 

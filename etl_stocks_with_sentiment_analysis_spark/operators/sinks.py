@@ -142,6 +142,11 @@ _POINT_INDEX_BUCKETS = 4096
 _POINT_INDEX_MAX_FILL = 0.6
 
 
+# targets this process has already committed to in log-dir mode —
+# lets `_write_manifest_atomic` skip the per-commit legacy-name guard
+_LOG_MODE_TARGETS: set[str] = set()
+
+
 class ManifestConflictError(RuntimeError):
     """A concurrent writer committed the manifest version this writer
     was about to publish. `upsert(commit_mode="manifest")` catches this
@@ -175,14 +180,21 @@ _ABSENT = object()
 _BAD = object()
 
 
-def _read_manifest_version(target: str, version: int):
+def _read_manifest_version(target: str, version: int, log_only: bool = False):
     """Read one manifest version -> dict | _ABSENT | _BAD. Checks the
-    log dir, then the legacy flat location. A file that exists but
-    fails to parse gets ONE short-delay re-read (covers a foreign
-    store's eventual visibility) before reporting _BAD — the publish
-    CAS itself is atomic per store (POSIX link / HDFS rename), so a
-    torn manifest is store corruption, not a normal race."""
-    for p in _manifest_paths(target, version):
+    log dir, then the legacy flat location (``log_only`` skips the
+    legacy probe — sound on the pointer fast path: the pointer is only
+    written by log-dir commits and versions are contiguous, so the
+    pointer version and everything after it live in the log dir). A
+    file that exists but fails to parse gets ONE short-delay re-read
+    (covers a foreign store's eventual visibility) before reporting
+    _BAD — the publish CAS itself is atomic per store (POSIX link /
+    HDFS rename), so a torn manifest is store corruption, not a
+    normal race."""
+    paths = _manifest_paths(target, version)
+    if log_only:
+        paths = paths[:1]
+    for p in paths:
         try:
             text = fsio.read_text(p)
         except FileNotFoundError:
@@ -207,6 +219,7 @@ def _write_checkpoint(target: str, version: int) -> None:
         fsio.write_text(
             fsio.join(target, _CHECKPOINT_NAME),
             json.dumps({"version": version}),
+            sync=False,  # best-effort hint: loss costs one listing
         )
     except Exception:
         pass
@@ -270,11 +283,11 @@ def _latest_manifest(target: str) -> tuple[int | None, dict | None]:
     hdfs://-class targets."""
     ptr = _read_checkpoint(target)
     if ptr is not None:
-        got = _read_manifest_version(target, ptr)
+        got = _read_manifest_version(target, ptr, log_only=True)
         if isinstance(got, dict):
             best_v, best_man = ptr, got
             for v in range(ptr + 1, ptr + 1 + _CKPT_PROBE_MAX):
-                nxt = _read_manifest_version(target, v)
+                nxt = _read_manifest_version(target, v, log_only=True)
                 if nxt is _ABSENT:
                     return best_v, best_man
                 if isinstance(nxt, dict):
@@ -724,27 +737,36 @@ def _write_manifest_atomic(target: str, version: int, manifest: dict) -> None:
     through the same Hadoop FileSystem facade, so the protocol runs
     against any URI scheme Spark can reach.
     """
-    log = fsio.join(target, _LOG_DIR)
-    fsio.mkdirs(log)
     # legacy guard: a pre-r8 table holds its manifests flat in the
     # table root; the CAS below only arbitrates names INSIDE the log
     # dir, so a version name already taken at the legacy location must
-    # conflict here (can only happen if the caller's resolve somehow
-    # missed it — belt and braces, one exists() per commit)
-    if fsio.exists(fsio.join(target, _manifest_name(version))):
-        raise ManifestConflictError(
-            f"manifest version {version} at {target} already exists at "
-            "the legacy flat location"
-        )
-    final = fsio.join(log, _manifest_name(version))
+    # conflict here. Belt-and-braces only — the resolver reads both
+    # locations, so new_ver always exceeds every flat version; the
+    # guard can fire only against a resolve bug. One exists() per
+    # target per process (memoized once a log commit has landed),
+    # not per commit.
+    if target not in _LOG_MODE_TARGETS:
+        if fsio.exists(fsio.join(target, _manifest_name(version))):
+            raise ManifestConflictError(
+                f"manifest version {version} at {target} already exists "
+                "at the legacy flat location"
+            )
+    final = fsio.join(target, _LOG_DIR, _manifest_name(version))
     text = json.dumps(manifest, indent=1, sort_keys=True)
     try:
-        fsio.create_text_if_absent(final, text)
+        try:
+            fsio.create_text_if_absent(final, text)
+        except FileNotFoundError:
+            # first commit into this table: create the log dir on
+            # demand instead of paying a mkdirs RPC on every commit
+            fsio.mkdirs(fsio.join(target, _LOG_DIR))
+            fsio.create_text_if_absent(final, text)
     except FileExistsError:
         raise ManifestConflictError(
             f"manifest version {version} at {target} was committed by a "
             "concurrent writer"
         )
+    _LOG_MODE_TARGETS.add(target)
     # pointer refresh AFTER the CAS: every commit path (data,
     # metadata-only, clone) funnels through here, so the checkpoint
     # is at most one commit stale under any interleaving — and the
@@ -1134,7 +1156,7 @@ def _publish_snapshot(
     # the sweep's max-child-mtime age stays fresh across the stats
     # scan; removed once the manifest referencing the snapshot lands.
     marker = fsio.join(snap, ".inflight")
-    fsio.write_text(marker, "")
+    fsio.write_text(marker, "", sync=False)
     if partition_col:
         parts = {
             e.name: f"{snap_rel}/{e.name}"
@@ -1268,7 +1290,7 @@ def _publish_snapshot(
         # spurious schema drift across versions
         "schema": schema_json or merged.schema.json(),
     }
-    fsio.write_text(marker, "")  # refresh in-flight age post-stats-scan
+    fsio.write_text(marker, "", sync=False)  # refresh in-flight age post-stats-scan
     try:
         _write_manifest_atomic(target, new_ver, manifest)
     except ManifestConflictError:

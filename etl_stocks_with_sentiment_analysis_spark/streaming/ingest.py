@@ -362,8 +362,11 @@ def run_streaming_view_maintenance(
             "event_id", "user_id", "event_type", "value",
             (F.col("user_id") % 8).cast("int").alias("ugrp"),
         )
+        # txn watermark (r8): a replayed batch skips the table commit
+        # entirely; maintain_view_artifact is already version-keyed,
+        # so the no-op commit leaves the view exactly caught up
         upsert(s, target, rows, ["event_id", "ugrp"], partition_col="ugrp",
-               commit_mode="manifest")
+               commit_mode="manifest", txn=(query_name, batch_id))
         maintain_view_artifact(
             s, target, view_path, ["event_type"],
             {"value_cents": "CAST(ROUND(value * 100, 0) AS BIGINT)"},

@@ -135,13 +135,17 @@ def test_legacy_flat_manifest_table_reads_and_continues(
 
 def test_cas_refuses_version_taken_at_legacy_location(spark, rows, tmp_path):
     """Belt-and-braces: a version name already committed flat (legacy)
-    must conflict, never be shadowed by a log-dir publish."""
+    must conflict, never be shadowed by a log-dir publish. The guard
+    is per-target-per-process (memoized once a log commit lands), so
+    the test clears the memo to model a FRESH writer process hitting
+    the table."""
     target = str(tmp_path / "sink")
     sinks.upsert(spark, target, rows, ["ticker", "date"],
                  commit_mode="manifest")
     man = sinks._read_manifest_version(target, 0)
     with open(os.path.join(target, "manifest-000000000001.json"), "w") as f:
         json.dump({**man, "version": 1}, f)
+    sinks._LOG_MODE_TARGETS.discard(target)  # new-process view
     with pytest.raises(sinks.ManifestConflictError):
         sinks._write_manifest_atomic(target, 1, {**man, "version": 1})
 
@@ -507,3 +511,45 @@ def test_ivf_pinned_default_recall_floor_clustered(spark, tmp_path):
     truth = ground_truth_top3(spark, out)
     rec = recall_at_3(truth, ivf_top3(spark, out, nprobe=2))
     assert rec >= 0.85, f"pinned-default recall@3 regressed: {rec}"
+
+
+def test_view_maintenance_stream_replay_exactly_once(spark, tmp_path):
+    """The view-maintenance stream's table commits carry txn
+    watermarks too: a full replay (fresh checkpoint, same query_name)
+    advances neither the table version nor the view content."""
+    from pyspark.sql import functions as F
+
+    from etl_stocks_with_sentiment_analysis_spark.operators.sinks import (
+        read_view_artifact,
+    )
+    from etl_stocks_with_sentiment_analysis_spark.streaming import ingest
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ev = spark.createDataFrame(
+        [(i, i % 3, f"t{i % 2}", float(i),
+          f"2024-01-0{1 + i % 3} 00:00:0{i % 6}")
+         for i in range(12)],
+        "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, ts_s STRING",
+    ).select("event_id", "user_id", "event_type", "value",
+             F.col("ts_s").cast("timestamp").alias("ts"))
+    ev.coalesce(1).write.mode("overwrite").parquet(str(src / "events.parquet"))
+
+    target = str(tmp_path / "tbl")
+    view_path = str(tmp_path / "view")
+    for attempt in range(2):  # second run = full replay
+        q = ingest.run_streaming_view_maintenance(
+            spark, str(src), target, view_path,
+            query_name="t_r8_vm_replay",
+        )
+        q.awaitTermination()
+        if attempt == 0:
+            v0, _ = sinks._latest_manifest(target)
+            view0 = sorted(
+                map(tuple, read_view_artifact(spark, view_path)[0].collect())
+            )
+    v1, _ = sinks._latest_manifest(target)
+    view1 = sorted(
+        map(tuple, read_view_artifact(spark, view_path)[0].collect())
+    )
+    assert v1 == v0 and view1 == view0
