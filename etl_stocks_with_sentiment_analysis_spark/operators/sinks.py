@@ -1350,6 +1350,18 @@ def _check_schema_types(
         old = recorded[nm]
         if allow_widening and nm != pcol and (old, dt) in _TYPE_WIDENINGS:
             widened[nm] = (old, dt)
+        elif nm != pcol and (dt, old) in _TYPE_WIDENINGS:
+            # UPCAST: the incoming column is NARROWER than recorded —
+            # always value-safe (the merge's union coerces the rows up
+            # to the recorded type; files are written wide, the
+            # recorded schema is unchanged). Accepting it means a
+            # writer still producing the pre-widening type keeps
+            # working after someone else widens the table — including
+            # mid-upsert, when a lost CAS race re-checks against the
+            # freshly-widened manifest (Delta's implicit safe-cast
+            # store assignment). Requires nothing from snap_types:
+            # nothing widens.
+            continue
         else:
             bad[nm] = (old, dt)
     if bad:
@@ -1423,8 +1435,13 @@ def _upsert_manifest(
     id), so Spark's vectorized parquet reader never receives an
     imposed schema wider than a file's physical type. Any OTHER type
     change is rejected at commit time — it would leave older
-    snapshots unreadable. Widening requires every live snapshot to
-    carry at-write types; pre-r8 tables compact once first."""
+    snapshots unreadable. The REVERSE direction (incoming NARROWER
+    than recorded — a pre-widening writer still producing int into a
+    now-bigint column) is accepted and coerced up by the merge, so
+    concurrent writers survive someone else's widening, including on
+    a CAS-retry re-check against a freshly-widened manifest. Widening
+    requires every live snapshot to carry at-write types; pre-r8
+    tables compact once first."""
     fsio.mkdirs(target)
     last_conflict: ManifestConflictError | None = None
     for _ in range(_CAS_MAX_RETRIES):

@@ -213,7 +213,7 @@ def test_widening_upsert_casts_carried_forward_snapshots(spark, tmp_path):
     assert [r["id"] for r in pruned.collect()] == [1]
 
 
-def test_widening_rejects_narrowing_and_non_numeric_changes(
+def test_widening_upcasts_narrow_writers_and_rejects_incompatible(
     spark, tmp_path
 ):
     target = str(tmp_path / "widen")
@@ -223,13 +223,19 @@ def test_widening_rejects_narrowing_and_non_numeric_changes(
     )
     sinks.upsert(spark, target, w, ["id", "p"], partition_col="p",
                  commit_mode="manifest")
-    # narrowing back is refused
+    # a writer still producing the PRE-widening types keeps working:
+    # its rows are coerced up to the recorded wide types (implicit
+    # safe cast), the recorded schema stays wide
     n = spark.createDataFrame(
-        [(8, "a", 8, 8.0)], "id INT, p STRING, score INT, w FLOAT"
+        [(8, "a", 8, 0.125)], "id INT, p STRING, score INT, w FLOAT"
     )
-    with pytest.raises(ValueError, match="widenings"):
-        sinks.upsert(spark, target, n, ["id", "p"], partition_col="p",
-                     commit_mode="manifest")
+    sinks.upsert(spark, target, n, ["id", "p"], partition_col="p",
+                 commit_mode="manifest")
+    out = sinks.read_manifest_table(spark, target)
+    assert dict(out.dtypes)["score"] == "bigint"
+    assert (8, 8, 0.125) in {
+        (r["id"], r["score"], r["w"]) for r in out.collect()
+    }
     # unrelated type change is refused
     s = spark.createDataFrame(
         [(7, "a", "oops", 7.0)], "id INT, p STRING, score STRING, w DOUBLE"
@@ -553,3 +559,61 @@ def test_view_maintenance_stream_replay_exactly_once(spark, tmp_path):
         map(tuple, read_view_artifact(spark, view_path)[0].collect())
     )
     assert v1 == v0 and view1 == view0
+
+
+def test_concurrent_widening_vs_narrow_writer_race(spark, tmp_path):
+    """TRUE-THREAD race: writer A widens score to BIGINT while writer
+    B keeps committing INT batches. Whatever the interleaving, every
+    batch must land (B's post-widening commits upcast instead of
+    crashing on the CAS-retry re-check), the final recorded type is
+    BIGINT, and no version is lost."""
+    import threading
+
+    target = str(tmp_path / "race")
+    base = spark.createDataFrame(
+        [(0, "a", 0, 0.0)], "id INT, p STRING, score INT, w FLOAT"
+    )
+    sinks.upsert(spark, target, base, ["id", "p"], partition_col="p",
+                 commit_mode="manifest")
+    errors: list[Exception] = []
+
+    def widener() -> None:
+        try:
+            wdf = spark.createDataFrame(
+                [(100, "a", 10_000_000_000, 1.0)],
+                "id INT, p STRING, score BIGINT, w DOUBLE",
+            )
+            sinks.upsert(spark, target, wdf, ["id", "p"],
+                         partition_col="p", commit_mode="manifest")
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    def narrow_writer() -> None:
+        try:
+            for i in range(1, 4):
+                ndf = spark.createDataFrame(
+                    [(i, "a", i, float(i))],
+                    "id INT, p STRING, score INT, w FLOAT",
+                )
+                sinks.upsert(spark, target, ndf, ["id", "p"],
+                             partition_col="p", commit_mode="manifest")
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=widener),
+               threading.Thread(target=narrow_writer)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not errors, errors
+    out = sinks.read_manifest_table(spark, target)
+    assert dict(out.dtypes)["score"] == "bigint"
+    got = {(r["id"], r["score"]) for r in out.collect()}
+    assert got == {(0, 0), (1, 1), (2, 2), (3, 3), (100, 10_000_000_000)}
+    ver, man = sinks._latest_manifest(target)
+    assert ver == 4  # 5 commits (base + widener + 3 narrow), none lost
+    # the checkpoint pointer converged to the last committed version
+    assert json.load(
+        open(os.path.join(target, "_last_checkpoint"))
+    )["version"] == 4
