@@ -212,6 +212,105 @@ def _read_manifest_version(target: str, version: int, log_only: bool = False):
     return _ABSENT
 
 
+# --- DELTA MANIFESTS (r8): O(touched entries) metadata per commit ---
+#
+# A full-state manifest embeds the whole partition map + stats, so a
+# one-partition commit on a 50k-entry table serialized ~11 MB of JSON
+# (measured, tools/metadata_scale.py) — linear in TABLE size, not in
+# COMMIT size. Commits now write a DELTA against the most recent
+# FULL-STATE version (every `_FULL_STATE_EVERY`-th version is full,
+# like Delta's JSON actions + periodic checkpoint): the big keyed
+# sections carry only added/changed/removed entries, the small scalar
+# fields ride along verbatim. Resolution stays O(1) reads — a delta
+# names its full-state base DIRECTLY (never a delta chain), so
+# folding costs at most one extra read, and the immutable base files
+# are cached per process. Everything downstream of the resolver sees
+# the same folded full-state dict as before; only the on-disk bytes
+# of non-multiple-of-K versions changed. Metadata-only commits,
+# clones, and version 0 write full states when diffing has no base.
+_FULL_STATE_EVERY = 16
+_DELTA_SECTIONS = (
+    "partitions", "stats", "entry_rows", "file_stats",
+    "file_point_index", "snap_columns", "snap_types", "external_bases",
+)
+# (target, version) -> RAW full-state dict; manifest files are
+# immutable once CAS'd, so the cache can never go stale
+_BASE_STATE_CACHE: dict[tuple, dict] = {}
+_BASE_STATE_CACHE_MAX = 64
+
+
+def _cache_base(target: str, version: int, raw: dict) -> None:
+    if len(_BASE_STATE_CACHE) >= _BASE_STATE_CACHE_MAX:
+        _BASE_STATE_CACHE.pop(next(iter(_BASE_STATE_CACHE)))
+    _BASE_STATE_CACHE[(target, version)] = raw
+
+
+def _fold_delta(base_state: dict, delta: dict) -> dict:
+    """Apply a delta manifest onto its full-state base -> the folded
+    full logical state (a fresh dict; the cached base is never
+    mutated)."""
+    state = json.loads(json.dumps(base_state))
+    for sec in _DELTA_SECTIONS:
+        cur = state.get(sec) or {}
+        cur.update(delta.get("set", {}).get(sec) or {})
+        for k in delta.get("del", {}).get(sec) or []:
+            cur.pop(k, None)
+        state[sec] = cur
+    for k, v in delta.items():
+        if k not in ("format", "base", "set", "del"):
+            state[k] = v
+    return state
+
+
+def _load_state(target: str, version: int, raw=None):
+    """Raw manifest at `version` -> FULL logical state, folding a
+    delta onto its named full-state base. dict | _ABSENT | _BAD."""
+    if raw is None:
+        raw = _read_manifest_version(target, version)
+    if not isinstance(raw, dict) or raw.get("format") != "delta":
+        return raw
+    bv = raw["base"]
+    base = _BASE_STATE_CACHE.get((target, bv))
+    if base is None:
+        base = _read_manifest_version(target, bv)
+        if not isinstance(base, dict) or base.get("format") == "delta":
+            return _BAD  # a delta's base must be a readable full state
+        _cache_base(target, bv, base)
+    return _fold_delta(base, raw)
+
+
+def _encode_manifest(target: str, version: int, state: dict) -> str:
+    """Serialize a commit: full state every `_FULL_STATE_EVERY`-th
+    version (and whenever a usable base is unavailable), else a delta
+    against the most recent full-state version."""
+    if version % _FULL_STATE_EVERY == 0:
+        return json.dumps(state, indent=1, sort_keys=True)
+    base_v = version - (version % _FULL_STATE_EVERY)
+    base = _BASE_STATE_CACHE.get((target, base_v))
+    if base is None:
+        raw = _read_manifest_version(target, base_v)
+        if not isinstance(raw, dict) or raw.get("format") == "delta":
+            # no usable base (e.g. corrupt): degrade to a full state —
+            # always correct, just bigger
+            return json.dumps(state, indent=1, sort_keys=True)
+        base = raw
+        _cache_base(target, base_v, base)
+    delta: dict = {"format": "delta", "base": base_v, "set": {}, "del": {}}
+    for sec in _DELTA_SECTIONS:
+        b = base.get(sec) or {}
+        cur = state.get(sec) or {}
+        setd = {k: v for k, v in cur.items() if b.get(k) != v}
+        deld = [k for k in b if k not in cur]
+        if setd:
+            delta["set"][sec] = setd
+        if deld:
+            delta["del"][sec] = deld
+    for k, v in state.items():
+        if k not in _DELTA_SECTIONS:
+            delta[k] = v
+    return json.dumps(delta, indent=1, sort_keys=True)
+
+
 def _write_checkpoint(target: str, version: int) -> None:
     """Best-effort pointer refresh after a successful commit. Failure
     is swallowed: the next resolve pays a listing, nothing more."""
@@ -257,7 +356,7 @@ def _latest_manifest_by_listing(target: str) -> tuple[int | None, dict | None]:
     a pathological entry degrades to the next-best committed version
     instead of an error."""
     for v in sorted(_list_manifest_versions(target), reverse=True):
-        got = _read_manifest_version(target, v)
+        got = _load_state(target, v)
         if isinstance(got, dict):
             return v, got
     return None, None
@@ -285,16 +384,24 @@ def _latest_manifest(target: str) -> tuple[int | None, dict | None]:
     if ptr is not None:
         got = _read_manifest_version(target, ptr, log_only=True)
         if isinstance(got, dict):
-            best_v, best_man = ptr, got
+            best_v, best_raw = ptr, got
+            exhausted = True
             for v in range(ptr + 1, ptr + 1 + _CKPT_PROBE_MAX):
                 nxt = _read_manifest_version(target, v, log_only=True)
                 if nxt is _ABSENT:
-                    return best_v, best_man
+                    exhausted = False
+                    break
                 if isinstance(nxt, dict):
-                    best_v, best_man = v, nxt
+                    best_v, best_raw = v, nxt
                 # _BAD: version exists but is unreadable — keep
                 # probing; a newer readable version must still win
-            # probe budget exhausted: pointer pathologically stale
+            if not exhausted:
+                state = _load_state(target, best_v, raw=best_raw)
+                if isinstance(state, dict):
+                    return best_v, state
+                # fold failed (corrupt full-state base): listing path
+                # below degrades to the newest fully-resolvable version
+            # else: probe budget exhausted, pointer pathologically stale
     return _latest_manifest_by_listing(target)
 
 
@@ -752,7 +859,7 @@ def _write_manifest_atomic(target: str, version: int, manifest: dict) -> None:
                 "at the legacy flat location"
             )
     final = fsio.join(target, _LOG_DIR, _manifest_name(version))
-    text = json.dumps(manifest, indent=1, sort_keys=True)
+    text = _encode_manifest(target, version, manifest)
     try:
         try:
             fsio.create_text_if_absent(final, text)
@@ -825,7 +932,7 @@ def _gc_superseded(target: str, manifest: dict) -> None:
     # loop O(_RETAIN_VERSIONS) reads however many commits the
     # append-only log has accumulated
     for v in range(keep_min, cur):
-        got = _read_manifest_version(target, v)
+        got = _load_state(target, v)
         try:
             if not isinstance(got, dict):
                 raise KeyError("unreadable retained manifest")
@@ -2260,7 +2367,7 @@ def _manifest_at_version(target: str, version: int) -> dict:
             f"committed, or reclaimed past the {_RETAIN_VERSIONS}-version "
             "retention window"
         )
-    got = _read_manifest_version(target, version)
+    got = _load_state(target, version)
     if isinstance(got, dict):
         return got
     if got is _BAD:
@@ -2333,7 +2440,7 @@ def manifest_table_history(spark: SparkSession, target: str) -> DataFrame:
     point(event_id)``; NULL when never clustered)."""
     rows = []
     for v in _list_manifest_versions(target):
-        man = _read_manifest_version(target, v)
+        man = _load_state(target, v)
         if not isinstance(man, dict):
             continue
         er = man.get("entry_rows")

@@ -617,3 +617,87 @@ def test_concurrent_widening_vs_narrow_writer_race(spark, tmp_path):
     assert json.load(
         open(os.path.join(target, "_last_checkpoint"))
     )["version"] == 4
+
+
+# --- delta manifests: O(touched entries) metadata per commit -----------
+
+
+def test_delta_manifests_fold_and_time_travel(spark, tmp_path, monkeypatch):
+    """Non-multiple-of-K versions are written as DELTAS against the
+    last full-state version; resolution folds them back to the exact
+    state, time travel works at every version, and the K-th commit is
+    a full state again."""
+    monkeypatch.setattr(sinks, "_FULL_STATE_EVERY", 4)
+    sinks._BASE_STATE_CACHE.clear()
+    target = str(tmp_path / "sink")
+    for i in range(6):  # versions 0..5: 0,4 full; 1,2,3,5 deltas
+        batch = spark.createDataFrame(
+            [(i, "a" if i % 2 else "b", i * 10)],
+            "id INT, p STRING, v INT",
+        )
+        sinks.upsert(spark, target, batch, ["id", "p"], partition_col="p",
+                     commit_mode="manifest")
+    log = os.path.join(target, "_manifest_log")
+    for v in range(6):
+        raw = json.load(open(os.path.join(log, f"manifest-{v:012d}.json")))
+        if v % 4 == 0:
+            assert raw.get("format") != "delta", v
+        else:
+            assert raw.get("format") == "delta" and raw["base"] == v - v % 4
+    # latest folds correctly
+    assert _mread(spark, target) == {(i, "a" if i % 2 else "b", i * 10)
+                                     for i in range(6)}
+    # time travel within retention folds each version exactly
+    assert _mread(spark, target, version=4) == {
+        (i, "a" if i % 2 else "b", i * 10) for i in range(5)
+    }
+    # metadata-only commit (rename) on top of a delta chain
+    sinks.compact_manifest_table(spark, target, rows_per_file=100)
+    sinks.rename_manifest_column(target, "v", "val")
+    out = sinks.read_manifest_table(spark, target)
+    assert dict(out.dtypes)["val"] == "int"
+    assert {(r["id"], r["val"]) for r in out.collect()} == {
+        (i, i * 10) for i in range(6)
+    }
+    # COUNT from metadata + history across mixed full/delta versions
+    assert sinks.count_manifest_table(target) == 6
+    hist = sinks.manifest_table_history(spark, target)
+    assert [r["version"] for r in hist.collect()] == list(range(8))
+
+
+def test_delta_manifest_corrupt_base_degrades_and_recovers(
+    spark, tmp_path, monkeypatch
+):
+    """A corrupted FULL-STATE base: deltas above it become
+    unresolvable (reads degrade to the newest fully-resolvable
+    version, never a wrong answer), and the NEXT commit detects the
+    unusable base and writes a full state — the table self-heals."""
+    monkeypatch.setattr(sinks, "_FULL_STATE_EVERY", 4)
+    sinks._BASE_STATE_CACHE.clear()
+    target = str(tmp_path / "sink")
+    for i in range(6):  # versions 0..5
+        batch = spark.createDataFrame(
+            [(i, "a", i)], "id INT, p STRING, v INT"
+        )
+        sinks.upsert(spark, target, batch, ["id", "p"], partition_col="p",
+                     commit_mode="manifest")
+    log = os.path.join(target, "_manifest_log")
+    with open(os.path.join(log, "manifest-000000000004.json"), "w") as f:
+        f.write("{ rotted")
+    sinks._BASE_STATE_CACHE.clear()  # fresh process view
+    # v5's base (v4) is unreadable -> resolve degrades to v3 (delta on
+    # the intact v0 base)
+    ver, man = sinks._latest_manifest(target)
+    assert ver == 3 and man["version"] == 3
+    # a write on top of the degraded resolve targets version 4 — a
+    # name the rotted file still holds. The CAS refuses the taken
+    # name every retry: the writer fails LOUDLY (store corruption is
+    # an operator problem; silently shadowing or skipping the rotted
+    # version could lose its committed data twice). Reads keep
+    # working at the degraded version throughout.
+    batch = spark.createDataFrame([(99, "a", 99)], "id INT, p STRING, v INT")
+    with pytest.raises(sinks.ManifestConflictError):
+        sinks.upsert(spark, target, batch, ["id", "p"], partition_col="p",
+                     commit_mode="manifest")
+    ver2, man2 = sinks._latest_manifest(target)
+    assert ver2 == 3 and man2["version"] == 3

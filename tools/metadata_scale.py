@@ -128,6 +128,26 @@ def main() -> None:
             assert len(got) == 1
 
         t_touched = _med(touched, k=3)
+
+        # r8 delta manifests: a commit touching ONE entry serializes a
+        # delta against the full-state base, not the whole state —
+        # measure its bytes + encode wall at this entry count
+        base_v = (man["version"] // sinks._FULL_STATE_EVERY) * (
+            sinks._FULL_STATE_EVERY
+        )
+        base = {**man, "version": base_v}
+        sinks._BASE_STATE_CACHE.clear()
+        sinks._cache_base(target, base_v, base)
+        touched_key = sorted(man["partitions"])[0]
+        state2 = json.loads(json.dumps(base))
+        state2["version"] = base_v + 1
+        state2["partitions"][touched_key] = "snap-000000000008-bbbbbbbb/x"
+        state2["stats"][touched_key] = {"v": ["0.0", "1.0"], "u": ["0", "1"]}
+        t_delta = _med(
+            lambda: sinks._encode_manifest(target, base_v + 1, state2)
+        )
+        delta_bytes = len(sinks._encode_manifest(target, base_v + 1, state2))
+
         row = {
             "entries": n,
             "json_bytes": len(text),
@@ -136,6 +156,8 @@ def main() -> None:
             "parse_ms": round(t_parse * 1000, 2),
             "prune_entry_keys_ms": round(t_prune * 1000, 2),
             "touched_keys_ms": round(t_touched * 1000, 2),
+            "delta_bytes_1_touched": delta_bytes,
+            "delta_encode_ms": round(t_delta * 1000, 2),
         }
         out_rows.append(row)
         print(row, flush=True)
