@@ -881,12 +881,64 @@ def _write_manifest_atomic(target: str, version: int, manifest: dict) -> None:
     _write_checkpoint(target, version)
 
 
+def _gc_dropped_snapshots(target: str, manifest: dict) -> None:
+    """PER-COMMIT targeted GC (r8): reclaim exactly the snapshot dirs
+    that fell out of the retention window WITH THIS COMMIT — the set
+    referenced by the version that just aged below the floor minus
+    everything the still-retained versions reference. All manifests
+    are addressed BY NAME (O(_RETAIN_VERSIONS) reads), so the pass
+    never lists a directory — commit cost stays flat however many
+    snapshots and log files the table accumulates.
+
+    No grace/mtime checks are needed here: only previously-REFERENCED
+    committed data can appear in the dropped set, never a concurrent
+    writer's in-flight dir (those are unreferenced by construction —
+    they are what the LISTING sweep `_gc_superseded` exists for, which
+    now runs on SCHEDULE: every full-state version and every
+    compaction, instead of on every commit). External (clone-source)
+    snapshots resolve against THIS table's root here, where they do
+    not exist — the delete is a harmless no-op; a clone's GC can never
+    reach into its source's directory.
+
+    Unreadable retained metadata aborts the pass (same rule as the
+    listing sweep: never delete what a readable version might still
+    reference)."""
+    cur = manifest["version"]
+    dropped_v = cur - _RETAIN_VERSIONS
+    if dropped_v < 0:
+        return
+    old = _load_state(target, dropped_v)
+    if not isinstance(old, dict):
+        return
+    retained = {
+        rel.split("/", 1)[0] for rel in manifest["partitions"].values()
+    }
+    for v in range(dropped_v + 1, cur):
+        st = _load_state(target, v)
+        if not isinstance(st, dict):
+            return
+        retained |= {
+            rel.split("/", 1)[0] for rel in st["partitions"].values()
+        }
+    dropped = {
+        rel.split("/", 1)[0] for rel in old["partitions"].values()
+    } - retained
+    for snap in dropped:
+        fsio.delete(fsio.join(target, snap), recursive=True)
+
+
 def _gc_superseded(target: str, manifest: dict) -> None:
-    """Reclaim the snapshot DATA the retention window no longer
-    covers: snapshot directories referenced by NO retained manifest.
-    Manifest FILES are never deleted — the log is append-only (see
-    the inline note below: freeing a version name would break the
-    version-CAS for stalled writers).
+    """SCHEDULED listing-based sweep: reclaim every snapshot dir no
+    retained manifest references — including ORPHANS from crashed
+    writers that never published (invisible to the per-commit
+    targeted pass `_gc_dropped_snapshots`, which handles the common
+    referenced-then-aged-out case without listing anything). Runs on
+    every full-state version and every compaction (r8), not on every
+    commit — its table-root listing is O(live snapshots) and has no
+    business in the per-commit path. Manifest FILES are never
+    deleted — the log is append-only (see the inline note below:
+    freeing a version name would break the version-CAS for stalled
+    writers).
 
     Two safety rules beyond the r5 immediate-GC sweep:
 
@@ -1404,7 +1456,11 @@ def _publish_snapshot(
         fsio.delete(snap, recursive=True)  # our attempt's files
         raise
     fsio.delete(marker)  # published: the snapshot is referenced now
-    _gc_superseded(target, manifest)
+    _gc_dropped_snapshots(target, manifest)
+    if new_ver % _FULL_STATE_EVERY == 0:
+        # scheduled orphan sweep (listing-based): reclaims aged
+        # never-published dirs from crashed writers
+        _gc_superseded(target, manifest)
     return manifest
 
 
@@ -1818,6 +1874,9 @@ def compact_manifest_table(
                 # table rename/drop capability (everything rewritten
                 # under a recorded id map)
             )
+            # compaction IS the scheduled maintenance moment: run the
+            # listing sweep for crashed-writer orphans too
+            _gc_superseded(target, manifest)
             return len(manifest["partitions"])
         except ManifestConflictError as e:
             last_conflict = e
@@ -2763,7 +2822,9 @@ def _commit_metadata_only(target: str, mutate) -> dict:
         except ManifestConflictError as e:
             last_conflict = e
             continue
-        _gc_superseded(target, new)
+        _gc_dropped_snapshots(target, new)
+        if (ver + 1) % _FULL_STATE_EVERY == 0:
+            _gc_superseded(target, new)
         return new
     raise ManifestConflictError(
         f"metadata commit lost the manifest race {_CAS_MAX_RETRIES} "

@@ -701,3 +701,36 @@ def test_delta_manifest_corrupt_base_degrades_and_recovers(
                      commit_mode="manifest")
     ver2, man2 = sinks._latest_manifest(target)
     assert ver2 == 3 and man2["version"] == 3
+
+
+def test_ordinary_commit_never_lists_table_root(
+    spark, rows, tmp_path, monkeypatch
+):
+    """Flat-commit property: an ordinary (non-full-state-version)
+    commit touches the table root only by NAME — pointer, manifests,
+    snapshot dirs. The only listing allowed is the writer's OWN fresh
+    snapshot directory (to build the partition map). The root listing
+    (orphan sweep) runs on schedule — full-state versions and
+    compactions — not per commit."""
+    target = str(tmp_path / "sink")
+    sinks.upsert(spark, target, rows, ["ticker", "date"],
+                 partition_col="date", commit_mode="manifest")
+    listed: list[str] = []
+    real = fsio.list_status
+
+    def spy(path):
+        listed.append(path)
+        return real(path)
+
+    monkeypatch.setattr(fsio, "list_status", spy)
+    batch = spark.createDataFrame(
+        [(7, "2024-01-03", "z")], "ticker INT, date STRING, val STRING"
+    )
+    sinks.upsert(spark, target, batch, ["ticker", "date"],
+                 partition_col="date", commit_mode="manifest")  # v1: delta
+    root = target.rstrip("/")
+    bad = [p for p in listed
+           if p.rstrip("/") == root
+           or p.rstrip("/") == root + "/_manifest_log"]
+    assert not bad, f"ordinary commit listed {bad}"
+    assert any("/snap-" in p for p in listed)  # own snapshot dir only
