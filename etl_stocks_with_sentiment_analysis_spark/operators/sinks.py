@@ -873,6 +873,16 @@ def _write_manifest_atomic(target: str, version: int, manifest: dict) -> None:
             f"manifest version {version} at {target} was committed by a "
             "concurrent writer"
         )
+    if version == 0:
+        # a fresh version 0 is a table BIRTH: if a previous table
+        # lived at this path in this process, its cached full-state
+        # bases are poison for the new incarnation's deltas — purge.
+        # (Cross-process readers holding caches across an external
+        # delete-and-recreate are out of contract, as with any table
+        # format's snapshot cache; re-resolve/"refresh" after
+        # recreating a table in place.)
+        for k in [k for k in _BASE_STATE_CACHE if k[0] == target]:
+            _BASE_STATE_CACHE.pop(k, None)
     _LOG_MODE_TARGETS.add(target)
     # pointer refresh AFTER the CAS: every commit path (data,
     # metadata-only, clone) funnels through here, so the checkpoint

@@ -734,3 +734,37 @@ def test_ordinary_commit_never_lists_table_root(
            or p.rstrip("/") == root + "/_manifest_log"]
     assert not bad, f"ordinary commit listed {bad}"
     assert any("/snap-" in p for p in listed)  # own snapshot dir only
+
+
+def test_recreated_table_at_same_path_does_not_fold_stale_base(
+    spark, rows, tmp_path, monkeypatch
+):
+    """Delete-and-recreate a manifest table at the SAME path within
+    one process: the new incarnation's deltas must never fold against
+    the old incarnation's cached full-state base (version-0 publish
+    purges the per-target base cache)."""
+    import shutil
+
+    monkeypatch.setattr(sinks, "_FULL_STATE_EVERY", 4)
+    target = str(tmp_path / "sink")
+    for i in range(3):  # old incarnation: v0 full + v1, v2 deltas
+        batch = spark.createDataFrame(
+            [(i, "2024-01-01", f"old{i}")],
+            "ticker INT, date STRING, val STRING",
+        )
+        sinks.upsert(spark, target, batch, ["ticker", "date"],
+                     commit_mode="manifest")
+    assert (str(target), 0) in {
+        (k[0], k[1]) for k in sinks._BASE_STATE_CACHE
+    }
+    shutil.rmtree(target)
+    for i in range(2):  # new incarnation at the same path
+        batch = spark.createDataFrame(
+            [(100 + i, "2024-01-02", f"new{i}")],
+            "ticker INT, date STRING, val STRING",
+        )
+        sinks.upsert(spark, target, batch, ["ticker", "date"],
+                     commit_mode="manifest")
+    assert _mread(spark, target) == {
+        (100, "2024-01-02", "new0"), (101, "2024-01-02", "new1")
+    }
