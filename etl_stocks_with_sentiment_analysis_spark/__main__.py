@@ -52,7 +52,7 @@ def main(argv: list[str] | None = None) -> int:
         "action",
         choices=[
             "history", "count", "stats", "compact", "repartition",
-            "clone", "show", "delete", "update",
+            "clone", "show", "delete", "update", "repair",
         ],
     )
     p_tbl.add_argument("target", help="manifest table path/URI")
@@ -206,6 +206,12 @@ def main(argv: list[str] | None = None) -> int:
                 spark, args.target, assignments, args.where
             )
             print(f"updated {n} rows")
+        elif args.action == "repair":
+            fixed = sinks.repair_manifest_table(args.target)
+            print(
+                f"repaired versions: {fixed}" if fixed
+                else "nothing to repair"
+            )
         elif args.action == "show":
             df = sinks.read_manifest_table(
                 spark, args.target, version=args.version

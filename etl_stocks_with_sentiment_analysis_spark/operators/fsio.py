@@ -55,6 +55,7 @@ __all__ = [
     "read_text",
     "write_text",
     "create_text_if_absent",
+    "rename",
     "delete",
     "mkdirs",
     "mtime",
@@ -289,6 +290,20 @@ def create_text_if_absent(path: str, text: str) -> None:
         except Exception:
             pass
         raise FileExistsError(path)
+
+
+def rename(src: str, dst: str) -> bool:
+    """Move/rename within one store. False when the store refuses
+    (e.g. destination exists on HDFS). Used by the OFFLINE manifest
+    repair tool to archive rotted files — not by any commit path."""
+    _, fs, jsrc = _jfs(src)
+    _, _, jdst = _jfs(dst)
+    try:
+        return bool(fs.rename(jsrc, jdst))
+    except Exception as e:
+        if "FileNotFoundException" in _java_exc_name(e):
+            return False
+        raise
 
 
 def delete(path: str, recursive: bool = False) -> bool:

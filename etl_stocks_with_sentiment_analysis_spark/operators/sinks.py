@@ -2546,6 +2546,75 @@ def manifest_table_history(spark: SparkSession, target: str) -> DataFrame:
     )
 
 
+def repair_manifest_table(target: str) -> list[int]:
+    """OFFLINE repair for store-corrupted manifest files (FSCK): find
+    versions whose state cannot be loaded — rotted bytes, or a delta
+    whose full-state base rotted — archive the damaged files aside
+    (``manifest-N.json`` → ``manifest-N.json.corrupt``) and republish
+    each affected version as a FULL-STATE duplicate of the newest
+    loadable version below it, marked ``repaired_from``. The log
+    becomes contiguous and fully loadable again: reads stop degrading
+    and writers stop failing on the taken name.
+
+    WHAT IS LOST is made explicit, never papered over: a rotted
+    version's own changes are unrecoverable by definition (its bytes
+    are gone). A delta ABOVE a rotted base refolds onto the repaired
+    base — its recorded changed-entry values are absolute, so those
+    entries are exact; entries whose only change happened in the
+    rotted version revert to the repair source. DESCRIBE HISTORY
+    shows the ``repaired_from`` markers.
+
+    MUST run without concurrent writers: republishing re-uses version
+    names — the one sanctioned exception to the append-only rule,
+    which is exactly why this is an explicit operator tool (CLI
+    ``table repair``) and never an automatic code path. Returns the
+    repaired version numbers (empty = nothing to do). Raises if
+    version 0 itself is unrecoverable (no state to duplicate — at
+    that point restore from a replica/backup)."""
+    _BASE_STATE_CACHE.clear()  # repair rewrites "immutable" files
+    repaired: list[int] = []
+    last_good: dict | None = None
+    vers = _list_manifest_versions(target)
+    if not vers:
+        return []
+    # iterate the full RANGE, not just listed names: an externally
+    # deleted manifest leaves a HOLE that breaks the forward probe's
+    # contiguity invariant — repair fills it with a duplicate too
+    for v in range(0, vers[-1] + 1):
+        st = _load_state(target, v)
+        if isinstance(st, dict):
+            last_good = st
+            continue
+        if last_good is None:
+            raise ValueError(
+                f"manifest version {v} at {target} is unrecoverable and "
+                "no earlier loadable version exists — restore the table "
+                "from a replica or backup"
+            )
+        # archive whichever location holds the damaged file
+        for path in _manifest_paths(target, v):
+            if fsio.exists(path):
+                if not fsio.rename(path, path + ".corrupt"):
+                    raise RuntimeError(
+                        f"could not archive damaged manifest {path}"
+                    )
+                break
+        dup = json.loads(json.dumps(last_good))
+        dup["version"] = v
+        dup["repaired_from"] = last_good["version"]
+        fsio.mkdirs(fsio.join(target, _LOG_DIR))
+        fsio.create_text_if_absent(
+            fsio.join(target, _LOG_DIR, _manifest_name(v)),
+            json.dumps(dup, indent=1, sort_keys=True),
+        )
+        repaired.append(v)
+        last_good = dup
+        _BASE_STATE_CACHE.clear()  # deltas above may now fold anew
+    if repaired:
+        _write_checkpoint(target, _list_manifest_versions(target)[-1])
+    return repaired
+
+
 def count_manifest_table(target: str, version: int | None = None) -> int:
     """COUNT(*) from metadata alone — the sum of recorded entry row
     counts; zero scans, zero Spark jobs. Raises for pre-entry_rows

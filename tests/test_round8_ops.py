@@ -768,3 +768,77 @@ def test_recreated_table_at_same_path_does_not_fold_stale_base(
     assert _mread(spark, target) == {
         (100, "2024-01-02", "new0"), (101, "2024-01-02", "new1")
     }
+
+
+def test_repair_manifest_table_restores_reads_and_writes(
+    spark, tmp_path, monkeypatch
+):
+    """FSCK: rot a full-state BASE — reads degrade, writes fail loudly
+    — then `repair_manifest_table` archives the damage, republishes
+    the version as a marked duplicate, the deltas above refold (their
+    recorded changed-entry values are absolute), and commits resume."""
+    monkeypatch.setattr(sinks, "_FULL_STATE_EVERY", 4)
+    sinks._BASE_STATE_CACHE.clear()
+    target = str(tmp_path / "sink")
+    # v0..v3 write partition a; v4 (the full state that will rot)
+    # writes partition b ONLY; v5 (a delta on v4) writes a again —
+    # so after repair, partition a is exact via v5's absolute entry
+    # and partition b's v4-only change is the honest loss
+    for i in range(6):
+        part = "b" if i == 4 else "a"
+        batch = spark.createDataFrame(
+            [(i, part, i)], "id INT, p STRING, v INT"
+        )
+        sinks.upsert(spark, target, batch, ["id", "p"], partition_col="p",
+                     commit_mode="manifest")
+    log = os.path.join(target, "_manifest_log")
+    with open(os.path.join(log, "manifest-000000000004.json"), "w") as f:
+        f.write("{ rotted")
+    sinks._BASE_STATE_CACHE.clear()
+    assert sinks._latest_manifest(target)[0] == 3  # degraded
+
+    fixed = sinks.repair_manifest_table(target)
+    assert fixed == [4]
+    assert os.path.exists(
+        os.path.join(log, "manifest-000000000004.json.corrupt")
+    )
+    ver, man = sinks._latest_manifest(target)
+    assert ver == 5
+    got = {(r["id"], r["v"]) for r in
+           sinks.read_manifest_table(spark, target).collect()}
+    # partition a exact through v5's refolded absolute entry; v4's
+    # partition-b row is the UNRECOVERABLE loss, made explicit
+    assert got == {(0, 0), (1, 1), (2, 2), (3, 3), (5, 5)}
+    # the repaired duplicate is visible in history
+    hist = {r["version"] for r in
+            sinks.manifest_table_history(spark, target).collect()}
+    assert hist == set(range(6))
+    # writers resume
+    batch = spark.createDataFrame([(9, "a", 9)], "id INT, p STRING, v INT")
+    sinks.upsert(spark, target, batch, ["id", "p"], partition_col="p",
+                 commit_mode="manifest")
+    assert sinks._latest_manifest(target)[0] == 6
+    assert (9, 9) in {(r["id"], r["v"]) for r in
+                      sinks.read_manifest_table(spark, target).collect()}
+
+
+def test_repair_fills_version_holes(spark, tmp_path, monkeypatch):
+    """An externally DELETED manifest leaves a hole that breaks the
+    forward probe's contiguity; repair fills it with a duplicate so
+    stale-pointer resolves can never stop early at the hole."""
+    monkeypatch.setattr(sinks, "_FULL_STATE_EVERY", 4)
+    sinks._BASE_STATE_CACHE.clear()
+    target = str(tmp_path / "sink")
+    for i in range(4):  # v0..v3
+        batch = spark.createDataFrame(
+            [(i, "a", i)], "id INT, p STRING, v INT"
+        )
+        sinks.upsert(spark, target, batch, ["id", "p"], partition_col="p",
+                     commit_mode="manifest")
+    log = os.path.join(target, "_manifest_log")
+    os.remove(os.path.join(log, "manifest-000000000002.json"))
+    assert sinks.repair_manifest_table(target) == [2]
+    # a stale pointer now probes THROUGH the filled hole to the tip
+    with open(os.path.join(target, "_last_checkpoint"), "w") as f:
+        json.dump({"version": 0}, f)
+    assert sinks._latest_manifest(target)[0] == 3
