@@ -248,18 +248,21 @@ def _cache_base(target: str, version: int, raw: dict) -> None:
 def _fold_delta(base_state: dict, delta: dict) -> dict:
     """Apply a delta manifest onto its full-state base -> the folded
     full logical state (a fresh dict; the cached base is never
-    mutated)."""
-    state = json.loads(json.dumps(base_state))
+    mutated). SCALAR (non-section) fields come from the DELTA ALONE —
+    the encoder writes every state key into the delta verbatim, so a
+    key present only in the base (e.g. a repaired base's
+    `repaired_from` marker) must NOT leak into folded descendants."""
+    state = {}
     for sec in _DELTA_SECTIONS:
-        cur = state.get(sec) or {}
+        cur = dict(base_state.get(sec) or {})
         cur.update(delta.get("set", {}).get(sec) or {})
         for k in delta.get("del", {}).get(sec) or []:
             cur.pop(k, None)
         state[sec] = cur
     for k, v in delta.items():
-        if k not in ("format", "base", "set", "del"):
+        if k not in ("format", "base", "set", "del") and k not in state:
             state[k] = v
-    return state
+    return json.loads(json.dumps(state))  # private copy (cached base)
 
 
 def _load_state(target: str, version: int, raw=None):
