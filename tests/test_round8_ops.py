@@ -842,3 +842,61 @@ def test_repair_fills_version_holes(spark, tmp_path, monkeypatch):
     with open(os.path.join(target, "_last_checkpoint"), "w") as f:
         json.dump({"version": 0}, f)
     assert sinks._latest_manifest(target)[0] == 3
+
+
+def test_concurrent_writers_across_full_state_boundaries(
+    spark, tmp_path, monkeypatch
+):
+    """TRUE-THREAD stress over the delta protocol: two writers commit
+    12 disjoint upserts through THREE full-state boundaries (K=4).
+    Every row survives, versions are contiguous, deltas and full
+    states land exactly on schedule, every retained version folds,
+    and the by-name GC reclaimed the aged-out snapshots."""
+    import threading
+
+    monkeypatch.setattr(sinks, "_FULL_STATE_EVERY", 4)
+    sinks._BASE_STATE_CACHE.clear()
+    target = str(tmp_path / "sink")
+    errors: list[Exception] = []
+
+    def writer(tag: str, n: int) -> None:
+        try:
+            for i in range(n):
+                batch = spark.createDataFrame(
+                    [(f"{tag}{i}", "2024-01-01", f"val-{tag}{i}")],
+                    "ticker STRING, date STRING, val STRING",
+                )
+                sinks.upsert(spark, target, batch, ["ticker", "date"],
+                             commit_mode="manifest")
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=("a", 6)),
+               threading.Thread(target=writer, args=("b", 6))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    assert not errors, errors
+
+    out = {r["ticker"] for r in
+           sinks.read_manifest_table(spark, target).collect()}
+    assert out == {f"{tag}{i}" for tag in "ab" for i in range(6)}
+    ver, _ = sinks._latest_manifest(target)
+    assert ver == 11  # 12 commits, contiguous, none lost
+    log = os.path.join(target, "_manifest_log")
+    for v in range(12):
+        raw = json.load(open(os.path.join(log, f"manifest-{v:012d}.json")))
+        assert (raw.get("format") == "delta") == (v % 4 != 0), v
+    # every retained version folds to a loadable state
+    for v in range(ver - sinks._RETAIN_VERSIONS + 1, ver + 1):
+        assert sinks.read_manifest_table(spark, target, version=v) is not None
+    # by-name GC: snapshots referenced by no retained version are gone
+    retained_refs = set()
+    for v in range(ver - sinks._RETAIN_VERSIONS + 1, ver + 1):
+        st = sinks._load_state(target, v)
+        retained_refs |= {
+            rel.split("/", 1)[0] for rel in st["partitions"].values()
+        }
+    on_disk = {e for e in os.listdir(target) if e.startswith("snap-")}
+    assert on_disk == retained_refs
