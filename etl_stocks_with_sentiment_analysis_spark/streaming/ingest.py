@@ -241,7 +241,7 @@ def run_incremental_upsert(
     sf_dir: str,
     target: str,
     query_name: str = "daily_upsert",
-    commit_mode: str = "rename",
+    commit_mode: str = "manifest",
     **reader_options,
 ):
     """Incremental materialization: the streaming daily agg merged
@@ -253,7 +253,8 @@ def run_incremental_upsert(
     day-partitions present in that batch. Rerunning the whole stream
     is idempotent (same keys → same rows).
 
-    ``commit_mode="manifest"`` routes each micro-batch through the
+    ``commit_mode="manifest"`` (the default as of r9, matching the
+    batch writer) routes each micro-batch through the
     transactional manifest commit instead of directory renames: the
     stream then coexists safely with concurrent maintenance
     (compaction, a second writer) via the version-CAS, readers get

@@ -158,4 +158,6 @@ def test_inference_schema_and_upsert(spark, sf_dir, trained, tmp_path):
 
     sinks.upsert(spark, target, preds, ["ticker", "date", "model_version"])
     sinks.upsert(spark, target, preds, ["ticker", "date", "model_version"])
-    assert spark.read.parquet(target).count() == len(rows)
+    # default commit mode is the manifest protocol (r9) — read back
+    # through the manifest reader, not a plain directory read
+    assert sinks.read_manifest_table(spark, target).count() == len(rows)

@@ -357,9 +357,11 @@ def test_txn_exactly_once_upsert(spark, tmp_path):
     sinks.upsert(spark, target, b1, ["id"], commit_mode="manifest",
                  txn=("app", 1))
     assert sinks._latest_manifest(target)[0] == vc
-    # rename mode has no txn tracking — loud, not silent
+    # rename mode has no txn tracking — loud, not silent (r9: rename
+    # is the explicit opt-in now, manifest is the default)
     with pytest.raises(ValueError, match="manifest"):
-        sinks.upsert(spark, str(tmp_path / "r"), b0, ["id"], txn=("a", 0))
+        sinks.upsert(spark, str(tmp_path / "r"), b0, ["id"], txn=("a", 0),
+                     commit_mode="rename")
 
 
 def test_txn_exactly_once_cdc_apply(spark, tmp_path):
@@ -424,9 +426,10 @@ def test_streaming_replay_same_query_name_is_exactly_once(spark, tmp_path):
 
 
 def test_rename_commit_mode_refuses_scheme_uri(spark, rows):
+    # r9: rename is the explicit opt-in; the guard targets that opt-in
     with pytest.raises(ValueError, match="manifest"):
         sinks.upsert(spark, "hdfs://nn/warehouse/t", rows,
-                     ["ticker", "date"])
+                     ["ticker", "date"], commit_mode="rename")
 
 
 # --- advisor fixes: layout-aware rename/drop, MoR delete count ---------

@@ -42,12 +42,12 @@ def test_insert_ignore_keeps_existing_on_conflict(spark, rows, tmp_path):
 
 def test_upsert_overwrites_on_conflict(spark, rows, tmp_path):
     target = str(tmp_path / "sink")
-    sinks.upsert(spark, target, rows, ["ticker", "date"])
+    sinks.upsert(spark, target, rows, ["ticker", "date"], commit_mode="rename")
     clash = spark.createDataFrame(
         [(1, "2024-01-01", "NEW"), (3, "2024-01-01", "d")],
         "ticker INT, date STRING, val STRING",
     )
-    sinks.upsert(spark, target, clash, ["ticker", "date"])
+    sinks.upsert(spark, target, clash, ["ticker", "date"], commit_mode="rename")
     out = spark.read.parquet(target)
     assert out.count() == 4
     updated = out.filter((F.col("ticker") == 1) & (F.col("date") == "2024-01-01"))
@@ -56,8 +56,8 @@ def test_upsert_overwrites_on_conflict(spark, rows, tmp_path):
 
 def test_upsert_idempotent(spark, rows, tmp_path):
     target = str(tmp_path / "sink")
-    sinks.upsert(spark, target, rows, ["ticker", "date"])
-    sinks.upsert(spark, target, rows, ["ticker", "date"])
+    sinks.upsert(spark, target, rows, ["ticker", "date"], commit_mode="rename")
+    sinks.upsert(spark, target, rows, ["ticker", "date"], commit_mode="rename")
     assert spark.read.parquet(target).count() == 3
 
 
@@ -80,7 +80,7 @@ def test_upsert_partitioned_touches_only_incoming_partitions(spark, rows, tmp_pa
     `incoming` must be byte-identical afterwards (dynamic overwrite
     rewrote only the touched partition)."""
     target = str(tmp_path / "sink")
-    sinks.upsert(spark, target, rows, ["ticker", "date"], partition_col="date")
+    sinks.upsert(spark, target, rows, ["ticker", "date"], partition_col="date", commit_mode="rename")
     before = _partition_bytes(target, "date=2024-01-02")
     assert before  # partition exists
 
@@ -88,7 +88,7 @@ def test_upsert_partitioned_touches_only_incoming_partitions(spark, rows, tmp_pa
         [(1, "2024-01-01", "NEW"), (3, "2024-01-01", "d")],
         "ticker INT, date STRING, val STRING",
     )
-    sinks.upsert(spark, target, clash, ["ticker", "date"], partition_col="date")
+    sinks.upsert(spark, target, clash, ["ticker", "date"], partition_col="date", commit_mode="rename")
     after = _partition_bytes(target, "date=2024-01-02")
     assert after == before  # untouched partition: same files, same bytes
 
@@ -104,8 +104,8 @@ def test_upsert_partitioned_idempotent_and_no_staging_leak(spark, rows, tmp_path
     import os
 
     target = str(tmp_path / "sink")
-    sinks.upsert(spark, target, rows, ["ticker", "date"], partition_col="date")
-    sinks.upsert(spark, target, rows, ["ticker", "date"], partition_col="date")
+    sinks.upsert(spark, target, rows, ["ticker", "date"], partition_col="date", commit_mode="rename")
+    sinks.upsert(spark, target, rows, ["ticker", "date"], partition_col="date", commit_mode="rename")
     assert spark.read.parquet(target).count() == 3
     # neither staging siblings nor per-partition backups survive success
     leftovers = [d for d in os.listdir(tmp_path) if d != "sink"]
@@ -122,7 +122,7 @@ def test_upsert_crash_mid_commit_rolls_back_and_stays_readable(
     import os
 
     target = str(tmp_path / "sink")
-    sinks.upsert(spark, target, rows, ["ticker", "date"], partition_col="date")
+    sinks.upsert(spark, target, rows, ["ticker", "date"], partition_col="date", commit_mode="rename")
     before = {tuple(map(str, r)) for r in spark.read.parquet(target).collect()}
 
     clash = spark.createDataFrame(
@@ -141,7 +141,7 @@ def test_upsert_crash_mid_commit_rolls_back_and_stays_readable(
 
     monkeypatch.setattr(sinks.os, "rename", flaky)
     with pytest.raises(OSError, match="simulated crash"):
-        sinks.upsert(spark, target, clash, ["ticker", "date"], partition_col="date")
+        sinks.upsert(spark, target, clash, ["ticker", "date"], partition_col="date", commit_mode="rename")
     monkeypatch.undo()
 
     after = {tuple(map(str, r)) for r in spark.read.parquet(target).collect()}
@@ -154,7 +154,7 @@ def test_upsert_partition_col_must_be_key(spark, rows, tmp_path):
     import pytest as _pytest
 
     with _pytest.raises(ValueError):
-        sinks.upsert(spark, str(tmp_path / "s"), rows, ["ticker"], partition_col="date")
+        sinks.upsert(spark, str(tmp_path / "s"), rows, ["ticker"], partition_col="date", commit_mode="rename")
 
 
 def test_create_table_if_absent(spark, rows, tmp_path):
@@ -256,7 +256,7 @@ def test_clustered_write_yields_disjoint_file_ranges(spark, sf_dir, tmp_path):
 
 def test_retention_sweep_drops_only_expired_partitions(spark, rows, tmp_path):
     target = str(tmp_path / "sink")
-    sinks.upsert(spark, target, rows, ["ticker", "date"], partition_col="date")
+    sinks.upsert(spark, target, rows, ["ticker", "date"], partition_col="date", commit_mode="rename")
     dropped = sinks.retention_sweep(target, "date", keep_from="2024-01-02")
     assert dropped == ["2024-01-01"]
     out = spark.read.parquet(target)
@@ -276,13 +276,13 @@ def test_upsert_self_heals_whole_table_crash_with_target_missing(
     import os
 
     target = str(tmp_path / "sink")
-    sinks.upsert(spark, target, rows, ["ticker", "date"])
+    sinks.upsert(spark, target, rows, ["ticker", "date"], commit_mode="rename")
     os.rename(target, target + "__old")  # simulate the kill state
 
     clash = spark.createDataFrame(
         [(1, "2024-01-02", "NEW")], "ticker INT, date STRING, val STRING"
     )
-    sinks.upsert(spark, target, clash, ["ticker", "date"])
+    sinks.upsert(spark, target, clash, ["ticker", "date"], commit_mode="rename")
 
     out = {
         (r["ticker"], str(r["date"]), r["val"])
@@ -302,7 +302,7 @@ def test_upsert_self_heals_interrupted_commit(spark, rows, tmp_path):
     import shutil
 
     target = str(tmp_path / "sink")
-    sinks.upsert(spark, target, rows, ["ticker", "date"], partition_col="date")
+    sinks.upsert(spark, target, rows, ["ticker", "date"], partition_col="date", commit_mode="rename")
 
     # simulate kill state (b): live dir missing, only backup present
     live = os.path.join(target, "date=2024-01-01")
@@ -314,7 +314,7 @@ def test_upsert_self_heals_interrupted_commit(spark, rows, tmp_path):
     clash = spark.createDataFrame(
         [(1, "2024-01-02", "NEW")], "ticker INT, date STRING, val STRING"
     )
-    sinks.upsert(spark, target, clash, ["ticker", "date"], partition_col="date")
+    sinks.upsert(spark, target, clash, ["ticker", "date"], partition_col="date", commit_mode="rename")
 
     out = {(r["ticker"], str(r["date"]), r["val"]) for r in spark.read.parquet(target).collect()}
     assert (1, "2024-01-01", "a") in out  # restored from backup

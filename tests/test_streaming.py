@@ -59,9 +59,14 @@ def test_incremental_upsert_materializes_and_is_idempotent(spark, sf_dir, tmp_pa
     cols = ["day", "event_type", "n_events", "total_value"]
 
     def snapshot():
+        # default commit mode is the manifest protocol (r9)
+        from etl_stocks_with_sentiment_analysis_spark.operators import sinks
+
         return {
             tuple(map(str, r))
-            for r in spark.read.parquet(target).select(*cols).collect()
+            for r in sinks.read_manifest_table(spark, target)
+            .select(*cols)
+            .collect()
         }
 
     q = ingest.run_incremental_upsert(spark, sf_dir, target, query_name="t_up1")
