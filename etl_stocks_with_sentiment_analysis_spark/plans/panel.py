@@ -131,12 +131,50 @@ def w_ticker_date():
     return Window.partitionBy("ticker").orderBy("date")
 
 
+# Scoped base-frame overrides (r10): every derived panel frame flows
+# through prices()/explanations(), so swapping THOSE two swaps the
+# storage layer under the entire dashboard lineage — parquet testdata
+# by default, ACID manifest tables inside a `base_frames(...)` block
+# (`views.create_dashboard_views_on_manifest`). Single-threaded
+# registration-time state, mirrored on the reference where the same
+# view SQL reads whatever lives in the `stock_prices` /
+# `grok_explanations` tables (`sql/dashboard_views.sql:5-182`).
+_BASE_OVERRIDES: dict[str, DataFrame] = {}
+
+
+class base_frames:
+    """Context manager: within the block, ``prices()`` /
+    ``explanations()`` return the given frames instead of building
+    from ``sf_dir`` parquet. Plans captured inside the block (temp
+    views, returned DataFrames) keep the override lineage after exit
+    — DataFrames are immutable plans; only NEW builder calls revert."""
+
+    def __init__(self, **overrides: DataFrame):
+        bad = set(overrides) - {"prices", "explanations"}
+        if bad:
+            raise ValueError(f"unknown base frames: {sorted(bad)}")
+        self._overrides = overrides
+
+    def __enter__(self):
+        self._saved = dict(_BASE_OVERRIDES)
+        _BASE_OVERRIDES.update(self._overrides)
+        return self
+
+    def __exit__(self, *exc):
+        _BASE_OVERRIDES.clear()
+        _BASE_OVERRIDES.update(self._saved)
+        return False
+
+
 def prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(ticker, date) OHLCV-like panel from lineitem.
 
     One shuffle (hash-agg on the grouping key) with map-side partial
     aggregation; all agg functions are order-insensitive-exact.
     """
+    got = _BASE_OVERRIDES.get("prices")
+    if got is not None:
+        return got
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy(
         F.col("l_suppkey").cast("long").alias("ticker"),
@@ -162,6 +200,9 @@ def explanations(spark: SparkSession, sf_dir: str) -> DataFrame:
     the J1 left join has NULL sentiment rows and J3's anti-join delta
     is non-empty, matching FIXTURES.md §2.
     """
+    got = _BASE_OVERRIDES.get("explanations")
+    if got is not None:
+        return got
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     # MIN over the first-char ASCII code, not the string: both columns

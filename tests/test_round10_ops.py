@@ -1,0 +1,211 @@
+"""Round-10 tests: the r9 ADVICE fixes (manifest migration guard over
+legacy rename-layout dirs, bounded foreign-alias map, required
+repartition arg, single-slash URI rejection in rename mode) plus the
+round's feature work (latest-tracking manifest views, manifest-backed
+dashboard views, sharded full-state manifests)."""
+
+import pytest
+
+from etl_stocks_with_sentiment_analysis_spark.operators import fsio, sinks
+
+
+@pytest.fixture()
+def rows(spark):
+    return spark.createDataFrame(
+        [(1, "2024-01-01", "a"), (1, "2024-01-02", "b"), (2, "2024-01-01", "c")],
+        "ticker INT, date STRING, val STRING",
+    )
+
+
+def _mread(spark, target, **kw):
+    return {
+        tuple(r)
+        for r in sinks.read_manifest_table(spark, target, **kw).collect()
+    }
+
+
+# --- ADVICE r9 (medium): manifest-over-rename migration guard ---------
+
+
+def test_manifest_refuses_legacy_rename_layout(spark, rows, tmp_path):
+    """A first manifest commit over a directory that already holds
+    rename-layout data must refuse: committing would silently exclude
+    the existing rows from the logical view while legacy readers see
+    old partition dirs mixed with snap-* dirs."""
+    target = str(tmp_path / "legacy")
+    sinks.upsert(spark, target, rows, ["ticker", "date"],
+                 commit_mode="rename")
+    with pytest.raises(ValueError, match="legacy rename-"):
+        sinks.upsert(spark, target, rows, ["ticker", "date"])
+    # the refusal left the rename table intact and still writable
+    sinks.upsert(spark, target, rows, ["ticker", "date"],
+                 commit_mode="rename")
+    assert len(spark.read.parquet(target).collect()) == 3
+
+
+def test_manifest_guard_ignores_marker_files(spark, rows, tmp_path):
+    """_SUCCESS / dotfiles are not data: a dir holding only markers
+    takes the fresh-table path, and an established manifest table is
+    never re-guarded (man is not None)."""
+    target = str(tmp_path / "fresh")
+    fsio.mkdirs(target)
+    fsio.write_text(fsio.join(target, "_SUCCESS"), "")
+    sinks.upsert(spark, target, rows, ["ticker", "date"])
+    assert len(_mread(spark, target)) == 3
+    # second commit over the now-manifest table also fine
+    sinks.upsert(spark, target, rows, ["ticker", "date"])
+    assert len(_mread(spark, target)) == 3
+
+
+# --- ADVICE r9 (low): foreign-alias map bounded + birth-invalidated ---
+
+
+def test_foreign_alias_map_capped_and_dropped_on_birth(spark, rows, tmp_path):
+    base = len(sinks._FOREIGN_MANIFEST_ALIASES)
+    for i in range(sinks._FOREIGN_MANIFEST_ALIASES_MAX + 16):
+        sinks._record_foreign_alias(f"/t{i}", 1, f"/t{i}/manifest-1.json")
+    assert (
+        len(sinks._FOREIGN_MANIFEST_ALIASES)
+        <= sinks._FOREIGN_MANIFEST_ALIASES_MAX
+    ), base
+    # a version-0 commit at a target drops that target's stale aliases
+    target = str(tmp_path / "reborn")
+    sinks._record_foreign_alias(target, 7, fsio.join(target, "manifest-7.json"))
+    sinks.upsert(spark, target, rows, ["ticker", "date"])
+    assert (target, 7) not in sinks._FOREIGN_MANIFEST_ALIASES
+
+
+# --- ADVICE r9 (low): repartition arg required ------------------------
+
+
+def test_repartition_arg_required(spark):
+    with pytest.raises(TypeError):
+        sinks.repartition_manifest_table(spark, "/nowhere")
+
+
+# --- ADVICE r9 (low): single-slash URI forms rejected in rename mode --
+
+
+def test_rename_guard_rejects_single_slash_uri(spark, rows):
+    with pytest.raises(ValueError, match="scheme'd URI"):
+        sinks.upsert(spark, "file:/tmp/never/lands", rows,
+                     ["ticker", "date"], commit_mode="rename")
+
+
+def test_rename_guard_exempts_drive_and_colon_segments(spark, rows, tmp_path):
+    """Windows drives (single-letter prefix) and colon segments with
+    no following slash stay local paths."""
+    import re
+
+    from etl_stocks_with_sentiment_analysis_spark.operators.sinks import (  # noqa
+        upsert,
+    )
+
+    pat = r"^[A-Za-z][A-Za-z0-9+.\-]+:/"
+    assert not re.match(pat, "C:/tbl")
+    assert not re.match(pat, "out:v2/tbl")
+    assert re.match(pat, "file:/tmp/x")
+    assert re.match(pat, "s3://bucket/tbl")
+    # and the accepted spelling actually lands
+    target = str(tmp_path / "out:v2" / "tbl")
+    sinks.upsert(spark, target, rows, ["ticker", "date"],
+                 commit_mode="rename")
+    assert len(spark.read.parquet(target).collect()) == 3
+
+
+# --- r10 judge item 3: latest-tracking SQL reads -----------------------
+
+
+def _sqln(spark, view):
+    return spark.sql(f"SELECT COUNT(*) AS n FROM {view}").collect()[0]["n"]
+
+
+def test_tracking_view_sees_new_commits_without_reregister(
+    spark, rows, tmp_path
+):
+    target = str(tmp_path / "track")
+    sinks.upsert(spark, target, rows, ["ticker", "date"])
+    sinks.register_manifest_view(spark, target, "t10_track",
+                                 track_latest=True)
+    sinks.register_manifest_view(spark, target, "t10_pin")
+    assert _sqln(spark, "t10_track") == 3
+    more = spark.createDataFrame(
+        [(3, "2024-01-03", "d"), (3, "2024-01-04", "e")],
+        "ticker INT, date STRING, val STRING",
+    )
+    sinks.upsert(spark, target, more, ["ticker", "date"])
+    # NO re-register call: manifest_sql re-resolves the tracking view
+    got = sinks.manifest_sql(
+        spark, "SELECT COUNT(*) AS n FROM t10_track"
+    ).collect()[0]["n"]
+    assert got == 5
+    # the pinned view still reads its registration-time version
+    assert _sqln(spark, "t10_pin") == 3
+    # refresh is idempotent: same version -> no rebuild reported
+    assert sinks.refresh_tracked_views(spark) == []
+
+
+def test_tracking_view_respects_bounds_and_pin_downgrade(
+    spark, rows, tmp_path
+):
+    target = str(tmp_path / "track_b")
+    sinks.upsert(spark, target, rows, ["ticker", "date"])
+    sinks.register_manifest_view(
+        spark, target, "t10_trackb",
+        bounds={"ticker": (2, None)}, track_latest=True,
+    )
+    assert _sqln(spark, "t10_trackb") == 1
+    more = spark.createDataFrame(
+        [(5, "2024-01-05", "z"), (1, "2024-01-06", "y")],
+        "ticker INT, date STRING, val STRING",
+    )
+    sinks.upsert(spark, target, more, ["ticker", "date"])
+    assert sinks.refresh_tracked_views(spark, ["t10_trackb"]) == [
+        "t10_trackb"
+    ]
+    # bounds survive the refresh: only ticker>=2 rows visible
+    assert _sqln(spark, "t10_trackb") == 2
+    # re-registering the SAME name without track_latest drops tracking
+    sinks.register_manifest_view(spark, target, "t10_trackb")
+    assert "t10_trackb" not in sinks._TRACKED_VIEWS
+
+
+# --- r10 judge item 4: dashboard views on manifest tables -------------
+
+
+def test_dashboard_views_manifest_backed_match_parquet(
+    spark, sf_dir, tmp_path
+):
+    """The reference lifecycle end-to-end: ingest -> ACID manifest
+    tables -> registered SQL views -> the 12 dashboard views. Each
+    manifest-backed view's result must equal the parquet-backed
+    baseline row-for-row."""
+    from etl_stocks_with_sentiment_analysis_spark.plans import panel, views
+
+    baseline = {}
+    for v in views.create_dashboard_views(spark, sf_dir):
+        baseline[v] = sorted(
+            tuple(map(str, r)) for r in spark.table(v).collect()
+        )
+    got_names = views.create_dashboard_views_on_manifest(
+        spark, sf_dir, str(tmp_path / "dash")
+    )
+    assert set(got_names) == set(baseline)
+    # the override context exited cleanly — new builder calls revert
+    assert panel._BASE_OVERRIDES == {}
+    for v in got_names:
+        got = sorted(tuple(map(str, r)) for r in spark.table(v).collect())
+        assert got == baseline[v], f"view {v} drifted under manifest backing"
+    # the three base tables are themselves SQL-addressable + tracking
+    n = sinks.manifest_sql(
+        spark, "SELECT COUNT(*) AS n FROM volatility_predictions"
+    ).collect()[0]["n"]
+    assert n > 0
+
+
+def test_tracking_view_rejects_version_pin(spark, rows, tmp_path):
+    target = str(tmp_path / "track_v")
+    sinks.upsert(spark, target, rows, ["ticker", "date"])
+    with pytest.raises(ValueError, match="contradicts"):
+        sinks.register_manifest_view(spark, target, "t10_nope",
+                                     version=0, track_latest=True)

@@ -1,13 +1,17 @@
-"""Same-box A/B for the r8 bench risers (r9 judge item 2):
-`sink_upsert_manifest` (+9% r7->r8) and `dedup_incremental_batch`
-(+12%). Run this script from INSIDE each git worktree (r7 tip, r8
-tip, HEAD) on the same box back-to-back; it times the two keys at
-sf0.1 with 1 warm + 5 timed runs and prints one JSON line with
-median + spread, the protocol bench.py uses (see PERF.md "bench
-medians and cold start": first-key JIT absorbs ~7s, so the warm run
-is mandatory and only medians are comparable).
+"""Same-box A/B for bench risers (r8 judge item 2; widened r10 to the
+panel-family keys the r9 verdict flagged: `agg_accuracy_by_stock`
++61%, `rollup_time_hierarchy` +45%, `join_asof_latest_explanation`
++44%, `join_left_prices_grok` +33%). Run from INSIDE each git
+worktree (r8 tip 864f9fd, HEAD) on the same box back-to-back; the
+package is imported from the CURRENT DIRECTORY so one copy of this
+script can drive any checkout. Times each key at sf0.1 with 1 warm +
+5 timed runs and prints one JSON line with median + spread, the
+protocol bench.py uses (see PERF.md "bench medians and cold start":
+first-key JIT absorbs ~7s, so the warm run is mandatory and only
+medians are comparable).
 
-Usage:  python tools/ab_riser.py [label]
+Usage:  python tools/ab_riser.py [label] [key ...]
+        (default keys: the four r9 panel-family risers)
 """
 
 from __future__ import annotations
@@ -17,22 +21,28 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.getcwd())
 
 from etl_stocks_with_sentiment_analysis_spark import registry  # noqa: E402
 from etl_stocks_with_sentiment_analysis_spark.session import get_spark  # noqa: E402
 
-KEYS = ["sink_upsert_manifest", "dedup_incremental_batch"]
+DEFAULT_KEYS = [
+    "agg_accuracy_by_stock",
+    "rollup_time_hierarchy",
+    "join_asof_latest_explanation",
+    "join_left_prices_grok",
+]
 
 
 def main() -> None:
     label = sys.argv[1] if len(sys.argv) > 1 else "HEAD"
+    keys = sys.argv[2:] or DEFAULT_KEYS
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("ab-riser")
     spark.sparkContext.setLogLevel("ERROR")
     qs = registry.all_queries()
     out = {}
-    for key in KEYS:
+    for key in keys:
         qs[key](spark, sf_dir).write.format("noop").mode("overwrite").save()
         walls = []
         for _ in range(5):
