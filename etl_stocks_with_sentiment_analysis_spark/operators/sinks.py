@@ -27,6 +27,7 @@ import shutil
 import tempfile
 import threading
 import urllib.parse
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -298,6 +299,210 @@ def _cache_base(target: str, version: int, raw: dict) -> None:
         _BASE_STATE_CACHE[(target, version)] = raw
 
 
+# --- SHARDED FULL STATES (r10): Iceberg manifest-list analog ---------
+#
+# A full-state version on a very large table serialized the WHOLE
+# state as one JSON blob — ~5 s publish at 200k entries, ~330 ms per
+# commit amortized over the 16-commit delta cycle (PERF.md r9 row).
+# Large full states now split the entry-keyed sections into SHARD
+# FILES by stable hash of the entry key; the committed manifest is a
+# small INDEX naming each shard file + its content sha. The next
+# full-state commit re-serializes each shard and REUSES (references
+# by name) every shard whose sha is unchanged — so a full-state
+# commit writes O(touched shards), not O(table), exactly the
+# manifest-list reuse trick Iceberg snapshots use. Shard files are
+# uuid-named (two CAS-racing writers can never cross-write), written
+# BEFORE the index CAS (publish-last), immutable once written, and
+# append-only like manifests (never GC'd — tiny JSON history). A
+# missing/corrupt shard makes the version read as _BAD and the
+# resolver degrades to the previous committed version, never to a
+# partially-assembled state.
+_SHARD_MIN_ENTRIES = 8192  # single-file below this (most tables)
+_SHARD_TARGET_ENTRIES = 8192  # ~entries per shard above it
+_SHARD_SECTIONS = (
+    "partitions", "stats", "entry_rows", "file_stats", "file_point_index",
+)
+# (target, shard file name) -> parsed sections dict; shard files are
+# immutable and uuid-named, so entries can never go stale
+_SHARD_CACHE: dict[tuple, dict] = {}
+_SHARD_CACHE_MAX = 512
+_SHARD_CACHE_LOCK = threading.Lock()
+# target -> {"n_shards", "shards": {id: {"file","sha"}}, "rels":
+# {entry key -> rel}, "schema", "field_ids"} — the most recently seen
+# shard layout + the rel/schema snapshot it described, consulted for
+# write-time reuse. The snapshot enables the FAST reuse path: under
+# an unchanged schema/field_ids, "unchanged rel => unchanged derived
+# sections" (the exact contract the delta encoder's fast diff already
+# relies on), so a shard none of whose keys changed rel is reused
+# WITHOUT being re-serialized. Best-effort: layouts are populated
+# only from shard files just written or just read, so a referenced
+# (file, sha) always describes real on-disk content; a missing or
+# mismatched snapshot only costs re-serialization, never correctness.
+_LAST_SHARD_LAYOUT: dict[str, dict] = {}
+_LAST_SHARD_LAYOUT_MAX = 4  # rels snapshots are O(entries) — cap targets
+_SHARD_LAYOUT_LOCK = threading.Lock()
+
+
+def _remember_shard_layout(target: str, n_shards, shards: dict,
+                           state: dict) -> None:
+    with _SHARD_LAYOUT_LOCK:
+        while (
+            target not in _LAST_SHARD_LAYOUT
+            and len(_LAST_SHARD_LAYOUT) >= _LAST_SHARD_LAYOUT_MAX
+        ):
+            _LAST_SHARD_LAYOUT.pop(next(iter(_LAST_SHARD_LAYOUT)))
+        _LAST_SHARD_LAYOUT[target] = {
+            "n_shards": n_shards,
+            "shards": {k: dict(v) for k, v in shards.items()},
+            "rels": dict(state.get("partitions") or {}),
+            "schema": state.get("schema"),
+            "field_ids": state.get("field_ids"),
+        }
+
+
+def _shard_of(key: str, n_shards: int) -> int:
+    import zlib
+
+    return zlib.crc32(key.encode("utf-8")) % n_shards
+
+
+def _cache_shard(target: str, fname: str, sections: dict) -> None:
+    with _SHARD_CACHE_LOCK:
+        while len(_SHARD_CACHE) >= _SHARD_CACHE_MAX:
+            _SHARD_CACHE.pop(next(iter(_SHARD_CACHE)))
+        _SHARD_CACHE[(target, fname)] = sections
+
+
+def _materialize_full(target: str, raw: dict):
+    """A raw full-state manifest -> the full logical state dict.
+    Plain full states pass through; `full-sharded` indexes assemble
+    their shard files (process-cached — immutable). Returns _BAD when
+    any referenced shard is missing or unparseable. The returned dict
+    SHARES the cached shard objects — callers that mutate must take a
+    private copy first (``_load_state`` does; ``_fold_delta`` copies
+    on exit)."""
+    if raw.get("format") != "full-sharded":
+        return raw
+    state = {
+        k: v
+        for k, v in raw.items()
+        if k not in ("format", "n_shards", "shards")
+    }
+    for sec in _SHARD_SECTIONS:
+        state[sec] = {}
+    for ref in (raw.get("shards") or {}).values():
+        fname = ref.get("file")
+        sections = _SHARD_CACHE.get((target, fname))
+        if sections is None:
+            got = _read_manifest_path(fsio.join(target, _LOG_DIR, fname))
+            if not isinstance(got, dict):
+                return _BAD
+            sections = got.get("sections") or {}
+            _cache_shard(target, fname, sections)
+        for sec in _SHARD_SECTIONS:
+            state[sec].update(sections.get(sec) or {})
+    _remember_shard_layout(
+        target, raw.get("n_shards"), raw.get("shards") or {}, state
+    )
+    return state
+
+
+def _encode_full_state(target: str, version: int, state: dict) -> str:
+    """Serialize a full-state commit: one JSON blob below
+    `_SHARD_MIN_ENTRIES`, else a sharded index + side shard files.
+
+    Two reuse tiers keep the steady-state cost O(touched shards):
+
+    - FAST (rel-keyed): when the layout snapshot's schema/field_ids
+      match the state's, a shard is reused WITHOUT re-serialization
+      unless one of its keys' rel changed/appeared/vanished — the
+      delta encoder's fast-diff contract ("unchanged rel => unchanged
+      derived sections") applied at shard granularity. Cost is one
+      O(entries) string-compare pass + serialize-and-write of only
+      the touched shards.
+    - SHA (content-keyed): without a usable snapshot (fresh process,
+      schema change, shard-count change), every shard re-serializes
+      and reuses by content sha — correct for any edit, linear cost,
+      paid once before the snapshot re-baselines."""
+    parts = state.get("partitions") or {}
+    if len(parts) < _SHARD_MIN_ENTRIES:
+        return json.dumps(state, indent=1, sort_keys=True)
+    import hashlib
+
+    n_shards = max(1, -(-len(parts) // _SHARD_TARGET_ENTRIES))
+    with _SHARD_LAYOUT_LOCK:
+        prev = _LAST_SHARD_LAYOUT.get(target)
+        prev = (
+            {
+                "shards": dict(prev["shards"]),
+                "rels": prev.get("rels"),
+                "schema": prev.get("schema"),
+                "field_ids": prev.get("field_ids"),
+            }
+            if prev and prev.get("n_shards") == n_shards
+            else None
+        )
+    shard_of = {k: _shard_of(k, n_shards) for k in parts}
+    fast = (
+        prev is not None
+        and prev["rels"] is not None
+        and prev["schema"] == state.get("schema")
+        and prev["field_ids"] == state.get("field_ids")
+    )
+    if fast:
+        prev_rels = prev["rels"]
+        dirty = {
+            shard_of[k] for k, rel in parts.items()
+            if prev_rels.get(k) != rel
+        }
+        for k in prev_rels:
+            if k not in parts:
+                dirty.add(_shard_of(k, n_shards))
+        build = dirty
+    else:
+        build = set(range(n_shards))
+    chunks: dict[int, dict] = {
+        i: {sec: {} for sec in _SHARD_SECTIONS} for i in build
+    }
+    for sec in _SHARD_SECTIONS:
+        for k, v in (state.get(sec) or {}).items():
+            i = shard_of.get(k)
+            if i is None:  # a section key outside the partition map
+                i = _shard_of(k, n_shards)
+            if i in chunks:
+                chunks[i][sec][k] = v
+    reuse = prev["shards"] if prev else {}
+    shards: dict[str, dict] = {}
+    for i in range(n_shards):
+        if i not in chunks:
+            shards[str(i)] = dict(reuse[str(i)])  # fast-path carry
+            continue
+        text = json.dumps(
+            {"shard": i, "sections": chunks[i]}, indent=1, sort_keys=True
+        )
+        sha = hashlib.sha256(text.encode("utf-8")).hexdigest()
+        old = reuse.get(str(i))
+        if old and old.get("sha") == sha:
+            shards[str(i)] = dict(old)
+            continue
+        fname = (
+            f"{_MANIFEST_PREFIX}{version:012d}-"
+            f"{uuid.uuid4().hex[:8]}-shard-{i}.json"
+        )
+        fsio.mkdirs(fsio.join(target, _LOG_DIR))
+        fsio.write_text(fsio.join(target, _LOG_DIR, fname), text)
+        _cache_shard(target, fname, chunks[i])
+        shards[str(i)] = {"file": fname, "sha": sha}
+    index = {
+        k: v for k, v in state.items() if k not in _SHARD_SECTIONS
+    }
+    index["format"] = "full-sharded"
+    index["n_shards"] = n_shards
+    index["shards"] = shards
+    _remember_shard_layout(target, n_shards, shards, state)
+    return json.dumps(index, indent=1, sort_keys=True)
+
+
 def _fold_delta(base_state: dict, delta: dict) -> dict:
     """Apply a delta manifest onto its full-state base -> the folded
     full logical state (a fresh dict; the cached base is never
@@ -319,18 +524,30 @@ def _fold_delta(base_state: dict, delta: dict) -> dict:
 
 
 def _load_state(target: str, version: int, raw=None):
-    """Raw manifest at `version` -> FULL logical state, folding a
-    delta onto its named full-state base. dict | _ABSENT | _BAD."""
+    """Raw manifest at `version` -> FULL logical state: assembling a
+    sharded full state, or folding a delta onto its named full-state
+    base (itself assembled if sharded). dict | _ABSENT | _BAD."""
     if raw is None:
         raw = _read_manifest_version(target, version)
-    if not isinstance(raw, dict) or raw.get("format") != "delta":
+    if not isinstance(raw, dict):
+        return raw
+    if raw.get("format") == "full-sharded":
+        st = _materialize_full(target, raw)
+        if not isinstance(st, dict):
+            return _BAD
+        # private copy — the assembled dict shares cached shard objects
+        return json.loads(json.dumps(st))
+    if raw.get("format") != "delta":
         return raw
     bv = raw["base"]
     base = _BASE_STATE_CACHE.get((target, bv))
     if base is None:
-        base = _read_manifest_version(target, bv)
-        if not isinstance(base, dict) or base.get("format") == "delta":
+        braw = _read_manifest_version(target, bv)
+        if not isinstance(braw, dict) or braw.get("format") == "delta":
             return _BAD  # a delta's base must be a readable full state
+        base = _materialize_full(target, braw)
+        if not isinstance(base, dict):
+            return _BAD
         _cache_base(target, bv, base)
     return _fold_delta(base, raw)
 
@@ -360,7 +577,7 @@ def _encode_manifest(
     changed/appeared/vanished — measured 294 ms -> ~1 ms at 200k
     entries for a one-partition commit (tools/metadata_scale.py)."""
     if force_full or version % _FULL_STATE_EVERY == 0:
-        return json.dumps(state, indent=1, sort_keys=True)
+        return _encode_full_state(target, version, state)
     base_v = version - (version % _FULL_STATE_EVERY)
     base = _BASE_STATE_CACHE.get((target, base_v))
     if base is None:
@@ -368,8 +585,10 @@ def _encode_manifest(
         if not isinstance(raw, dict) or raw.get("format") == "delta":
             # no usable base (e.g. corrupt): degrade to a full state —
             # always correct, just bigger
-            return json.dumps(state, indent=1, sort_keys=True)
-        base = raw
+            return _encode_full_state(target, version, state)
+        base = _materialize_full(target, raw)
+        if not isinstance(base, dict):
+            return _encode_full_state(target, version, state)
         _cache_base(target, base_v, base)
     delta: dict = {"format": "delta", "base": base_v, "set": {}, "del": {}}
     bparts = base.get("partitions") or {}
@@ -1263,6 +1482,11 @@ def _write_manifest_atomic(
                 k for k in _FOREIGN_MANIFEST_ALIASES if k[0] == target
             ]:
                 _FOREIGN_MANIFEST_ALIASES.pop(k, None)
+        with _SHARD_CACHE_LOCK:
+            for k in [k for k in _SHARD_CACHE if k[0] == target]:
+                _SHARD_CACHE.pop(k, None)
+        with _SHARD_LAYOUT_LOCK:
+            _LAST_SHARD_LAYOUT.pop(target, None)
     _LOG_MODE_TARGETS.add(target)
     # pointer refresh AFTER the CAS: every commit path (data,
     # metadata-only, clone) funnels through here, so the checkpoint
@@ -2997,6 +3221,12 @@ def repair_manifest_table(target: str) -> list[int]:
     version 0 itself is unrecoverable (no state to duplicate — at
     that point restore from a replica/backup)."""
     _BASE_STATE_CACHE.clear()  # repair rewrites "immutable" files
+    # shard files themselves are never rewritten, but the process may
+    # hold cached copies / a reuse layout describing files whose ON-
+    # DISK bytes rotted — drop both so assembly and reuse re-verify
+    # against the store
+    _SHARD_CACHE.clear()
+    _LAST_SHARD_LAYOUT.clear()
     repaired: list[int] = []
     last_good: dict | None = None
     vers = _list_manifest_versions(target)
