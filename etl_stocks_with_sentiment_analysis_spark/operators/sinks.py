@@ -1363,6 +1363,26 @@ def register_manifest_view(
 _TRACKED_VIEWS: dict[str, dict] = {}
 _TRACKED_VIEWS_LOCK = threading.Lock()
 
+# name -> {"deps": {tracked view names}, "rebuild": () -> DataFrame}
+# for DERIVED views layered on tracked base views (the 12 dashboard
+# views). A temp view captures its analyzed plan at creation, so a
+# derived view keeps reading the base's OLD file set even after the
+# base view re-registers; when a refresh advances any of a derived
+# view's deps, its rebuild closure re-creates it against the fresh
+# base plans. Registration order = rebuild order (closures may layer).
+_DERIVED_VIEWS: dict[str, dict] = {}
+
+
+def register_derived_view(
+    name: str, deps: set[str], rebuild
+) -> None:
+    """Record a derived temp view to re-create whenever any tracked
+    view in ``deps`` advances (`refresh_tracked_views`). ``rebuild``
+    is a zero-arg closure that re-creates the temp view from the
+    CURRENT base view plans and returns nothing; it must be
+    idempotent (createOrReplaceTempView is)."""
+    _DERIVED_VIEWS[name] = {"deps": set(deps), "rebuild": rebuild}
+
 
 def refresh_tracked_views(
     spark: SparkSession, names: list[str] | None = None
@@ -1405,6 +1425,17 @@ def refresh_tracked_views(
             if name in _TRACKED_VIEWS:
                 _TRACKED_VIEWS[name]["pinned"] = ver
         refreshed.append(name)
+    if refreshed:
+        # cascade: derived views whose deps advanced re-create against
+        # the fresh base plans (analyzed-plan temp views would
+        # otherwise keep reading the old file set). Views sharing one
+        # rebuild closure (the 12 dashboard views) rebuild once.
+        hit = set(refreshed)
+        done_ids: set[int] = set()
+        for spec in list(_DERIVED_VIEWS.values()):
+            if spec["deps"] & hit and id(spec["rebuild"]) not in done_ids:
+                done_ids.add(id(spec["rebuild"]))
+                spec["rebuild"]()
     return refreshed
 
 

@@ -63,9 +63,13 @@ def create_dashboard_views_on_manifest(
        views (`panel.base_frames`), so every view's lineage reads the
        ACID tables, not the raw parquet.
 
-    The view plans are captured at creation (analyzed-plan temp
-    views); after further commits, re-run this function — or query
-    the base tables directly through `manifest_sql` — for fresh data.
+    LIVENESS (r10): the 12 views are registered as DERIVED views over
+    the tracked base tables — when a later commit lands on
+    `stock_prices`/`grok_explanations`, the next `manifest_sql` (or
+    explicit `refresh_tracked_views`) re-resolves the base views AND
+    re-creates every dashboard view on top, so the whole stack serves
+    the new commit with no re-run of this function: exactly the
+    reference dashboard's poll-live-tables behavior, TTL zero.
     Returns the view names. Idempotent per ``base_dir``: re-running
     upserts the same rows (keys match → no logical change) and
     re-registers everything."""
@@ -87,8 +91,16 @@ def create_dashboard_views_on_manifest(
         target = os.path.join(base_dir, name)
         sinks.upsert(spark, target, df, keys, commit_mode="manifest")
         sinks.register_manifest_view(spark, target, name, track_latest=True)
-    with panel.base_frames(
-        prices=spark.table("stock_prices"),
-        explanations=spark.table("grok_explanations"),
-    ):
-        return create_dashboard_views(spark, sf_dir)
+
+    def rebuild() -> None:
+        with panel.base_frames(
+            prices=spark.table("stock_prices"),
+            explanations=spark.table("grok_explanations"),
+        ):
+            create_dashboard_views(spark, sf_dir)
+
+    rebuild()
+    deps = {"stock_prices", "grok_explanations"}
+    for view in DASHBOARD_VIEWS:
+        sinks.register_derived_view(view, deps, rebuild)
+    return list(DASHBOARD_VIEWS)

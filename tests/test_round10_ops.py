@@ -211,6 +211,43 @@ def test_tracking_view_rejects_version_pin(spark, rows, tmp_path):
                                      version=0, track_latest=True)
 
 
+def test_dashboard_stack_is_live_end_to_end(spark, sf_dir, tmp_path):
+    """The FULL reference lifecycle with liveness: after a new commit
+    lands on the base manifest table, one manifest_sql call serves the
+    new rows through a LAYERED dashboard view — base view re-resolved
+    AND derived views rebuilt, no re-run of the registration."""
+    from pyspark.sql import functions as F
+
+    from etl_stocks_with_sentiment_analysis_spark.plans import views
+
+    views.create_dashboard_views_on_manifest(
+        spark, sf_dir, str(tmp_path / "live")
+    )
+    before = sinks.manifest_sql(
+        spark, "SELECT COUNT(*) AS n FROM accuracy_by_stock"
+    ).collect()[0]["n"]
+    # land a commit adding a brand-new ticker's panel rows: 3
+    # consecutive dates of ONE ticker -> exactly one scored row
+    # (pct_change + its lag both non-null on the 3rd date)
+    tmin = spark.table("stock_prices").agg(F.min("ticker")).collect()[0][0]
+    newrows = (
+        spark.table("stock_prices")
+        .filter(F.col("ticker") == tmin)
+        .orderBy("date")
+        .limit(3)
+        .withColumn("ticker", F.col("ticker") + 1000000)
+    )
+    sinks.upsert(
+        spark, str(tmp_path / "live" / "stock_prices"), newrows,
+        ["ticker", "date"], commit_mode="manifest",
+    )
+    after = sinks.manifest_sql(
+        spark, "SELECT COUNT(*) AS n FROM accuracy_by_stock"
+    ).collect()[0]["n"]
+    # 3 rows for one new ticker -> >=1 scored row -> one new group
+    assert after == before + 1, (before, after)
+
+
 # --- r10 judge item 6: sharded full-state manifests --------------------
 
 
@@ -270,6 +307,59 @@ def test_sharded_full_state_roundtrip_and_reuse(
     _, man = sinks._latest_manifest(target)
     assert set(man["partitions"]) == {f"p=p{i}" for i in range(12)}
     assert sum(int(n) for n in man["entry_rows"].values()) == 24
+
+
+def test_sharded_concurrent_writers_across_boundaries(
+    spark, tmp_path, monkeypatch, shard_small
+):
+    """TRUE-THREAD stress with SHARDING forced on every full state:
+    two writers, disjoint partitions, through two full-state
+    boundaries (K=3). Every row survives, versions are contiguous,
+    every full state is a sharded index, every retained version
+    assembles + folds — the CAS-retry path and the shard reuse path
+    interleave safely (uuid shard names mean racing writers can never
+    cross-write a shard file)."""
+    import threading
+
+    monkeypatch.setattr(sinks, "_FULL_STATE_EVERY", 3)
+    sinks._BASE_STATE_CACHE.clear()
+    target = str(tmp_path / "shardrace")
+    sinks.upsert(spark, target, _mkrows(spark, 24), ["id", "p"],
+                 partition_col="p", commit_mode="manifest")
+    errors: list[Exception] = []
+
+    def writer(base: int, n: int) -> None:
+        try:
+            for i in range(n):
+                batch = spark.createDataFrame(
+                    [(base + i, f"p{(base + i) % 12}", base + i)],
+                    "id INT, p STRING, v INT",
+                )
+                sinks.upsert(spark, target, batch, ["id", "p"],
+                             partition_col="p", commit_mode="manifest")
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(100, 4)),
+               threading.Thread(target=writer, args=(200, 4))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    assert not errors, errors
+    got = {r["id"] for r in
+           sinks.read_manifest_table(spark, target).collect()}
+    assert got == set(range(24)) | {100 + i for i in range(4)} | {
+        200 + i for i in range(4)
+    }
+    ver, _ = sinks._latest_manifest(target)
+    assert ver == 8  # 9 commits, contiguous, none lost
+    for v in range(9):
+        raw = sinks._read_manifest_version(target, v)
+        want_full = v % 3 == 0
+        assert (raw.get("format") == "full-sharded") == want_full, v
+    for v in range(ver - sinks._RETAIN_VERSIONS + 1, ver + 1):
+        assert sinks.read_manifest_table(spark, target, version=v) is not None
 
 
 def test_sharded_corrupt_shard_degrades_and_repairs(
