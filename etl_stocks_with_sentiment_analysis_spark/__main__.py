@@ -9,7 +9,9 @@
     python -m etl_stocks_with_sentiment_analysis_spark ml-predict [--out CSV_DIR]
     python -m etl_stocks_with_sentiment_analysis_spark table ACTION TARGET [...]
         ACTION: history | count | stats | compact | repartition | clone
-                | show | delete | update
+                | show | delete | update | repair
+    python -m etl_stocks_with_sentiment_analysis_spark sql "SELECT ..." \
+        [--table NAME=PATH ...]   # latest-tracking manifest SQL
 """
 
 from __future__ import annotations
@@ -82,6 +84,17 @@ def main(argv: list[str] | None = None) -> int:
                        choices=["copy_on_write", "merge_on_read"],
                        help="delete: rewrite touched entries, or record "
                        "the predicate as a metadata-only commit")
+
+    p_sql = sub.add_parser(
+        "sql", help="run SQL over registered manifest tables "
+        "(latest-tracking: views refresh before the query runs)"
+    )
+    p_sql.add_argument("query", help="SQL text")
+    p_sql.add_argument(
+        "--table", action="append", default=None, metavar="NAME=PATH",
+        help="register PATH as tracked view NAME first (repeatable)",
+    )
+    p_sql.add_argument("--show", type=int, default=20)
 
     p_ann = sub.add_parser(
         "ann", help="approximate-nearest-neighbor top-k over an "
@@ -221,6 +234,16 @@ def main(argv: list[str] | None = None) -> int:
                 return 1
             df.show(20, truncate=False)
             print(f"rows: {df.count()}")
+    elif args.cmd == "sql":
+        from .operators import sinks
+
+        for spec in args.table or []:
+            name, path = spec.split("=", 1)
+            sinks.register_manifest_view(spark, path, name,
+                                         track_latest=True)
+        sinks.manifest_sql(spark, args.query).show(
+            args.show, truncate=False
+        )
     elif args.cmd == "ann":
         from pyspark.sql import functions as F
 

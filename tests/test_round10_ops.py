@@ -170,6 +170,32 @@ def test_tracking_view_respects_bounds_and_pin_downgrade(
     assert "t10_trackb" not in sinks._TRACKED_VIEWS
 
 
+# --- r10 item 5: widened feature matrix keeps its plan shape ----------
+
+
+def test_feature_matrix_plan_one_window_partitioning(spark, sf_dir):
+    """The 38-column matrix must keep the 19-column plan's exchange
+    budget: 2 hash-agg shuffles (prices, explanations) + 1 window
+    shuffle (ticker) + 1 broadcast — every rolling/lag feature rides
+    the SAME window partitioning (cumsum-diff, offset frames), never
+    a new exchange. A second window exchange here would double the
+    matrix's shuffle volume at 100 TB."""
+    import re
+
+    from etl_stocks_with_sentiment_analysis_spark.ml.features import (
+        feature_matrix,
+    )
+
+    plan = feature_matrix(
+        spark, sf_dir
+    )._jdf.queryExecution().executedPlan().toString()
+    kinds = re.findall(r"Exchange (\w+)", plan)
+    assert len(kinds) == 4, kinds
+    assert kinds.count("hashpartitioning") == 3, kinds
+    # the extra volume_ratio-lag pass adds Window NODES, not exchanges
+    assert plan.count("Window") >= 4
+
+
 # --- r10 judge item 4: dashboard views on manifest tables -------------
 
 
@@ -246,6 +272,34 @@ def test_dashboard_stack_is_live_end_to_end(spark, sf_dir, tmp_path):
     ).collect()[0]["n"]
     # 3 rows for one new ticker -> >=1 scored row -> one new group
     assert after == before + 1, (before, after)
+
+
+def test_streaming_sink_feeds_tracked_view(spark, sf_dir, tmp_path):
+    """Streaming ↔ tracked-view integration: a tracking view
+    registered over an (initially committed) manifest table serves
+    the rows a STREAMING manifest sink lands afterwards — the
+    incremental-pipeline + live-dashboard combination the reference
+    runs (cron upsert -> Postgres -> 60s-TTL dashboard poll)."""
+    from etl_stocks_with_sentiment_analysis_spark.streaming import ingest
+
+    target = str(tmp_path / "stream_sink")
+    seed = ingest.streaming_tumbling_daily(spark, sf_dir).limit(1)
+    sinks.upsert(spark, target, seed, ["day", "event_type"],
+                 partition_col="day")
+    sinks.register_manifest_view(spark, target, "t10_stream",
+                                 track_latest=True)
+    n0 = sinks.manifest_sql(
+        spark, "SELECT COUNT(*) AS n FROM t10_stream"
+    ).collect()[0]["n"]
+    assert n0 == 1
+    q = ingest.run_incremental_upsert(spark, sf_dir, target,
+                                      query_name="t10_up")
+    q.awaitTermination(120)
+    full = ingest.streaming_tumbling_daily(spark, sf_dir).count()
+    n1 = sinks.manifest_sql(
+        spark, "SELECT COUNT(*) AS n FROM t10_stream"
+    ).collect()[0]["n"]
+    assert n1 == full, (n0, n1, full)
 
 
 # --- r10 judge item 6: sharded full-state manifests --------------------
