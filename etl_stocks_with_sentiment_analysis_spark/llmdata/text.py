@@ -671,6 +671,62 @@ def pipeline_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CHUNK_SIZE = 64  # whitespace tokens per chunk
+_CHUNK_STEP = 48  # stride; 16-token overlap between adjacent chunks
+
+_CHUNK_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents
+),
+s AS (
+  SELECT doc_id, ws,
+         UNNEST(RANGE(0, GREATEST(LEN(ws), 1), {_CHUNK_STEP})) AS st
+  FROM t
+)
+SELECT doc_id,
+       CAST(st // {_CHUNK_STEP} AS BIGINT) AS chunk_id,
+       ARRAY_TO_STRING(ws[st + 1 : st + {_CHUNK_SIZE}], ' ') AS chunk_text,
+       CAST(LEN(ws[st + 1 : st + {_CHUNK_SIZE}]) AS BIGINT) AS n_tokens
+FROM s"""
+
+
+@register("pipeline_chunk_documents", oracle=_CHUNK_ORACLE)
+def pipeline_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking: split each document into
+    {_CHUNK_SIZE}-token chunks with a {_CHUNK_STEP}-token stride
+    (16-token overlap) — the RAG-indexing / long-doc-training prep
+    step between raw documents and embedding or packing
+    (`pipeline_sequence_pack` is the no-overlap concatenate-and-chunk
+    twin; this one preserves per-doc boundaries and context overlap).
+
+    Scale shape: pure scan-side projection + generator — split once,
+    one `posexplode` over the per-doc start offsets, `slice` +
+    `array_join` per chunk. ZERO shuffles at any corpus size; the
+    fan-out is bounded by ceil(n_tokens / stride) rows per doc, and
+    predicate pushdown on doc_id/source still reaches the parquet
+    scan below the explode."""
+    docs = load_table(spark, sf_dir, "documents")
+    df = docs.select("doc_id", F.split("text", " ").alias("ws")).select(
+        "doc_id",
+        "ws",
+        F.posexplode(
+            F.expr(
+                f"sequence(0, greatest(size(ws) - 1, 0), {_CHUNK_STEP})"
+            )
+        ).alias("chunk_id", "st"),
+    )
+    return df.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.expr(f"array_join(slice(ws, st + 1, {_CHUNK_SIZE}), ' ')").alias(
+            "chunk_text"
+        ),
+        F.expr(f"size(slice(ws, st + 1, {_CHUNK_SIZE}))")
+        .cast("long")
+        .alias("n_tokens"),
+    )
+
+
 _BUDGET_ORACLE = """
 SELECT COALESCE(source, '<all>') AS source,
        COALESCE(lang, '<all>') AS lang,

@@ -2226,6 +2226,7 @@ def _upsert_manifest(
     keys: list[str],
     partition_col: str | None,
     txn: tuple[str, int] | None = None,
+    combine=None,
 ) -> None:
     """Manifest-commit upsert (see `upsert` for the semantics). Write
     order is the whole protocol: (1) new snapshot data dir fully
@@ -2337,11 +2338,17 @@ def _upsert_manifest(
                 scoped = _read_manifest_dirs(spark, target, man, only_keys=only)
             else:
                 scoped = _read_manifest_dirs(spark, target, man)
-            kept = scoped.join(incoming.select(*keys), keys, "left_anti")
-            # allowMissingColumns: an incoming frame may ADD columns (kept
-            # rows get NULLs) — the manifest records the widened schema and
-            # the reader projects old snapshots to it
-            merged = incoming.unionByName(kept, allowMissingColumns=True)
+            if combine is not None:
+                # caller-supplied merge semantics (MERGE INTO's
+                # matched/not-matched clauses); re-invoked per CAS
+                # retry against the freshly scoped existing rows
+                merged = combine(scoped, incoming)
+            else:
+                kept = scoped.join(incoming.select(*keys), keys, "left_anti")
+                # allowMissingColumns: an incoming frame may ADD columns
+                # (kept rows get NULLs) — the manifest records the widened
+                # schema and the reader projects old snapshots to it
+                merged = incoming.unionByName(kept, allowMissingColumns=True)
         # field-id assignment: existing columns keep their permanent
         # ids (legacy tables are seeded in recorded-schema order); NEW
         # columns get fresh ids from the monotonic counter, so a
@@ -2601,6 +2608,112 @@ def maybe_compact_manifest_table(
         point_index=lay.get("point_index") or None,
     )
     return True
+
+
+def merge_manifest_table(
+    spark: SparkSession,
+    target: str,
+    source: DataFrame,
+    on: list[str],
+    when_matched: str | None = "update",
+    matched_condition: str | None = None,
+    when_not_matched: str | None = "insert",
+    not_matched_condition: str | None = None,
+    partition_col=None,
+    txn: tuple[str, int] | None = None,
+) -> None:
+    """MERGE INTO for manifest tables — the full Delta/Iceberg clause
+    surface the plain ``upsert`` (incoming always wins) doesn't
+    express (`MERGE INTO t USING s ON ... WHEN MATCHED [AND cond]
+    THEN UPDATE|DELETE WHEN NOT MATCHED [AND cond] THEN INSERT`; the
+    reference's `ON CONFLICT DO UPDATE` is the unconditional-update
+    special case, `ml/data_loader.py:140-160`).
+
+    ``when_matched``: "update" (matched target rows are replaced by
+    their source row when ``matched_condition`` holds — condition may
+    reference both sides as `e.col` / `s.col`), "delete" (matched
+    rows satisfying the condition are dropped), or None (matched
+    target rows always kept). ``when_not_matched``: "insert" (source
+    rows with no match are inserted when ``not_matched_condition``
+    holds — `s.col` references) or None. A condition that evaluates
+    NULL counts as not-satisfied, per SQL MERGE.
+
+    SCALE SHAPE: identical to upsert — with ``partition_col`` (must
+    be one of ``on``) only the partitions present in the SOURCE are
+    read (matched target rows share the source's partition values by
+    construction), the merge is ONE full-outer equi-join on ``on``
+    between the scoped existing rows and the source, and the commit
+    is the same CAS-retried snapshot publish (snapshot isolation,
+    concurrent writers, txn exactly-once). O(touched partitions) data
+    work per merge, never O(table).
+
+    Raises if the table has no manifest (MERGE needs a target;
+    create with ``upsert`` first) or if ``partition_col`` ∉ ``on``."""
+    if when_matched not in ("update", "delete", None):
+        raise ValueError(f"when_matched must be update/delete/None, "
+                         f"got {when_matched!r}")
+    if when_not_matched not in ("insert", None):
+        raise ValueError(f"when_not_matched must be insert/None, "
+                         f"got {when_not_matched!r}")
+    pcols = _norm_pcols(partition_col)
+    for c in pcols:
+        if c not in on:
+            raise ValueError(
+                f"partition_col {c!r} must be one of the ON columns "
+                f"{on} — partition scoping reads only source-touched "
+                "partitions, which is only sound when matches share "
+                "the source row's partition value"
+            )
+    _, man = _latest_manifest(target)
+    if man is None:
+        raise ValueError(
+            f"no manifest table at {target} — MERGE needs an existing "
+            "target; create it with upsert(commit_mode='manifest')"
+        )
+
+    def combine(scoped: DataFrame, incoming: DataFrame) -> DataFrame:
+        e = scoped.withColumn("_e_present", F.lit(True)).alias("e")
+        s = incoming.withColumn("_s_present", F.lit(True)).alias("s")
+        cond = functools.reduce(
+            lambda a, b: a & b,
+            [F.col(f"e.{c}").eqNullSafe(F.col(f"s.{c}")) for c in on],
+        )
+        j = e.join(s, cond, "full_outer")
+        matched = (
+            F.col("e._e_present").isNotNull()
+            & F.col("s._s_present").isNotNull()
+        )
+        mc = (
+            F.coalesce(F.expr(matched_condition), F.lit(False))
+            if matched_condition is not None else F.lit(True)
+        )
+        nmc = (
+            F.coalesce(F.expr(not_matched_condition), F.lit(False))
+            if not_matched_condition is not None else F.lit(True)
+        )
+        # target-side rows kept verbatim
+        keep_e = F.col("s._s_present").isNull()  # no match for e row
+        if when_matched is None:
+            keep_e = keep_e | matched
+        else:
+            keep_e = keep_e | (matched & ~mc)
+        # source-side rows taken
+        take_s = F.lit(False)
+        if when_matched == "update":
+            take_s = matched & mc
+        if when_not_matched == "insert":
+            take_s = take_s | (F.col("e._e_present").isNull() & nmc)
+        e_rows = j.filter(keep_e).select(
+            [F.col(f"e.{c}").alias(c) for c in scoped.columns]
+        )
+        s_rows = j.filter(take_s).select(
+            [F.col(f"s.{c}").alias(c) for c in incoming.columns]
+        )
+        return s_rows.unionByName(e_rows, allowMissingColumns=True)
+
+    _upsert_manifest(
+        spark, target, source, on, partition_col, txn=txn, combine=combine
+    )
 
 
 def repartition_manifest_table(
@@ -5410,6 +5523,82 @@ def sink_manifest_sql_track(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM mv_track_events
         GROUP BY event_type, sgrp
         """,
+    )
+
+
+_MERGE_ORACLE = """
+WITH state1 AS (
+  SELECT event_id, user_id,
+         CASE WHEN event_id % 2 = 0 THEN 'merged' ELSE event_type END
+           AS event_type,
+         CASE WHEN event_id % 2 = 0 THEN value + 1000 ELSE value END
+           AS value,
+         CAST(user_id % 8 AS INTEGER) AS ugrp
+  FROM events
+  WHERE event_id % 3 <> 0 OR event_id % 2 = 0
+)
+SELECT event_type, ugrp,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM state1
+WHERE NOT (event_id % 5 = 0 AND event_type = 'merged')
+GROUP BY event_type, ugrp"""
+
+
+@register("sink_manifest_merge", oracle=_MERGE_ORACLE)
+def sink_manifest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO with the full clause surface (r10): (1) build a
+    partitioned base table (events with event_id % 3 != 0); (2) MERGE
+    an even-id source — matched rows UPDATE to the source version
+    (event_type='merged', value+1000), unmatched source rows INSERT;
+    (3) MERGE a multiple-of-5-id probe with WHEN MATCHED AND
+    `e.event_type = 'merged'` THEN DELETE and no insert clause — a
+    conditional delete that must leave non-'merged' matches and all
+    unmatched rows untouched. The oracle recomputes the final state
+    from raw events with CASE logic. In-key assertions pin the
+    intermediate row counts."""
+    target = os.path.join(scratch_dir("s22_"), "merge_tbl")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value",
+        (F.col("user_id") % 8).cast("int").alias("ugrp"),
+    )
+    base = ev.filter(F.col("event_id") % 3 != 0)
+    upsert(spark, target, base, ["event_id", "ugrp"], partition_col="ugrp",
+           commit_mode="manifest")
+    n_base = read_manifest_table(spark, target).count()
+    src1 = ev.filter(F.col("event_id") % 2 == 0).select(
+        "event_id", "user_id",
+        F.lit("merged").alias("event_type"),
+        (F.col("value") + 1000).alias("value"),
+        "ugrp",
+    )
+    merge_manifest_table(
+        spark, target, src1, ["event_id", "ugrp"],
+        when_matched="update", when_not_matched="insert",
+        partition_col="ugrp",
+    )
+    n1 = read_manifest_table(spark, target).count()
+    assert n1 > n_base, "not-matched inserts must grow the table"
+    src2 = ev.filter(F.col("event_id") % 5 == 0).select("event_id", "ugrp")
+    merge_manifest_table(
+        spark, target, src2, ["event_id", "ugrp"],
+        when_matched="delete",
+        matched_condition="e.event_type = 'merged'",
+        when_not_matched=None,
+        partition_col="ugrp",
+    )
+    n2 = read_manifest_table(spark, target).count()
+    assert n2 < n1, "conditional delete must remove matched 'merged' rows"
+    return (
+        read_manifest_table(spark, target)
+        .groupBy("event_type", "ugrp")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("value_cents"),
+        )
     )
 
 

@@ -302,6 +302,94 @@ def test_streaming_sink_feeds_tracked_view(spark, sf_dir, tmp_path):
     assert n1 == full, (n0, n1, full)
 
 
+# --- r10: MERGE INTO clause surface ------------------------------------
+
+
+@pytest.fixture()
+def merge_base(spark, tmp_path):
+    target = str(tmp_path / "merge")
+    base = spark.createDataFrame(
+        [(1, "g1", "a", 10), (2, "g2", "b", 20), (3, "g1", "c", 30)],
+        "id INT, g STRING, s STRING, v INT",
+    )
+    sinks.upsert(spark, target, base, ["id", "g"], partition_col="g")
+    return target
+
+
+def _rows(spark, target):
+    return {
+        tuple(r) for r in sinks.read_manifest_table(spark, target)
+        .select("id", "g", "s", "v").collect()
+    }
+
+
+def test_merge_conditional_update_both_sides(spark, merge_base):
+    """WHEN MATCHED AND s.v > e.v THEN UPDATE — the condition sees
+    both sides; losing source rows leave the target row untouched."""
+    src = spark.createDataFrame(
+        [(1, "g1", "A", 99), (2, "g2", "B", 5), (9, "g1", "Z", 1)],
+        "id INT, g STRING, s STRING, v INT",
+    )
+    sinks.merge_manifest_table(
+        spark, merge_base, src, ["id", "g"],
+        when_matched="update", matched_condition="s.v > e.v",
+        when_not_matched="insert", partition_col="g",
+    )
+    assert _rows(spark, merge_base) == {
+        (1, "g1", "A", 99),   # updated: 99 > 10
+        (2, "g2", "b", 20),   # kept: 5 < 20
+        (3, "g1", "c", 30),   # unmatched target kept
+        (9, "g1", "Z", 1),    # inserted
+    }
+
+
+def test_merge_delete_and_insert_conditions(spark, merge_base):
+    """DELETE with condition + conditional INSERT in one merge."""
+    src = spark.createDataFrame(
+        [(1, "g1", "x", 0), (3, "g1", "x", 0),
+         (7, "g2", "new", 70), (8, "g2", "skip", -1)],
+        "id INT, g STRING, s STRING, v INT",
+    )
+    sinks.merge_manifest_table(
+        spark, merge_base, src, ["id", "g"],
+        when_matched="delete", matched_condition="e.v < 20",
+        when_not_matched="insert", not_matched_condition="s.v > 0",
+        partition_col="g",
+    )
+    assert _rows(spark, merge_base) == {
+        (2, "g2", "b", 20),   # unmatched target kept
+        (3, "g1", "c", 30),   # matched but e.v=30 not < 20 -> kept
+        (7, "g2", "new", 70),  # inserted (s.v > 0)
+        # (1,...) deleted (e.v=10 < 20); (8,...) insert condition false
+    }
+
+
+def test_merge_insert_only_and_guards(spark, merge_base):
+    """when_matched=None never touches matched rows; guards raise."""
+    src = spark.createDataFrame(
+        [(1, "g1", "SHOULD_NOT_LAND", 0), (4, "g2", "d", 40)],
+        "id INT, g STRING, s STRING, v INT",
+    )
+    sinks.merge_manifest_table(
+        spark, merge_base, src, ["id", "g"],
+        when_matched=None, when_not_matched="insert", partition_col="g",
+    )
+    got = _rows(spark, merge_base)
+    assert (1, "g1", "a", 10) in got and (4, "g2", "d", 40) in got
+    with pytest.raises(ValueError, match="must be one of the ON"):
+        sinks.merge_manifest_table(
+            spark, merge_base, src, ["id"], partition_col="g",
+        )
+    with pytest.raises(ValueError, match="no manifest table"):
+        sinks.merge_manifest_table(
+            spark, "/nowhere/at/all", src, ["id", "g"],
+        )
+    with pytest.raises(ValueError, match="when_matched"):
+        sinks.merge_manifest_table(
+            spark, merge_base, src, ["id", "g"], when_matched="upsert",
+        )
+
+
 # --- r10 judge item 6: sharded full-state manifests --------------------
 
 
