@@ -12,6 +12,7 @@
                 | show | delete | update | repair
     python -m etl_stocks_with_sentiment_analysis_spark sql "SELECT ..." \
         [--table NAME=PATH ...]   # latest-tracking manifest SQL
+    python -m etl_stocks_with_sentiment_analysis_spark test [--strict]  # dbt-test analog
 """
 
 from __future__ import annotations
@@ -84,6 +85,15 @@ def main(argv: list[str] | None = None) -> int:
                        choices=["copy_on_write", "merge_on_read"],
                        help="delete: rewrite touched entries, or record "
                        "the predicate as a metadata-only commit")
+
+    p_test = sub.add_parser(
+        "test", help="run the data-quality suite (dbt-test analog)"
+    )
+    p_test.add_argument("--sf-dir", default=DEFAULT_SF)
+    p_test.add_argument(
+        "--strict", action="store_true",
+        help="exit 1 if any check has violations",
+    )
 
     p_sql = sub.add_parser(
         "sql", help="run SQL over registered manifest tables "
@@ -234,6 +244,21 @@ def main(argv: list[str] | None = None) -> int:
                 return 1
             df.show(20, truncate=False)
             print(f"rows: {df.count()}")
+    elif args.cmd == "test":
+        from .plans.quality import run_quality_suite
+
+        rows = run_quality_suite(spark, args.sf_dir).collect()
+        failed = 0
+        for r in rows:
+            mark = "PASS" if r["passed"] == 1 else "FAIL"
+            failed += 1 - r["passed"]
+            print(
+                f"{mark}  {r['table_name']}.{r['target']} "
+                f"[{r['check']}] violations={r['n_violations']}"
+            )
+        print(f"{len(rows) - failed}/{len(rows)} checks passed")
+        if args.strict and failed:
+            return 1
     elif args.cmd == "sql":
         from .operators import sinks
 

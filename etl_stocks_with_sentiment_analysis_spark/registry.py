@@ -64,5 +64,6 @@ def _ensure_loaded() -> None:
     from . import llmdata  # noqa: F401
     from . import ml  # noqa: F401
     from . import streaming  # noqa: F401
+    from . import plans  # noqa: F401  (quality suite)
 
     _LOADED = True
