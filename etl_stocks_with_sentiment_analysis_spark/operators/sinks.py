@@ -2621,6 +2621,7 @@ def merge_manifest_table(
     not_matched_condition: str | None = None,
     partition_col=None,
     txn: tuple[str, int] | None = None,
+    validate_source_unique: bool = True,
 ) -> None:
     """MERGE INTO for manifest tables — the full Delta/Iceberg clause
     surface the plain ``upsert`` (incoming always wins) doesn't
@@ -2647,6 +2648,14 @@ def merge_manifest_table(
     concurrent writers, txn exactly-once). O(touched partitions) data
     work per merge, never O(table).
 
+    SOURCE UNIQUENESS: two source rows matching the same target row
+    make the merge ambiguous (which update wins?) — Delta raises
+    `DELTA_MULTIPLE_SOURCE_ROW_MATCHING_TARGET_ROW_IN_MERGE`, and so
+    does this (one cheap O(source) pre-check; pass
+    ``validate_source_unique=False`` to skip when the source is
+    dedup'd upstream — duplicate matches then ALL land, duplicating
+    the key).
+
     Raises if the table has no manifest (MERGE needs a target;
     create with ``upsert`` first) or if ``partition_col`` ∉ ``on``."""
     if when_matched not in ("update", "delete", None):
@@ -2670,6 +2679,18 @@ def merge_manifest_table(
             f"no manifest table at {target} — MERGE needs an existing "
             "target; create it with upsert(commit_mode='manifest')"
         )
+    if validate_source_unique:
+        dup = (
+            source.groupBy(*on).count().filter(F.col("count") > 1).head(1)
+        )
+        if dup:
+            raise ValueError(
+                f"MERGE source has multiple rows per ON key {on} "
+                f"(e.g. {tuple(dup[0])[:-1]}) — ambiguous matched-row "
+                "semantics; dedup the source, or pass "
+                "validate_source_unique=False to let every duplicate "
+                "land"
+            )
 
     def combine(scoped: DataFrame, incoming: DataFrame) -> DataFrame:
         e = scoped.withColumn("_e_present", F.lit(True)).alias("e")

@@ -390,6 +390,25 @@ def test_merge_insert_only_and_guards(spark, merge_base):
         )
 
 
+def test_merge_rejects_ambiguous_source(spark, merge_base):
+    """Two source rows for one ON key are ambiguous — Delta raises,
+    so do we; explicit opt-out lets both land."""
+    dup = spark.createDataFrame(
+        [(1, "g1", "x", 1), (1, "g1", "y", 2)],
+        "id INT, g STRING, s STRING, v INT",
+    )
+    with pytest.raises(ValueError, match="multiple rows per ON key"):
+        sinks.merge_manifest_table(
+            spark, merge_base, dup, ["id", "g"], partition_col="g",
+        )
+    sinks.merge_manifest_table(
+        spark, merge_base, dup, ["id", "g"], partition_col="g",
+        validate_source_unique=False,
+    )
+    got = _rows(spark, merge_base)
+    assert (1, "g1", "x", 1) in got and (1, "g1", "y", 2) in got
+
+
 # --- r10 judge item 6: sharded full-state manifests --------------------
 
 
