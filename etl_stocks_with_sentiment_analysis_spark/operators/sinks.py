@@ -407,7 +407,9 @@ def _materialize_full(target: str, raw: dict):
     return state
 
 
-def _encode_full_state(target: str, version: int, state: dict) -> str:
+def _encode_full_state(
+    target: str, version: int, state: dict, allow_fast: bool = True
+) -> str:
     """Serialize a full-state commit: one JSON blob below
     `_SHARD_MIN_ENTRIES`, else a sharded index + side shard files.
 
@@ -419,11 +421,13 @@ def _encode_full_state(target: str, version: int, state: dict) -> str:
       delta encoder's fast-diff contract ("unchanged rel => unchanged
       derived sections") applied at shard granularity. Cost is one
       O(entries) string-compare pass + serialize-and-write of only
-      the touched shards.
+      the touched shards. DATA commits only (``allow_fast``):
+      metadata-only commits can edit entry sections without touching
+      rels and must take the sha tier.
     - SHA (content-keyed): without a usable snapshot (fresh process,
-      schema change, shard-count change), every shard re-serializes
-      and reuses by content sha — correct for any edit, linear cost,
-      paid once before the snapshot re-baselines."""
+      schema change, shard-count change, metadata-only commit), every
+      shard re-serializes and reuses by content sha — correct for any
+      edit, linear cost, paid once before the snapshot re-baselines."""
     parts = state.get("partitions") or {}
     if len(parts) < _SHARD_MIN_ENTRIES:
         return json.dumps(state, indent=1, sort_keys=True)
@@ -444,7 +448,8 @@ def _encode_full_state(target: str, version: int, state: dict) -> str:
         )
     shard_of = {k: _shard_of(k, n_shards) for k in parts}
     fast = (
-        prev is not None
+        allow_fast
+        and prev is not None
         and prev["rels"] is not None
         and prev["schema"] == state.get("schema")
         and prev["field_ids"] == state.get("field_ids")
@@ -577,7 +582,13 @@ def _encode_manifest(
     changed/appeared/vanished — measured 294 ms -> ~1 ms at 200k
     entries for a one-partition commit (tools/metadata_scale.py)."""
     if force_full or version % _FULL_STATE_EVERY == 0:
-        return _encode_full_state(target, version, state)
+        # metadata-only commits (force_full) may edit entry-keyed
+        # sections WITHOUT changing rels — outside the rel-keyed
+        # fast-reuse contract, so they always re-serialize every
+        # shard and reuse by content sha (correct for any edit)
+        return _encode_full_state(
+            target, version, state, allow_fast=not force_full
+        )
     base_v = version - (version % _FULL_STATE_EVERY)
     base = _BASE_STATE_CACHE.get((target, base_v))
     if base is None:

@@ -470,6 +470,37 @@ def test_sharded_full_state_roundtrip_and_reuse(
     assert sum(int(n) for n in man["entry_rows"].values()) == 24
 
 
+def test_sharded_metadata_only_edit_preserved(
+    spark, tmp_path, monkeypatch, shard_small
+):
+    """A metadata-only commit can edit entry-keyed sections WITHOUT
+    changing rels — outside the rel-keyed fast-reuse contract. Such
+    commits must take the sha tier (every shard re-serialized), so
+    the edit lands in the rewritten shard instead of being lost to a
+    reused stale one."""
+    monkeypatch.setattr(sinks, "_FULL_STATE_EVERY", 2)
+    target = str(tmp_path / "meta_edit")
+    sinks.upsert(spark, target, _mkrows(spark, 24), ["id", "p"],
+                 partition_col="p", commit_mode="manifest")
+    assert sinks._read_manifest_version(target, 0).get("format") == (
+        "full-sharded"
+    )
+
+    def mutate(man):  # a future stats-recompute-style edit
+        man["entry_rows"]["p=p0"] = 999
+
+    sinks._commit_metadata_only(target, mutate)
+    # fresh-reader view: no cached shards, no cached bases
+    sinks._SHARD_CACHE.clear()
+    sinks._BASE_STATE_CACHE.clear()
+    _, man = sinks._latest_manifest(target)
+    assert man["entry_rows"]["p=p0"] == 999, (
+        "metadata-only entry-section edit lost to shard fast-reuse"
+    )
+    # untouched entries still intact through the rewrite
+    assert sum(int(n) for n in man["entry_rows"].values()) == 999 + 22
+
+
 def test_sharded_concurrent_writers_across_boundaries(
     spark, tmp_path, monkeypatch, shard_small
 ):
