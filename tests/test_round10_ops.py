@@ -390,6 +390,73 @@ def test_merge_insert_only_and_guards(spark, merge_base):
         )
 
 
+def test_merge_matches_dict_model_property(spark, tmp_path):
+    """Property: merge_manifest_table equals a pure-Python dict model
+    of SQL MERGE over generated scenarios — random base/source key
+    overlap, every clause combination, conditions on both sides.
+    Few examples (each runs a real table commit) but each covers a
+    full scenario, not one hand-picked case."""
+    import tempfile
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    row = st.tuples(
+        st.integers(0, 7),                  # id (small range -> overlap)
+        st.sampled_from(["g1", "g2"]),      # g (partition)
+        st.integers(-5, 5),                 # v
+    )
+
+    @settings(
+        max_examples=8, deadline=None,
+        suppress_health_check=list(HealthCheck),
+    )
+    @given(
+        base=st.lists(row, min_size=1, max_size=6,
+                      unique_by=lambda r: r[0]),
+        src=st.lists(row, min_size=1, max_size=6,
+                     unique_by=lambda r: r[0]),
+        wm=st.sampled_from(["update", "delete", None]),
+        use_mcond=st.booleans(),
+        wnm=st.sampled_from(["insert", None]),
+        use_nmcond=st.booleans(),
+    )
+    def check(base, src, wm, use_mcond, wnm, use_nmcond):
+        target = tempfile.mkdtemp(dir=str(tmp_path))
+        bdf = spark.createDataFrame(base, "id INT, g STRING, v INT")
+        sinks.upsert(spark, target, bdf, ["id"], commit_mode="manifest")
+        sdf = spark.createDataFrame(src, "id INT, g STRING, v INT")
+        sinks.merge_manifest_table(
+            spark, target, sdf, ["id"],
+            when_matched=wm,
+            matched_condition="s.v > e.v" if use_mcond else None,
+            when_not_matched=wnm,
+            not_matched_condition="s.v % 2 = 0" if use_nmcond else None,
+        )
+        # pure-Python model of the same MERGE
+        out = {r[0]: r for r in base}
+        for r in src:
+            k = r[0]
+            if k in out:
+                hit = (r[2] > out[k][2]) if use_mcond else True
+                if wm == "update" and hit:
+                    out[k] = r
+                elif wm == "delete" and hit:
+                    del out[k]
+            else:
+                if wnm == "insert" and (
+                    (r[2] % 2 == 0) if use_nmcond else True
+                ):
+                    out[k] = r
+        got = {
+            tuple(x) for x in sinks.read_manifest_table(spark, target)
+            .select("id", "g", "v").collect()
+        }
+        assert got == set(out.values()), (base, src, wm, wnm)
+
+    check()
+
+
 def test_merge_rejects_ambiguous_source(spark, merge_base):
     """Two source rows for one ON key are ambiguous — Delta raises,
     so do we; explicit opt-out lets both land."""
