@@ -263,6 +263,8 @@ def main(argv: list[str] | None = None) -> int:
         from .operators import sinks
 
         for spec in args.table or []:
+            if "=" not in spec:
+                ap.error(f"--table needs NAME=PATH, got {spec!r}")
             name, path = spec.split("=", 1)
             sinks.register_manifest_view(spark, path, name,
                                          track_latest=True)

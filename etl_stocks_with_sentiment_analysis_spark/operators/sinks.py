@@ -1280,6 +1280,17 @@ def read_manifest_table(
             return None
     else:
         man = _manifest_at_version(target, version)
+    return _frame_from_manifest(spark, target, man, bounds)
+
+
+def _frame_from_manifest(
+    spark: SparkSession, target: str, man: dict, bounds: dict | None
+) -> DataFrame:
+    """One resolved manifest -> its (bounds-scoped) DataFrame: the
+    shared read tail of `read_manifest_table`, `register_manifest_view`
+    and `refresh_tracked_views` — stats-based file skipping inside
+    `_read_manifest_dirs` plus the residual row-level bound filters
+    (pruning can never change results; these make the bounds exact)."""
     df = _read_manifest_dirs(spark, target, man, bounds=bounds)
     if bounds:
         for c, (lo, hi) in bounds.items():
@@ -1351,13 +1362,20 @@ def register_manifest_view(
             "track_latest=True contradicts an explicit version= pin — "
             "register the historical version under its own name instead"
         )
-    df = read_manifest_table(spark, target, version=version, bounds=bounds)
-    if df is None:
-        raise ValueError(f"no manifest table at {target}")
+    # resolve ONCE and build the plan from that same manifest — the
+    # recorded pin must be the version the view actually reads, or a
+    # commit landing between two resolves would make every later
+    # refresh see ver == pinned and serve stale rows forever
+    if version is None:
+        ver, man = _latest_manifest(target)
+        if man is None:
+            raise ValueError(f"no manifest table at {target}")
+    else:
+        ver, man = version, _manifest_at_version(target, version)
+    df = _frame_from_manifest(spark, target, man, bounds)
     df.createOrReplaceTempView(name)
     with _TRACKED_VIEWS_LOCK:
         if track_latest:
-            ver, _ = _latest_manifest(target)
             _TRACKED_VIEWS[name] = {
                 "target": target,
                 "bounds": bounds,
@@ -1416,21 +1434,24 @@ def refresh_tracked_views(
     for name, spec in items:
         ver, man = _latest_manifest(spec["target"])
         if man is None:
-            raise ValueError(
-                f"tracked view {name!r}: no manifest table at "
-                f"{spec['target']} any more — the table was deleted; "
-                "drop the view or re-create the table"
-            )
+            # only fail the caller for a view it NAMED: a blanket
+            # refresh (manifest_sql over unrelated views) must not be
+            # permanently poisoned by one vanished scratch table —
+            # skip it; the stale pin stays queryable until its files
+            # age out, and `unregister_manifest_view` drops the
+            # binding explicitly
+            if names is not None:
+                raise ValueError(
+                    f"tracked view {name!r}: no manifest table at "
+                    f"{spec['target']} any more — the table was "
+                    "deleted; unregister_manifest_view(name) or "
+                    "re-create the table"
+                )
+            continue
         if ver == spec["pinned"]:
             continue
-        df = _read_manifest_dirs(spark, spec["target"], man,
-                                 bounds=spec["bounds"])
-        if spec["bounds"]:
-            for c, (lo, hi) in spec["bounds"].items():
-                if lo is not None:
-                    df = df.filter(F.col(c) >= F.lit(lo))
-                if hi is not None:
-                    df = df.filter(F.col(c) <= F.lit(hi))
+        df = _frame_from_manifest(spark, spec["target"], man,
+                                  spec["bounds"])
         df.createOrReplaceTempView(name)
         with _TRACKED_VIEWS_LOCK:
             if name in _TRACKED_VIEWS:
@@ -1448,6 +1469,21 @@ def refresh_tracked_views(
                 done_ids.add(id(spec["rebuild"]))
                 spec["rebuild"]()
     return refreshed
+
+
+def unregister_manifest_view(
+    spark: SparkSession, name: str, drop_view: bool = True
+) -> bool:
+    """Drop a view's latest-tracking (and derived-rebuild) binding —
+    the cleanup path for a view whose table was deleted out from
+    under it. ``drop_view`` also removes the temp view itself.
+    Returns whether a tracked binding existed."""
+    with _TRACKED_VIEWS_LOCK:
+        had = _TRACKED_VIEWS.pop(name, None) is not None
+    _DERIVED_VIEWS.pop(name, None)
+    if drop_view:
+        spark.catalog.dropTempView(name)
+    return had
 
 
 def manifest_sql(spark: SparkSession, sql_text: str) -> DataFrame:
@@ -2341,6 +2377,7 @@ def _upsert_manifest(
             _check_schema_types(
                 man, dict(incoming.dtypes), target, allow_widening=True
             )
+        prev_pmap = man["partitions"] if man else None
         if man is None:
             merged = incoming
         else:
@@ -2348,12 +2385,28 @@ def _upsert_manifest(
                 only = _touched_manifest_keys(spark, man, incoming, partition_col)
                 scoped = _read_manifest_dirs(spark, target, man, only_keys=only)
             else:
+                only = None
                 scoped = _read_manifest_dirs(spark, target, man)
             if combine is not None:
                 # caller-supplied merge semantics (MERGE INTO's
                 # matched/not-matched clauses); re-invoked per CAS
                 # retry against the freshly scoped existing rows
                 merged = combine(scoped, incoming)
+                # delete-capable combines: a TOUCHED partition whose
+                # rows were all removed writes no new dir — it must
+                # DROP OUT of the carried-forward map instead of
+                # resurrecting by reference (same prev_pmap pruning as
+                # delete_from_manifest_table / apply_changes). Plain
+                # upserts never empty a touched partition (incoming
+                # defines touched), so the default path is unchanged.
+                if only is not None:
+                    prev_pmap = {
+                        k: v
+                        for k, v in man["partitions"].items()
+                        if k not in only
+                    }
+                else:
+                    prev_pmap = None  # whole-table rewrite
             else:
                 kept = scoped.join(incoming.select(*keys), keys, "left_anti")
                 # allowMissingColumns: an incoming frame may ADD columns
@@ -2381,7 +2434,7 @@ def _upsert_manifest(
         try:
             _publish_snapshot(
                 target, new_ver, merged, partition_col,
-                man["partitions"] if man else None,
+                prev_pmap,
                 prev_stats=man.get("stats") if man else None,
                 field_ids=field_ids,
                 next_field_id=next_id,

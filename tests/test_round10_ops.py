@@ -457,6 +457,78 @@ def test_merge_matches_dict_model_property(spark, tmp_path):
     check()
 
 
+def test_merge_delete_empties_partition_completely(spark, tmp_path):
+    """Review finding (r10): a MERGE delete that removes EVERY row of
+    a touched partition must drop that partition from the carried-
+    forward map — the old code passed the unpruned previous partition
+    map to the publisher, so the emptied partition's old dir carried
+    forward by reference and the deleted rows resurrected."""
+    target = str(tmp_path / "empty_part")
+    base = spark.createDataFrame(
+        [(1, "g1", "a", 10), (2, "g2", "b", 20)],
+        "id INT, g STRING, s STRING, v INT",
+    )
+    sinks.upsert(spark, target, base, ["id", "g"], partition_col="g")
+    src = spark.createDataFrame([(1, "g1")], "id INT, g STRING")
+    sinks.merge_manifest_table(
+        spark, target, src, ["id", "g"],
+        when_matched="delete", when_not_matched=None, partition_col="g",
+    )
+    got = {
+        tuple(r) for r in sinks.read_manifest_table(spark, target)
+        .select("id", "g", "s", "v").collect()
+    }
+    assert got == {(2, "g2", "b", 20)}, got
+    _, man = sinks._latest_manifest(target)
+    assert "g=g1" not in man["partitions"], "emptied partition resurrected"
+    # unpartitioned twin: delete-all leaves a readable EMPTY table
+    t2 = str(tmp_path / "empty_all")
+    sinks.upsert(spark, t2, base, ["id", "g"])
+    sinks.merge_manifest_table(
+        spark, t2, base.select("id", "g"), ["id", "g"],
+        when_matched="delete", when_not_matched=None,
+    )
+    assert sinks.read_manifest_table(spark, t2).count() == 0
+
+
+def test_tracked_view_vanished_table_and_unregister(spark, rows, tmp_path):
+    """Review finding (r10): one vanished tracked table must not
+    poison blanket refreshes for every other view; an explicit
+    refresh of the dead name still raises; unregister drops it."""
+    t_live = str(tmp_path / "live_t")
+    t_dead = str(tmp_path / "dead_t")
+    sinks.upsert(spark, t_live, rows, ["ticker", "date"])
+    sinks.upsert(spark, t_dead, rows, ["ticker", "date"])
+    sinks.register_manifest_view(spark, t_live, "t10_live",
+                                 track_latest=True)
+    sinks.register_manifest_view(spark, t_dead, "t10_dead",
+                                 track_latest=True)
+    import shutil
+
+    shutil.rmtree(t_dead)
+    # blanket refresh (the manifest_sql path) skips the dead view
+    more = spark.createDataFrame([(9, "2024-02-01", "z")],
+                                 "ticker INT, date STRING, val STRING")
+    sinks.upsert(spark, t_live, more, ["ticker", "date"])
+    n = sinks.manifest_sql(
+        spark, "SELECT COUNT(*) AS n FROM t10_live"
+    ).collect()[0]["n"]
+    assert n == 4  # live view refreshed despite the dead sibling
+    # explicitly naming the dead view still fails loudly
+    with pytest.raises(ValueError, match="unregister_manifest_view"):
+        sinks.refresh_tracked_views(spark, ["t10_dead"])
+    assert sinks.unregister_manifest_view(spark, "t10_dead") is True
+    assert "t10_dead" not in sinks._TRACKED_VIEWS
+    sinks.refresh_tracked_views(spark)  # no longer raises or skips
+
+
+def test_cli_sql_table_spec_validation():
+    from etl_stocks_with_sentiment_analysis_spark.__main__ import main
+
+    with pytest.raises(SystemExit):
+        main(["sql", "SELECT 1", "--table", "missing_equals"])
+
+
 def test_merge_rejects_ambiguous_source(spark, merge_base):
     """Two source rows for one ON key are ambiguous — Delta raises,
     so do we; explicit opt-out lets both land."""

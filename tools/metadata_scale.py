@@ -161,9 +161,25 @@ def main() -> None:
         idx_text = sinks._encode_full_state(starget, 0, base_state)
         t_shard_cold = time.perf_counter() - t0
         sharded = json.loads(idx_text).get("format") == "full-sharded"
-        t_shard_incr = _med(
-            lambda: sinks._encode_full_state(starget, 16, state2), k=3
-        )
+        # snapshot the POST-BASE layout and restore it before every
+        # timed iteration — otherwise the first call re-baselines the
+        # layout to state2 and iterations 2+ measure a ZERO-touched
+        # no-op compare, under-reporting the real 1-shard rewrite
+        with sinks._SHARD_LAYOUT_LOCK:
+            base_layout = {
+                k: (dict(v) if isinstance(v, dict) else v)
+                for k, v in sinks._LAST_SHARD_LAYOUT[starget].items()
+            }
+
+        def one_touched_encode():
+            with sinks._SHARD_LAYOUT_LOCK:
+                sinks._LAST_SHARD_LAYOUT[starget] = {
+                    k: (dict(v) if isinstance(v, dict) else v)
+                    for k, v in base_layout.items()
+                }
+            sinks._encode_full_state(starget, 16, state2)
+
+        t_shard_incr = _med(one_touched_encode, k=3)
 
         row = {
             "entries": n,
