@@ -3819,6 +3819,48 @@ def _require_field_ids(man: dict, target: str) -> None:
         )
 
 
+def add_manifest_column(
+    target: str, name: str, simple_type: str
+) -> dict:
+    """ALTER TABLE ... ADD COLUMN as a metadata-only commit (zero data
+    rewritten, the Delta/Iceberg add-column semantics): the schema
+    gains the column with a FRESH permanent field id, and every
+    existing snapshot null-fills it on read (schema-on-read — the
+    reader already projects missing columns as NULLs; the fresh id
+    guarantees a previously-dropped same-named column's old values
+    can never resurrect). Subsequent upserts may write the column
+    (type-checked against ``simple_type`` like any other column).
+    Rejects duplicate names and tables still referencing pre-field-id
+    snapshots (compact once first). ``simple_type`` is a Spark simple
+    type string (``int``/``bigint``/``double``/``string``/``date``/
+    ...), validated by parsing."""
+    from pyspark.sql.types import StructField, StructType
+
+    # validate the type string up front — a typo must fail the DDL,
+    # not every later read
+    field = StructField(name, _parse_simple_type(simple_type), True)
+
+    def mutate(man: dict) -> None:
+        _require_field_ids(man, target)
+        fids = man["field_ids"]
+        if name in fids:
+            raise ValueError(
+                f"column {name!r} already exists in manifest table "
+                f"{target}"
+            )
+        sch = json.loads(man["schema"])
+        sch["fields"].append(json.loads(field.json()))
+        man["schema"] = json.dumps(sch)
+        nid = man.get("next_field_id") or (max(fids.values()) + 1)
+        fids[name] = nid
+        man["next_field_id"] = nid + 1
+
+    man = _commit_metadata_only(target, mutate)
+    # belt-and-braces: the committed schema must round-trip
+    StructType.fromJson(json.loads(man["schema"]))
+    return man
+
+
 def rename_manifest_column(target: str, old: str, new: str) -> dict:
     """RENAME a column with defined semantics (metadata-only commit —
     zero data rewritten): the column's permanent field id keeps every
@@ -5608,6 +5650,59 @@ def sink_manifest_sql_track(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM mv_track_events
         GROUP BY event_type, sgrp
         """,
+    )
+
+
+_ADD_COL_ORACLE = """
+WITH cur AS (
+  SELECT event_id, user_id, value,
+         CAST(user_id % 4 AS INTEGER) AS ugrp,
+         CASE WHEN event_id % 7 = 0 THEN 'tagged' END AS tag
+  FROM events
+)
+SELECT ugrp, tag,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM cur
+GROUP BY ugrp, tag"""
+
+
+@register("sink_manifest_add_column", oracle=_ADD_COL_ORACLE)
+def sink_manifest_add_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER TABLE ADD COLUMN lifecycle (r10): commit a table, ADD a
+    column as a metadata-only commit (zero data rewritten — every
+    existing row null-fills on read, asserted in-key), then upsert a
+    subset writing the new column. The oracle recomputes the final
+    state with CASE logic; the NULL/tagged group split proves both
+    the schema-on-read null-fill and the post-DDL write path."""
+    target = os.path.join(scratch_dir("s23_"), "addcol_tbl")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value",
+        (F.col("user_id") % 4).cast("int").alias("ugrp"),
+    )
+    upsert(spark, target, ev, ["event_id", "ugrp"], partition_col="ugrp",
+           commit_mode="manifest")
+    compact_manifest_table(spark, target, rows_per_file=1_000_000)
+    add_manifest_column(target, "tag", "string")
+    cur = read_manifest_table(spark, target)
+    assert "tag" in cur.columns
+    n_tagged = cur.filter(F.col("tag").isNotNull()).count()
+    assert n_tagged == 0, "ADD COLUMN must null-fill existing rows"
+    tagged = ev.filter(F.col("event_id") % 7 == 0).withColumn(
+        "tag", F.lit("tagged")
+    )
+    upsert(spark, target, tagged, ["event_id", "ugrp"],
+           partition_col="ugrp", commit_mode="manifest")
+    return (
+        read_manifest_table(spark, target)
+        .groupBy("ugrp", "tag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("value_cents"),
+        )
     )
 
 

@@ -548,6 +548,40 @@ def test_merge_rejects_ambiguous_source(spark, merge_base):
     assert (1, "g1", "x", 1) in got and (1, "g1", "y", 2) in got
 
 
+# --- r10: ALTER TABLE ADD COLUMN (metadata-only DDL) --------------------
+
+
+def test_add_column_guards_and_time_travel(spark, rows, tmp_path):
+    target = str(tmp_path / "addcol")
+    sinks.upsert(spark, target, rows, ["ticker", "date"])
+    sinks.compact_manifest_table(spark, target, rows_per_file=1000)
+    sinks.add_manifest_column(target, "note", "string")
+    df = sinks.read_manifest_table(spark, target)
+    assert "note" in df.columns
+    assert df.filter(df.note.isNotNull()).count() == 0
+    # duplicate name and bad type are rejected up front
+    with pytest.raises(ValueError, match="already exists"):
+        sinks.add_manifest_column(target, "note", "string")
+    with pytest.raises(Exception):
+        sinks.add_manifest_column(target, "x", "not_a_type")
+    # time travel: the pre-DDL version still reads WITHOUT the column
+    ver, _ = sinks._latest_manifest(target)
+    old = sinks.read_manifest_table(spark, target, version=ver - 1)
+    assert "note" not in old.columns
+    # a dropped-then-re-added name gets a fresh id: old values gone
+    inc = spark.createDataFrame(
+        [(1, "2024-01-01", "a", "hello")],
+        "ticker INT, date STRING, val STRING, note STRING",
+    )
+    sinks.upsert(spark, target, inc, ["ticker", "date"])
+    sinks.drop_manifest_column(target, "note")
+    sinks.add_manifest_column(target, "note", "string")
+    df2 = sinks.read_manifest_table(spark, target)
+    assert df2.filter(df2.note.isNotNull()).count() == 0, (
+        "re-added column resurrected dropped values"
+    )
+
+
 # --- r10 judge item 6: sharded full-state manifests --------------------
 
 
