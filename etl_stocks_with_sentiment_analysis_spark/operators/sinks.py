@@ -1992,6 +1992,7 @@ def _publish_snapshot(
     layout: dict | None = None,
     prev_delete_preds: list | None = None,
     txns: dict | None = None,
+    constraints: dict | None = None,
 ) -> dict:
     """Shared tail of every manifest commit (upsert AND compaction):
     write the snapshot data dir (name made unique per ATTEMPT so two
@@ -2161,6 +2162,10 @@ def _publish_snapshot(
         # spurious schema drift across versions
         "schema": schema_json or merged.schema.json(),
     }
+    if constraints:
+        # CHECK constraints survive every commit kind — a data commit
+        # dropping them would silently disable enforcement (r10)
+        manifest["constraints"] = dict(constraints)
     fsio.write_text(marker, "", sync=False)  # refresh in-flight age post-stats-scan
     try:
         _write_manifest_atomic(target, new_ver, manifest)
@@ -2431,10 +2436,13 @@ def _upsert_manifest(
                 if nm not in field_ids:
                     field_ids[nm] = next_id
                     next_id += 1
+        if man is not None:
+            _enforce_constraints(man, merged, target)
         try:
             _publish_snapshot(
                 target, new_ver, merged, partition_col,
                 prev_pmap,
+                constraints=man.get("constraints") if man else None,
                 prev_stats=man.get("stats") if man else None,
                 field_ids=field_ids,
                 next_field_id=next_id,
@@ -2610,6 +2618,7 @@ def compact_manifest_table(
         try:
             manifest = _publish_snapshot(
                 target, ver + 1, df, pcols, None, schema_json=man["schema"],
+                constraints=man.get("constraints"),
                 field_ids=man.get("field_ids"),
                 next_field_id=man.get("next_field_id"),
                 txns=man.get("txns"),
@@ -2841,6 +2850,7 @@ def repartition_manifest_table(
         try:
             manifest = _publish_snapshot(
                 target, ver + 1, df, new_pcols, None,
+                constraints=man.get("constraints"),
                 schema_json=man["schema"],
                 field_ids=man.get("field_ids"),
                 next_field_id=man.get("next_field_id"),
@@ -3058,6 +3068,7 @@ def delete_from_manifest_table(
         try:
             _publish_snapshot(
                 target, ver + 1, kept, pcols, prev_pmap,
+                constraints=man.get("constraints"),
                 schema_json=man["schema"],  # pure row removal
                 prev_stats=man.get("stats"),
                 field_ids=man.get("field_ids"),
@@ -3161,9 +3172,11 @@ def apply_changes_manifest_table(
             prev_pmap = None
         kept = scoped.join(changed_keys, keys, "left_anti")
         merged = inserts.unionByName(kept)
+        _enforce_constraints(man, merged, target)
         try:
             _publish_snapshot(
                 target, ver + 1, merged, pcols_arg, prev_pmap,
+                constraints=man.get("constraints"),
                 schema_json=man["schema"],
                 prev_stats=man.get("stats"),
                 field_ids=man.get("field_ids"),
@@ -3270,9 +3283,11 @@ def update_manifest_table(
                 for f in schema.fields
             ]
         )
+        _enforce_constraints(man, updated, target)
         try:
             _publish_snapshot(
                 target, ver + 1, updated, pcols, prev_pmap,
+                constraints=man.get("constraints"),
                 schema_json=man["schema"],  # pure value change
                 prev_stats=man.get("stats"),
                 field_ids=man.get("field_ids"),
@@ -3819,6 +3834,91 @@ def _require_field_ids(man: dict, target: str) -> None:
         )
 
 
+def add_manifest_constraint(
+    spark: SparkSession, target: str, name: str, condition_sql: str
+) -> dict:
+    """ALTER TABLE ADD CONSTRAINT (Delta CHECK-constraint semantics):
+    record a row-level SQL predicate in the manifest; every
+    subsequent data commit (upsert, MERGE, CDC apply through upsert)
+    validates the rows it writes and REFUSES the commit if any row
+    evaluates the predicate to FALSE (SQL-standard CHECK: NULL
+    passes). Existing rows are validated NOW — the add fails if the
+    table already violates, like Delta's ADD CONSTRAINT scan.
+    Enforcement costs one aggregate over the commit's merged frame,
+    only paid while constraints exist."""
+    cur = read_manifest_table(spark, target)
+    if cur is None:
+        raise ValueError(f"no manifest table at {target}")
+    n_bad = cur.filter(
+        ~F.coalesce(F.expr(condition_sql), F.lit(True))
+    ).count()
+    if n_bad:
+        raise ValueError(
+            f"cannot add constraint {name!r} ({condition_sql}): "
+            f"{n_bad} existing row(s) violate it"
+        )
+
+    def mutate(man: dict) -> None:
+        cons = man.setdefault("constraints", {})
+        if name in cons:
+            raise ValueError(
+                f"constraint {name!r} already exists on {target}"
+            )
+        cons[name] = condition_sql
+
+    return _commit_metadata_only(target, mutate)
+
+
+def drop_manifest_constraint(target: str, name: str) -> dict:
+    """ALTER TABLE DROP CONSTRAINT — metadata-only commit."""
+
+    def mutate(man: dict) -> None:
+        cons = man.get("constraints") or {}
+        if name not in cons:
+            raise ValueError(f"no constraint {name!r} on {target}")
+        del cons[name]
+        if not cons:
+            man.pop("constraints", None)
+
+    return _commit_metadata_only(target, mutate)
+
+
+def _constraints_referencing(man: dict, col: str) -> list[str]:
+    """Constraint names whose SQL mentions ``col`` as a word —
+    conservative textual check (no full expression analysis), used to
+    refuse renaming/dropping a column a CHECK constraint reads, which
+    would leave the recorded predicate unresolvable at commit time."""
+    cons = man.get("constraints") or {}
+    pat = re.compile(rf"\b{re.escape(col)}\b")
+    return sorted(nm for nm, sql in cons.items() if pat.search(sql))
+
+
+def _enforce_constraints(man: dict, merged: DataFrame, target: str) -> None:
+    """Refuse a data commit whose merged frame violates any recorded
+    CHECK constraint (SQL semantics: a row violates only when the
+    predicate is FALSE; NULL passes). One combined aggregate pass —
+    skipped entirely when the table has no constraints."""
+    cons = man.get("constraints") or {}
+    if not cons:
+        return
+    aggs = [
+        F.count(
+            F.when(~F.coalesce(F.expr(sql), F.lit(True)), 1)
+        ).alias(nm)
+        for nm, sql in cons.items()
+    ]
+    row = merged.agg(*aggs).first()
+    bad = {nm: int(row[nm]) for nm in cons if row[nm]}
+    if bad:
+        raise ValueError(
+            f"commit to {target} violates CHECK constraint(s) "
+            + ", ".join(
+                f"{nm!r} ({cons[nm]}): {n} row(s)"
+                for nm, n in sorted(bad.items())
+            )
+        )
+
+
 def add_manifest_column(
     target: str, name: str, simple_type: str
 ) -> dict:
@@ -3881,6 +3981,12 @@ def rename_manifest_column(target: str, old: str, new: str) -> dict:
                 "names — compact_manifest_table to apply them before "
                 "schema changes"
             )
+        refs = _constraints_referencing(man, old)
+        if refs:
+            raise ValueError(
+                f"column {old!r} is referenced by CHECK constraint(s) "
+                f"{refs} — drop them first"
+            )
         fids = man["field_ids"]
         if old not in fids:
             raise ValueError(f"no column {old!r} in manifest table {target}")
@@ -3941,6 +4047,12 @@ def drop_manifest_column(target: str, col: str) -> dict:
                 "deletes whose recorded SQL speaks the CURRENT column "
                 "names — compact_manifest_table to apply them before "
                 "schema changes"
+            )
+        refs = _constraints_referencing(man, col)
+        if refs:
+            raise ValueError(
+                f"column {col!r} is referenced by CHECK constraint(s) "
+                f"{refs} — drop them first"
             )
         fids = man["field_ids"]
         if col not in fids:
@@ -5650,6 +5762,62 @@ def sink_manifest_sql_track(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM mv_track_events
         GROUP BY event_type, sgrp
         """,
+    )
+
+
+_CONSTRAINT_ORACLE = """
+WITH cur AS (
+  SELECT event_id, user_id, value, CAST(user_id % 3 AS INTEGER) AS cgrp
+  FROM events WHERE value IS NOT NULL
+)
+SELECT cgrp, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+         AS value_cents,
+       CAST(1 AS BIGINT) AS rejected_commit_refused
+FROM cur
+GROUP BY cgrp"""
+
+
+@register("sink_manifest_constraint", oracle=_CONSTRAINT_ORACLE)
+def sink_manifest_constraint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK-constraint lifecycle (r10, Delta ALTER TABLE ADD
+    CONSTRAINT): commit a table, add `value IS NOT NULL`, then attempt
+    a commit carrying NULL values — the upsert must REFUSE and leave
+    the table byte-identical (asserted in-key, surfaced to the oracle
+    as the invariant `rejected_commit_refused` column). The final
+    state is the untouched base table, recomputed by the oracle."""
+    target = os.path.join(scratch_dir("s24_"), "constraint_tbl")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value",
+        (F.col("user_id") % 3).cast("int").alias("cgrp"),
+    ).filter(F.col("value").isNotNull())
+    upsert(spark, target, ev, ["event_id", "cgrp"], partition_col="cgrp",
+           commit_mode="manifest")
+    add_manifest_constraint(spark, target, "chk_value_present",
+                            "value IS NOT NULL")
+    n_before = count_manifest_table(target)
+    bad = ev.limit(5).withColumn("value", F.lit(None).cast("double"))
+    refused = 0
+    try:
+        upsert(spark, target, bad, ["event_id", "cgrp"],
+               partition_col="cgrp", commit_mode="manifest")
+    except ValueError as e:
+        assert "chk_value_present" in str(e)
+        refused = 1
+    assert refused == 1, "violating commit must be refused"
+    assert count_manifest_table(target) == n_before, (
+        "refused commit must leave the table untouched"
+    )
+    return (
+        read_manifest_table(spark, target)
+        .groupBy("cgrp")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("value_cents"),
+        )
+        .withColumn("rejected_commit_refused", F.lit(refused).cast("long"))
     )
 
 

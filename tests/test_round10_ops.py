@@ -582,6 +582,55 @@ def test_add_column_guards_and_time_travel(spark, rows, tmp_path):
     )
 
 
+# --- r10: CHECK constraints ---------------------------------------------
+
+
+def test_constraint_lifecycle_and_sql_null_semantics(spark, tmp_path):
+    target = str(tmp_path / "cons")
+    base = spark.createDataFrame(
+        [(1, "g1", 10), (2, "g2", 20)], "id INT, g STRING, v INT",
+    )
+    sinks.upsert(spark, target, base, ["id", "g"], partition_col="g")
+    # adding a constraint the table already violates fails the ADD
+    with pytest.raises(ValueError, match="existing row"):
+        sinks.add_manifest_constraint(spark, target, "c_big", "v > 15")
+    sinks.add_manifest_constraint(spark, target, "c_pos", "v > 0")
+    # violating commit refused, table untouched
+    with pytest.raises(ValueError, match="c_pos"):
+        sinks.upsert(spark, target,
+                     spark.createDataFrame([(3, "g1", -1)],
+                                           "id INT, g STRING, v INT"),
+                     ["id", "g"], partition_col="g")
+    assert sinks.read_manifest_table(spark, target).count() == 2
+    # SQL CHECK semantics: NULL passes (predicate not FALSE)
+    sinks.upsert(spark, target,
+                 spark.createDataFrame([(4, "g1", None)],
+                                       "id INT, g STRING, v INT"),
+                 ["id", "g"], partition_col="g")
+    assert sinks.read_manifest_table(spark, target).count() == 3
+    # MERGE enforcement sees the MERGED frame: a keys-only delete
+    # source must not trip a constraint on a column it doesn't carry
+    sinks.merge_manifest_table(
+        spark, target,
+        spark.createDataFrame([(4, "g1")], "id INT, g STRING"),
+        ["id", "g"], when_matched="delete", when_not_matched=None,
+        partition_col="g",
+    )
+    assert sinks.read_manifest_table(spark, target).count() == 2
+    # referenced column is rename/drop-protected until the drop
+    with pytest.raises(ValueError, match="referenced by CHECK"):
+        sinks.rename_manifest_column(target, "v", "w")
+    with pytest.raises(ValueError, match="referenced by CHECK"):
+        sinks.drop_manifest_column(target, "v")
+    sinks.drop_manifest_constraint(target, "c_pos")
+    sinks.rename_manifest_column(target, "v", "w")
+    got = {tuple(r) for r in sinks.read_manifest_table(spark, target)
+           .select("id", "g", "w").collect()}
+    assert got == {(1, "g1", 10), (2, "g2", 20)}
+    with pytest.raises(ValueError, match="no constraint"):
+        sinks.drop_manifest_constraint(target, "c_pos")
+
+
 # --- r10 judge item 6: sharded full-state manifests --------------------
 
 
