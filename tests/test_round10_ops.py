@@ -631,6 +631,37 @@ def test_constraint_lifecycle_and_sql_null_semantics(spark, tmp_path):
         sinks.drop_manifest_constraint(target, "c_pos")
 
 
+def test_streaming_sink_inherits_constraints(spark, sf_dir, tmp_path):
+    """The streaming manifest sink routes every micro-batch through
+    upsert, so CHECK constraints bind streaming writes with ZERO
+    extra wiring: a constraint the stream's output violates fails the
+    batch (foreachBatch surfaces it as a StreamingQueryException)."""
+    from pyspark.errors import StreamingQueryException
+
+    from etl_stocks_with_sentiment_analysis_spark.streaming import ingest
+
+    from pyspark.sql import functions as F
+
+    target = str(tmp_path / "cons_stream")
+    daily = ingest.streaming_tumbling_daily(spark, sf_dir)
+    # constraint the SEED satisfies but the full stream violates: the
+    # max-n_events group fails `n_events < max`
+    mx = daily.agg(F.max("n_events")).collect()[0][0]
+    seed = daily.filter(F.col("n_events") < mx).limit(1)
+    assert seed.count() == 1
+    sinks.upsert(spark, target, seed, ["day", "event_type"],
+                 partition_col="day")
+    sinks.add_manifest_constraint(spark, target, "chk_tiny",
+                                  f"n_events < {mx}")
+    q = ingest.run_incremental_upsert(spark, sf_dir, target,
+                                      query_name="t10_cons")
+    with pytest.raises(StreamingQueryException, match="chk_tiny"):
+        q.awaitTermination(120)
+        q.processAllAvailable()
+    # the refused batch left the seeded table intact
+    assert sinks.read_manifest_table(spark, target).count() == 1
+
+
 # --- r10 judge item 6: sharded full-state manifests --------------------
 
 
