@@ -2436,9 +2436,18 @@ def _upsert_manifest(
                 if nm not in field_ids:
                     field_ids[nm] = next_id
                     next_id += 1
-        if man is not None:
-            _enforce_constraints(man, merged, target)
+        # enforcement + publish each execute the merged plan; persist
+        # across the two actions so a constrained commit pays the
+        # join/scan once, not twice (unpersisted per attempt — a CAS
+        # retry rebuilds merged from the fresh manifest)
+        cons_active = man is not None and bool(man.get("constraints"))
+        if cons_active:
+            from pyspark import StorageLevel
+
+            merged = merged.persist(StorageLevel.MEMORY_AND_DISK)
         try:
+            if man is not None:
+                _enforce_constraints(man, merged, target)
             _publish_snapshot(
                 target, new_ver, merged, partition_col,
                 prev_pmap,
@@ -2464,6 +2473,9 @@ def _upsert_manifest(
         except ManifestConflictError as e:
             last_conflict = e
             continue
+        finally:
+            if cons_active:
+                merged.unpersist()
     raise ManifestConflictError(
         f"lost the manifest commit race {_CAS_MAX_RETRIES} times at {target}"
     ) from last_conflict
@@ -3834,6 +3846,14 @@ def _require_field_ids(man: dict, target: str) -> None:
         )
 
 
+def _check_violates(condition_sql: str) -> F.Column:
+    """SQL-standard CHECK violation predicate: a row violates only
+    when the constraint evaluates to FALSE — NULL passes. ONE shared
+    definition for add-time validation and commit-time enforcement so
+    the two can never diverge."""
+    return ~F.coalesce(F.expr(condition_sql), F.lit(True))
+
+
 def add_manifest_constraint(
     spark: SparkSession, target: str, name: str, condition_sql: str
 ) -> dict:
@@ -3842,21 +3862,13 @@ def add_manifest_constraint(
     subsequent data commit (upsert, MERGE, CDC apply through upsert)
     validates the rows it writes and REFUSES the commit if any row
     evaluates the predicate to FALSE (SQL-standard CHECK: NULL
-    passes). Existing rows are validated NOW — the add fails if the
-    table already violates, like Delta's ADD CONSTRAINT scan.
-    Enforcement costs one aggregate over the commit's merged frame,
-    only paid while constraints exist."""
-    cur = read_manifest_table(spark, target)
-    if cur is None:
-        raise ValueError(f"no manifest table at {target}")
-    n_bad = cur.filter(
-        ~F.coalesce(F.expr(condition_sql), F.lit(True))
-    ).count()
-    if n_bad:
-        raise ValueError(
-            f"cannot add constraint {name!r} ({condition_sql}): "
-            f"{n_bad} existing row(s) violate it"
-        )
+    passes). Existing rows are validated against EXACTLY the manifest
+    version the commit publishes over — the scan runs inside the CAS
+    loop and re-runs if a concurrent writer advances the table, so a
+    racing data commit can never slip violating rows under the
+    constraint. Enforcement costs one aggregate over each commit's
+    merged frame, only paid while constraints exist."""
+    validated_ver: list = [None]
 
     def mutate(man: dict) -> None:
         cons = man.setdefault("constraints", {})
@@ -3864,6 +3876,15 @@ def add_manifest_constraint(
             raise ValueError(
                 f"constraint {name!r} already exists on {target}"
             )
+        if validated_ver[0] != man["version"]:
+            cur = _read_manifest_dirs(spark, target, man)
+            n_bad = cur.filter(_check_violates(condition_sql)).count()
+            if n_bad:
+                raise ValueError(
+                    f"cannot add constraint {name!r} ({condition_sql}):"
+                    f" {n_bad} existing row(s) violate it"
+                )
+            validated_ver[0] = man["version"]
         cons[name] = condition_sql
 
     return _commit_metadata_only(target, mutate)
@@ -3889,7 +3910,10 @@ def _constraints_referencing(man: dict, col: str) -> list[str]:
     refuse renaming/dropping a column a CHECK constraint reads, which
     would leave the recorded predicate unresolvable at commit time."""
     cons = man.get("constraints") or {}
-    pat = re.compile(rf"\b{re.escape(col)}\b")
+    # IGNORECASE: Spark resolves identifiers case-insensitively by
+    # default (spark.sql.caseSensitive=false), so 'V > 0' reads
+    # column v — the guard must match the way the engine resolves
+    pat = re.compile(rf"\b{re.escape(col)}\b", re.IGNORECASE)
     return sorted(nm for nm, sql in cons.items() if pat.search(sql))
 
 
@@ -3902,9 +3926,7 @@ def _enforce_constraints(man: dict, merged: DataFrame, target: str) -> None:
     if not cons:
         return
     aggs = [
-        F.count(
-            F.when(~F.coalesce(F.expr(sql), F.lit(True)), 1)
-        ).alias(nm)
+        F.count(F.when(_check_violates(sql), 1)).alias(nm)
         for nm, sql in cons.items()
     ]
     row = merged.agg(*aggs).first()
@@ -3943,22 +3965,30 @@ def add_manifest_column(
     def mutate(man: dict) -> None:
         _require_field_ids(man, target)
         fids = man["field_ids"]
-        if name in fids:
+        # case-INSENSITIVE duplicate check: Spark resolves identifiers
+        # case-insensitively by default, so a schema holding both
+        # `tag` and `TAG` would fail every subsequent read with a
+        # duplicate-column error — refuse the DDL instead
+        clash = [c for c in fids if c.lower() == name.lower()]
+        if clash:
             raise ValueError(
                 f"column {name!r} already exists in manifest table "
-                f"{target}"
+                f"{target} (as {clash[0]!r}; Spark resolves names "
+                "case-insensitively)"
             )
         sch = json.loads(man["schema"])
         sch["fields"].append(json.loads(field.json()))
-        man["schema"] = json.dumps(sch)
+        new_schema = json.dumps(sch)
+        # the new schema must round-trip BEFORE the CAS publishes it —
+        # a post-commit failure would leave readers on an unparseable
+        # schema
+        StructType.fromJson(json.loads(new_schema))
+        man["schema"] = new_schema
         nid = man.get("next_field_id") or (max(fids.values()) + 1)
         fids[name] = nid
         man["next_field_id"] = nid + 1
 
-    man = _commit_metadata_only(target, mutate)
-    # belt-and-braces: the committed schema must round-trip
-    StructType.fromJson(json.loads(man["schema"]))
-    return man
+    return _commit_metadata_only(target, mutate)
 
 
 def rename_manifest_column(target: str, old: str, new: str) -> dict:

@@ -631,6 +631,28 @@ def test_constraint_lifecycle_and_sql_null_semantics(spark, tmp_path):
         sinks.drop_manifest_constraint(target, "c_pos")
 
 
+def test_constraint_and_ddl_case_insensitivity(spark, tmp_path):
+    """Spark resolves identifiers case-insensitively by default: a
+    constraint written as 'W > 0' reads column w, so the rename/drop
+    guard must match case-insensitively; and ADD COLUMN must refuse a
+    case-variant of an existing name (a schema with both would fail
+    every read as duplicate columns)."""
+    target = str(tmp_path / "case")
+    base = spark.createDataFrame([(1, "g1", 5)], "id INT, g STRING, w INT")
+    sinks.upsert(spark, target, base, ["id", "g"], partition_col="g")
+    sinks.compact_manifest_table(spark, target, rows_per_file=1000)
+    sinks.add_manifest_constraint(spark, target, "c_up", "W > 0")
+    with pytest.raises(ValueError, match="referenced by CHECK"):
+        sinks.rename_manifest_column(target, "w", "w2")
+    with pytest.raises(ValueError, match="referenced by CHECK"):
+        sinks.drop_manifest_column(target, "w")
+    sinks.drop_manifest_constraint(target, "c_up")
+    with pytest.raises(ValueError, match="case-insensitively"):
+        sinks.add_manifest_column(target, "W", "string")
+    with pytest.raises(ValueError, match="case-insensitively"):
+        sinks.add_manifest_column(target, "ID", "bigint")
+
+
 def test_streaming_sink_inherits_constraints(spark, sf_dir, tmp_path):
     """The streaming manifest sink routes every micro-batch through
     upsert, so CHECK constraints bind streaming writes with ZERO
