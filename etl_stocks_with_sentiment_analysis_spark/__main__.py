@@ -99,10 +99,18 @@ def main(argv: list[str] | None = None) -> int:
         "sql", help="run SQL over registered manifest tables "
         "(latest-tracking: views refresh before the query runs)"
     )
-    p_sql.add_argument("query", help="SQL text")
+    p_sql.add_argument("query", help="SQL text (DML/DDL statements "
+                       "route to the manifest API — INSERT ... ON "
+                       "CONFLICT, MERGE INTO, CREATE/ALTER TABLE, "
+                       "UPDATE/DELETE)")
     p_sql.add_argument(
         "--table", action="append", default=None, metavar="NAME=PATH",
         help="register PATH as tracked view NAME first (repeatable)",
+    )
+    p_sql.add_argument(
+        "--param", action="append", default=None, metavar="VALUE",
+        help="positional value for a %%s / ? placeholder (repeatable, "
+        "in order; always passed as a string literal)",
     )
     p_sql.add_argument("--show", type=int, default=20)
 
@@ -268,9 +276,9 @@ def main(argv: list[str] | None = None) -> int:
             name, path = spec.split("=", 1)
             sinks.register_manifest_view(spark, path, name,
                                          track_latest=True)
-        sinks.manifest_sql(spark, args.query).show(
-            args.show, truncate=False
-        )
+        sinks.manifest_sql(
+            spark, args.query, params=tuple(args.param or []) or None
+        ).show(args.show, truncate=False)
     elif args.cmd == "ann":
         from pyspark.sql import functions as F
 

@@ -11,3 +11,4 @@ from . import reshape  # noqa: F401
 from . import sinks  # noqa: F401
 from . import sources_ops  # noqa: F401
 from . import analytics  # noqa: F401
+from . import sqldml  # noqa: F401

@@ -1486,16 +1486,27 @@ def unregister_manifest_view(
     return had
 
 
-def manifest_sql(spark: SparkSession, sql_text: str) -> DataFrame:
+def manifest_sql(
+    spark: SparkSession, sql_text: str, params=None
+) -> DataFrame:
     """`spark.sql` with latest-tracking semantics: refresh every
     tracked view first (O(1) pointer read each; plan rebuild only on
     an advanced version), then run the query. This is the engine's
     analog of the reference dashboard's poll-and-requery loop
     (`dashboard.py:32-72`) with the TTL at zero — the staleness probe
     is cheap enough to pay per query, and unlike a TTL it can never
-    serve a known-stale read."""
-    refresh_tracked_views(spark)
-    return spark.sql(sql_text)
+    serve a known-stale read.
+
+    As of r11 this is the FULL SQL entry point, not just reads: DML
+    and DDL statement text (`INSERT ... ON CONFLICT`, `MERGE INTO`,
+    `UPDATE`/`DELETE`, `CREATE TABLE`, `ALTER TABLE ...` — the
+    reference's entire write dialect, `ml/data_loader.py:140-160`,
+    `init.sql:4-26`) routes through the ``sqldml`` parser to the
+    manifest API, with optional ``params`` substituting `%s`/`?`
+    cursor placeholders exactly as the reference's DB driver does."""
+    from . import sqldml  # late import — sqldml imports this module
+
+    return sqldml.execute_sql(spark, sql_text, params=params)
 
 
 def _write_manifest_atomic(
@@ -1993,6 +2004,7 @@ def _publish_snapshot(
     prev_delete_preds: list | None = None,
     txns: dict | None = None,
     constraints: dict | None = None,
+    sql_meta: dict | None = None,
 ) -> dict:
     """Shared tail of every manifest commit (upsert AND compaction):
     write the snapshot data dir (name made unique per ATTEMPT so two
@@ -2166,6 +2178,12 @@ def _publish_snapshot(
         # CHECK constraints survive every commit kind — a data commit
         # dropping them would silently disable enforcement (r10)
         manifest["constraints"] = dict(constraints)
+    if sql_meta:
+        # SQL-router table metadata (unique keys / identity / column
+        # defaults, r11) survives every commit kind like constraints —
+        # a data commit dropping it would silently disable ON CONFLICT
+        # arbiter resolution and SERIAL assignment
+        manifest["sql_meta"] = dict(sql_meta)
     fsio.write_text(marker, "", sync=False)  # refresh in-flight age post-stats-scan
     try:
         _write_manifest_atomic(target, new_ver, manifest)
@@ -2452,6 +2470,7 @@ def _upsert_manifest(
                 target, new_ver, merged, partition_col,
                 prev_pmap,
                 constraints=man.get("constraints") if man else None,
+                sql_meta=man.get("sql_meta") if man else None,
                 prev_stats=man.get("stats") if man else None,
                 field_ids=field_ids,
                 next_field_id=next_id,
@@ -2631,6 +2650,7 @@ def compact_manifest_table(
             manifest = _publish_snapshot(
                 target, ver + 1, df, pcols, None, schema_json=man["schema"],
                 constraints=man.get("constraints"),
+                sql_meta=man.get("sql_meta"),
                 field_ids=man.get("field_ids"),
                 next_field_id=man.get("next_field_id"),
                 txns=man.get("txns"),
@@ -2707,6 +2727,8 @@ def merge_manifest_table(
     partition_col=None,
     txn: tuple[str, int] | None = None,
     validate_source_unique: bool = True,
+    update_set: dict[str, str] | None = None,
+    insert_values: dict[str, str] | None = None,
 ) -> None:
     """MERGE INTO for manifest tables — the full Delta/Iceberg clause
     surface the plain ``upsert`` (incoming always wins) doesn't
@@ -2741,8 +2763,35 @@ def merge_manifest_table(
     dedup'd upstream — duplicate matches then ALL land, duplicating
     the key).
 
+    EXPLICIT CLAUSE COLUMNS (r11, the SQL router's MERGE surface):
+    ``update_set`` maps target columns to SQL expressions evaluated
+    per matched row — expressions reference the existing row as
+    `e.col` and the source row as `s.col`; UNASSIGNED target columns
+    KEEP their existing values (SQL `UPDATE SET a = s.a` semantics,
+    vs the default None = replace-with-source-row = `UPDATE SET *`).
+    ``insert_values`` maps target columns to expressions over the
+    source row (`s.col`) for NOT-MATCHED inserts; unassigned columns
+    null-fill (SQL `INSERT (cols) VALUES (...)` with a partial column
+    list). Both cast each expression to the column's existing type —
+    a MERGE changes values, never types (same rule as
+    ``update_manifest_table``). Assigning an ON or partition column
+    in ``update_set`` is rejected: a key/partition rewrite changes
+    row identity and would move rows across the partition-scoped
+    read, which is delete + insert, not UPDATE.
+
     Raises if the table has no manifest (MERGE needs a target;
     create with ``upsert`` first) or if ``partition_col`` ∉ ``on``."""
+    if update_set is not None and when_matched != "update":
+        raise ValueError("update_set requires when_matched='update'")
+    if insert_values is not None and when_not_matched != "insert":
+        raise ValueError("insert_values requires when_not_matched='insert'")
+    for c in update_set or {}:
+        if c in on:
+            raise ValueError(
+                f"update_set may not assign ON column {c!r} — a key "
+                "rewrite changes row identity (express it as MERGE "
+                "delete + insert)"
+            )
     if when_matched not in ("update", "delete", None):
         raise ValueError(f"when_matched must be update/delete/None, "
                          f"got {when_matched!r}")
@@ -2803,19 +2852,63 @@ def merge_manifest_table(
             keep_e = keep_e | matched
         else:
             keep_e = keep_e | (matched & ~mc)
-        # source-side rows taken
-        take_s = F.lit(False)
-        if when_matched == "update":
-            take_s = matched & mc
-        if when_not_matched == "insert":
-            take_s = take_s | (F.col("e._e_present").isNull() & nmc)
         e_rows = j.filter(keep_e).select(
             [F.col(f"e.{c}").alias(c) for c in scoped.columns]
         )
-        s_rows = j.filter(take_s).select(
-            [F.col(f"s.{c}").alias(c) for c in incoming.columns]
-        )
-        return s_rows.unionByName(e_rows, allowMissingColumns=True)
+        if update_set is None and insert_values is None:
+            # legacy fast path: one filter + one projection for both
+            # updates-from-source and inserts (plan unchanged from r10)
+            take_s = F.lit(False)
+            if when_matched == "update":
+                take_s = matched & mc
+            if when_not_matched == "insert":
+                take_s = take_s | (F.col("e._e_present").isNull() & nmc)
+            s_rows = j.filter(take_s).select(
+                [F.col(f"s.{c}").alias(c) for c in incoming.columns]
+            )
+            return s_rows.unionByName(e_rows, allowMissingColumns=True)
+        # explicit clause columns: updated rows project per-assignment
+        # (unassigned columns keep the EXISTING value), inserted rows
+        # project the insert list (unassigned columns null-fill) —
+        # still the same single full-outer join, just split into two
+        # filters over it, so the scale shape is unchanged
+        out = e_rows
+        if when_matched == "update":
+            upd_cols = []
+            for c in scoped.columns:
+                if update_set is not None and c in update_set:
+                    upd_cols.append(
+                        F.expr(update_set[c])
+                        .cast(scoped.schema[c].dataType).alias(c)
+                    )
+                else:
+                    upd_cols.append(F.col(f"e.{c}").alias(c))
+            out = out.unionByName(
+                j.filter(matched & mc).select(upd_cols),
+                allowMissingColumns=True,
+            )
+        if when_not_matched == "insert":
+            ins = F.col("e._e_present").isNull() & nmc
+            if insert_values is None:
+                ins_rows = j.filter(ins).select(
+                    [F.col(f"s.{c}").alias(c) for c in incoming.columns]
+                )
+            else:
+                ins_cols = []
+                for c in scoped.columns:
+                    if c in insert_values:
+                        ins_cols.append(
+                            F.expr(insert_values[c])
+                            .cast(scoped.schema[c].dataType).alias(c)
+                        )
+                    else:
+                        ins_cols.append(
+                            F.lit(None)
+                            .cast(scoped.schema[c].dataType).alias(c)
+                        )
+                ins_rows = j.filter(ins).select(ins_cols)
+            out = out.unionByName(ins_rows, allowMissingColumns=True)
+        return out
 
     _upsert_manifest(
         spark, target, source, on, partition_col, txn=txn, combine=combine
@@ -2863,6 +2956,7 @@ def repartition_manifest_table(
             manifest = _publish_snapshot(
                 target, ver + 1, df, new_pcols, None,
                 constraints=man.get("constraints"),
+                sql_meta=man.get("sql_meta"),
                 schema_json=man["schema"],
                 field_ids=man.get("field_ids"),
                 next_field_id=man.get("next_field_id"),
@@ -3081,6 +3175,7 @@ def delete_from_manifest_table(
             _publish_snapshot(
                 target, ver + 1, kept, pcols, prev_pmap,
                 constraints=man.get("constraints"),
+                sql_meta=man.get("sql_meta"),
                 schema_json=man["schema"],  # pure row removal
                 prev_stats=man.get("stats"),
                 field_ids=man.get("field_ids"),
@@ -3189,6 +3284,7 @@ def apply_changes_manifest_table(
             _publish_snapshot(
                 target, ver + 1, merged, pcols_arg, prev_pmap,
                 constraints=man.get("constraints"),
+                sql_meta=man.get("sql_meta"),
                 schema_json=man["schema"],
                 prev_stats=man.get("stats"),
                 field_ids=man.get("field_ids"),
@@ -3300,6 +3396,7 @@ def update_manifest_table(
             _publish_snapshot(
                 target, ver + 1, updated, pcols, prev_pmap,
                 constraints=man.get("constraints"),
+                sql_meta=man.get("sql_meta"),
                 schema_json=man["schema"],  # pure value change
                 prev_stats=man.get("stats"),
                 field_ids=man.get("field_ids"),
