@@ -72,13 +72,51 @@ def close_enough(a: list[tuple], b: list[tuple]) -> bool:
     return True
 
 
+# Pinned gate-calibration probe (r11, judge item 3). The gate wall is
+# only comparable across rounds if box speed is FACTORED OUT with a
+# measurement, not an eyeballed "this box feels ~13% slower" (the r10
+# normalization the verdict rejected — this box family drifts +-2x
+# across sessions, PERF.md). The probe is one fixed synthetic Spark
+# job (hash-agg shuffle over 20M generated rows — the gate's dominant
+# plan shape), run three times on the WARM JVM after the key loop
+# (first-key JIT absorbs ~7s; a cold probe would measure startup);
+# the median calibrates: normalized wall = wall * REF / probe.
+# PROBE_REF_SECONDS anchors the unit: the median probe measured on
+# the round-11 gate box when this was introduced. The r8 "<=280 s"
+# wall target restates in probe units as <=280 NORMALIZED seconds at
+# the r10 key count; per-key budget ~1.43 normalized s/key.
+PROBE_REF_SECONDS = None  # set below after first calibration commit
+
+
+def calibration_probe(spark, reps: int = 3) -> float:
+    """Median wall of the pinned probe job over ``reps`` runs."""
+    from pyspark.sql import functions as F
+
+    walls = []
+    for _ in range(reps):
+        t0 = time.time()
+        (
+            spark.range(0, 20_000_000, 1, 32)
+            .selectExpr("id % 9973 AS k", "id AS v")
+            .groupBy("k")
+            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+            .agg(F.sum("s"), F.sum("n"))
+            .collect()
+        )
+        walls.append(time.time() - t0)
+    walls.sort()
+    return walls[len(walls) // 2]
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--json", default=None, help="write per-key results to this file")
+    ap.add_argument("--note", default=None, help="summary note recorded in the JSON")
     ap.add_argument("keys", nargs="*")
     args = ap.parse_args()
     results: dict[str, dict] = {}
+    gate_t0 = time.time()
 
     spark = get_spark("check-oracle")
     con = duckdb.connect()
@@ -167,17 +205,37 @@ def main() -> int:
     if args.json:
         import json
 
+        gate_wall = round(time.time() - gate_t0, 1)
+        probe = round(calibration_probe(spark), 3)
+        summary = {
+            "pass": n_pass,
+            "soft": n_soft,
+            "fail": n_fail,
+            "rows_only": n_noracle,
+            "total": len(keys),
+            "gate_wall_seconds": gate_wall,
+            "probe_seconds": probe,
+        }
+        if PROBE_REF_SECONDS:
+            summary["probe_ref_seconds"] = PROBE_REF_SECONDS
+            summary["wall_normalized_seconds"] = round(
+                gate_wall * PROBE_REF_SECONDS / probe, 1
+            )
+        if args.note:
+            summary["note"] = args.note
+        print(
+            f"== wall={gate_wall}s probe={probe}s "
+            + (
+                f"normalized={summary.get('wall_normalized_seconds')}s"
+                if PROBE_REF_SECONDS
+                else "(no probe ref pinned yet)"
+            )
+        )
         with open(args.json, "w") as fh:
             json.dump(
                 {
                     "sf_dir": args.sf,
-                    "summary": {
-                        "pass": n_pass,
-                        "soft": n_soft,
-                        "fail": n_fail,
-                        "rows_only": n_noracle,
-                        "total": len(keys),
-                    },
+                    "summary": summary,
                     "results": results,
                 },
                 fh,
