@@ -344,7 +344,8 @@ _SHARD_LAYOUT_LOCK = threading.Lock()
 
 
 def _remember_shard_layout(target: str, n_shards, shards: dict,
-                           state: dict) -> None:
+                           state: dict, shard_of: dict | None = None,
+                           groups: dict | None = None) -> None:
     with _SHARD_LAYOUT_LOCK:
         while (
             target not in _LAST_SHARD_LAYOUT
@@ -357,6 +358,14 @@ def _remember_shard_layout(target: str, n_shards, shards: dict,
             "rels": dict(state.get("partitions") or {}),
             "schema": state.get("schema"),
             "field_ids": state.get("field_ids"),
+            # r11: key->shard assignment and shard->keys grouping,
+            # reused so a one-touched full state never re-hashes or
+            # re-walks every entry (both tolerate stale keys; crc32
+            # is pure, chunking membership-checks against the live
+            # state). Memory is O(entries) alongside the rels
+            # snapshot already held; the same _MAX cap bounds it.
+            "shard_of": shard_of,
+            "groups": groups,
         }
 
 
@@ -442,11 +451,24 @@ def _encode_full_state(
                 "rels": prev.get("rels"),
                 "schema": prev.get("schema"),
                 "field_ids": prev.get("field_ids"),
+                "shard_of": prev.get("shard_of"),
+                "groups": prev.get("groups"),
             }
             if prev and prev.get("n_shards") == n_shards
             else None
         )
-    shard_of = {k: _shard_of(k, n_shards) for k in parts}
+    # key -> shard assignment: crc32 is a pure function of (key,
+    # n_shards), so the cached map from the last encode is reusable
+    # verbatim — stale keys of removed partitions map to what they
+    # always mapped to (harmless), and only NEW keys pay a hash.
+    # C-speed set difference instead of a per-key python loop (r11:
+    # this was ~0.5 s of the 2.2 s one-touched encode at 1M entries).
+    shard_of = prev["shard_of"] if prev else None
+    if shard_of is None:
+        shard_of = {k: _shard_of(k, n_shards) for k in parts}
+    else:
+        for k in parts.keys() - shard_of.keys():
+            shard_of[k] = _shard_of(k, n_shards)
     fast = (
         allow_fast
         and prev is not None
@@ -454,28 +476,60 @@ def _encode_full_state(
         and prev["schema"] == state.get("schema")
         and prev["field_ids"] == state.get("field_ids")
     )
+    groups = None
     if fast:
         prev_rels = prev["rels"]
         dirty = {
             shard_of[k] for k, rel in parts.items()
             if prev_rels.get(k) != rel
         }
-        for k in prev_rels:
-            if k not in parts:
-                dirty.add(_shard_of(k, n_shards))
+        for k in prev_rels.keys() - parts.keys():
+            dirty.add(shard_of.get(k) or _shard_of(k, n_shards))
         build = dirty
+        # shard -> its keys, cached like shard_of and rebuilt when
+        # churn has left it >50% stale. Lets the section chunking
+        # below touch ONLY the dirty shards' keys instead of every
+        # entry x section (r11: the other ~1.2 s of the one-touched
+        # encode at 1M). List appends/reads race benignly across
+        # CAS-racing writers — each encode's `k in cur` membership
+        # checks scope a group to ITS state.
+        groups = prev["groups"] if prev else None
+        if groups is not None:
+            n_grouped = sum(len(g) for g in groups.values())
+            if n_grouped > 1.5 * len(parts):
+                groups = None  # too many stale keys: rebuild
+        if groups is None:
+            groups = {}
+            for k in parts:
+                groups.setdefault(shard_of[k], []).append(k)
+        else:
+            for k in parts.keys() - prev_rels.keys():
+                groups.setdefault(shard_of[k], []).append(k)
     else:
         build = set(range(n_shards))
     chunks: dict[int, dict] = {
         i: {sec: {} for sec in _SHARD_SECTIONS} for i in build
     }
-    for sec in _SHARD_SECTIONS:
-        for k, v in (state.get(sec) or {}).items():
-            i = shard_of.get(k)
-            if i is None:  # a section key outside the partition map
-                i = _shard_of(k, n_shards)
-            if i in chunks:
-                chunks[i][sec][k] = v
+    if fast:
+        # FAST tier: entry sections are keyed by the partition map
+        # (what every data-commit writer produces — see
+        # _publish_snapshot); out-of-map section keys only arise from
+        # metadata-only edits, which force the SHA tier below. Only
+        # the dirty shards' keys are touched.
+        dirty_keys = [k for i in build for k in groups.get(i, ())]
+        for sec in _SHARD_SECTIONS:
+            cur = state.get(sec) or {}
+            for k in dirty_keys:
+                if k in cur:
+                    chunks[shard_of[k]][sec][k] = cur[k]
+    else:
+        for sec in _SHARD_SECTIONS:
+            for k, v in (state.get(sec) or {}).items():
+                i = shard_of.get(k)
+                if i is None:  # a section key outside the partition map
+                    i = _shard_of(k, n_shards)
+                if i in chunks:
+                    chunks[i][sec][k] = v
     reuse = prev["shards"] if prev else {}
     shards: dict[str, dict] = {}
     for i in range(n_shards):
@@ -504,7 +558,8 @@ def _encode_full_state(
     index["format"] = "full-sharded"
     index["n_shards"] = n_shards
     index["shards"] = shards
-    _remember_shard_layout(target, n_shards, shards, state)
+    _remember_shard_layout(target, n_shards, shards, state,
+                           shard_of=shard_of, groups=groups)
     return json.dumps(index, indent=1, sort_keys=True)
 
 
@@ -2852,9 +2907,6 @@ def merge_manifest_table(
             keep_e = keep_e | matched
         else:
             keep_e = keep_e | (matched & ~mc)
-        e_rows = j.filter(keep_e).select(
-            [F.col(f"e.{c}").alias(c) for c in scoped.columns]
-        )
         if update_set is None and insert_values is None:
             # legacy fast path: one filter + one projection for both
             # updates-from-source and inserts (plan unchanged from r10)
@@ -2863,52 +2915,60 @@ def merge_manifest_table(
                 take_s = matched & mc
             if when_not_matched == "insert":
                 take_s = take_s | (F.col("e._e_present").isNull() & nmc)
+            e_rows = j.filter(keep_e).select(
+                [F.col(f"e.{c}").alias(c) for c in scoped.columns]
+            )
             s_rows = j.filter(take_s).select(
                 [F.col(f"s.{c}").alias(c) for c in incoming.columns]
             )
             return s_rows.unionByName(e_rows, allowMissingColumns=True)
-        # explicit clause columns: updated rows project per-assignment
-        # (unassigned columns keep the EXISTING value), inserted rows
-        # project the insert list (unassigned columns null-fill) —
-        # still the same single full-outer join, just split into two
-        # filters over it, so the scale shape is unchanged
-        out = e_rows
-        if when_matched == "update":
-            upd_cols = []
-            for c in scoped.columns:
-                if update_set is not None and c in update_set:
-                    upd_cols.append(
-                        F.expr(update_set[c])
-                        .cast(scoped.schema[c].dataType).alias(c)
-                    )
-                else:
-                    upd_cols.append(F.col(f"e.{c}").alias(c))
-            out = out.unionByName(
-                j.filter(matched & mc).select(upd_cols),
-                allowMissingColumns=True,
-            )
-        if when_not_matched == "insert":
-            ins = F.col("e._e_present").isNull() & nmc
-            if insert_values is None:
-                ins_rows = j.filter(ins).select(
-                    [F.col(f"s.{c}").alias(c) for c in incoming.columns]
-                )
+        # explicit clause columns: ONE pass over the join — each
+        # output column is a CASE over the row's disposition (updated
+        # / inserted / kept), so the join executes once instead of
+        # once per filtered-union branch. Updated rows take each
+        # assignment (unassigned columns keep the EXISTING value);
+        # inserted rows take the insert list (unassigned null-fill);
+        # kept rows pass through; delete rows fail the filter.
+        upd_cond = (
+            matched & mc if when_matched == "update" else F.lit(False)
+        )
+        ins_cond = (
+            (F.col("e._e_present").isNull() & nmc)
+            if when_not_matched == "insert" else F.lit(False)
+        )
+        e_types = {f.name: f.dataType for f in scoped.schema.fields}
+        s_types = {f.name: f.dataType for f in incoming.schema.fields}
+        all_cols = list(scoped.columns) + [
+            c for c in incoming.columns if c not in scoped.columns
+        ]
+        cols = []
+        for c in all_cols:
+            dt = e_types.get(c) or s_types[c]
+            e_val = (
+                F.col(f"e.{c}") if c in e_types else F.lit(None)
+            ).cast(dt)
+            s_val = (
+                F.col(f"s.{c}") if c in s_types else F.lit(None)
+            ).cast(dt)
+            if update_set is not None and c in update_set:
+                upd_val = F.expr(update_set[c]).cast(dt)
+            elif update_set is not None:
+                upd_val = e_val  # unassigned: keep the existing value
             else:
-                ins_cols = []
-                for c in scoped.columns:
-                    if c in insert_values:
-                        ins_cols.append(
-                            F.expr(insert_values[c])
-                            .cast(scoped.schema[c].dataType).alias(c)
-                        )
-                    else:
-                        ins_cols.append(
-                            F.lit(None)
-                            .cast(scoped.schema[c].dataType).alias(c)
-                        )
-                ins_rows = j.filter(ins).select(ins_cols)
-            out = out.unionByName(ins_rows, allowMissingColumns=True)
-        return out
+                upd_val = s_val  # UPDATE SET * : source row wins
+            if insert_values is None:
+                ins_val = s_val
+            elif c in insert_values:
+                ins_val = F.expr(insert_values[c]).cast(dt)
+            else:
+                ins_val = F.lit(None).cast(dt)
+            cols.append(
+                F.when(upd_cond, upd_val)
+                .when(ins_cond, ins_val)
+                .otherwise(e_val)
+                .alias(c)
+            )
+        return j.filter(keep_e | upd_cond | ins_cond).select(cols)
 
     _upsert_manifest(
         spark, target, source, on, partition_col, txn=txn, combine=combine

@@ -271,6 +271,14 @@ def _resolve_table(name: str) -> str:
 
 
 def _warehouse_target(spark: SparkSession, name: str) -> str:
+    # a quoted identifier can contain anything — refuse path
+    # metacharacters so a table name can never escape the warehouse
+    # directory (the table name becomes exactly one path segment)
+    if re.search(r"[/\\\x00]|\.\.", name):
+        raise ValueError(
+            f"table name {name!r} contains path separators — quoted "
+            "identifiers may not name filesystem paths"
+        )
     root = spark.conf.get(
         "spark.manifest_sql.warehouse",
         fsio.join(spark.conf.get("spark.sql.warehouse.dir"), "sql_tables"),
@@ -576,6 +584,47 @@ _READ_HEADS = frozenset(
 )
 
 
+def _rewrite_time_travel(spark: SparkSession, sql: str) -> str:
+    """`FROM t VERSION AS OF n` (the Delta time-travel read, spelled
+    in SQL) over BOUND tables: each occurrence registers a pinned
+    snapshot view `<view>__v<n>` (re-registration is idempotent; the
+    version must still be inside the retention window) and the
+    clause rewrites to that view name. Only names this router bound
+    are touched."""
+    toks = _tokenize(sql)
+    out: list[str] = []
+    last = 0
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if (
+            t.kind == "word"
+            and i + 3 < len(toks)
+            and toks[i + 1].upper == "VERSION"
+            and toks[i + 2].upper == "AS"
+            and toks[i + 3].upper == "OF"
+            and i + 4 < len(toks)
+            and toks[i + 4].kind == "number"
+        ):
+            name = t.text.lower()
+            try:
+                target = _resolve_table(name)
+            except ValueError:
+                i += 1
+                continue
+            ver = int(toks[i + 4].text)
+            pinned = f"{view_name_for(name)}__v{ver}"
+            sinks.register_manifest_view(spark, target, pinned, version=ver)
+            out.append(sql[last : t.start])
+            out.append(pinned)
+            last = toks[i + 4].end
+            i += 5
+            continue
+        i += 1
+    out.append(sql[last:])
+    return "".join(out)
+
+
 def execute_sql(
     spark: SparkSession, sql_text: str, params=None
 ) -> DataFrame:
@@ -585,15 +634,35 @@ def execute_sql(
     a one-row status frame ``(operation, table, rows_affected)`` for
     writes (rows_affected NULL where counting would cost an extra
     scan, like Spark's own DML)."""
-    sql = substitute_params(sql_text, params).strip().rstrip(";").strip()
+    stmts = split_statements(substitute_params(sql_text, params))
+    if not stmts:
+        raise ValueError("empty SQL statement")
+    if len(stmts) > 1:
+        # a ';'-separated script through the single-statement entry
+        # (the CLI `sql` subcommand fed an init.sql): run each in
+        # order, return the LAST statement's result
+        out = None
+        for s in stmts:
+            out = execute_sql(spark, s)
+        return out
+    sql = stmts[0]
     toks = _tokenize(sql)
     if not toks:
         raise ValueError("empty SQL statement")
     head = toks[0].upper
+    if head in ("DESCRIBE", "DESC") and len(toks) > 1 and toks[1].upper == "HISTORY":
+        q = _Parser(sql)
+        q.expect(head, "HISTORY")
+        name = q.qname()
+        return sinks.manifest_table_history(spark, _resolve_table(name))
     if head in _READ_HEADS:
         sinks.refresh_tracked_views(spark)
-        return spark.sql(_rewrite_bound_names(sql))
+        return spark.sql(_rewrite_time_travel(spark, _rewrite_bound_names(sql)))
     p = _Parser(sql)
+    if p.at("OPTIMIZE"):
+        return _optimize(spark, p)
+    if p.at("VACUUM"):
+        return _vacuum(spark, p)
     if p.eat("CREATE", "SCHEMA") or p.eat("CREATE", "DATABASE"):
         return _create_schema(spark, p)
     if p.at("CREATE", "TABLE"):
@@ -1312,6 +1381,38 @@ def _truncate(spark: SparkSession, p: _Parser) -> DataFrame:
 # ---------------------------------------------------------------------------
 # ALTER TABLE
 # ---------------------------------------------------------------------------
+
+
+def _optimize(spark: SparkSession, p: _Parser) -> DataFrame:
+    """`OPTIMIZE t [ZORDER BY (a, b)]` — Delta's maintenance spelling
+    of `compact_manifest_table`: bin-packed rewrite, optional Z-order
+    clustering, published as the next version through the same
+    crash-safe commit tail."""
+    p.expect("OPTIMIZE")
+    name = p.qname()
+    target = _resolve_table(name)
+    cluster = None
+    if p.eat("ZORDER", "BY"):
+        cluster = p.ident_list_paren()
+    n = sinks.compact_manifest_table(
+        spark, target, rows_per_file=1 << 20, cluster_by=cluster
+    )
+    return _status(spark, "OPTIMIZE", name, n)
+
+
+def _vacuum(spark: SparkSession, p: _Parser) -> DataFrame:
+    """`VACUUM t` — reclaim snapshot directories the retention window
+    no longer references plus aged never-published orphans from
+    crashed writers (the scheduled sweep `_gc_superseded` runs every
+    16th commit; VACUUM runs it on demand, Delta's spelling)."""
+    p.expect("VACUUM")
+    name = p.qname()
+    target = _resolve_table(name)
+    _, man = sinks._latest_manifest(target)
+    if man is None:
+        raise ValueError(f"no manifest table at {target}")
+    sinks._gc_superseded(target, man)
+    return _status(spark, "VACUUM", name, None)
 
 
 def _alter_table(spark: SparkSession, p: _Parser) -> DataFrame:

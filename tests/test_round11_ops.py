@@ -674,3 +674,31 @@ def test_weighted_argmax_and_search(spark):
     }
     assert got == {0, 1, 2}
     assert 0.99 <= obj <= 1.0  # separable by construction
+
+
+def test_time_travel_history_optimize_vacuum(spark, wh):
+    """The Delta-dialect maintenance surface in SQL text: VERSION AS
+    OF reads a pinned snapshot, DESCRIBE HISTORY lists commits from
+    metadata, OPTIMIZE compacts, VACUUM reclaims."""
+    sqldml.execute_sql_script(
+        spark,
+        """CREATE TABLE t11_tt (k INT, v INT, UNIQUE(k));
+           INSERT INTO t11_tt (k, v) VALUES (1, 10), (2, 20);
+           UPDATE t11_tt SET v = v + 1 WHERE k = 1;""",
+    )
+    # CREATE = v0 (empty) + v1 (sql_meta); INSERT = v2; UPDATE = v3 —
+    # VERSION AS OF 2 sees the pre-update image
+    cur = _rows(spark, "t11_tt", "k, v")
+    assert cur == {(1, 11), (2, 20)}
+    old = {
+        tuple(r) for r in sqldml.execute_sql(
+            spark, "SELECT k, v FROM t11_tt VERSION AS OF 2"
+        ).collect()
+    }
+    assert old == {(1, 10), (2, 20)}
+    hist = sqldml.execute_sql(spark, "DESCRIBE HISTORY t11_tt")
+    assert [int(r["version"]) for r in hist.collect()] == [0, 1, 2, 3]
+    st = sqldml.execute_sql(spark, "OPTIMIZE t11_tt").collect()[0]
+    assert st["operation"] == "OPTIMIZE"
+    sqldml.execute_sql(spark, "VACUUM t11_tt")
+    assert _rows(spark, "t11_tt", "k, v") == cur  # content unchanged

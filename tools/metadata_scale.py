@@ -161,6 +161,15 @@ def main() -> None:
         idx_text = sinks._encode_full_state(starget, 0, base_state)
         t_shard_cold = time.perf_counter() - t0
         sharded = json.loads(idx_text).get("format") == "full-sharded"
+        # WARM the r11 shard_of/groups caches before snapshotting:
+        # the cold encode stores groups=None (SHA tier), so timing
+        # from its layout would re-measure the one-time O(entries)
+        # group build every iteration instead of the steady state a
+        # real table reaches after its first fast encode. One fast
+        # encode builds the caches; re-encoding the BASE state flips
+        # the rels snapshot back while keeping the caches.
+        sinks._encode_full_state(starget, 1, state2)
+        sinks._encode_full_state(starget, 2, base_state)
         # snapshot the POST-BASE layout and restore it before every
         # timed iteration — otherwise the first call re-baselines the
         # layout to state2 and iterations 2+ measure a ZERO-touched
