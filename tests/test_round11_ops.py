@@ -495,7 +495,7 @@ def test_cdc_stream_starting_version_and_coalesce(spark, tmp_path):
 # --- concurrent-writer fuzz (judge item 6) ------------------------------
 
 
-def test_concurrent_writer_fuzz(spark, tmp_path):
+def test_concurrent_writer_fuzz(spark, tmp_path, monkeypatch):
     """Randomized interleaving across the r10/r11 write surface: 3
     threads x 18 ops (upsert / MERGE with explicit clauses / DELETE /
     ADD COLUMN / ADD CONSTRAINT / must-fail constraint) race on ONE
@@ -504,10 +504,18 @@ def test_concurrent_writer_fuzz(spark, tmp_path):
     the final state must equal the per-writer serial dict model (no
     lost updates under CAS retry), every committed op advances
     exactly one version, and every logged column/constraint is
-    present at the end."""
+    present at the end.
+
+    Retention is sized to the table's contention per the documented
+    contract (`_upsert_manifest`: commits landing during one
+    attempt's merge must stay < K, else the attempt's aged-out input
+    can be GC'd mid-scan and fails loudly) — three concurrent
+    writers on a loaded box can land >3 commits inside one slow
+    merge, so K=3 would be mis-sized for this table."""
     import random
     import threading
 
+    monkeypatch.setattr(sinks, "_RETAIN_VERSIONS", 16)
     target = str(tmp_path / "fuzz")
     sinks.upsert(
         spark, target,
