@@ -85,7 +85,11 @@ def close_enough(a: list[tuple], b: list[tuple]) -> bool:
 # the round-11 gate box when this was introduced. The r8 "<=280 s"
 # wall target restates in probe units as <=280 NORMALIZED seconds at
 # the r10 key count; per-key budget ~1.43 normalized s/key.
-PROBE_REF_SECONDS = None  # set below after first calibration commit
+# Pinned r11: median of three warm 3-rep probe medians on the quiet
+# round-11 gate box (0.652 / 0.608 / 0.555 s). A future gate on a box
+# where the probe runs in 1.2 s reports its wall halved; the ≤280 s
+# target is now "≤280 NORMALIZED seconds".
+PROBE_REF_SECONDS = 0.608
 
 
 def calibration_probe(spark, reps: int = 3) -> float:
