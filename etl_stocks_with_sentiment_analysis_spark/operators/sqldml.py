@@ -221,6 +221,13 @@ def substitute_params(sql: str, params) -> str:
 # every `manifest_sql` read sees the newest commit.
 _SQL_TABLES: dict[str, str] = {}
 _SQL_SCHEMAS: set[str] = set()
+# lower qualified view name -> {"view": temp view name, "deps": set of
+# TRACKED base view names it (transitively) reads}. CREATE VIEW wires
+# each view into `sinks.register_derived_view`, so a commit to any
+# underlying manifest table re-creates the whole view chain on the
+# next `manifest_sql` read — the reference's views sit on live
+# Postgres tables and are never stale (`sql/dashboard_views.sql`).
+_SQL_VIEWS: dict[str, dict] = {}
 _SQL_LOCK = threading.Lock()
 
 
@@ -292,6 +299,7 @@ def _rewrite_bound_names(sql: str) -> str:
     — only names this router bound are touched, never catalog names."""
     with _SQL_LOCK:
         bound = {k for k in _SQL_TABLES if "." in k}
+        bound |= {k for k in _SQL_VIEWS if "." in k}
     if not bound:
         return sql
     toks = _tokenize(sql)
@@ -625,6 +633,91 @@ def _rewrite_time_travel(spark: SparkSession, sql: str) -> str:
     return "".join(out)
 
 
+# Postgres type names Spark's `::` cast parser rejects -> Spark types
+_PG_CAST_MAP = {
+    "text": "string", "int4": "int", "int8": "bigint",
+    "int2": "smallint", "float4": "float", "float8": "double",
+    "numeric": "double", "bool": "boolean", "timestamptz": "timestamp",
+    "varchar": "string",
+}
+
+
+def _pg_compat(sql: str) -> str:
+    """Postgres-isms -> Spark SQL, token-level (the reference's
+    dashboard file, `sql/dashboard_views.sql`, uses both): `::text`
+    class casts map their TYPE NAME (Spark 4 parses `::` natively but
+    not Postgres alias types), and `STRING_AGG(expr, sep ORDER BY k)`
+    moves its inline ordering to the standard `WITHIN GROUP (ORDER BY
+    k)` Spark implements."""
+    toks = _tokenize(sql)
+    out: list[str] = []
+    last = 0
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if (
+            t.text == "::"
+            and i + 1 < len(toks)
+            and toks[i + 1].kind == "word"
+            and toks[i + 1].text.lower() in _PG_CAST_MAP
+        ):
+            out.append(sql[last : toks[i + 1].start])
+            out.append(_PG_CAST_MAP[toks[i + 1].text.lower()])
+            last = toks[i + 1].end
+            i += 2
+            continue
+        if (
+            t.kind == "word"
+            and t.upper in ("STRING_AGG", "LISTAGG")
+            and i + 1 < len(toks)
+            and toks[i + 1].text == "("
+        ):
+            # scan to the matching ')' looking for a top-level ORDER BY
+            depth = 0
+            ob_at = close_at = None
+            j = i + 1
+            while j < len(toks):
+                tj = toks[j]
+                if tj.text == "(":
+                    depth += 1
+                elif tj.text == ")":
+                    depth -= 1
+                    if depth == 0:
+                        close_at = j
+                        break
+                elif (
+                    depth == 1
+                    and tj.kind == "word"
+                    and tj.upper == "ORDER"
+                    and j + 1 < len(toks)
+                    and toks[j + 1].upper == "BY"
+                ):
+                    ob_at = j
+                j += 1
+            if ob_at is not None and close_at is not None:
+                args = sql[toks[i + 1].end : toks[ob_at].start].rstrip()
+                ob = sql[toks[ob_at + 2].start : toks[close_at].start]
+                out.append(sql[last : t.start])
+                out.append(
+                    f"{t.text}({args}) WITHIN GROUP (ORDER BY {ob.strip()})"
+                )
+                last = toks[close_at].end
+                i = close_at + 1
+                continue
+        i += 1
+    out.append(sql[last:])
+    return "".join(out)
+
+
+def _read_sql(spark: SparkSession, sql: str) -> DataFrame:
+    """The read path every SELECT-shaped text takes: bound-name
+    rewrite -> time-travel pinning -> Postgres-compat transforms ->
+    `spark.sql`."""
+    return spark.sql(
+        _pg_compat(_rewrite_time_travel(spark, _rewrite_bound_names(sql)))
+    )
+
+
 def execute_sql(
     spark: SparkSession, sql_text: str, params=None
 ) -> DataFrame:
@@ -657,7 +750,7 @@ def execute_sql(
         return sinks.manifest_table_history(spark, _resolve_table(name))
     if head in _READ_HEADS:
         sinks.refresh_tracked_views(spark)
-        return spark.sql(_rewrite_time_travel(spark, _rewrite_bound_names(sql)))
+        return _read_sql(spark, sql)
     p = _Parser(sql)
     if p.at("OPTIMIZE"):
         return _optimize(spark, p)
@@ -667,6 +760,10 @@ def execute_sql(
         return _create_schema(spark, p)
     if p.at("CREATE", "TABLE"):
         return _create_table(spark, p)
+    if p.at("CREATE", "VIEW") or p.at("CREATE", "OR", "REPLACE", "VIEW"):
+        return _create_view(spark, p)
+    if p.at("DROP", "VIEW"):
+        return _drop_view(spark, p)
     if p.at("INSERT"):
         return _insert(spark, p)
     if p.at("MERGE"):
@@ -896,6 +993,72 @@ def _drop_table(spark: SparkSession, p: _Parser) -> DataFrame:
     return _status(spark, "DROP TABLE", name, None)
 
 
+def _create_view(spark: SparkSession, p: _Parser) -> DataFrame:
+    """`CREATE [OR REPLACE] VIEW name AS select` — the reference's
+    entire analytics layer is this statement twelve times over live
+    tables (`sql/dashboard_views.sql:5-182`). The body runs through
+    the full read path (bound names, time travel, Postgres compat)
+    and registers as a temp view; views may reference earlier router
+    views (the file's views chain). FRESHNESS: the view records the
+    TRACKED base views it transitively reads and registers a rebuild
+    with `sinks.register_derived_view`, so a data commit to any
+    underlying manifest table re-creates the chain on the next
+    `manifest_sql` read — never a stale dashboard."""
+    p.expect("CREATE")
+    or_replace = p.eat("OR", "REPLACE")
+    p.expect("VIEW")
+    name = p.qname()
+    key = name.lower()
+    with _SQL_LOCK:
+        exists = key in _SQL_VIEWS
+    if exists and not or_replace:
+        raise ValueError(f"view {name!r} already exists")
+    p.expect("AS")
+    body = p.expr_text(_EXPR_STOP_NEVER, stop_punct="")
+    final = _pg_compat(
+        _rewrite_time_travel(spark, _rewrite_bound_names(body))
+    )
+    vname = view_name_for(key)
+    # transitive tracked-view deps: direct references to tracked base
+    # views, plus the deps of every router view this body references
+    words = {
+        t.text.lower() for t in _tokenize(final) if t.kind == "word"
+    }
+    with sinks._TRACKED_VIEWS_LOCK:
+        tracked = set(sinks._TRACKED_VIEWS)
+    deps = words & tracked
+    with _SQL_LOCK:
+        for spec in _SQL_VIEWS.values():
+            if spec["view"] in words:
+                deps |= spec["deps"]
+
+    def rebuild() -> None:
+        spark.sql(final).createOrReplaceTempView(vname)
+
+    rebuild()
+    if deps:
+        sinks.register_derived_view(vname, deps, rebuild)
+    with _SQL_LOCK:
+        _SQL_VIEWS[key] = {"view": vname, "deps": deps}
+    return _status(spark, "CREATE VIEW", name, None)
+
+
+def _drop_view(spark: SparkSession, p: _Parser) -> DataFrame:
+    p.expect("DROP", "VIEW")
+    if_exists = p.eat("IF", "EXISTS")
+    name = p.qname()
+    key = name.lower()
+    with _SQL_LOCK:
+        spec = _SQL_VIEWS.pop(key, None)
+    if spec is None:
+        if if_exists:
+            return _status(spark, "DROP VIEW", name, None)
+        raise ValueError(f"unknown view {name!r}")
+    sinks._DERIVED_VIEWS.pop(spec["view"], None)
+    spark.catalog.dropTempView(spec["view"])
+    return _status(spark, "DROP VIEW", name, None)
+
+
 # ---------------------------------------------------------------------------
 # Table metadata helpers
 # ---------------------------------------------------------------------------
@@ -1000,7 +1163,7 @@ def _insert(spark: SparkSession, p: _Parser) -> DataFrame:
         # INSERT ... SELECT: everything up to a top-level ON CONFLICT
         select_text = p.expr_text(_INSERT_STOPS, stop_punct="")
         sinks.refresh_tracked_views(spark)
-        sel = spark.sql(_rewrite_bound_names(select_text))
+        sel = _read_sql(spark, select_text)
         if len(sel.columns) != len(src_cols):
             raise ValueError(
                 f"INSERT SELECT arity {len(sel.columns)} != column list "
@@ -1206,7 +1369,7 @@ def _merge(spark: SparkSession, p: _Parser) -> DataFrame:
         p.expect_punct("(")
         sub = p.expr_text(_EXPR_STOP_NEVER, stop_punct=")")
         p.expect_punct(")")
-        source = spark.sql(_rewrite_bound_names(sub))
+        source = _read_sql(spark, sub)
     else:
         src_name = p.qname()
         try:
@@ -1601,3 +1764,90 @@ def sink_manifest_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
                   CAST(SUM(cents) AS BIGINT) AS cents
            FROM sqldml.events_agg GROUP BY status, tier"""
     )
+
+
+_SQL_VIEW_ORACLE = """
+WITH sp AS (
+  SELECT CAST(user_id % 6 AS INTEGER) AS grp, CAST(ts AS DATE) AS day,
+         MAX(value) AS hi, MIN(value) AS lo, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), sp2 AS (
+  SELECT grp, day, hi, lo,
+         CASE WHEN grp = 0 THEN n + 1 ELSE n END AS n
+  FROM sp
+), vol AS (
+  SELECT grp, day, n,
+         CASE WHEN hi - lo >= 300 THEN 'high'
+              WHEN hi - lo >= 150 THEN 'medium'
+              ELSE 'low' END AS cls
+  FROM sp2
+)
+SELECT grp, cls, COUNT(*) AS days, CAST(SUM(n) AS BIGINT) AS events,
+       STRING_AGG(CASE WHEN n % 2 = 0 THEN 'E' ELSE 'O' END,
+                  '' ORDER BY day) AS seq
+FROM vol GROUP BY grp, cls"""
+
+
+@register("sink_manifest_sql_view", oracle=_SQL_VIEW_ORACLE)
+def sink_manifest_sql_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE OR REPLACE VIEW through the router (r11 — the
+    reference's analytics layer is twelve of these over live tables,
+    `sql/dashboard_views.sql:5-182`; the LITERAL file is driven in
+    tests/test_round11_ops.py): build a daily-bars table with INSERT
+    ... SELECT, layer two chained views over it — the second using
+    the Postgres STRING_AGG(expr, sep ORDER BY k) form the compat
+    layer rewrites to WITHIN GROUP — then land an UPDATE on the base
+    TABLE and read the top view through `manifest_sql`. The view
+    chain must reflect the new commit with NO re-CREATE (tracked
+    base view -> derived rebuild cascade), asserted in-key; the
+    oracle recomputes the post-update rollup relationally."""
+    base = sinks.scratch_dir("s27_")
+    spark.conf.set("spark.manifest_sql.warehouse", base)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "sqldml_events_src"
+    )
+    run = lambda s, p=None: execute_sql(spark, s, params=p)
+    run("DROP VIEW IF EXISTS sqldml.vol_summary")
+    run("DROP VIEW IF EXISTS sqldml.vol")
+    run("DROP TABLE IF EXISTS sqldml.sp")
+    run("CREATE SCHEMA IF NOT EXISTS sqldml")
+    run(
+        """CREATE TABLE sqldml.sp (
+               grp INT, day DATE, hi NUMERIC, lo NUMERIC, n BIGINT,
+               UNIQUE(grp, day)
+           )"""
+    )
+    run(
+        """INSERT INTO sqldml.sp (grp, day, hi, lo, n)
+           SELECT CAST(user_id % 6 AS INT), CAST(ts AS DATE),
+                  MAX(value), MIN(value), COUNT(*)
+           FROM sqldml_events_src GROUP BY 1, 2"""
+    )
+    run(
+        """CREATE OR REPLACE VIEW sqldml.vol AS
+           SELECT grp, day, n,
+                  CASE WHEN hi - lo >= 300 THEN 'high'
+                       WHEN hi - lo >= 150 THEN 'medium'
+                       ELSE 'low' END AS cls
+           FROM sqldml.sp"""
+    )
+    run(
+        """CREATE OR REPLACE VIEW sqldml.vol_summary AS
+           SELECT grp, cls, COUNT(*) AS days,
+                  CAST(SUM(n) AS BIGINT) AS events,
+                  STRING_AGG(CASE WHEN n % 2 = 0 THEN 'E' ELSE 'O' END,
+                             '' ORDER BY day) AS seq
+           FROM sqldml.vol GROUP BY grp, cls"""
+    )
+    before = run(
+        "SELECT CAST(SUM(events) AS BIGINT) AS t FROM sqldml.vol_summary"
+    ).collect()[0]["t"]
+    st = run("UPDATE sqldml.sp SET n = n + 1 WHERE grp = 0").collect()[0]
+    after_df = run(
+        "SELECT grp, cls, days, events, seq FROM sqldml.vol_summary"
+    )
+    after = sum(r["events"] for r in after_df.collect())
+    # live-view semantics: the whole chain reflects the UPDATE with
+    # no re-CREATE — exactly one +1 per updated base row
+    assert after == before + st["rows_affected"], (before, after, st)
+    return after_df
