@@ -79,6 +79,48 @@ def _session():
     return s
 
 
+def _no_session() -> bool:
+    # pure attribute reads — NO py4j roundtrip (getActiveSession()
+    # calls into the JVM when a context exists, which would tax every
+    # fsio op on the resolver hot path); in a Python data source
+    # worker neither attribute is set
+    from pyspark import SparkContext
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession._instantiatedSession is None
+        and SparkContext._active_spark_context is None
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pure-python READ fallback (pyarrow.fs) — Spark 4's Python Data
+# Source API runs its planning methods (schema/latestOffset/
+# partitions) in a plain python worker with NO py4j gateway, so the
+# manifest RESOLVER (pure-JSON logic over these read primitives) must
+# work without the JVM. Reads dispatch to pyarrow's filesystem layer
+# (local / hdfs:// / s3:// per URI) when no SparkSession exists —
+# exactly the paths that previously raised. WRITES keep requiring the
+# JVM: every commit path runs on the driver where the session lives,
+# and the CAS semantics are store-dispatch-audited there.
+# ---------------------------------------------------------------------------
+
+
+def _pafs(path: str):
+    from pyarrow import fs as pafs
+
+    p = urlparse(path)
+    if p.scheme in ("", "file"):
+        return pafs.LocalFileSystem(), _local_path(path)
+    f, rel = pafs.FileSystem.from_uri(path)
+    return f, rel
+
+
+def _py_info(path: str):
+    f, p = _pafs(path)
+    return f.get_file_info(p)
+
+
 # (session, jvm, Path class, IOUtils class, hadoopConfiguration) —
 # resolved once per live SparkSession. py4j resolves a JavaPackage
 # chain (`jvm.org.apache.hadoop.fs.Path`) with reflection round-trips
@@ -139,11 +181,19 @@ def join(path: str, *parts: str) -> str:
 
 
 def exists(path: str) -> bool:
+    if _no_session():
+        from pyarrow import fs as pafs
+
+        return _py_info(path).type != pafs.FileType.NotFound
     _, fs, jp = _jfs(path)
     return bool(fs.exists(jp))
 
 
 def is_dir(path: str) -> bool:
+    if _no_session():
+        from pyarrow import fs as pafs
+
+        return _py_info(path).type == pafs.FileType.Directory
     _, fs, jp = _jfs(path)
     try:
         return bool(fs.getFileStatus(jp).isDirectory())
@@ -158,6 +208,22 @@ def list_status(path: str) -> list[FileInfo]:
     store roundtrip — the listing primitive every manifest resolve and
     GC sweep uses. Missing dir lists as empty (a table with no commits
     reads as empty, never as an error)."""
+    if _no_session():
+        from pyarrow import fs as pafs
+
+        f, p = _pafs(path)
+        try:
+            infos = f.get_file_info(pafs.FileSelector(p))
+        except (FileNotFoundError, OSError):
+            return []
+        return [
+            FileInfo(
+                name=i.path.rsplit("/", 1)[-1],
+                is_dir=i.type == pafs.FileType.Directory,
+                mtime=(i.mtime.timestamp() if i.mtime else 0.0),
+            )
+            for i in infos
+        ]
     _, fs, jp = _jfs(path)
     try:
         statuses = fs.listStatus(jp)
@@ -177,6 +243,13 @@ def list_status(path: str) -> list[FileInfo]:
 
 def mtime(path: str) -> float:
     """Raises FileNotFoundError if absent."""
+    if _no_session():
+        from pyarrow import fs as pafs
+
+        info = _py_info(path)
+        if info.type == pafs.FileType.NotFound:
+            raise FileNotFoundError(path)
+        return info.mtime.timestamp() if info.mtime else 0.0
     _, fs, jp = _jfs(path)
     try:
         return fs.getFileStatus(jp).getModificationTime() / 1000.0
@@ -189,6 +262,15 @@ def mtime(path: str) -> float:
 def read_text(path: str) -> str:
     """Whole-file UTF-8 read; raises FileNotFoundError if absent (the
     manifest resolver's raced-GC retry depends on that mapping)."""
+    if _no_session():
+        from pyarrow import fs as pafs
+
+        f, p = _pafs(path)
+        try:
+            with f.open_input_stream(p) as stream:
+                return stream.read().decode("utf-8")
+        except (FileNotFoundError, OSError) as e:
+            raise FileNotFoundError(path) from e
     jvm, fs, jp = _jfs(path)
     try:
         stream = fs.open(jp)

@@ -1,1 +1,1 @@
-from . import ingest, stateful  # noqa: F401
+from . import ingest, source, stateful  # noqa: F401

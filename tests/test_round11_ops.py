@@ -858,3 +858,77 @@ def test_reference_dashboard_views_sql_file(spark, wh):
         "SELECT total_predictions, correct_predictions, "
         "overall_accuracy_pct FROM analytics.model_performance_summary"
     ) == {(4, 3, 75.0)}
+
+
+# --- real readStream source (manifest_stream) ---------------------------
+
+
+def test_manifest_readstream_semantics(spark, tmp_path):
+    """The custom Spark 4 Python Data Source end to end: snapshot-
+    first initial batch, checkpointed incremental appends, idle
+    restart no-op, REWRITE refusal (append-only contract), the
+    Delta ignoreChanges restart workflow (rewritten dir redelivers in
+    full, nothing else duplicates), and a fresh stream seeing only
+    the current image."""
+    from etl_stocks_with_sentiment_analysis_spark.streaming.source import (
+        register_manifest_stream_source,
+    )
+
+    register_manifest_stream_source(spark)
+    t = str(tmp_path / "tbl")
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+
+    def drain(stream, ckpt, path):
+        q = (
+            stream.writeStream.format("parquet").option("path", path)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        return {
+            tuple(r)
+            for r in spark.read.parquet(path).select("k", "v", "g").collect()
+        }
+
+    sinks.upsert(
+        spark, t,
+        spark.createDataFrame([(1, 10, 0), (2, 20, 1)], "k INT, v INT, g INT"),
+        ["k", "g"], partition_col="g",
+    )
+    sinks.upsert(
+        spark, t, spark.createDataFrame([(3, 30, 2)], "k INT, v INT, g INT"),
+        ["k", "g"], partition_col="g",
+    )
+    s = spark.readStream.format("manifest_stream").option("path", t).load()
+    assert s.schema.simpleString() == "struct<k:int,v:int,g:int>"
+    # initial batch = CURRENT snapshot (both commits, merged image)
+    assert drain(s, ck, out) == {(1, 10, 0), (2, 20, 1), (3, 30, 2)}
+    # append-only commit; restart from the SAME checkpoint delivers
+    # exactly the new rows once
+    sinks.upsert(
+        spark, t, spark.createDataFrame([(9, 90, 3)], "k INT, v INT, g INT"),
+        ["k", "g"], partition_col="g",
+    )
+    full = {(1, 10, 0), (2, 20, 1), (3, 30, 2), (9, 90, 3)}
+    assert drain(s, ck, out) == full
+    assert drain(s, ck, out) == full  # idle restart: no-op
+    # REWRITE (update k=1 in g=0) breaks the append-only contract
+    sinks.upsert(
+        spark, t, spark.createDataFrame([(1, 99, 0)], "k INT, v INT, g INT"),
+        ["k", "g"], partition_col="g",
+    )
+    with pytest.raises(Exception, match="REWROTE partition"):
+        drain(s, ck, out)
+    # the Delta workflow: restart the same checkpoint with
+    # ignoreChanges — the rewritten dir redelivers in full
+    s2 = (
+        spark.readStream.format("manifest_stream").option("path", t)
+        .option("ignoreChanges", "true").load()
+    )
+    assert drain(s2, ck, out) == full | {(1, 99, 0)}
+    # a brand-new stream sees only the CURRENT image, no history
+    s3 = spark.readStream.format("manifest_stream").option("path", t).load()
+    assert drain(s3, str(tmp_path / "ck2"), str(tmp_path / "out2")) == {
+        (1, 99, 0), (2, 20, 1), (3, 30, 2), (9, 90, 3),
+    }
