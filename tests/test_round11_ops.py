@@ -932,3 +932,75 @@ def test_manifest_readstream_semantics(spark, tmp_path):
     assert drain(s3, str(tmp_path / "ck2"), str(tmp_path / "out2")) == {
         (1, 99, 0), (2, 20, 1), (3, 30, 2), (9, 90, 3),
     }
+
+
+def test_sql_router_randomized_model(spark, wh):
+    """Property-style: a seeded random sequence of SQL-text writes
+    (plain INSERT / upsert / DO NOTHING / UPDATE / DELETE) against
+    one table must match a dict model replayed from the same
+    statements — the parser and the routing both under test, end to
+    end through statement strings."""
+    import random
+
+    rng = random.Random(77)
+    sqldml.execute_sql_script(
+        spark,
+        """DROP TABLE IF EXISTS t11_prop;
+           CREATE TABLE t11_prop (k INT, v INT, UNIQUE(k));""",
+    )
+    model: dict[int, int] = {}
+    for step in range(40):
+        k = rng.randint(1, 8)
+        v = step * 100 + k
+        op = rng.choice(["upsert", "nothing", "insert", "update", "delete"])
+        if op == "upsert":
+            sqldml.execute_sql(
+                spark,
+                "INSERT INTO t11_prop (k, v) VALUES (%s, %s) "
+                "ON CONFLICT (k) DO UPDATE SET v = EXCLUDED.v",
+                (k, v),
+            )
+            model[k] = v
+        elif op == "nothing":
+            sqldml.execute_sql(
+                spark,
+                "INSERT INTO t11_prop (k, v) VALUES (%s, %s) "
+                "ON CONFLICT DO NOTHING",
+                (k, v),
+            )
+            model.setdefault(k, v)
+        elif op == "insert":
+            if k in model:
+                with pytest.raises(ValueError, match="unique constraint"):
+                    sqldml.execute_sql(
+                        spark,
+                        "INSERT INTO t11_prop (k, v) VALUES (%s, %s)",
+                        (k, v),
+                    )
+            else:
+                sqldml.execute_sql(
+                    spark,
+                    "INSERT INTO t11_prop (k, v) VALUES (%s, %s)",
+                    (k, v),
+                )
+                model[k] = v
+        elif op == "update":
+            st = sqldml.execute_sql(
+                spark, f"UPDATE t11_prop SET v = v + 7 WHERE k = {k}"
+            ).collect()[0]
+            assert st["rows_affected"] == (1 if k in model else 0)
+            if k in model:
+                model[k] += 7
+        else:
+            st = sqldml.execute_sql(
+                spark, f"DELETE FROM t11_prop WHERE k = {k}"
+            ).collect()[0]
+            assert st["rows_affected"] == (1 if k in model else 0)
+            model.pop(k, None)
+    got = {
+        r["k"]: r["v"]
+        for r in sqldml.execute_sql(
+            spark, "SELECT k, v FROM t11_prop"
+        ).collect()
+    }
+    assert got == model
