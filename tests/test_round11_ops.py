@@ -1004,3 +1004,34 @@ def test_sql_router_randomized_model(spark, wh):
         ).collect()
     }
     assert got == model
+
+
+def test_manifest_readstream_multilevel_and_null_partition(spark, tmp_path):
+    """The stream source restores MULTI-LEVEL partition values (and a
+    NULL partition value) from directory keys — executor-side, typed
+    through the stream schema."""
+    from etl_stocks_with_sentiment_analysis_spark.streaming.source import (
+        register_manifest_stream_source,
+    )
+
+    register_manifest_stream_source(spark)
+    t = str(tmp_path / "ml_tbl")
+    df = spark.createDataFrame(
+        [(1, "x", 10, 5.0), (2, "y", 20, 6.0), (3, None, 10, 7.0)],
+        "k INT, a STRING, b INT, v DOUBLE",
+    )
+    sinks.upsert(spark, t, df, ["k", "a", "b"], partition_col=["a", "b"])
+    s = spark.readStream.format("manifest_stream").option("path", t).load()
+    q = (
+        s.writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {
+        tuple(r)
+        for r in spark.read.parquet(str(tmp_path / "out"))
+        .select("k", "a", "b", "v").collect()
+    }
+    assert got == {(1, "x", 10, 5.0), (2, "y", 20, 6.0), (3, None, 10, 7.0)}
