@@ -1035,3 +1035,60 @@ def test_manifest_readstream_multilevel_and_null_partition(spark, tmp_path):
         .select("k", "a", "b", "v").collect()
     }
     assert got == {(1, "x", 10, 5.0), (2, "y", 20, 6.0), (3, None, 10, 7.0)}
+
+
+def test_sharded_fast_tier_groups_equivalence(spark, tmp_path, monkeypatch):
+    """Fold-equivalence of the r11 shard-scoped fast tier: with the
+    cached key->shard assignment and shard->keys grouping in play,
+    every sequence of touch / ADD / REMOVE one-entry edits must
+    assemble back to exactly the plain state — byte-equal sections —
+    including after the >50%-stale group rebuild."""
+    import json as _json
+
+    monkeypatch.setattr(sinks, "_SHARD_MIN_ENTRIES", 4)
+    monkeypatch.setattr(sinks, "_SHARD_TARGET_ENTRIES", 4)
+    target = str(tmp_path / "t")
+    sinks.fsio.mkdirs(sinks.fsio.join(target, sinks._LOG_DIR))
+
+    def mk_state(keys: dict[str, str], version: int) -> dict:
+        return {
+            "version": version,
+            "partition_col": "p",
+            "partition_cols": ["p"],
+            "partitions": dict(keys),
+            "stats": {k: {"v": [k[-1], k[-1]]} for k in keys},
+            "entry_rows": {k: 10 for k in keys},
+            "file_stats": {}, "file_point_index": {},
+            "schema": '{"type":"struct","fields":[]}',
+            "field_ids": {"p": 1},
+        }
+
+    def assemble(text: str) -> dict:
+        raw = _json.loads(text)
+        if raw.get("format") != "full-sharded":
+            return raw
+        out = sinks._materialize_full(target, raw)
+        assert isinstance(out, dict), out
+        return out
+
+    def check(state: dict, version: int) -> None:
+        got = assemble(sinks._encode_full_state(target, version, state))
+        for sec in ("partitions", "stats", "entry_rows"):
+            assert got[sec] == state[sec], (sec, version)
+
+    keys = {f"p={i}": f"snap-a/p={i}" for i in range(24)}
+    check(mk_state(keys, 0), 0)                      # cold (sha tier)
+    keys["p=3"] = "snap-b/p=3"
+    check(mk_state(keys, 16), 16)                    # touch (fast tier)
+    keys["p=new1"] = "snap-c/p=new1"
+    check(mk_state(keys, 32), 32)                    # ADD (groups grow)
+    del keys["p=7"]
+    check(mk_state(keys, 48), 48)                    # REMOVE (stale key)
+    # churn most keys so the stale fraction trips the group rebuild
+    for i in range(24):
+        keys.pop(f"p={i}", None)
+    for i in range(40, 70):
+        keys[f"p={i}"] = f"snap-d/p={i}"
+    check(mk_state(keys, 64), 64)
+    keys["p=41"] = "snap-e/p=41"
+    check(mk_state(keys, 80), 80)                    # fast tier post-rebuild
