@@ -99,10 +99,16 @@ def main(argv: list[str] | None = None) -> int:
         "sql", help="run SQL over registered manifest tables "
         "(latest-tracking: views refresh before the query runs)"
     )
-    p_sql.add_argument("query", help="SQL text (DML/DDL statements "
-                       "route to the manifest API — INSERT ... ON "
-                       "CONFLICT, MERGE INTO, CREATE/ALTER TABLE, "
-                       "UPDATE/DELETE)")
+    p_sql.add_argument("query", nargs="?", default=None,
+                       help="SQL text (DML/DDL statements route to "
+                       "the manifest API — INSERT ... ON CONFLICT, "
+                       "MERGE INTO, CREATE/ALTER TABLE, UPDATE/"
+                       "DELETE, CREATE VIEW)")
+    p_sql.add_argument(
+        "--file", default=None, metavar="PATH",
+        help="run a ';'-separated SQL script file (e.g. the "
+        "reference's init.sql / dashboard_views.sql) instead of QUERY",
+    )
     p_sql.add_argument(
         "--table", action="append", default=None, metavar="NAME=PATH",
         help="register PATH as tracked view NAME first (repeatable)",
@@ -276,8 +282,15 @@ def main(argv: list[str] | None = None) -> int:
             name, path = spec.split("=", 1)
             sinks.register_manifest_view(spark, path, name,
                                          track_latest=True)
+        if args.file is not None:
+            with open(args.file) as fh:
+                text = fh.read()
+        elif args.query is not None:
+            text = args.query
+        else:
+            ap.error("sql needs QUERY text or --file PATH")
         sinks.manifest_sql(
-            spark, args.query, params=tuple(args.param or []) or None
+            spark, text, params=tuple(args.param or []) or None
         ).show(args.show, truncate=False)
     elif args.cmd == "ann":
         from pyspark.sql import functions as F
