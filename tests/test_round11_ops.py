@@ -1092,3 +1092,53 @@ def test_sharded_fast_tier_groups_equivalence(spark, tmp_path, monkeypatch):
     check(mk_state(keys, 64), 64)
     keys["p=41"] = "snap-e/p=41"
     check(mk_state(keys, 80), 80)                    # fast tier post-rebuild
+
+
+def test_manifest_readstream_starting_version(spark, tmp_path):
+    """startingVersion=N replays commits from N as appends (no
+    snapshot), within the retention window; a replay older than
+    retention fails loudly (failOnDataLoss)."""
+    from etl_stocks_with_sentiment_analysis_spark.streaming.source import (
+        register_manifest_stream_source,
+    )
+
+    register_manifest_stream_source(spark)
+    t = str(tmp_path / "tbl")
+    for i in range(3):  # v0, v1, v2 — fresh partition each: append-only
+        sinks.upsert(
+            spark, t,
+            spark.createDataFrame([(i, i * 10, i)], "k INT, v INT, g INT"),
+            ["k", "g"], partition_col="g",
+        )
+
+    def drain(opts, ck, out):
+        s = spark.readStream.format("manifest_stream").option("path", t)
+        for k, v in opts.items():
+            s = s.option(k, v)
+        q = (
+            s.load().writeStream.format("parquet")
+            .option("path", str(tmp_path / out))
+            .option("checkpointLocation", str(tmp_path / ck))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        return {
+            tuple(r)
+            for r in spark.read.parquet(str(tmp_path / out))
+            .select("k", "v", "g").collect()
+        }
+
+    # from v1: commits 1 and 2 only — v0's rows never delivered
+    assert drain({"startingVersion": "1"}, "ck1", "out1") == {
+        (1, 10, 1), (2, 20, 2),
+    }
+    # age v0 out of retention with more commits, then ask for history
+    # older than the window: the planning fails loudly
+    for i in range(3, 7):
+        sinks.upsert(
+            spark, t,
+            spark.createDataFrame([(i, i * 10, i)], "k INT, v INT, g INT"),
+            ["k", "g"], partition_col="g",
+        )
+    with pytest.raises(Exception, match="retention|not found"):
+        drain({"startingVersion": "0"}, "ck2", "out2")
