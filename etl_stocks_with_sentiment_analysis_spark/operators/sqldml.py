@@ -743,6 +743,15 @@ def execute_sql(
     if not toks:
         raise ValueError("empty SQL statement")
     head = toks[0].upper
+    if (
+        head == "SHOW"
+        and len(toks) > 2
+        and toks[1].upper == "CREATE"
+        and toks[2].upper == "TABLE"
+    ):
+        q = _Parser(sql)
+        q.expect("SHOW", "CREATE", "TABLE")
+        return _show_create_table(spark, q.qname())
     if head in ("DESCRIBE", "DESC") and len(toks) > 1 and toks[1].upper == "HISTORY":
         q = _Parser(sql)
         q.expect(head, "HISTORY")
@@ -1057,6 +1066,49 @@ def _drop_view(spark: SparkSession, p: _Parser) -> DataFrame:
     sinks._DERIVED_VIEWS.pop(spec["view"], None)
     spark.catalog.dropTempView(spec["view"])
     return _status(spark, "DROP VIEW", name, None)
+
+
+def _show_create_table(spark: SparkSession, name: str) -> DataFrame:
+    """Reconstruct a CREATE TABLE statement from the manifest — the
+    recorded schema plus the SQL metadata (identity, defaults, NOT
+    NULL constraints, UNIQUE arbiter, CHECKs, partitioning). The
+    output round-trips: running it through this router recreates an
+    equivalent table."""
+    target = _resolve_table(name)
+    man, schema, meta = _table_meta(target)
+    identity = meta.get("identity")
+    defaults = meta.get("defaults") or {}
+    uniques = meta.get("unique_keys") or []
+    cons = dict(man.get("constraints") or {})
+    not_null = {
+        n[: -len("_not_null")]
+        for n, expr in list(cons.items())
+        if n.endswith("_not_null")
+        and expr == f"{n[: -len('_not_null')]} IS NOT NULL"
+    }
+    lines = []
+    for f in schema.fields:
+        t = "SERIAL" if f.name == identity else f.dataType.simpleString()
+        line = f"    {f.name} {t}"
+        if f.name == identity:
+            line += " PRIMARY KEY"
+        if f.name in not_null:
+            line += " NOT NULL"
+            cons.pop(f"{f.name}_not_null", None)
+        if f.name in defaults:
+            line += f" DEFAULT {defaults[f.name]}"
+        lines.append(line)
+    for cname, expr in cons.items():
+        lines.append(f"    CONSTRAINT {cname} CHECK ({expr})")
+    if uniques:
+        lines.append(f"    UNIQUE({', '.join(uniques)})")
+    ddl = f"CREATE TABLE {name} (\n" + ",\n".join(lines) + "\n)"
+    pcols = sinks._man_pcols(man)
+    if pcols:
+        ddl += f" PARTITIONED BY ({', '.join(pcols)})"
+    return spark.createDataFrame(
+        [(name, ddl)], "table string, create_statement string"
+    )
 
 
 # ---------------------------------------------------------------------------

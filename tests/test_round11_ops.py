@@ -1142,3 +1142,33 @@ def test_manifest_readstream_starting_version(spark, tmp_path):
         )
     with pytest.raises(Exception, match="retention|not found"):
         drain({"startingVersion": "0"}, "ck2", "out2")
+
+
+def test_show_create_table_roundtrip(spark, wh):
+    """SHOW CREATE TABLE reconstructs DDL from the manifest that
+    ROUND-TRIPS: running the emitted statement recreates a table with
+    identical schema, identity, defaults, constraints, and arbiter."""
+    sqldml.execute_sql_script(
+        spark,
+        """CREATE TABLE t11_sct (
+               id SERIAL PRIMARY KEY,
+               name VARCHAR(10) NOT NULL,
+               score NUMERIC DEFAULT 0.0,
+               CONSTRAINT score_band CHECK (score >= 0 AND score <= 1),
+               UNIQUE(name)
+           );""",
+    )
+    row = sqldml.execute_sql(spark, "SHOW CREATE TABLE t11_sct").collect()[0]
+    ddl = row["create_statement"]
+    assert "id SERIAL PRIMARY KEY" in ddl
+    assert "name string NOT NULL" in ddl
+    assert "DEFAULT 0.0" in ddl
+    assert "CONSTRAINT score_band CHECK" in ddl
+    assert "UNIQUE(name)" in ddl
+    # round-trip under a new name
+    sqldml.execute_sql(spark, ddl.replace("t11_sct", "t11_sct2"))
+    t1 = sqldml._table_meta(sqldml._resolve_table("t11_sct"))
+    t2 = sqldml._table_meta(sqldml._resolve_table("t11_sct2"))
+    assert t1[1] == t2[1]  # schema
+    assert t1[2] == t2[2]  # sql_meta
+    assert t1[0].get("constraints") == t2[0].get("constraints")
