@@ -41,10 +41,19 @@ Statement surface
   DROP COLUMN c | ADD CONSTRAINT n CHECK (e) | DROP CONSTRAINT n`` —
   metadata-only DDL commits.
 - ``DROP TABLE [IF EXISTS] t`` — unbind + delete the table directory.
+- ``CREATE [OR REPLACE] VIEW v AS select`` / ``DROP VIEW [IF EXISTS]``
+  — the reference's analytics layer (`sql/dashboard_views.sql`), with
+  live-table freshness through the tracked-view rebuild cascade.
+- Delta-dialect maintenance: ``SELECT ... FROM t VERSION AS OF n``
+  (time travel), ``DESCRIBE HISTORY t``, ``OPTIMIZE t [ZORDER BY
+  (cols)]``, ``VACUUM t``, ``SHOW CREATE TABLE t`` (round-trippable
+  DDL reconstruction).
 - Everything else (SELECT/WITH/VALUES/EXPLAIN/SHOW/DESCRIBE) is the
   READ path: tracked views refresh (`manifest_sql` semantics) and the
   text runs through ``spark.sql`` with bound schema-qualified names
-  rewritten to their registered view names.
+  rewritten to their registered view names and Postgres-isms
+  (``::type`` casts, ``STRING_AGG(... ORDER BY ...)``) transpiled
+  (`_pg_compat`).
 
 Scale notes: every route lands on the manifest API's partition-scoped
 merge / metadata-only commit paths, so the SQL layer adds parsing
