@@ -3608,6 +3608,34 @@ def manifest_table_history(spark: SparkSession, target: str) -> DataFrame:
     )
 
 
+def restore_manifest_table(
+    spark: SparkSession, target: str, version: int
+) -> dict:
+    """RESTORE TABLE (the Delta `RESTORE ... TO VERSION AS OF`
+    semantics): re-publish a RETAINED historical version's state as
+    the new latest — a METADATA-ONLY commit, zero data rewritten. The
+    old snapshot dirs are carried by reference and stay protected by
+    the GC invariant (files referenced by any retained manifest
+    survive), and the restore itself is a fresh version, so history
+    is preserved: time travel still shows the undone commits until
+    they age out. Txn watermarks are kept from the CURRENT latest —
+    exactly-once markers must never regress, or a replayed streaming
+    batch would double-apply after a restore. Raises for a version
+    outside the retention window (its files may already be gone —
+    the same boundary time travel has)."""
+    old = _manifest_at_version(target, version)  # retention-checked
+
+    def mutate(man: dict) -> None:
+        keep_txns = dict(man.get("txns") or {})
+        man.clear()
+        man.update(json.loads(json.dumps(old)))
+        for k in _EPHEMERAL_STATE_KEYS:
+            man.pop(k, None)
+        man["txns"] = keep_txns
+
+    return _commit_metadata_only(target, mutate)
+
+
 def repair_manifest_table(target: str) -> list[int]:
     """OFFLINE repair for store-corrupted manifest files (FSCK): find
     versions whose state cannot be loaded — rotted bytes, or a delta

@@ -46,7 +46,8 @@ Statement surface
   live-table freshness through the tracked-view rebuild cascade.
 - Delta-dialect maintenance: ``SELECT ... FROM t VERSION AS OF n``
   (time travel), ``DESCRIBE HISTORY t``, ``OPTIMIZE t [ZORDER BY
-  (cols)]``, ``VACUUM t``, ``SHOW CREATE TABLE t`` (round-trippable
+  (cols)]``, ``VACUUM t``, ``RESTORE [TABLE] t TO VERSION AS OF n``
+  (metadata-only rollback), ``SHOW CREATE TABLE t`` (round-trippable
   DDL reconstruction).
 - Everything else (SELECT/WITH/VALUES/EXPLAIN/SHOW/DESCRIBE) is the
   READ path: tracked views refresh (`manifest_sql` semantics) and the
@@ -796,6 +797,17 @@ def execute_sql(
         return _alter_table(spark, p)
     if p.at("DROP", "TABLE"):
         return _drop_table(spark, p)
+    if p.at("RESTORE"):
+        p.expect("RESTORE")
+        p.eat("TABLE")
+        name = p.qname()
+        p.expect("TO", "VERSION", "AS", "OF")
+        t = p.peek()
+        if t is None or t.kind != "number":
+            raise ValueError("RESTORE ... TO VERSION AS OF needs a number")
+        p.i += 1
+        sinks.restore_manifest_table(spark, _resolve_table(name), int(t.text))
+        return _status(spark, "RESTORE", name, None)
     raise ValueError(
         f"unsupported SQL statement head {head!r} — supported: SELECT/"
         "WITH/VALUES/EXPLAIN/SHOW, CREATE SCHEMA/TABLE, INSERT, MERGE, "
@@ -1912,3 +1924,66 @@ def sink_manifest_sql_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no re-CREATE — exactly one +1 per updated base row
     assert after == before + st["rows_affected"], (before, after, st)
     return after_df
+
+
+_SQL_RESTORE_ORACLE = """
+WITH v1 AS (
+  SELECT event_id, user_id,
+         CASE WHEN event_id % 4 = 1 THEN 'late' ELSE event_type END
+           AS event_type,
+         value, CAST(user_id % 5 AS INTEGER) AS grp
+  FROM events
+)
+SELECT event_type, grp, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM v1 GROUP BY event_type, grp"""
+
+
+@register("sink_manifest_restore", oracle=_SQL_RESTORE_ORACLE)
+def sink_manifest_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE TABLE ... TO VERSION AS OF (r11 — Delta's rollback,
+    `restore_manifest_table`): commit v0 (base events), v1 (late-row
+    upsert), v2 (a DELETE that removes a third of the rows), then
+    roll the table back to v1 THROUGH SQL TEXT. The restore is a
+    metadata-only commit (old snapshot dirs carried by reference,
+    protected by the retention GC invariant) and is itself a new
+    version — history length and the undone DELETE's continued
+    time-travel visibility are asserted in-key. The oracle recomputes
+    v1's state relationally from the raw events table."""
+    import os as _os
+
+    base = sinks.scratch_dir("s29_")
+    target = _os.path.join(base, "restore_tbl")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value",
+        (F.col("user_id") % 5).cast("int").alias("grp"),
+    )
+    keys = ["event_id", "grp"]
+    sinks.upsert(spark, target, ev.filter(F.col("event_id") % 4 != 1),
+                 keys, partition_col="grp")
+    sinks.upsert(
+        spark, target,
+        ev.filter(F.col("event_id") % 4 == 1).withColumn(
+            "event_type", F.lit("late")
+        ),
+        keys, partition_col="grp",
+    )
+    n_v1 = sinks.count_manifest_table(target)
+    n_del = sinks.delete_from_manifest_table(spark, target, "user_id % 3 = 0")
+    assert n_del > 0
+    bind_sql_table(spark, "restore_demo", target)
+    execute_sql(spark, "RESTORE TABLE restore_demo TO VERSION AS OF 1")
+    # metadata-only rollback: row count back to v1's, the restore is
+    # a NEW version (history 0..3), and the undone delete's state is
+    # still time-travel-visible at version 2
+    assert sinks.count_manifest_table(target) == n_v1
+    hist = sinks.manifest_table_history(spark, target).count()
+    assert hist == 4, hist
+    assert sinks.count_manifest_table(target, version=2) == n_v1 - n_del
+    cur = sinks.read_manifest_table(spark, target)
+    return cur.groupBy("event_type", "grp").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+        .cast("long").alias("value_cents"),
+    )

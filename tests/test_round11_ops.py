@@ -1172,3 +1172,53 @@ def test_show_create_table_roundtrip(spark, wh):
     assert t1[1] == t2[1]  # schema
     assert t1[2] == t2[2]  # sql_meta
     assert t1[0].get("constraints") == t2[0].get("constraints")
+
+
+def test_restore_table(spark, wh):
+    """RESTORE TO VERSION AS OF: metadata-only rollback; history
+    preserved; txn watermarks survive (a replayed batch still
+    no-ops after the restore); outside-retention restore refused."""
+    sqldml.execute_sql_script(
+        spark,
+        """CREATE TABLE t11_rst (k INT, v INT, UNIQUE(k));
+           INSERT INTO t11_rst (k, v) VALUES (1, 10), (2, 20);
+           DELETE FROM t11_rst WHERE k = 2;""",
+    )
+    target = sqldml._resolve_table("t11_rst")
+    # stamp a txn watermark on the current latest
+    sinks.upsert(
+        spark, target,
+        spark.createDataFrame([(7, 70)], "k INT, v INT"), ["k"],
+        txn=("rst_app", 5),
+    )
+    assert _rows(spark, "t11_rst", "k, v") == {(1, 10), (7, 70)}
+    # v2 (the INSERT's state) is still inside the 3-version window
+    sqldml.execute_sql(spark, "RESTORE TABLE t11_rst TO VERSION AS OF 2")
+    assert _rows(spark, "t11_rst", "k, v") == {(1, 10), (2, 20)}
+    # history preserved: the restore is a NEW version on top
+    hist = sqldml.execute_sql(spark, "DESCRIBE HISTORY t11_rst").collect()
+    assert len(hist) == 6  # create(2) + insert + delete + txn + restore
+    # the txn watermark survived: replaying batch 5 commits NOTHING
+    sinks.upsert(
+        spark, target,
+        spark.createDataFrame([(9, 90)], "k INT, v INT"), ["k"],
+        txn=("rst_app", 5),
+    )
+    assert _rows(spark, "t11_rst", "k, v") == {(1, 10), (2, 20)}
+    # and a NEWER batch lands normally
+    sinks.upsert(
+        spark, target,
+        spark.createDataFrame([(9, 90)], "k INT, v INT"), ["k"],
+        txn=("rst_app", 6),
+    )
+    assert _rows(spark, "t11_rst", "k, v") == {(1, 10), (2, 20), (9, 90)}
+    # outside the retention window (v0 after 6+ commits) AND a
+    # never-committed version: both refused
+    with pytest.raises(ValueError, match="retention|not found"):
+        sqldml.execute_sql(
+            spark, "RESTORE TABLE t11_rst TO VERSION AS OF 0"
+        )
+    with pytest.raises(ValueError, match="retention|not found"):
+        sqldml.execute_sql(
+            spark, "RESTORE TABLE t11_rst TO VERSION AS OF 99"
+        )
