@@ -1222,3 +1222,44 @@ def test_restore_table(spark, wh):
         sqldml.execute_sql(
             spark, "RESTORE TABLE t11_rst TO VERSION AS OF 99"
         )
+
+
+def test_readstream_refuses_restore(spark, tmp_path):
+    """A RESTORE rolls partition references BACK — not an append; a
+    running stream must fail loudly rather than silently replaying
+    old images (the CDC feed is the right consumer for rollbacks)."""
+    from etl_stocks_with_sentiment_analysis_spark.streaming.source import (
+        register_manifest_stream_source,
+    )
+
+    register_manifest_stream_source(spark)
+    t = str(tmp_path / "tbl")
+    for i in range(2):
+        sinks.upsert(
+            spark, t,
+            spark.createDataFrame([(i, i * 10, i)], "k INT, v INT, g INT"),
+            ["k", "g"], partition_col="g",
+        )
+    s = spark.readStream.format("manifest_stream").option("path", t).load()
+    q = (
+        s.writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    # append v2 then roll back to v1: the restore rewrites g=1's ref
+    sinks.upsert(
+        spark, t,
+        spark.createDataFrame([(9, 90, 9)], "k INT, v INT, g INT"),
+        ["k", "g"], partition_col="g",
+    )
+    sinks.restore_manifest_table(spark, t, 1)
+    with pytest.raises(Exception, match="dropped partition|REWROTE"):
+        q2 = (
+            s.writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True).start()
+        )
+        q2.awaitTermination()
