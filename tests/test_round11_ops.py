@@ -1263,3 +1263,35 @@ def test_readstream_refuses_restore(spark, tmp_path):
             .trigger(availableNow=True).start()
         )
         q2.awaitTermination()
+
+
+def test_pg_compat_transforms():
+    out = sqldml._pg_compat(
+        "SELECT a::text || '%', b::numeric, c::date, "
+        "STRING_AGG(CASE WHEN x THEN 'a' ELSE 'b' END, ' ' ORDER BY k DESC), "
+        "LISTAGG(y, ',' ORDER BY z) FROM t"
+    )
+    assert "a::string" in out and "b::double" in out
+    assert "c::date" in out  # native Spark type: untouched
+    assert "STRING_AGG(CASE WHEN x THEN 'a' ELSE 'b' END, ' ') " \
+           "WITHIN GROUP (ORDER BY k DESC)" in out
+    assert "LISTAGG(y, ',') WITHIN GROUP (ORDER BY z)" in out
+    # no inline ORDER BY: untouched
+    assert sqldml._pg_compat("STRING_AGG(a, ',')") == "STRING_AGG(a, ',')"
+    # '::text' inside a string literal: untouched
+    assert sqldml._pg_compat("SELECT 'x::text'") == "SELECT 'x::text'"
+
+
+def test_rewrite_expr_scopes():
+    out = sqldml._rewrite_expr(
+        "confidence + EXCLUDED.confidence + upper(name) + t.score",
+        {"excluded": "s", "t": "e"},
+        bare_alias="e",
+        bare_cols=frozenset({"confidence", "name", "score"}),
+    )
+    flat = out.replace(" ", "")
+    assert "e.confidence" in flat           # bare target column qualified
+    assert "s.confidence" in flat           # EXCLUDED -> source alias
+    # the function NAME is never qualified; its bare-column ARG is
+    assert "e.upper" not in flat and "upper(e.name)" in flat
+    assert "e.score" in flat                # explicit t. -> e.
