@@ -463,12 +463,23 @@ def _encode_full_state(
     # always mapped to (harmless), and only NEW keys pay a hash.
     # C-speed set difference instead of a per-key python loop (r11:
     # this was ~0.5 s of the 2.2 s one-touched encode at 1M entries).
+    # COPY-ON-WRITE: the cached map is handed out BY REFERENCE to
+    # every concurrent encode of this target, so it is never mutated
+    # in place — a same-process CAS-racing writer resizing the dict
+    # under another encode's keys() set-difference would raise
+    # "dictionary changed size during iteration" and fail a commit
+    # that should have retried. New keys build a private copy; the
+    # no-new-keys steady state (metadata-only / pure-update commits)
+    # stays zero-copy.
     shard_of = prev["shard_of"] if prev else None
     if shard_of is None:
         shard_of = {k: _shard_of(k, n_shards) for k in parts}
     else:
-        for k in parts.keys() - shard_of.keys():
-            shard_of[k] = _shard_of(k, n_shards)
+        new_keys = parts.keys() - shard_of.keys()
+        if new_keys:
+            shard_of = dict(shard_of)
+            for k in new_keys:
+                shard_of[k] = _shard_of(k, n_shards)
     fast = (
         allow_fast
         and prev is not None
@@ -490,9 +501,11 @@ def _encode_full_state(
         # churn has left it >50% stale. Lets the section chunking
         # below touch ONLY the dirty shards' keys instead of every
         # entry x section (r11: the other ~1.2 s of the one-touched
-        # encode at 1M). List appends/reads race benignly across
-        # CAS-racing writers — each encode's `k in cur` membership
-        # checks scope a group to ITS state.
+        # encode at 1M). COPY-ON-WRITE like shard_of: the cached
+        # grouping is shared by reference across concurrent encodes —
+        # appends go to private copies of only the touched shards'
+        # lists (stale keys stay harmless: `k in cur` membership
+        # checks scope a group to ITS state).
         groups = prev["groups"] if prev else None
         if groups is not None:
             n_grouped = sum(len(g) for g in groups.values())
@@ -503,8 +516,16 @@ def _encode_full_state(
             for k in parts:
                 groups.setdefault(shard_of[k], []).append(k)
         else:
-            for k in parts.keys() - prev_rels.keys():
-                groups.setdefault(shard_of[k], []).append(k)
+            added = parts.keys() - prev_rels.keys()
+            if added:
+                groups = dict(groups)
+                copied: set[int] = set()
+                for k in added:
+                    i = shard_of[k]
+                    if i not in copied:
+                        groups[i] = list(groups.get(i, ()))
+                        copied.add(i)
+                    groups[i].append(k)
     else:
         build = set(range(n_shards))
     chunks: dict[int, dict] = {
@@ -1454,6 +1475,8 @@ _TRACKED_VIEWS_LOCK = threading.Lock()
 # base view re-registers; when a refresh advances any of a derived
 # view's deps, its rebuild closure re-creates it against the fresh
 # base plans. Registration order = rebuild order (closures may layer).
+# Mutations share _TRACKED_VIEWS_LOCK (register/unregister/DROP VIEW
+# race refresh's iteration across concurrent router callers).
 _DERIVED_VIEWS: dict[str, dict] = {}
 
 
@@ -1465,7 +1488,8 @@ def register_derived_view(
     is a zero-arg closure that re-creates the temp view from the
     CURRENT base view plans and returns nothing; it must be
     idempotent (createOrReplaceTempView is)."""
-    _DERIVED_VIEWS[name] = {"deps": set(deps), "rebuild": rebuild}
+    with _TRACKED_VIEWS_LOCK:
+        _DERIVED_VIEWS[name] = {"deps": set(deps), "rebuild": rebuild}
 
 
 def refresh_tracked_views(
@@ -1519,7 +1543,9 @@ def refresh_tracked_views(
         # rebuild closure (the 12 dashboard views) rebuild once.
         hit = set(refreshed)
         done_ids: set[int] = set()
-        for spec in list(_DERIVED_VIEWS.values()):
+        with _TRACKED_VIEWS_LOCK:
+            derived = list(_DERIVED_VIEWS.values())
+        for spec in derived:
             if spec["deps"] & hit and id(spec["rebuild"]) not in done_ids:
                 done_ids.add(id(spec["rebuild"]))
                 spec["rebuild"]()
@@ -1535,7 +1561,7 @@ def unregister_manifest_view(
     Returns whether a tracked binding existed."""
     with _TRACKED_VIEWS_LOCK:
         had = _TRACKED_VIEWS.pop(name, None) is not None
-    _DERIVED_VIEWS.pop(name, None)
+        _DERIVED_VIEWS.pop(name, None)
     if drop_view:
         spark.catalog.dropTempView(name)
     return had

@@ -166,10 +166,10 @@ def _sql_literal(v) -> str:
 
 
 def substitute_params(sql: str, params) -> str:
-    """Replace ``%s`` / ``?`` placeholders (outside string literals
-    and comments) with safely-quoted literals — the psycopg2
-    ``cursor.execute(sql, params)`` contract the reference's writers
-    use (`ml/data_loader.py:151-160`)."""
+    """Replace ``%s`` / ``?`` placeholders (outside string literals,
+    quoted identifiers, and comments) with safely-quoted literals —
+    the psycopg2 ``cursor.execute(sql, params)`` contract the
+    reference's writers use (`ml/data_loader.py:151-160`)."""
     if params is None:
         return sql
     out: list[str] = []
@@ -178,11 +178,14 @@ def substitute_params(sql: str, params) -> str:
     used = 0
     while i < n:
         ch = sql[i]
-        if ch == "'":  # string literal: copy through '' escapes
+        if ch in ("'", '"', "`"):
+            # quoted span (string literal / "ident" / `ident`): copy
+            # through doubled-quote escapes — a %s or ? inside one is
+            # text, not a placeholder
             j = i + 1
             while j < n:
-                if sql[j] == "'":
-                    if j + 1 < n and sql[j + 1] == "'":
+                if sql[j] == ch:
+                    if j + 1 < n and sql[j + 1] == ch:
                         j += 2
                         continue
                     break
@@ -265,7 +268,15 @@ def unbind_sql_table(spark: SparkSession, name: str) -> str | None:
     with _SQL_LOCK:
         target = _SQL_TABLES.pop(key, None)
     if target is not None:
-        sinks.unregister_manifest_view(spark, view_name_for(key))
+        vname = view_name_for(key)
+        sinks.unregister_manifest_view(spark, vname)
+        # pinned time-travel snapshot views (`<view>__v<n>`, created by
+        # _rewrite_time_travel) would otherwise outlive the table and
+        # keep resolving against its deleted directory
+        pin_re = re.compile(re.escape(vname) + r"__v\d+$")
+        for tbl in spark.catalog.listTables():
+            if tbl.isTemporary and pin_re.match(tbl.name):
+                spark.catalog.dropTempView(tbl.name)
     return target
 
 
@@ -777,7 +788,7 @@ def execute_sql(
         return _vacuum(spark, p)
     if p.eat("CREATE", "SCHEMA") or p.eat("CREATE", "DATABASE"):
         return _create_schema(spark, p)
-    if p.at("CREATE", "TABLE"):
+    if p.at("CREATE", "TABLE") or p.at("CREATE", "OR", "REPLACE", "TABLE"):
         return _create_table(spark, p)
     if p.at("CREATE", "VIEW") or p.at("CREATE", "OR", "REPLACE", "VIEW"):
         return _create_view(spark, p)
@@ -877,8 +888,14 @@ def _parse_type(p: _Parser) -> str:
 
 
 def _create_table(spark: SparkSession, p: _Parser) -> DataFrame:
-    p.expect("CREATE", "TABLE")
+    p.expect("CREATE")
+    or_replace = p.eat("OR", "REPLACE")
+    p.expect("TABLE")
     if_not = p.eat("IF", "NOT", "EXISTS")
+    if or_replace and if_not:
+        raise ValueError(
+            "CREATE OR REPLACE TABLE and IF NOT EXISTS are exclusive"
+        )
     name = p.qname()
     key = name.lower()
     with _SQL_LOCK:
@@ -888,6 +905,21 @@ def _create_table(spark: SparkSession, p: _Parser) -> DataFrame:
         # table exists ON DISK from a previous process — rebind
         exists = True
         bind_sql_table(spark, name, target)
+
+    # CTAS: CREATE [OR REPLACE] TABLE t [PARTITIONED BY (c)] AS select
+    # (dbt's materialized='table' compiles to exactly this — the
+    # reference's transform layer,
+    # /root/reference/dbt_project/models/marts/fct_prices_with_grok.sql)
+    nxt = p.peek()
+    if nxt is not None and nxt.text != "(":
+        return _create_table_as(
+            spark, p, name, target, exists, or_replace, if_not
+        )
+    if or_replace:
+        raise ValueError(
+            "CREATE OR REPLACE TABLE is supported with AS SELECT — "
+            "use DROP TABLE + CREATE TABLE for a column-list redefine"
+        )
     if exists:
         if if_not:
             return _status(spark, "CREATE TABLE", name, None)
@@ -912,7 +944,9 @@ def _create_table(spark: SparkSession, p: _Parser) -> DataFrame:
             cname = p.ident()
             if p.eat("CHECK"):
                 p.expect_punct("(")
-                checks[cname] = p.expr_text(_EXPR_STOP_NEVER, stop_punct=")")
+                checks[cname] = _pg_compat(
+                    p.expr_text(_EXPR_STOP_NEVER, stop_punct=")")
+                )
                 p.expect_punct(")")
             elif p.eat("UNIQUE"):
                 unique_keys = p.ident_list_paren()
@@ -923,8 +957,8 @@ def _create_table(spark: SparkSession, p: _Parser) -> DataFrame:
                 )
         elif p.eat("CHECK"):
             p.expect_punct("(")
-            checks[f"check_{len(checks)}"] = p.expr_text(
-                _EXPR_STOP_NEVER, stop_punct=")"
+            checks[f"check_{len(checks)}"] = _pg_compat(
+                p.expr_text(_EXPR_STOP_NEVER, stop_punct=")")
             )
             p.expect_punct(")")
         else:
@@ -946,17 +980,17 @@ def _create_table(spark: SparkSession, p: _Parser) -> DataFrame:
                     if not unique_keys:
                         unique_keys = [cname]
                 elif p.eat("DEFAULT"):
-                    defaults[cname] = p.expr_text(
+                    defaults[cname] = _pg_compat(p.expr_text(
                         frozenset(
                             ["NOT", "NULL", "PRIMARY", "UNIQUE", "CHECK",
                              "REFERENCES"]
                         ),
                         stop_punct=",)",
-                    )
+                    ))
                 elif p.eat("CHECK"):
                     p.expect_punct("(")
-                    checks[f"{cname}_check"] = p.expr_text(
-                        _EXPR_STOP_NEVER, stop_punct=")"
+                    checks[f"{cname}_check"] = _pg_compat(
+                        p.expr_text(_EXPR_STOP_NEVER, stop_punct=")")
                     )
                     p.expect_punct(")")
                 else:
@@ -1008,6 +1042,77 @@ def _create_table(spark: SparkSession, p: _Parser) -> DataFrame:
     sinks._commit_metadata_only(target, mutate)
     bind_sql_table(spark, name, target)
     return _status(spark, "CREATE TABLE", name, None)
+
+
+def _create_table_as(
+    spark: SparkSession,
+    p: _Parser,
+    name: str,
+    target: str,
+    exists: bool,
+    or_replace: bool,
+    if_not: bool,
+) -> DataFrame:
+    """``CREATE [OR REPLACE] TABLE t [PARTITIONED BY (c)] AS select``
+    — the statement dbt's ``materialized='table'`` models compile to
+    (the reference's transform layer). The select runs through the
+    full read path (bound names, time travel, Postgres compat); the
+    result is published as ONE atomic manifest commit:
+
+    - fresh table: the result is version 0;
+    - OR REPLACE on an existing table: the result is the next
+      version with a partition map built ONLY from the new snapshot
+      (prev_pmap=None) — an atomic whole-table swap that keeps prior
+      versions time-travel-readable through the retention window
+      (Delta's CREATE OR REPLACE semantics). Constraints and SQL
+      metadata reset with the new definition; streaming transaction
+      watermarks carry forward (a replayed batch must still no-op).
+
+    Scale: the data work is exactly the select plus one partitioned
+    write — no merge, no read-back; the commit itself is metadata.
+    """
+    partition_col: str | None = None
+    if p.eat("PARTITIONED", "BY"):
+        pcl = p.ident_list_paren()
+        if len(pcl) != 1:
+            raise ValueError("PARTITIONED BY takes exactly one column here")
+        partition_col = pcl[0]
+    p.expect("AS")
+    if exists and not or_replace:
+        if if_not:
+            return _status(spark, "CREATE TABLE", name, None)
+        raise ValueError(f"table {name!r} already exists")
+    select_text = p.expr_text(_EXPR_STOP_NEVER, stop_punct="")
+    sinks.refresh_tracked_views(spark)
+    df = _read_sql(spark, select_text)
+    if partition_col is not None and partition_col not in df.columns:
+        raise ValueError(
+            f"partition column {partition_col!r} is not in the CTAS "
+            f"result (have {df.columns})"
+        )
+    sql_meta = {"unique_keys": [], "identity": None, "defaults": {}}
+    last_conflict = None
+    for _ in range(sinks._CAS_MAX_RETRIES):
+        ver, man = sinks._latest_manifest(target)
+        new_ver = 0 if man is None else ver + 1
+        try:
+            sinks._publish_snapshot(
+                target, new_ver, df, partition_col, None,
+                txns=(man or {}).get("txns"),
+                sql_meta=sql_meta,
+            )
+            break
+        except sinks.ManifestConflictError as e:
+            last_conflict = e
+            continue
+    else:
+        raise sinks.ManifestConflictError(
+            f"CTAS lost the manifest commit race "
+            f"{sinks._CAS_MAX_RETRIES} times at {target}"
+        ) from last_conflict
+    bind_sql_table(spark, name, target)
+    op = "CREATE OR REPLACE TABLE AS" if exists else "CREATE TABLE AS"
+    return _status(spark, op, name, None)
 
 
 def _drop_table(spark: SparkSession, p: _Parser) -> DataFrame:
@@ -1084,7 +1189,8 @@ def _drop_view(spark: SparkSession, p: _Parser) -> DataFrame:
         if if_exists:
             return _status(spark, "DROP VIEW", name, None)
         raise ValueError(f"unknown view {name!r}")
-    sinks._DERIVED_VIEWS.pop(spec["view"], None)
+    with sinks._TRACKED_VIEWS_LOCK:
+        sinks._DERIVED_VIEWS.pop(spec["view"], None)
     spark.catalog.dropTempView(spec["view"])
     return _status(spark, "DROP VIEW", name, None)
 
@@ -1311,6 +1417,16 @@ def _insert(spark: SparkSession, p: _Parser) -> DataFrame:
                 )
         else:
             raise ValueError("ON CONFLICT must be DO NOTHING or DO UPDATE")
+        if arbiter and unique_keys and set(arbiter) != set(unique_keys):
+            # Postgres's arbiter must match a unique index; silently
+            # routing a non-matching column list to a merge would give
+            # different dedup semantics than the reference's statement
+            raise ValueError(
+                f"ON CONFLICT {tuple(arbiter)} does not match the "
+                f"declared UNIQUE{tuple(unique_keys)} of {name} — "
+                "Postgres requires the conflict target to match a "
+                "unique index"
+            )
         if not arbiter:
             arbiter = unique_keys
         if not arbiter:
@@ -1582,14 +1698,19 @@ def _update(spark: SparkSession, p: _Parser) -> DataFrame:
     while True:
         col = p.ident()
         p.expect_punct("=")
-        assigns[col] = p.expr_text(frozenset(["WHERE"]), stop_punct=",")
+        # SET expressions take the same Postgres-compat transpile the
+        # read path gets (::type casts etc.) — the reference's dialect
+        # must behave the same in a SELECT and in an UPDATE
+        assigns[col] = _pg_compat(
+            p.expr_text(frozenset(["WHERE"]), stop_punct=",")
+        )
         if p.peek() is not None and p.peek().text == ",":
             p.i += 1
             continue
         break
     cond = "true"
     if p.eat("WHERE"):
-        cond = p.expr_text(_EXPR_STOP_NEVER, stop_punct="")
+        cond = _pg_compat(p.expr_text(_EXPR_STOP_NEVER, stop_punct=""))
     n = sinks.update_manifest_table(spark, target, assigns, cond)
     return _status(spark, "UPDATE", name, n)
 
@@ -1600,7 +1721,7 @@ def _delete(spark: SparkSession, p: _Parser) -> DataFrame:
     target = _resolve_table(name)
     cond = "true"
     if p.eat("WHERE"):
-        cond = p.expr_text(_EXPR_STOP_NEVER, stop_punct="")
+        cond = _pg_compat(p.expr_text(_EXPR_STOP_NEVER, stop_punct=""))
     n = sinks.delete_from_manifest_table(spark, target, cond)
     return _status(spark, "DELETE", name, n)
 
@@ -1659,7 +1780,7 @@ def _alter_table(spark: SparkSession, p: _Parser) -> DataFrame:
         cname = p.ident()
         p.expect("CHECK")
         p.expect_punct("(")
-        expr = p.expr_text(_EXPR_STOP_NEVER, stop_punct=")")
+        expr = _pg_compat(p.expr_text(_EXPR_STOP_NEVER, stop_punct=")"))
         p.expect_punct(")")
         sinks.add_manifest_constraint(spark, target, cname, expr)
         return _status(spark, "ALTER TABLE ADD CONSTRAINT", name, None)
