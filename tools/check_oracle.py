@@ -91,6 +91,18 @@ def close_enough(a: list[tuple], b: list[tuple]) -> bool:
 # target is now "≤280 NORMALIZED seconds".
 PROBE_REF_SECONDS = 0.608
 
+# r12 (judge item 3): the 0.6 s probe's own run-to-run variance
+# (~10%) spanned the pass/fail line it was meant to adjudicate. The
+# LONG probe is the same plan shape scaled to ~5 s (400M rows, 1M
+# groups — a real shuffle), measured as a TRIMMED MEDIAN: one
+# discarded warm-up rep, five measured reps, min+max trimmed, median
+# of the middle three. Two full procedure runs on the r12 gate box
+# landed 4.904 / 4.793 s (2.3% apart; kept-rep spread 3.8–5.5%), so
+# the median is adjudicable at the <3% level the target needs.
+# PROBE_LONG_REF_SECONDS anchors the unit at their midpoint; the r11
+# short probe stays recorded for cross-round continuity.
+PROBE_LONG_REF_SECONDS = 4.85
+
 
 def calibration_probe(spark, reps: int = 3) -> float:
     """Median wall of the pinned probe job over ``reps`` runs."""
@@ -110,6 +122,51 @@ def calibration_probe(spark, reps: int = 3) -> float:
         walls.append(time.time() - t0)
     walls.sort()
     return walls[len(walls) // 2]
+
+
+def calibration_probe_long(spark) -> tuple[float, float]:
+    """The r12 long probe: (trimmed median seconds, kept-rep spread %).
+    One warm-up rep discarded, five measured, min+max trimmed."""
+    from pyspark.sql import functions as F
+
+    def once() -> float:
+        t0 = time.time()
+        (
+            spark.range(0, 400_000_000, 1, 32)
+            .selectExpr("id % 1000003 AS k", "id AS v")
+            .groupBy("k")
+            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+            .agg(F.sum("s"), F.sum("n"))
+            .collect()
+        )
+        return time.time() - t0
+
+    once()  # warm-up rep (first run pays scheduling/JIT noise)
+    walls = sorted(once() for _ in range(5))
+    kept = walls[1:-1]
+    med = kept[len(kept) // 2]
+    spread_pct = (kept[-1] - kept[0]) / med * 100
+    return med, spread_pct
+
+
+# Lifecycle-tier keys (r12, judge item 3): multi-commit / multi-drain
+# keys whose wall is dominated by commit-protocol work BY DESIGN
+# (several ACID commits, streaming checkpoint drains, registry
+# promotion), not by one query plan. They get their own budget so the
+# fast tier's per-key wall stays comparable round over round as the
+# lifecycle surface grows.
+_LIFECYCLE_PREFIXES = ("sink_manifest", "streaming_")
+_LIFECYCLE_KEYS = frozenset({
+    "sink_scd2_merge", "ml_registry_lifecycle", "ml_tracking_promote",
+    "dedup_index_build", "dedup_index_append", "dedup_index_probe",
+    "pipeline_dbt_models",
+})
+
+
+def _tier_of(key: str) -> str:
+    if key.startswith(_LIFECYCLE_PREFIXES) or key in _LIFECYCLE_KEYS:
+        return "lifecycle"
+    return "fast"
 
 
 def main() -> int:
@@ -211,6 +268,28 @@ def main() -> int:
 
         gate_wall = round(time.time() - gate_t0, 1)
         probe = round(calibration_probe(spark), 3)
+        probe_long, probe_spread = calibration_probe_long(spark)
+        probe_long = round(probe_long, 3)
+        scale = PROBE_LONG_REF_SECONDS / probe_long
+        # per-tier walls: sums of the per-key secs (excludes session
+        # startup and the probes themselves — the comparable metric)
+        tiers: dict[str, dict] = {
+            "fast": {"keys": 0, "secs": 0.0},
+            "lifecycle": {"keys": 0, "secs": 0.0},
+        }
+        for key, r in results.items():
+            if key == "_registry" or "secs" not in r:
+                continue
+            t = tiers[_tier_of(key)]
+            t["keys"] += 1
+            t["secs"] = round(t["secs"] + r["secs"], 1)
+        for t in tiers.values():
+            t["normalized_secs"] = round(t["secs"] * scale, 1)
+            t["normalized_s_per_key"] = (
+                round(t["normalized_secs"] / t["keys"], 2)
+                if t["keys"]
+                else None
+            )
         summary = {
             "pass": n_pass,
             "soft": n_soft,
@@ -219,21 +298,29 @@ def main() -> int:
             "total": len(keys),
             "gate_wall_seconds": gate_wall,
             "probe_seconds": probe,
+            "probe_long_seconds": probe_long,
+            "probe_long_spread_pct": round(probe_spread, 1),
+            "probe_long_ref_seconds": PROBE_LONG_REF_SECONDS,
+            "wall_normalized_seconds": round(gate_wall * scale, 1),
+            "tiers": tiers,
         }
         if PROBE_REF_SECONDS:
             summary["probe_ref_seconds"] = PROBE_REF_SECONDS
-            summary["wall_normalized_seconds"] = round(
+            # the r11 short-probe normalization, kept for cross-round
+            # comparability with LOCAL_GATE_r11 and earlier
+            summary["wall_normalized_legacy_seconds"] = round(
                 gate_wall * PROBE_REF_SECONDS / probe, 1
             )
         if args.note:
             summary["note"] = args.note
         print(
-            f"== wall={gate_wall}s probe={probe}s "
-            + (
-                f"normalized={summary.get('wall_normalized_seconds')}s"
-                if PROBE_REF_SECONDS
-                else "(no probe ref pinned yet)"
-            )
+            f"== wall={gate_wall}s probe={probe}s long={probe_long}s "
+            f"(spread {probe_spread:.1f}%) "
+            f"normalized={summary['wall_normalized_seconds']}s "
+            f"fast={tiers['fast']['normalized_secs']}s/"
+            f"{tiers['fast']['keys']}k "
+            f"lifecycle={tiers['lifecycle']['normalized_secs']}s/"
+            f"{tiers['lifecycle']['keys']}k"
         )
         with open(args.json, "w") as fh:
             json.dump(
