@@ -51,7 +51,8 @@ DIM = 64
 
 
 def build_clustered(
-    spark, out_dir: str, n: int, groups: int, noise: float
+    spark, out_dir: str, n: int, groups: int, noise: float,
+    dim: int = DIM,
 ) -> None:
     """Mixture-of-Gaussians embeddings keyed by duplicate group:
     group g's center is a deterministic unit vector; members are
@@ -61,7 +62,7 @@ def build_clustered(
     testdata embeddings table (vec_id BIGINT, embedding FLOAT[],
     label INT = group id)."""
     rng = np.random.default_rng(20260814)
-    centers = rng.standard_normal((groups, DIM))
+    centers = rng.standard_normal((groups, dim))
     centers /= np.linalg.norm(centers, axis=1, keepdims=True)
     # skewed sizes: s_g ∝ 1/rank capped at 64, rescaled to sum ~ n
     raw = np.minimum(64, np.ceil(64.0 / (1 + np.arange(groups)) ** 0.7))
@@ -69,7 +70,7 @@ def build_clustered(
     gid = np.repeat(np.arange(groups), sizes)[:n]
     while len(gid) < n:  # rounding shortfall: pad with singleton groups
         gid = np.append(gid, gid[-1])
-    members = centers[gid] + noise * rng.standard_normal((n, DIM))
+    members = centers[gid] + noise * rng.standard_normal((n, dim))
     import pandas as pd
 
     pdf = pd.DataFrame(
