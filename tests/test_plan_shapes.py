@@ -39,6 +39,7 @@ _EAGER_KEYS = {
     "pipeline_dedup_stack",
     "dedup_index_build",  # materializes the LSH index parquet
     "dedup_index_probe",  # ditto (probe side itself is lazy)
+    "pipeline_dbt_models",  # runs the dbt project (CTAS commits)
 }
 
 
