@@ -71,10 +71,15 @@ def main() -> None:
     rows = []
     for dim in args.dims:
         out = f"/tmp/ann_hd_{dim}"
-        print(f"== dim={dim}: building corpus ...", flush=True)
-        build_clustered(
-            spark, out, args.n, args.groups, args.noise, dim=dim
-        )
+        # hold the member-to-center NOISE NORM constant across dims
+        # (per-dim sigma * sqrt(dim) is the distance that matters):
+        # constant per-dim noise would make the 768-dim corpus
+        # artificially loose (0.05*sqrt(768) ≈ 1.4 vs unit centers)
+        # and measure the loose-corpus regime, not dimensionality
+        sigma = args.noise * (64.0 / dim) ** 0.5
+        print(f"== dim={dim}: building corpus (sigma={sigma:.4f}) ...",
+              flush=True)
+        build_clustered(spark, out, args.n, args.groups, sigma, dim=dim)
         truth = ground_truth_top3(spark, out)
         plan_ivf = round(plan_build_seconds(ivf_topk(spark, out, 2, 3)), 2)
         plan_brute = round(
@@ -105,8 +110,10 @@ def main() -> None:
     lines = [
         "",
         f"Measured {datetime.date.today().isoformat()} on the seeded "
-        f"clustered corpus (n={args.n:,}, groups={args.groups}, "
-        f"noise={args.noise}, `tools/ann_highdim.py`) at production "
+        f"clustered corpus (n={args.n:,}, groups={args.groups}, noise "
+        f"norm pinned to the 64-dim corpus's {args.noise}·√64 — per-dim "
+        "sigma scales 1/√dim so dimensionality, not corpus looseness, "
+        "is what varies; `tools/ann_highdim.py`) at production "
         "embedding dims. The engine's dot products are "
         "`aggregate(zip_with(...))` array folds — expression size is "
         "CONSTANT in dims (runtime O(d) inside one codegen stage), and "
