@@ -98,7 +98,7 @@ def test_drop_table_drops_pinned_time_travel_views(spark, wh):
     )
 
 
-def test_shard_layout_cache_copy_on_write(tmp_path, monkeypatch):
+def test_shard_layout_cache_copy_on_write(spark, tmp_path, monkeypatch):
     """The cached key->shard map and shard->keys grouping are shared
     by reference across concurrent encodes of one target — an encode
     that adds keys must build private copies, never resize the shared
@@ -122,18 +122,25 @@ def test_shard_layout_cache_copy_on_write(tmp_path, monkeypatch):
             "field_ids": {"p": 1},
         }
 
-    keys = {f"p={i}": f"snap-a/p={i}" for i in range(16)}
-    sinks._encode_full_state(target, 0, mk_state(keys, 0))
+    # 13 keys at 4/shard = 4 shards; +2 keys stays 4 shards (a shard-
+    # count change legitimately drops to the cold tier and rebuilds)
+    keys = {f"p={i}": f"snap-a/p={i}" for i in range(13)}
+    sinks._encode_full_state(target, 0, mk_state(keys, 0))  # cold (sha)
+    # one touched key: the first FAST-tier encode, which builds and
+    # caches the shard->keys grouping (the cold tier stores none)
+    keys["p=3"] = "snap-b/p=3"
+    sinks._encode_full_state(target, 16, mk_state(keys, 16))
     with sinks._SHARD_LAYOUT_LOCK:
         cached = sinks._LAST_SHARD_LAYOUT[target]
         shard_of_before = cached["shard_of"]
         groups_before = cached["groups"]
+    assert groups_before is not None  # fast tier cached the grouping
     so_snapshot = dict(shard_of_before)
     gr_snapshot = {i: list(g) for i, g in groups_before.items()}
     # an encode with NEW keys (fast tier: same schema, rels differ)
-    keys["p=new1"] = "snap-b/p=new1"
-    keys["p=new2"] = "snap-b/p=new2"
-    sinks._encode_full_state(target, 16, mk_state(keys, 16))
+    keys["p=new1"] = "snap-c/p=new1"
+    keys["p=new2"] = "snap-c/p=new2"
+    sinks._encode_full_state(target, 32, mk_state(keys, 32))
     # the previously-cached objects were not mutated
     assert shard_of_before == so_snapshot
     assert {i: list(g) for i, g in groups_before.items()} == gr_snapshot
