@@ -241,6 +241,10 @@ _SQL_SCHEMAS: set[str] = set()
 # next `manifest_sql` read — the reference's views sit on live
 # Postgres tables and are never stale (`sql/dashboard_views.sql`).
 _SQL_VIEWS: dict[str, dict] = {}
+# lower qualified table name -> pinned time-travel snapshot view
+# names (`<view>__v<n>`) created by _rewrite_time_travel, so DROP
+# TABLE can remove exactly its own pins without a catalog scan
+_SQL_PINS: dict[str, set[str]] = {}
 _SQL_LOCK = threading.Lock()
 
 
@@ -268,15 +272,15 @@ def unbind_sql_table(spark: SparkSession, name: str) -> str | None:
     with _SQL_LOCK:
         target = _SQL_TABLES.pop(key, None)
     if target is not None:
-        vname = view_name_for(key)
-        sinks.unregister_manifest_view(spark, vname)
+        sinks.unregister_manifest_view(spark, view_name_for(key))
         # pinned time-travel snapshot views (`<view>__v<n>`, created by
         # _rewrite_time_travel) would otherwise outlive the table and
-        # keep resolving against its deleted directory
-        pin_re = re.compile(re.escape(vname) + r"__v\d+$")
-        for tbl in spark.catalog.listTables():
-            if tbl.isTemporary and pin_re.match(tbl.name):
-                spark.catalog.dropTempView(tbl.name)
+        # keep resolving against its deleted directory — recorded at
+        # pin time, so cleanup is O(this table's pins), no catalog scan
+        with _SQL_LOCK:
+            pins = _SQL_PINS.pop(key, set())
+        for pin in pins:
+            spark.catalog.dropTempView(pin)
     return target
 
 
@@ -644,6 +648,8 @@ def _rewrite_time_travel(spark: SparkSession, sql: str) -> str:
             ver = int(toks[i + 4].text)
             pinned = f"{view_name_for(name)}__v{ver}"
             sinks.register_manifest_view(spark, target, pinned, version=ver)
+            with _SQL_LOCK:
+                _SQL_PINS.setdefault(name, set()).add(pinned)
             out.append(sql[last : t.start])
             out.append(pinned)
             last = toks[i + 4].end
@@ -861,6 +867,7 @@ def _status(
 
 
 def _create_schema(spark: SparkSession, p: _Parser) -> DataFrame:
+    _no_txn("DDL")
     if_not = p.eat("IF", "NOT", "EXISTS")
     name = p.qname()
     with _SQL_LOCK:
@@ -1105,6 +1112,11 @@ def _create_table_as(
     last_conflict = None
     for _ in range(sinks._CAS_MAX_RETRIES):
         ver, man = sinks._latest_manifest(target)
+        if man is not None and not (exists and or_replace):
+            # a concurrent CREATE won the race (or the table appeared
+            # on disk between the existence check and here): without
+            # OR REPLACE this statement must fail, never clobber
+            raise ValueError(f"table {name!r} already exists")
         new_ver = 0 if man is None else ver + 1
         try:
             sinks._publish_snapshot(
@@ -1390,11 +1402,12 @@ def _commit_txn(spark: SparkSession) -> DataFrame:
                 "INSERT", spec["name"], sum(op["n"] for op in ops)
             ))
         elif kinds == {"nothing"}:
-            arbiters = {tuple(op["arbiter"]) for op in ops}
+            arbiters = {frozenset(op["arbiter"]) for op in ops}
             if len(arbiters) != 1:
+                shown = sorted(tuple(sorted(a)) for a in arbiters)
                 raise ValueError(
                     f"transaction statements on {spec['name']} use "
-                    f"different ON CONFLICT targets {sorted(arbiters)} "
+                    f"different ON CONFLICT targets {shown} "
                     "— one arbiter per table per transaction"
                 )
             # global literal order across statements: Postgres's
@@ -1584,10 +1597,19 @@ def _insert(spark: SparkSession, p: _Parser) -> DataFrame:
                 )
         else:
             raise ValueError("ON CONFLICT must be DO NOTHING or DO UPDATE")
-        if arbiter and unique_keys and set(arbiter) != set(unique_keys):
-            # Postgres's arbiter must match a unique index; silently
-            # routing a non-matching column list to a merge would give
-            # different dedup semantics than the reference's statement
+        # Postgres's arbiter must match a unique index; silently
+        # routing a non-matching column list to a merge would give
+        # different dedup semantics than the reference's statement.
+        # The SERIAL/identity PRIMARY KEY is a unique index too, so
+        # ON CONFLICT (pk) stays a valid target alongside the
+        # declared UNIQUE key (order-insensitive, like Postgres).
+        pk_ok = identity is not None and set(arbiter) == {identity}
+        if (
+            arbiter
+            and unique_keys
+            and set(arbiter) != set(unique_keys)
+            and not pk_ok
+        ):
             raise ValueError(
                 f"ON CONFLICT {tuple(arbiter)} does not match the "
                 f"declared UNIQUE{tuple(unique_keys)} of {name} — "
@@ -1960,6 +1982,7 @@ def _optimize(spark: SparkSession, p: _Parser) -> DataFrame:
     of `compact_manifest_table`: bin-packed rewrite, optional Z-order
     clustering, published as the next version through the same
     crash-safe commit tail."""
+    _no_txn("OPTIMIZE")
     p.expect("OPTIMIZE")
     name = p.qname()
     target = _resolve_table(name)
@@ -1977,6 +2000,7 @@ def _vacuum(spark: SparkSession, p: _Parser) -> DataFrame:
     no longer references plus aged never-published orphans from
     crashed writers (the scheduled sweep `_gc_superseded` runs every
     16th commit; VACUUM runs it on demand, Delta's spelling)."""
+    _no_txn("VACUUM")
     p.expect("VACUUM")
     name = p.qname()
     target = _resolve_table(name)

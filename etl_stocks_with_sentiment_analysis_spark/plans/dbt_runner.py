@@ -184,6 +184,16 @@ def run_dbt_models(
     rendered: dict[str, tuple[str, str, set[str]]] = {}
     for name, text in discover_models(models_dir).items():
         rendered[name] = render_model(text, sources, target_schema)
+    for name, (_mat, _body, refs) in rendered.items():
+        missing = refs - set(rendered)
+        if missing:
+            # dbt fails the compile on an unknown ref; silently
+            # dropping the dep would materialize the model anyway and
+            # surface as a confusing mid-run 'unknown table'
+            raise ValueError(
+                f"model {name!r} refs unknown model(s) "
+                f"{sorted(missing)} — not in {models_dir}"
+            )
     sqldml.execute_sql(
         spark, f"CREATE SCHEMA IF NOT EXISTS {target_schema}"
     )

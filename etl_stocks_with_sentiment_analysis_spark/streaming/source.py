@@ -315,8 +315,23 @@ class ManifestCdfStreamReader(ManifestStreamReader):
             f for f in self.schema.fields
             if f.name not in ("_change_type", "_commit_version")
         ]
+        complex_cols = [
+            f.name for f in data_fields
+            if f.dataType.typeName() in ("array", "map", "struct")
+        ]
+        if complex_cols:
+            # the executor-side multiset diff pairs rows with pandas
+            # hashing — array/map/struct cells are unhashable there; a
+            # loud refusal beats an opaque executor TypeError. The
+            # engine-side change feed (read_manifest_changes_stream /
+            # manifest_table_changes) diffs with exceptAll in the JVM
+            # and handles every column type.
+            raise ValueError(
+                f"readChangeFeed does not support complex-typed columns "
+                f"{complex_cols} — consume the engine-side change feed "
+                "(read_manifest_changes_stream) for this table"
+            )
         data_schema_json = StructType(data_fields).json()
-        key_cols = self.key_cols
         parts: list[_CdcPartition] = []
         snap_at = start.get("snapshot")
         for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
@@ -333,7 +348,13 @@ class ManifestCdfStreamReader(ManifestStreamReader):
                     "predicate deletes row-wise; use copy-on-write "
                     "deletes (the default) or compact before streaming"
                 )
-            if key_cols is None:
+            # key columns resolve PER COMMIT when no option pins them:
+            # each version's recorded UNIQUE key classifies its own
+            # diff, so classification never depends on how commits
+            # happen to batch together
+            if self.key_cols is not None:
+                key_cols = self.key_cols
+            else:
                 meta = man_b.get("sql_meta") or {}
                 key_cols = list(meta.get("unique_keys") or [])
             pa_map = man_a.get("partitions") or {}
@@ -363,12 +384,16 @@ class ManifestCdfStreamReader(ManifestStreamReader):
 
         schema = StructType.fromJson(json.loads(partition.schema_json))
         arrow_schema = to_arrow_schema(schema)
+        # integer_object_nulls: a nullable int64 column must NOT decay
+        # to float64 (ids above 2^53 would silently collide in the
+        # diff and corrupt emitted images) — object dtype keeps exact
+        # Python ints alongside None
         old = _load_arrow(
             partition.files_old, partition.pvals, arrow_schema
-        ).to_pandas()
+        ).to_pandas(integer_object_nulls=True)
         new = _load_arrow(
             partition.files_new, partition.pvals, arrow_schema
-        ).to_pandas()
+        ).to_pandas(integer_object_nulls=True)
         cols = list(old.columns)
         # multiset diff: pair up identical rows (per-duplicate ordinal
         # via cumcount, NaN-safe groupby) and keep each side's surplus

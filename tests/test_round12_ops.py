@@ -610,3 +610,197 @@ def test_concurrent_sql_router_fuzz(spark, wh, monkeypatch):
     ver, man = sinks._latest_manifest(target)
     assert ver == n_commits - 1
     assert cols_expected <= set(man["field_ids"])
+
+
+# --- round-12 self-review fixes -------------------------------------------
+
+
+def test_ctas_concurrent_create_refused_not_clobbered(
+    spark, wh, monkeypatch
+):
+    """Two racing CREATE TABLE ... AS SELECT (no OR REPLACE): the
+    loser must FAIL, never publish v1 over the winner's v0."""
+    run = lambda s: sqldml.execute_sql(spark, s)
+    run("CREATE SCHEMA IF NOT EXISTS r12x")
+    orig = sinks._publish_snapshot
+    state = {"raced": False}
+
+    def racing(target, new_ver, df, *a, **k):
+        if not state["raced"]:
+            state["raced"] = True
+            # the competing writer lands ITS v0 first, then our CAS loses
+            orig(
+                target, 0,
+                spark.createDataFrame([(1,)], "x INT"), None, None,
+            )
+            raise sinks.ManifestConflictError("lost the race")
+        return orig(target, new_ver, df, *a, **k)
+
+    monkeypatch.setattr(sinks, "_publish_snapshot", racing)
+    with pytest.raises(ValueError, match="already exists"):
+        run("CREATE TABLE r12x.ct AS SELECT 42 AS x")
+    monkeypatch.undo()
+    # the winner's data survives untouched
+    target = sqldml._warehouse_target(spark, "r12x.ct")
+    got = [tuple(r) for r in sinks.read_manifest_table(spark, target)
+           .collect()]
+    assert got == [(1,)]
+    ver, _ = sinks._latest_manifest(target)
+    assert ver == 0  # no clobbering v1 was ever published
+
+
+def test_on_conflict_accepts_serial_pk_arbiter(spark, wh):
+    """ON CONFLICT (pk) is a valid Postgres conflict target even when
+    the table also declares a UNIQUE key — the identity PK is a
+    unique index."""
+    run = lambda s, p=None: sqldml.execute_sql(spark, s, params=p)
+    run("DROP TABLE IF EXISTS r12x.pk")
+    run("CREATE SCHEMA IF NOT EXISTS r12x")
+    run(
+        "CREATE TABLE r12x.pk (id SERIAL PRIMARY KEY, name TEXT, "
+        "v BIGINT, UNIQUE(name))"
+    )
+    run("INSERT INTO r12x.pk (id, name, v) VALUES (1, 'a', 10)")
+    run(
+        "INSERT INTO r12x.pk (id, name, v) VALUES (1, 'a2', 11) "
+        "ON CONFLICT (id) DO UPDATE SET v = EXCLUDED.v"
+    )
+    got = {tuple(r) for r in run("SELECT id, v FROM r12x.pk").collect()}
+    assert got == {(1, 11)}
+
+
+def test_txn_guards_cover_maintenance_statements(spark, wh):
+    """OPTIMIZE / VACUUM / CREATE SCHEMA must refuse inside a
+    transaction like every other non-INSERT statement."""
+    run = lambda s: sqldml.execute_sql(spark, s)
+    run("DROP TABLE IF EXISTS r12x.m")
+    run("CREATE SCHEMA IF NOT EXISTS r12x")
+    run("CREATE TABLE r12x.m (k BIGINT, UNIQUE(k))")
+    run("BEGIN")
+    try:
+        for stmt in ("OPTIMIZE r12x.m", "VACUUM r12x.m",
+                     "CREATE SCHEMA r12y"):
+            with pytest.raises(ValueError, match="not supported"):
+                run(stmt)
+    finally:
+        run("ROLLBACK")
+
+
+def test_txn_arbiter_order_insensitive_across_statements(spark, wh):
+    """(a, b) and (b, a) are the same conflict target; a transaction
+    mixing the spellings must compose, not refuse."""
+    run = lambda s: sqldml.execute_sql(spark, s)
+    run("DROP TABLE IF EXISTS r12x.ab")
+    run("CREATE SCHEMA IF NOT EXISTS r12x")
+    run("CREATE TABLE r12x.ab (a BIGINT, b BIGINT, v TEXT, UNIQUE(a, b))")
+    run("BEGIN")
+    run("INSERT INTO r12x.ab VALUES (1, 1, 'x') "
+        "ON CONFLICT (a, b) DO NOTHING")
+    run("INSERT INTO r12x.ab VALUES (2, 2, 'y') "
+        "ON CONFLICT (b, a) DO NOTHING")
+    run("COMMIT")
+    assert run("SELECT COUNT(*) AS n FROM r12x.ab").collect()[0]["n"] == 2
+
+
+def test_cdf_refuses_complex_column_types(spark, tmp_path):
+    """Array/map/struct columns can't be hashed by the executor-side
+    differ — the CDF stream refuses loudly at planning time and
+    points at the engine-side feed."""
+    from etl_stocks_with_sentiment_analysis_spark.streaming.source import (
+        register_manifest_stream_source,
+    )
+
+    register_manifest_stream_source(spark)
+    t = str(tmp_path / "tbl")
+    sinks.upsert(
+        spark, t,
+        spark.createDataFrame(
+            [(1, [0.1, 0.2], 0)], "k INT, emb ARRAY<DOUBLE>, g INT"
+        ),
+        ["k", "g"], partition_col="g",
+    )
+    stream = _cdf_stream(spark, t)
+    with pytest.raises(Exception, match="complex|read_manifest_changes"):
+        _drain_raw(spark, stream, str(tmp_path / "o"), str(tmp_path / "c"))
+
+
+def _drain_raw(spark, stream, out, ck):
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out)
+
+
+def test_cdf_exact_bigint_above_2_53_with_nulls(spark, tmp_path):
+    """A nullable BIGINT column must not decay to float64 in the
+    executor diff — ids above 2^53 stay exact in emitted images."""
+    from etl_stocks_with_sentiment_analysis_spark.streaming.source import (
+        register_manifest_stream_source,
+    )
+
+    register_manifest_stream_source(spark)
+    t = str(tmp_path / "tbl")
+    big1, big2 = (1 << 53) + 1, (1 << 53) + 3  # collide in float64
+    df = lambda rows: spark.createDataFrame(rows, "k BIGINT, v BIGINT, g INT")
+    sinks.upsert(spark, t, df([(big1, None, 0), (big2, 7, 0)]),
+                 ["k", "g"], partition_col="g")
+    # update big1's v: the diff must pair by exact int, not rounded float
+    sinks.upsert(spark, t, df([(big1, 99, 0)]), ["k", "g"],
+                 partition_col="g")
+    stream = _cdf_stream(spark, t, keyColumns="k,g",
+                         startingVersion="1")
+    got = {
+        (r["k"], r["v"], r["_change_type"])
+        for r in _drain_raw(
+            spark, stream, str(tmp_path / "o"), str(tmp_path / "c")
+        ).collect()
+    }
+    assert got == {
+        (big1, None, "update_preimage"), (big1, 99, "update_postimage"),
+    }
+
+
+def test_cdf_uses_recorded_unique_key_without_option(spark, wh, tmp_path):
+    """Without keyColumns, the table's recorded SQL UNIQUE key
+    classifies updates (resolved per commit)."""
+    from etl_stocks_with_sentiment_analysis_spark.streaming.source import (
+        register_manifest_stream_source,
+    )
+
+    register_manifest_stream_source(spark)
+    run = lambda s: sqldml.execute_sql(spark, s)
+    run("DROP TABLE IF EXISTS r12x.cdf")
+    run("CREATE SCHEMA IF NOT EXISTS r12x")
+    run("CREATE TABLE r12x.cdf (k BIGINT, v BIGINT, UNIQUE(k))")
+    run("INSERT INTO r12x.cdf VALUES (1, 10)")
+    run("INSERT INTO r12x.cdf VALUES (1, 11) "
+        "ON CONFLICT (k) DO UPDATE SET v = EXCLUDED.v")
+    t = sqldml._resolve_table("r12x.cdf")
+    stream = _cdf_stream(spark, t, startingVersion="3")
+    got = {
+        (r["k"], r["v"], r["_change_type"])
+        for r in _drain_raw(
+            spark, stream, str(tmp_path / "o2"), str(tmp_path / "c2")
+        ).collect()
+    }
+    assert got == {
+        (1, 10, "update_preimage"), (1, 11, "update_postimage"),
+    }
+
+
+def test_dbt_unknown_ref_fails_compile(spark, wh, tmp_path):
+    """A ref to a model that doesn't exist fails the COMPILE loudly
+    (dbt's behavior), not mid-run."""
+    from etl_stocks_with_sentiment_analysis_spark.plans import dbt_runner
+
+    d = tmp_path / "models"
+    d.mkdir()
+    (d / "m1.sql").write_text(
+        "{{ config(materialized='view') }}\n"
+        "SELECT * FROM {{ ref('nope') }}"
+    )
+    with pytest.raises(ValueError, match="unknown model"):
+        dbt_runner.run_dbt_models(spark, str(d))
