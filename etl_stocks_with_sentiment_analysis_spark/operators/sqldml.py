@@ -276,9 +276,10 @@ def unbind_sql_table(spark: SparkSession, name: str) -> str | None:
         # pinned time-travel snapshot views (`<view>__v<n>`, created by
         # _rewrite_time_travel) would otherwise outlive the table and
         # keep resolving against its deleted directory — recorded at
-        # pin time, so cleanup is O(this table's pins), no catalog scan
+        # pin time under the VIEW name (the rewriter runs after
+        # bound-name rewriting), so cleanup is O(this table's pins)
         with _SQL_LOCK:
-            pins = _SQL_PINS.pop(key, set())
+            pins = _SQL_PINS.pop(view_name_for(key), set())
         for pin in pins:
             spark.catalog.dropTempView(pin)
     return target
