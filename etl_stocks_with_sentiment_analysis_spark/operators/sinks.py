@@ -26,6 +26,7 @@ import re
 import shutil
 import tempfile
 import threading
+import time
 import urllib.parse
 import uuid
 
@@ -161,6 +162,342 @@ class ManifestConflictError(RuntimeError):
     was about to publish. `upsert(commit_mode="manifest")` catches this
     internally and retries against the fresh manifest; it escapes only
     after `_CAS_MAX_RETRIES` consecutive lost races."""
+
+
+# ---------------------------------------------------------------------------
+# MULTI-TABLE ATOMIC TRANSACTIONS (r12): pending manifests + ONE
+# outcome-file CAS.
+#
+# The per-table version-CAS makes each table's commit atomic, but the
+# reference commits a whole extract batch — several tables — with ONE
+# conn.commit() (`stock_grok_pipeline.py:84-158`). An object-store
+# manifest protocol has no cross-directory rename, so cross-table
+# atomicity is built the way every coordinator-less table format does
+# it: participants publish their manifests MARKED `pending_txn`
+# (invisible to every reader), and the transaction's single atomic
+# point is a create-if-absent on ONE outcome file. Outcome present
+# with "commit" => every participant version becomes visible at once;
+# "abort" (or never written — a crashed committer) => none ever does.
+#
+# Resolution rules:
+#   * READERS skip versions whose txn is unresolved or aborted — they
+#     resolve to the newest COMMITTED version and never block.
+#   * WRITERS must not build on an unresolved pending (its rows would
+#     leak into their merge if it later aborted), so before numbering
+#     a new version they FORCE an outcome: poll briefly for the
+#     committer, then CAS "abort" into the outcome file themselves
+#     (`_resolve_pending_for_write`). Whoever creates the outcome
+#     file first decides — a late committer whose CAS loses finds
+#     "abort" and reports the whole transaction failed, with nothing
+#     published anywhere (all-or-nothing preserved under every race).
+#   * Version NUMBERS stay contiguous: an aborted version keeps its
+#     slot (the file exists; it is just never visible), and the next
+#     writer commits above it. Delta-encoding is unaffected — a delta
+#     base is a content dictionary, so folding against an aborted
+#     base still reproduces the writer's exact state.
+#
+# DURABILITY OF THE OUTCOME: the canonical outcome file lives under
+# the FIRST participant's log dir; on commit it is MIRRORED into every
+# other participant's `_manifest_log/_txn/` so a later DROP of the
+# coordinating table cannot orphan the others' visibility (readers
+# check the local mirror first). The crash window between the CAS and
+# the mirror writes is the only state where a participant depends on
+# the coordinator's copy.
+#
+# ISOLATION scope (documented, same as Delta/Iceberg): atomicity is
+# all-or-nothing DURABILITY across tables; a reader scanning table A
+# then table B while the outcome lands can still observe A pre-commit
+# and B post-commit — cross-table snapshot isolation needs pinned
+# versions (read_manifest_table(version=...)), not the commit
+# protocol.
+# ---------------------------------------------------------------------------
+
+_TXN_DIR = "_txn"  # under _LOG_DIR
+_TXN_RESOLVE_WAIT_SECONDS = 2.0  # writer patience before force-abort
+_TXN_RESOLVE_POLL_SECONDS = 0.1
+# txn id -> "commit" | "abort"; outcomes are immutable once created,
+# so the cache can never go stale. Unresolved ("pending") is NEVER
+# cached — it is the one transient state.
+_TXN_OUTCOME_CACHE: dict[str, str] = {}
+_TXN_OUTCOME_LOCK = threading.Lock()
+# thread-local pending-transaction context: while set, every manifest
+# publish on this thread is stamped `pending_txn` (invisible until
+# the outcome CAS) and defers checkpoint-pointer writes + GC to the
+# commit point.
+_PENDING_TXN = threading.local()
+
+
+class TransactionAbortedError(RuntimeError):
+    """A multi-table transaction lost the outcome race: a concurrent
+    writer force-aborted it (or ROLLBACK/crash resolved it) before the
+    committer's outcome CAS. Nothing the transaction staged is — or
+    ever will be — visible in any participant table."""
+
+
+def _pending_txn_ctx() -> dict | None:
+    return getattr(_PENDING_TXN, "ctx", None)
+
+
+def _txn_mirror_path(target: str, txn_id: str) -> str:
+    return fsio.join(target, _LOG_DIR, _TXN_DIR, txn_id + ".outcome")
+
+
+def _cache_txn_outcome(txn_id: str, outcome: str) -> None:
+    with _TXN_OUTCOME_LOCK:
+        _TXN_OUTCOME_CACHE[txn_id] = outcome
+
+
+def _write_outcome_if_absent(path: str, text: str) -> None:
+    """create-if-absent with on-demand parent creation (the _txn dir
+    is only materialized when a multi-table transaction touches the
+    table)."""
+    try:
+        fsio.create_text_if_absent(path, text)
+    except FileNotFoundError:
+        fsio.mkdirs(path.rsplit("/", 1)[0])
+        fsio.create_text_if_absent(path, text)
+
+
+def _read_txn_outcome(target: str, pt: dict) -> str | None:
+    """Terminal outcome of a `pending_txn` descriptor ({'id',
+    'outcome'}) or None while unresolved. Checks THIS table's local
+    mirror first, then the canonical (coordinator) path; a canonical
+    hit is mirrored locally so the table stays self-describing."""
+    txn_id = str(pt.get("id") or "")
+    got = _TXN_OUTCOME_CACHE.get(txn_id)  # atomic read, no lock
+    if got is not None:
+        return got
+    local = _txn_mirror_path(target, txn_id)
+    canon = str(pt.get("outcome") or "")
+    for p in (local, canon) if canon and canon != local else (local,):
+        try:
+            text = fsio.read_text(p)
+        except FileNotFoundError:
+            continue
+        except OSError:
+            continue
+        out = "commit" if text.startswith("commit") else "abort"
+        _cache_txn_outcome(txn_id, out)
+        if p != local:
+            try:
+                _write_outcome_if_absent(local, text)
+            except (OSError, FileExistsError):
+                pass  # best-effort mirror; canonical stays readable
+        return out
+    return None
+
+
+def _txn_visibility(target: str, raw: dict) -> str:
+    """'committed' | 'pending' | 'aborted' for one RAW manifest dict.
+    The overwhelmingly common case — no `pending_txn` key — is a
+    single dict lookup, so the resolver hot path is unchanged for
+    every table no transaction ever touched."""
+    pt = raw.get("pending_txn")
+    if not pt:
+        return "committed"
+    out = _read_txn_outcome(target, pt)
+    if out == "commit":
+        return "committed"
+    if out == "abort":
+        return "aborted"
+    return "pending"
+
+
+def _resolve_pending_for_write(target: str, raw: dict) -> str:
+    """Force a terminal outcome for a pending version a WRITER found
+    in its way: poll briefly for the committer, then CAS 'abort' into
+    the outcome file. Returns 'committed' | 'aborted'. The CAS makes
+    the race safe — if the committer's 'commit' lands first, the
+    abort attempt loses and the version is committed."""
+    pt = raw.get("pending_txn") or {}
+    txn_id = str(pt.get("id") or "")
+    deadline = time.monotonic() + _TXN_RESOLVE_WAIT_SECONDS
+    while True:
+        out = _read_txn_outcome(target, pt)
+        if out is not None:
+            return "committed" if out == "commit" else "aborted"
+        if time.monotonic() >= deadline:
+            break
+        time.sleep(_TXN_RESOLVE_POLL_SECONDS)
+    canon = str(pt.get("outcome") or "") or _txn_mirror_path(target, txn_id)
+    payload = "abort\n" + json.dumps(
+        {"by": "writer-resolution", "table": target}
+    )
+    try:
+        _write_outcome_if_absent(canon, payload)
+    except FileExistsError:
+        pass  # committer (or another resolver) won — read what landed
+    except OSError:
+        # canonical location unreachable (coordinator dropped): decide
+        # via THIS table's mirror so resolution still terminates
+        try:
+            _write_outcome_if_absent(
+                _txn_mirror_path(target, txn_id), payload
+            )
+        except (OSError, FileExistsError):
+            pass
+    out = _read_txn_outcome(target, pt)
+    if out is None:
+        # nothing readable even after our own write attempt — treat as
+        # aborted locally but do NOT cache (a committer's CAS could
+        # still land; the next resolve re-checks)
+        return "aborted"
+    return "committed" if out == "commit" else "aborted"
+
+
+def _latest_manifest_for_write(target: str):
+    """Writer-side resolve: (numbering version, state) where the next
+    commit must CAS at `numbering version + 1` and `state` is the
+    newest COMMITTED logical state. Differs from `_latest_manifest`
+    exactly when invisible (pending/aborted) versions sit above the
+    committed tip: readers skip them; a writer must (a) resolve any
+    unresolved pending — never build on rows that might abort — and
+    (b) number PAST them, since their version slots are taken."""
+    ver, man = _latest_manifest(target)
+    v = 0 if ver is None else ver + 1
+    top = ver
+    while True:
+        raw = _read_manifest_version(target, v, log_only=True)
+        if raw is _ABSENT:
+            break
+        if not isinstance(raw, dict):
+            # unreadable (corrupt) version file: NEVER number past it —
+            # it may hold committed data. Stop here so the CAS fails
+            # loudly at the taken name (store corruption is an
+            # operator problem; silently shadowing it could lose the
+            # rotted version's data twice — see repair_manifest_table)
+            break
+        vis = _txn_visibility(target, raw)
+        if vis == "pending":
+            ctx = _pending_txn_ctx()
+            if (
+                ctx is not None
+                and (raw.get("pending_txn") or {}).get("id") == ctx["id"]
+            ):
+                # OUR OWN staged version: later statements of the same
+                # transaction build on it (sequential per-table
+                # statement execution at COMMIT — never force-resolve
+                # our own in-flight outcome)
+                vis = "committed"
+            else:
+                vis = _resolve_pending_for_write(target, raw)
+        if vis == "committed":
+            st = _load_state(target, v, raw=raw)
+            if not isinstance(st, dict):
+                # committed but unfoldable (corrupt full-state base):
+                # same loud-stop rule as an unreadable file
+                break
+            man = st
+        # aborted transaction versions are the ONLY versions a writer
+        # numbers past: resolved-terminal, never a table state
+        top = v
+        v += 1
+    return top, man
+
+
+def _version_is_committed(target: str, v: int) -> bool:
+    """True iff version `v` exists and is a COMMITTED table state
+    (not an unresolved or aborted multi-table transaction version).
+    Used by version-walking consumers (streaming source, CDC) to skip
+    txn versions that never became table states. Pure-read — safe in
+    the Python Data Source planning worker (no JVM)."""
+    raw = _read_manifest_version(target, v)
+    return (
+        isinstance(raw, dict) and _txn_visibility(target, raw) == "committed"
+    )
+
+
+def _last_committed_at_or_below(target: str, v: int) -> int | None:
+    """Newest committed version <= v, or None if none exists — the
+    diff base for a version walk entering a range whose floor is an
+    aborted transaction version (e.g. a user-pinned startingVersion)."""
+    while v >= 0:
+        if _version_is_committed(target, v):
+            return v
+        v -= 1
+    return None
+
+
+def pending_transaction(txn_id: str, outcome_path: str):
+    """Context manager opening a pending-transaction scope on this
+    thread: every manifest commit inside is stamped invisible until
+    `commit_pending_transaction`. The scope only marks; it never
+    publishes an outcome — pair it with commit_/abort_ explicitly so
+    a crash inside the scope leaves the transaction unresolved (= a
+    later writer aborts it, preserving all-or-nothing)."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def _scope():
+        if _pending_txn_ctx() is not None:
+            raise ValueError("nested pending transactions are unsupported")
+        ctx = {"id": txn_id, "outcome": outcome_path, "published": []}
+        _PENDING_TXN.ctx = ctx
+        try:
+            yield ctx
+        finally:
+            _PENDING_TXN.ctx = None
+
+    return _scope()
+
+
+def commit_pending_transaction(ctx: dict) -> None:
+    """The transaction's single atomic point: CAS 'commit' into the
+    outcome file. On success, mirror the outcome into every
+    participant and refresh their checkpoint pointers. Raises
+    TransactionAbortedError if a concurrent writer force-aborted the
+    transaction first — in that case nothing was, or ever will be,
+    visible."""
+    canon = ctx["outcome"]
+    payload = "commit\n" + json.dumps(
+        {"tables": [[t, v] for t, v in ctx["published"]]}
+    )
+    try:
+        _write_outcome_if_absent(canon, payload)
+        out = "commit"
+    except FileExistsError:
+        try:
+            out = (
+                "commit"
+                if fsio.read_text(canon).startswith("commit")
+                else "abort"
+            )
+        except OSError:
+            out = "abort"
+    _cache_txn_outcome(ctx["id"], out)
+    if out != "commit":
+        raise TransactionAbortedError(
+            f"transaction {ctx['id']} was aborted by a concurrent "
+            "writer before COMMIT — no participant table published "
+            f"anything (staged: {[t for t, _ in ctx['published']]})"
+        )
+    for tgt, ver in ctx["published"]:
+        mirror = _txn_mirror_path(tgt, ctx["id"])
+        if mirror != canon:
+            try:
+                _write_outcome_if_absent(mirror, payload)
+            except (OSError, FileExistsError):
+                pass
+        _write_checkpoint(tgt, ver)
+
+
+def abort_pending_transaction(ctx: dict) -> None:
+    """Best-effort abort (ROLLBACK / error-path): CAS 'abort' into the
+    outcome file so the staged versions resolve immediately instead of
+    waiting for a writer to trip over them. Losing the CAS to a commit
+    is impossible from the owning thread (commit_ wasn't called), but
+    the guard keeps the helper safe to call from anywhere."""
+    payload = "abort\n" + json.dumps({"by": "rollback"})
+    try:
+        _write_outcome_if_absent(ctx["outcome"], payload)
+    except (OSError, FileExistsError):
+        pass
+    out = _read_txn_outcome(
+        ctx["published"][0][0] if ctx["published"] else ".",
+        {"id": ctx["id"], "outcome": ctx["outcome"]},
+    )
+    if out is not None:
+        _cache_txn_outcome(ctx["id"], out)
 
 
 def _manifest_version(name: str) -> int | None:
@@ -612,13 +949,20 @@ def _load_state(target: str, version: int, raw=None):
         raw = _read_manifest_version(target, version)
     if not isinstance(raw, dict):
         return raw
+    # the pending_txn stamp is a FILE attribute (visibility is decided
+    # on raw manifests), never logical state: strip it so downstream
+    # state copies (_commit_metadata_only republishes a deep copy)
+    # can't propagate a resolved transaction's marker into descendants
     if raw.get("format") == "full-sharded":
         st = _materialize_full(target, raw)
         if not isinstance(st, dict):
             return _BAD
         # private copy — the assembled dict shares cached shard objects
-        return json.loads(json.dumps(st))
+        st = json.loads(json.dumps(st))
+        st.pop("pending_txn", None)
+        return st
     if raw.get("format") != "delta":
+        raw.pop("pending_txn", None)
         return raw
     bv = raw["base"]
     base = _BASE_STATE_CACHE.get((target, bv))
@@ -630,7 +974,9 @@ def _load_state(target: str, version: int, raw=None):
         if not isinstance(base, dict):
             return _BAD
         _cache_base(target, bv, base)
-    return _fold_delta(base, raw)
+    st = _fold_delta(base, raw)
+    st.pop("pending_txn", None)
+    return st
 
 
 # entry-keyed sections DERIVED from the partition map: for a DATA
@@ -794,7 +1140,12 @@ def _latest_manifest_by_listing(target: str) -> tuple[int | None, dict | None]:
     a pathological entry degrades to the next-best committed version
     instead of an error."""
     for v in sorted(_list_manifest_versions(target), reverse=True):
-        got = _load_state(target, v)
+        raw = _read_manifest_version(target, v)
+        if not isinstance(raw, dict):
+            continue
+        if _txn_visibility(target, raw) != "committed":
+            continue  # unresolved or aborted transaction version
+        got = _load_state(target, v, raw=raw)
         if isinstance(got, dict):
             return v, got
     return None, None
@@ -822,24 +1173,36 @@ def _latest_manifest(target: str) -> tuple[int | None, dict | None]:
     if ptr is not None:
         got = _read_manifest_version(target, ptr, log_only=True)
         if isinstance(got, dict):
-            best_v, best_raw = ptr, got
+            best_v: int | None = None
+            best_raw: dict | None = None
+            if _txn_visibility(target, got) == "committed":
+                best_v, best_raw = ptr, got
+            # else: pointer names an unresolved/aborted transaction
+            # version — keep probing; only a COMMITTED version can be
+            # best, and if none lands in the window the listing path
+            # below steps BACK to the newest committed one
             exhausted = True
             for v in range(ptr + 1, ptr + 1 + _CKPT_PROBE_MAX):
                 nxt = _read_manifest_version(target, v, log_only=True)
                 if nxt is _ABSENT:
                     exhausted = False
                     break
-                if isinstance(nxt, dict):
+                if (
+                    isinstance(nxt, dict)
+                    and _txn_visibility(target, nxt) == "committed"
+                ):
                     best_v, best_raw = v, nxt
-                # _BAD: version exists but is unreadable — keep
-                # probing; a newer readable version must still win
-            if not exhausted:
+                # _BAD or txn-invisible: version exists but cannot be
+                # served — keep probing; a newer committed version
+                # must still win
+            if not exhausted and best_v is not None:
                 state = _load_state(target, best_v, raw=best_raw)
                 if isinstance(state, dict):
                     return best_v, state
                 # fold failed (corrupt full-state base): listing path
                 # below degrades to the newest fully-resolvable version
-            # else: probe budget exhausted, pointer pathologically stale
+            # else: probe budget exhausted, pointer pathologically
+            # stale, or no committed version at/above the pointer
     return _latest_manifest_by_listing(target)
 
 
@@ -1623,6 +1986,16 @@ def _write_manifest_atomic(
             )
     final = fsio.join(target, _LOG_DIR, _manifest_name(version))
     text = _encode_manifest(target, version, manifest, force_full=force_full)
+    txn_ctx = _pending_txn_ctx()
+    if txn_ctx is not None:
+        # stamp the FILE (not the logical state): this version is
+        # invisible to every reader until the transaction's outcome
+        # CAS lands (see the multi-table transaction block above)
+        stamped = json.loads(text)
+        stamped["pending_txn"] = {
+            "id": txn_ctx["id"], "outcome": txn_ctx["outcome"],
+        }
+        text = json.dumps(stamped, indent=1, sort_keys=True)
     try:
         try:
             fsio.create_text_if_absent(final, text)
@@ -1658,6 +2031,13 @@ def _write_manifest_atomic(
         with _SHARD_LAYOUT_LOCK:
             _LAST_SHARD_LAYOUT.pop(target, None)
     _LOG_MODE_TARGETS.add(target)
+    if txn_ctx is not None:
+        # a PENDING publish must not move the reader fast-path pointer
+        # (it would aim readers at an invisible version); the commit
+        # point (`commit_pending_transaction`) refreshes pointers for
+        # every participant once the outcome is durable
+        txn_ctx["published"].append((target, version))
+        return
     # pointer refresh AFTER the CAS: every commit path (data,
     # metadata-only, clone) funnels through here, so the checkpoint
     # is at most one commit stale under any interleaving — and the
@@ -2272,6 +2652,12 @@ def _publish_snapshot(
         fsio.delete(snap, recursive=True)  # our attempt's files
         raise
     fsio.delete(marker)  # published: the snapshot is referenced now
+    if _pending_txn_ctx() is not None:
+        # a pending (multi-table transaction) publish defers ALL GC:
+        # if the transaction aborts, the superseded snapshots this
+        # version would have aged out are still the table's LIVE data.
+        # The next regular commit (or scheduled sweep) reclaims.
+        return manifest
     _gc_dropped_snapshots(target, manifest)
     if new_ver % _FULL_STATE_EVERY == 0:
         # scheduled orphan sweep (listing-based): reclaims aged
@@ -2425,7 +2811,7 @@ def _upsert_manifest(
     fsio.mkdirs(target)
     last_conflict: ManifestConflictError | None = None
     for _ in range(_CAS_MAX_RETRIES):
-        ver, man = _latest_manifest(target)
+        ver, man = _latest_manifest_for_write(target)
         if man is None:
             # MIGRATION GUARD (r9 ADVICE): committing a first manifest
             # over a directory that already holds non-protocol data (a
@@ -2694,7 +3080,7 @@ def compact_manifest_table(
     compaction still lands as soon as it wins one race."""
     last_conflict: ManifestConflictError | None = None
     for _ in range(_CAS_MAX_RETRIES):
-        ver, man = _latest_manifest(target)
+        ver, man = _latest_manifest_for_write(target)
         if man is None:
             raise ValueError(f"no manifest table at {target}")
         df = _read_manifest_dirs(spark, target, man)
@@ -3025,7 +3411,7 @@ def repartition_manifest_table(
     of entries in the new layout."""
     last_conflict: ManifestConflictError | None = None
     for _ in range(_CAS_MAX_RETRIES):
-        ver, man = _latest_manifest(target)
+        ver, man = _latest_manifest_for_write(target)
         if man is None:
             raise ValueError(f"no manifest table at {target}")
         df = _read_manifest_dirs(spark, target, man)
@@ -3090,7 +3476,7 @@ def clone_manifest_table(
             raise ValueError(f"no manifest table at {src}")
     else:
         man = _manifest_at_version(src, version)
-    ver0, _ = _latest_manifest(dst)
+    ver0, _ = _latest_manifest_for_write(dst)
     if ver0 is not None:
         raise ValueError(
             f"clone target {dst} already holds a manifest table"
@@ -3225,7 +3611,7 @@ def delete_from_manifest_table(
         raise ValueError(f"unknown delete mode {mode!r}")
     last_conflict: ManifestConflictError | None = None
     for _ in range(_CAS_MAX_RETRIES):
-        ver, man = _latest_manifest(target)
+        ver, man = _latest_manifest_for_write(target)
         if man is None:
             raise ValueError(f"no manifest table at {target}")
         pcols = _man_pcols(man)
@@ -3325,7 +3711,7 @@ def apply_changes_manifest_table(
     fsio.mkdirs(target)
     last_conflict: ManifestConflictError | None = None
     for _ in range(_CAS_MAX_RETRIES):
-        ver, man = _latest_manifest(target)
+        ver, man = _latest_manifest_for_write(target)
         if man is None:
             raise ValueError(
                 f"no manifest table at {target} — CDC apply needs an "
@@ -3425,7 +3811,7 @@ def update_manifest_table(
     hit = F.coalesce(cond, F.lit(False))
     last_conflict: ManifestConflictError | None = None
     for _ in range(_CAS_MAX_RETRIES):
-        ver, man = _latest_manifest(target)
+        ver, man = _latest_manifest_for_write(target)
         if man is None:
             raise ValueError(f"no manifest table at {target}")
         pcols = _man_pcols(man)
@@ -3520,7 +3906,17 @@ def _manifest_at_version(target: str, version: int) -> dict:
             f"committed, or reclaimed past the {_RETAIN_VERSIONS}-version "
             "retention window"
         )
-    got = _load_state(target, version)
+    raw = _read_manifest_version(target, version)
+    if isinstance(raw, dict):
+        vis = _txn_visibility(target, raw)
+        if vis != "committed":
+            raise ValueError(
+                f"manifest version {version} at {target} belongs to "
+                f"a{'n unresolved' if vis == 'pending' else 'n aborted'} "
+                "multi-table transaction — it is not (or never became) "
+                "a committed table state"
+            )
+    got = _load_state(target, version, raw=raw)
     if isinstance(got, dict):
         return got
     if got is _BAD:
@@ -3597,7 +3993,15 @@ def manifest_table_history(spark: SparkSession, target: str) -> DataFrame:
     point(event_id)``; NULL when never clustered)."""
     rows = []
     for v in _list_manifest_versions(target):
-        man = _load_state(target, v)
+        raw = _read_manifest_version(target, v)
+        if not isinstance(raw, dict):
+            continue
+        if _txn_visibility(target, raw) != "committed":
+            # aborted/unresolved multi-table transaction versions were
+            # never table states — history shows committed versions,
+            # like Delta's DESCRIBE HISTORY
+            continue
+        man = _load_state(target, v, raw=raw)
         if not isinstance(man, dict):
             continue
         er = man.get("entry_rows")
@@ -4012,7 +4416,7 @@ def _commit_metadata_only(target: str, mutate) -> dict:
     current manifest."""
     last_conflict: ManifestConflictError | None = None
     for _ in range(_CAS_MAX_RETRIES):
-        ver, man = _latest_manifest(target)
+        ver, man = _latest_manifest_for_write(target)
         if man is None:
             raise ValueError(f"no manifest table at {target}")
         new = json.loads(json.dumps(man))  # deep copy

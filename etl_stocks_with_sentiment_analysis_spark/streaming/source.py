@@ -174,14 +174,28 @@ class ManifestStreamReader(DataSourceStreamReader):
         parts: list[_FilesPartition] = []
         schema_json = self.schema.json()
         snap_at = start.get("snapshot")
+        prev_v: int | None = None  # last committed version below v
         for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
+            if not sinks._version_is_committed(self.target, v):
+                # an aborted multi-table transaction version: never a
+                # table state, delivers nothing (versions <= the latest
+                # committed offset are always terminally resolved)
+                continue
             if (snap_at is not None and v == int(snap_at)) or v == 0:
                 # initial snapshot (or the table's birth commit):
                 # every entry of THIS version is new rows
                 man_a: dict = {"partitions": {}}
                 man_b = sinks._manifest_at_version(self.target, v)
             else:
-                man_a = sinks._manifest_at_version(self.target, v - 1)
+                if prev_v is None:
+                    prev_v = sinks._last_committed_at_or_below(
+                        self.target, int(start["version"])
+                    )
+                man_a = (
+                    sinks._manifest_at_version(self.target, prev_v)
+                    if prev_v is not None
+                    else {"partitions": {}}
+                )
                 man_b = sinks._manifest_at_version(self.target, v)
             if self._preds(man_b) != self._preds(man_a) and not (
                 self.ignore_changes
@@ -229,6 +243,7 @@ class ManifestStreamReader(DataSourceStreamReader):
                             schema_json,
                         )
                     )
+            prev_v = v
         return parts
 
     # -- execution (executors, Arrow batches) ---------------------------
@@ -334,12 +349,25 @@ class ManifestCdfStreamReader(ManifestStreamReader):
         data_schema_json = StructType(data_fields).json()
         parts: list[_CdcPartition] = []
         snap_at = start.get("snapshot")
+        prev_v: int | None = None  # last committed version below v
         for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
+            if not sinks._version_is_committed(self.target, v):
+                # aborted multi-table transaction version: never a
+                # table state, so the change feed has nothing to emit
+                continue
             if (snap_at is not None and v == int(snap_at)) or v == 0:
                 man_a: dict = {"partitions": {}}
                 man_b = sinks._manifest_at_version(self.target, v)
             else:
-                man_a = sinks._manifest_at_version(self.target, v - 1)
+                if prev_v is None:
+                    prev_v = sinks._last_committed_at_or_below(
+                        self.target, int(start["version"])
+                    )
+                man_a = (
+                    sinks._manifest_at_version(self.target, prev_v)
+                    if prev_v is not None
+                    else {"partitions": {}}
+                )
                 man_b = sinks._manifest_at_version(self.target, v)
             if self._preds(man_b) != self._preds(man_a):
                 raise ValueError(
@@ -376,6 +404,7 @@ class ManifestCdfStreamReader(ManifestStreamReader):
                         key_cols or [],
                     )
                 )
+            prev_v = v
         return parts
 
     def read(self, partition: _CdcPartition):

@@ -454,14 +454,16 @@ def test_txn_serial_identity_reserved_across_statements(spark, wh):
 
 
 def test_txn_guards(spark, wh):
-    """Nested BEGIN, COMMIT/ROLLBACK outside a txn, non-INSERT
-    statements inside one, and INSERT..SELECT inside one are all
-    refused with clear errors; reads inside a txn see the
+    """Nested BEGIN, COMMIT/ROLLBACK outside a txn, DDL inside one,
+    and INSERT..SELECT inside one are all refused with clear errors;
+    UPDATE/DELETE buffer (r12b — the reference's backfill clears
+    tables transactionally); reads inside a txn see the
     pre-transaction snapshot."""
     run = lambda s, p=None: sqldml.execute_sql(spark, s, params=p)
     run("DROP TABLE IF EXISTS t12.d")
     run("CREATE SCHEMA IF NOT EXISTS t12")
     run("CREATE TABLE t12.d (k BIGINT, UNIQUE(k))")
+    run("INSERT INTO t12.d VALUES (9)")
     with pytest.raises(ValueError, match="outside"):
         run("COMMIT")
     with pytest.raises(ValueError, match="outside"):
@@ -470,21 +472,26 @@ def test_txn_guards(spark, wh):
     try:
         with pytest.raises(ValueError, match="nested"):
             run("BEGIN")
-        with pytest.raises(ValueError, match="not supported"):
-            run("UPDATE t12.d SET k = 1")
-        with pytest.raises(ValueError, match="not supported"):
-            run("DELETE FROM t12.d")
+        # UPDATE/DELETE buffer instead of refusing (r12b)
+        assert run("UPDATE t12.d SET k = 1 WHERE false").collect()[0][
+            "operation"
+        ] == "UPDATE (buffered)"
+        assert run("DELETE FROM t12.d WHERE false").collect()[0][
+            "operation"
+        ] == "DELETE (buffered)"
         with pytest.raises(ValueError, match="not supported"):
             run("ALTER TABLE t12.d ADD COLUMN x BIGINT")
         with pytest.raises(ValueError, match="not supported"):
             run("INSERT INTO t12.d SELECT 7")
         run("INSERT INTO t12.d VALUES (1)")
-        # snapshot read: buffered row invisible
+        # snapshot read: buffered row invisible, seeded row intact
         assert run(
             "SELECT COUNT(*) AS n FROM t12.d"
-        ).collect()[0]["n"] == 0
+        ).collect()[0]["n"] == 1
     finally:
         run("ROLLBACK")
+    # the rolled-back buffer (incl. UPDATE/DELETE) left no trace
+    assert run("SELECT COUNT(*) AS n FROM t12.d").collect()[0]["n"] == 1
 
 
 # --- SQL-router concurrency fuzz (judge item 7) ----------------------------

@@ -1,0 +1,441 @@
+"""Round-12b — MULTI-TABLE atomic transaction protocol (pending
+manifests + one outcome-file CAS; sinks.py multi-table block).
+
+The SQL-level composition is covered by `sink_manifest_txn_multi`
+(oracle-checked); these tests drive the PROTOCOL edges directly:
+mid-commit invisibility, crash-without-outcome, writer force-abort,
+the late committer losing the outcome CAS, outcome mirroring across
+a coordinator drop, version numbering past aborted slots, and the
+streaming source skipping aborted versions (whose planner runs in a
+JVM-less Python worker — a genuine cross-process resolution check).
+"""
+
+import os
+
+import pytest
+
+from etl_stocks_with_sentiment_analysis_spark.operators import fsio, sinks
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k INT, v INT, g INT")
+
+
+def _count(spark, t):
+    return sinks.read_manifest_table(spark, t).count()
+
+
+def _fresh_outcome_view():
+    """Simulate a fresh process: drop every cached txn outcome."""
+    with sinks._TXN_OUTCOME_LOCK:
+        sinks._TXN_OUTCOME_CACHE.clear()
+
+
+def test_multi_table_commit_atomic_visibility(spark, tmp_path):
+    """Both participants stay invisible while pending; ONE outcome CAS
+    flips both visible; checkpoints land at the committed versions."""
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    sinks.upsert(spark, a, _df(spark, [(1, 10, 0)]), ["k", "g"],
+                 partition_col="g")
+    sinks.upsert(spark, b, _df(spark, [(5, 50, 0)]), ["k", "g"],
+                 partition_col="g")
+    outcome = sinks._txn_mirror_path(a, "txn-vis-1")
+    with sinks.pending_transaction("txn-vis-1", outcome) as ctx:
+        sinks.upsert(spark, a, _df(spark, [(2, 20, 0)]), ["k", "g"],
+                     partition_col="g")
+        assert _count(spark, a) == 1  # staged, invisible
+        sinks.upsert(spark, b, _df(spark, [(6, 60, 0)]), ["k", "g"],
+                     partition_col="g")
+        assert _count(spark, a) == 1 and _count(spark, b) == 1
+    # scope closed but outcome not yet published: still invisible
+    _fresh_outcome_view()
+    assert _count(spark, a) == 1 and _count(spark, b) == 1
+    sinks.commit_pending_transaction(ctx)
+    assert _count(spark, a) == 2 and _count(spark, b) == 2
+    # a fresh view (no cache) resolves through the outcome file too
+    _fresh_outcome_view()
+    assert _count(spark, a) == 2 and _count(spark, b) == 2
+    assert len(ctx["published"]) == 2
+    for tgt, ver in ctx["published"]:
+        assert sinks._read_checkpoint(tgt) == ver
+        assert sinks._version_is_committed(tgt, ver)
+    # history shows the committed txn versions like normal commits
+    hist = sinks.manifest_table_history(spark, a)
+    assert hist.count() == 2
+
+
+def test_crash_then_writer_force_abort_and_late_commit_loses(
+    spark, tmp_path, monkeypatch
+):
+    """A committer that dies before the outcome CAS leaves NOTHING
+    visible; the next writer force-aborts the orphaned pendings and
+    proceeds; the late committer's outcome CAS then loses and raises
+    TransactionAbortedError — all-or-nothing under every ordering."""
+    monkeypatch.setattr(sinks, "_TXN_RESOLVE_WAIT_SECONDS", 0.2)
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    sinks.upsert(spark, a, _df(spark, [(1, 10, 0)]), ["k", "g"],
+                 partition_col="g")
+    sinks.upsert(spark, b, _df(spark, [(5, 50, 0)]), ["k", "g"],
+                 partition_col="g")
+    outcome = sinks._txn_mirror_path(a, "txn-crash-1")
+    with sinks.pending_transaction("txn-crash-1", outcome) as ctx:
+        sinks.upsert(spark, a, _df(spark, [(2, 20, 0)]), ["k", "g"],
+                     partition_col="g")
+        sinks.upsert(spark, b, _df(spark, [(6, 60, 0)]), ["k", "g"],
+                     partition_col="g")
+    # "crash": no outcome ever written. Readers see the old state.
+    _fresh_outcome_view()
+    assert _count(spark, a) == 1 and _count(spark, b) == 1
+    # a new writer on `a` trips over the unresolved pending, waits
+    # briefly, force-aborts it, and lands its own commit
+    sinks.upsert(spark, a, _df(spark, [(3, 30, 0)]), ["k", "g"],
+                 partition_col="g")
+    got = {
+        (r["k"], r["v"])
+        for r in sinks.read_manifest_table(spark, a).collect()
+    }
+    assert got == {(1, 10), (3, 30)}  # staged (2,20) aborted, not lost-in
+    # the late committer now loses the outcome CAS
+    with pytest.raises(sinks.TransactionAbortedError):
+        sinks.commit_pending_transaction(ctx)
+    # and table b's pending resolves aborted — forever pre-txn
+    _fresh_outcome_view()
+    assert _count(spark, b) == 1
+    # aborted versions: excluded from history, refused by time travel
+    pub = dict(ctx["published"])
+    assert not sinks._version_is_committed(b, pub[b])
+    hist_vers = {
+        r["version"]
+        for r in sinks.manifest_table_history(spark, b).collect()
+    }
+    assert pub[b] not in hist_vers
+    with pytest.raises(ValueError, match="transaction"):
+        sinks._manifest_at_version(b, pub[b])
+    # writers number PAST the aborted slot on b too
+    sinks.upsert(spark, b, _df(spark, [(7, 70, 0)]), ["k", "g"],
+                 partition_col="g")
+    assert _count(spark, b) == 2
+    ver_b, _ = sinks._latest_manifest(b)
+    assert ver_b == pub[b] + 1
+
+
+def test_outcome_mirror_survives_coordinator_drop(spark, tmp_path):
+    """After COMMIT the outcome is mirrored into every participant:
+    dropping the coordinating table (which hosts the canonical
+    outcome file) must not flip the other participants invisible."""
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    sinks.upsert(spark, b, _df(spark, [(5, 50, 0)]), ["k", "g"],
+                 partition_col="g")
+    outcome = sinks._txn_mirror_path(a, "txn-mirror-1")
+    with sinks.pending_transaction("txn-mirror-1", outcome) as ctx:
+        sinks.upsert(spark, a, _df(spark, [(1, 10, 0)]), ["k", "g"],
+                     partition_col="g")
+        sinks.upsert(spark, b, _df(spark, [(6, 60, 0)]), ["k", "g"],
+                     partition_col="g")
+    sinks.commit_pending_transaction(ctx)
+    assert _count(spark, b) == 2
+    # coordinator table dropped entirely — canonical outcome gone
+    fsio.delete(a, recursive=True)
+    _fresh_outcome_view()
+    assert _count(spark, b) == 2  # resolved via b's local mirror
+    mirror = sinks._txn_mirror_path(b, "txn-mirror-1")
+    assert fsio.exists(mirror)
+
+
+def test_explicit_abort_keeps_everything_invisible(spark, tmp_path):
+    """abort_pending_transaction (the ROLLBACK/error path) resolves
+    the staged versions immediately — no 2s writer wait, no residue."""
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    sinks.upsert(spark, a, _df(spark, [(1, 10, 0)]), ["k", "g"],
+                 partition_col="g")
+    outcome = sinks._txn_mirror_path(a, "txn-abort-1")
+    with sinks.pending_transaction("txn-abort-1", outcome) as ctx:
+        sinks.upsert(spark, a, _df(spark, [(2, 20, 0)]), ["k", "g"],
+                     partition_col="g")
+        sinks.upsert(spark, b, _df(spark, [(6, 60, 0)]), ["k", "g"],
+                     partition_col="g")
+    sinks.abort_pending_transaction(ctx)
+    assert _count(spark, a) == 1
+    # b was BORN inside the aborted txn: no committed version at all
+    ver, man = sinks._latest_manifest(b)
+    assert ver is None and man is None
+    with pytest.raises(sinks.TransactionAbortedError):
+        sinks.commit_pending_transaction(ctx)
+    # a table whose only versions are aborted accepts a fresh commit
+    sinks.upsert(spark, b, _df(spark, [(7, 70, 0)]), ["k", "g"],
+                 partition_col="g")
+    assert _count(spark, b) == 1
+
+
+def test_streaming_source_skips_aborted_versions(spark, tmp_path):
+    """The readStream source (planner runs in a JVM-less Python
+    worker — cross-process outcome resolution) delivers committed
+    appends only: an aborted txn version inside the offset range
+    yields nothing, and the next committed version diffs against the
+    last COMMITTED predecessor, not the aborted slot."""
+    from etl_stocks_with_sentiment_analysis_spark.streaming.source import (
+        register_manifest_stream_source,
+    )
+
+    register_manifest_stream_source(spark)
+    t = str(tmp_path / "tbl")
+    sinks.upsert(spark, t, _df(spark, [(1, 10, 0)]), ["k", "g"],
+                 partition_col="g")  # v0
+    outcome = sinks._txn_mirror_path(t, "txn-stream-1")
+    with sinks.pending_transaction("txn-stream-1", outcome) as ctx:
+        sinks.upsert(spark, t, _df(spark, [(2, 20, 1)]), ["k", "g"],
+                     partition_col="g")  # v1, will abort
+    sinks.abort_pending_transaction(ctx)
+    sinks.upsert(spark, t, _df(spark, [(3, 30, 2)]), ["k", "g"],
+                 partition_col="g")  # v2, committed
+    stream = (
+        spark.readStream.format("manifest_stream")
+        .option("path", t).option("startingVersion", "0").load()
+    )
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["k"], r["v"], r["g"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {(1, 10, 0), (3, 30, 2)}  # aborted (2,20,1) skipped
+
+
+def test_pending_txn_defers_gc_and_checkpoint(spark, tmp_path):
+    """A pending publish must not move the reader checkpoint pointer
+    (readers would aim at an invisible version) and must not GC —
+    the pre-txn snapshots are still the table's live data if the
+    transaction aborts."""
+    a = str(tmp_path / "a")
+    sinks.upsert(spark, a, _df(spark, [(1, 10, 0)]), ["k", "g"],
+                 partition_col="g")
+    ck0 = sinks._read_checkpoint(a)
+    snaps0 = {
+        e.name for e in fsio.list_status(a) if e.name.startswith("snap-")
+    }
+    outcome = sinks._txn_mirror_path(a, "txn-gc-1")
+    with sinks.pending_transaction("txn-gc-1", outcome) as ctx:
+        sinks.upsert(spark, a, _df(spark, [(1, 11, 0)]), ["k", "g"],
+                     partition_col="g")  # rewrites partition g=0
+    assert sinks._read_checkpoint(a) == ck0  # pointer unmoved
+    snaps1 = {
+        e.name for e in fsio.list_status(a) if e.name.startswith("snap-")
+    }
+    assert snaps0 <= snaps1  # nothing GC'd while pending
+    sinks.commit_pending_transaction(ctx)
+    assert sinks._read_checkpoint(a) == ctx["published"][0][1]
+    got = {
+        (r["k"], r["v"])
+        for r in sinks.read_manifest_table(spark, a).collect()
+    }
+    assert got == {(1, 11)}
+
+
+def test_txn_backfill_shape_delete_two_tables_atomically(spark, tmp_path):
+    """The reference's backfill clears TWO tables inside one
+    transaction (`backfill.py:39-44`: DELETE FROM grok_explanations;
+    DELETE FROM stock_prices; conn.commit()). Same statements here:
+    both clears invisible until COMMIT, then both land together."""
+    from etl_stocks_with_sentiment_analysis_spark.operators import sqldml
+
+    spark.conf.set("spark.manifest_sql.warehouse", str(tmp_path / "wh"))
+    run = lambda s, p=None: sqldml.execute_sql(spark, s, params=p)
+    run("CREATE SCHEMA IF NOT EXISTS bf")
+    run("CREATE TABLE bf.prices (k BIGINT, v BIGINT)")
+    run("CREATE TABLE bf.grok (k BIGINT, v BIGINT)")
+    run("INSERT INTO bf.prices VALUES (1, 10), (2, 20)")
+    run("INSERT INTO bf.grok VALUES (1, 11)")
+    run("BEGIN")
+    run("DELETE FROM bf.grok")
+    run("DELETE FROM bf.prices")
+    # invisible mid-transaction
+    assert run("SELECT COUNT(*) AS n FROM bf.prices").collect()[0]["n"] == 2
+    assert run("SELECT COUNT(*) AS n FROM bf.grok").collect()[0]["n"] == 1
+    run("COMMIT")
+    assert run("SELECT COUNT(*) AS n FROM bf.prices").collect()[0]["n"] == 0
+    assert run("SELECT COUNT(*) AS n FROM bf.grok").collect()[0]["n"] == 0
+
+
+def test_txn_statement_order_and_update(spark, tmp_path):
+    """Mixed-kind transactions execute in statement order (each
+    statement sees its predecessors' staged effects), including
+    UPDATE: INSERT-then-DELETE removes the row, DELETE-then-INSERT
+    keeps it, UPDATE rewrites staged rows — all atomically in one
+    outcome flip, with per-kind commits grouped."""
+    from etl_stocks_with_sentiment_analysis_spark.operators import sqldml
+
+    spark.conf.set("spark.manifest_sql.warehouse", str(tmp_path / "wh"))
+    run = lambda s, p=None: sqldml.execute_sql(spark, s, params=p)
+    run("CREATE SCHEMA IF NOT EXISTS so")
+    run("CREATE TABLE so.t (k BIGINT, v BIGINT, UNIQUE(k))")
+    run("INSERT INTO so.t VALUES (1, 10), (2, 20)")
+    run("BEGIN")
+    run("INSERT INTO so.t VALUES (3, 30), (4, 40)")  # staged
+    run("DELETE FROM so.t WHERE k IN (1, 3)")        # kills seeded+staged
+    run("INSERT INTO so.t VALUES (5, 50)")           # after the delete
+    run("UPDATE so.t SET v = v + 1 WHERE k >= 4")    # staged rows too
+    run("COMMIT")
+    got = {
+        (r["k"], r["v"]) for r in run("SELECT k, v FROM so.t").collect()
+    }
+    assert got == {(2, 20), (4, 41), (5, 51)}
+    # ROLLBACK of buffered UPDATE/DELETE leaves no trace
+    run("BEGIN")
+    run("DELETE FROM so.t")
+    run("UPDATE so.t SET v = 0 WHERE true")
+    run("ROLLBACK")
+    assert run("SELECT COUNT(*) AS n FROM so.t").collect()[0]["n"] == 3
+    # single-statement single-table txn still takes the direct path
+    # (no _txn dir materialized by it — the earlier multi-commit
+    # transactions on so.t DID create one, so check a fresh table)
+    run("CREATE TABLE so.solo (k BIGINT)")
+    run("BEGIN")
+    run("INSERT INTO so.solo VALUES (1)")
+    run("COMMIT")
+    solo = sqldml._resolve_table("so.solo")
+    assert not fsio.exists(
+        os.path.join(solo, sinks._LOG_DIR, sinks._TXN_DIR)
+    )
+    assert run("SELECT COUNT(*) AS n FROM so.solo").collect()[0]["n"] == 1
+
+
+def test_concurrent_multi_table_txn_fuzz(spark, tmp_path, monkeypatch):
+    """3 writers x 8 ops race TWO tables with a mix of multi-table
+    BEGIN/COMMIT transactions (SQL text), plain single-table SQL
+    upserts, and ZOMBIE transactions (pending scope abandoned without
+    an outcome — the crashed-committer shape, which other writers must
+    force-abort in their way). Writers own disjoint key ranges so
+    committed ops replay per-writer-sequentially; the final state of
+    BOTH tables must equal the model built from successfully COMMITTED
+    ops alone — any half-landed transaction or any zombie row breaks
+    the equality."""
+    import random
+    import threading
+
+    from etl_stocks_with_sentiment_analysis_spark.operators import sqldml
+
+    monkeypatch.setattr(sinks, "_TXN_RESOLVE_WAIT_SECONDS", 0.3)
+    monkeypatch.setattr(sinks, "_RETAIN_VERSIONS", 64)
+    spark.conf.set(
+        "spark.manifest_sql.warehouse", str(tmp_path / "wh")
+    )
+    run = lambda s, p=None: sqldml.execute_sql(spark, s, params=p)
+    run("CREATE SCHEMA IF NOT EXISTS fzm")
+    run("DROP TABLE IF EXISTS fzm.a")
+    run("DROP TABLE IF EXISTS fzm.b")
+    run("CREATE TABLE fzm.a (k BIGINT, v BIGINT, UNIQUE(k))")
+    run("CREATE TABLE fzm.b (k BIGINT, v BIGINT, UNIQUE(k))")
+    ta = sqldml._resolve_table("fzm.a")
+    tb = sqldml._resolve_table("fzm.b")
+    n_writers, n_ops = 3, 8
+    errors: list[str] = []
+    logs: list[list[tuple]] = [[] for _ in range(n_writers)]
+    upd = (
+        "INSERT INTO fzm.{t} (k, v) VALUES {vals} "
+        "ON CONFLICT (k) DO UPDATE SET v = EXCLUDED.v"
+    )
+
+    def worker(wid: int) -> None:
+        rng = random.Random(1200 + wid)
+        for seq in range(n_ops):
+            op_id = wid * 1000 + seq
+            ks = sorted({wid * 100 + rng.randint(1, 9) for _ in range(2)})
+            kind = rng.choice(["txn", "txn", "plain_a", "plain_b",
+                               "zombie"])
+            try:
+                if kind == "txn":
+                    vals_a = ", ".join(f"({k}, {op_id})" for k in ks)
+                    vals_b = ", ".join(
+                        f"({k}, {op_id})" for k in ks[:1]
+                    )
+                    run("BEGIN")
+                    try:
+                        run(upd.format(t="a", vals=vals_a))
+                        run(upd.format(t="b", vals=vals_b))
+                        run("COMMIT")
+                    except sinks.TransactionAbortedError:
+                        continue  # atomic no-op: nothing landed
+                    except Exception:
+                        if sqldml._current_txn() is not None:
+                            run("ROLLBACK")
+                        raise
+                    logs[wid].append(("txn", ks, ks[:1], op_id))
+                elif kind == "zombie":
+                    zid = f"zombie-{wid}-{seq}"
+                    outcome = sinks._txn_mirror_path(ta, zid)
+                    df = spark.createDataFrame(
+                        [(k, 10**9 + op_id) for k in ks],
+                        "k BIGINT, v BIGINT",
+                    )
+                    with sinks.pending_transaction(zid, outcome):
+                        sinks.upsert(spark, ta, df, ["k"])
+                    # abandoned: no outcome published, ever
+                else:
+                    t = "a" if kind == "plain_a" else "b"
+                    vals = ", ".join(f"({k}, {op_id})" for k in ks)
+                    run(upd.format(t=t, vals=vals))
+                    logs[wid].append((f"set_{t}", ks, None, op_id))
+            except sinks.ManifestConflictError:
+                continue  # lost every CAS retry: clean no-op
+            except Exception as e:  # noqa: BLE001 - fuzz collects all
+                errors.append(f"w{wid}#{seq} {kind}: {e!r}")
+
+    threads = [
+        threading.Thread(target=worker, args=(w,))
+        for w in range(n_writers)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+
+    model_a: dict[int, int] = {}
+    model_b: dict[int, int] = {}
+    for wid in range(n_writers):
+        for kind, ks, ks_b, op_id in logs[wid]:
+            if kind == "txn":
+                for k in ks:
+                    model_a[k] = op_id
+                for k in ks_b:
+                    model_b[k] = op_id
+            elif kind == "set_a":
+                for k in ks:
+                    model_a[k] = op_id
+            else:
+                for k in ks:
+                    model_b[k] = op_id
+    _fresh_outcome_view()
+    final_a = {
+        r["k"]: r["v"] for r in run("SELECT k, v FROM fzm.a").collect()
+    }
+    final_b = {
+        r["k"]: r["v"] for r in run("SELECT k, v FROM fzm.b").collect()
+    }
+    assert final_a == model_a
+    assert final_b == model_b
+    assert not any(v >= 10**9 for v in final_a.values())  # no zombies
+    # histories contain committed versions only
+    for tgt in (ta, tb):
+        for r in sinks.manifest_table_history(spark, tgt).collect():
+            assert sinks._version_is_committed(tgt, r["version"])
+
+
+def test_single_table_paths_untouched(spark, tmp_path):
+    """No pending context: commits write no pending_txn stamp and the
+    resolver's fast path takes the no-key shortcut."""
+    a = str(tmp_path / "a")
+    sinks.upsert(spark, a, _df(spark, [(1, 10, 0)]), ["k", "g"],
+                 partition_col="g")
+    ver, _ = sinks._latest_manifest(a)
+    raw = sinks._read_manifest_version(a, ver)
+    assert "pending_txn" not in raw
+    assert sinks._txn_visibility(a, raw) == "committed"
+    assert not fsio.exists(
+        os.path.join(a, sinks._LOG_DIR, sinks._TXN_DIR)
+    )
