@@ -418,7 +418,130 @@ def _last_committed_at_or_below(target: str, v: int) -> int | None:
     return None
 
 
-def pending_transaction(txn_id: str, outcome_path: str):
+def _txn_participants(target: str, raw: dict) -> list[tuple[str, int]]:
+    """(table, version) participants of a COMMITTED transaction
+    version, from the outcome file's payload (written by
+    `commit_pending_transaction`). Empty for writer-forced aborts
+    (no payload) or unreadable outcomes."""
+    pt = raw.get("pending_txn") or {}
+    txn_id = str(pt.get("id") or "")
+    for p in (
+        _txn_mirror_path(target, txn_id),
+        str(pt.get("outcome") or ""),
+    ):
+        if not p:
+            continue
+        try:
+            text = fsio.read_text(p)
+        except (FileNotFoundError, OSError):
+            continue
+        if not text.startswith("commit"):
+            return []
+        try:
+            body = json.loads(text.split("\n", 1)[1])
+            return [(str(t), int(v)) for t, v in body.get("tables") or []]
+        except (IndexError, ValueError, TypeError):
+            return []
+    return []
+
+
+def snapshot_tables(targets: list[str], retries: int = 5) -> dict[str, int]:
+    """TRANSACTIONALLY CONSISTENT multi-table snapshot: pin each
+    table's latest committed version such that every multi-table
+    transaction is either fully included or fully excluded across the
+    pinned set — the read-side completion of the atomic-commit story
+    (read each table with ``read_manifest_table(version=pins[t])``).
+
+    Two mechanisms compose:
+
+    1. STABLE DOUBLE-RESOLVE: pin all latests, re-resolve, retry while
+       anything moved — an outcome CAS landing mid-pin always moves
+       some table's latest between the two passes.
+    2. TXN CLOSURE: if the retry budget runs out mid-storm, any pinned
+       version stamped by a committed transaction pulls every
+       participant table up to at least its transaction version (the
+       outcome file records the full participant list), so a
+       transaction can never be half-included.
+
+    A STABLE double-resolve alone is already a consistent cut (an
+    outcome flipping between any two reads forces a retry); the
+    closure covers the exhausted-retries path, where its one residual
+    is a transaction whose participant committed FURTHER versions
+    inside the same storm window — the pins are then each-table-latest
+    consistent, never torn data.
+
+    Versions-only and read-only: O(tables) metadata reads, no data
+    touched, nothing locked — writers are never blocked by readers."""
+    last: dict[str, int] = {}
+    for _ in range(max(1, retries)):
+        pins: dict[str, int] = {}
+        for t in targets:
+            ver, _ = _latest_manifest(t)
+            if ver is None:
+                raise ValueError(f"no manifest table at {t}")
+            pins[t] = ver
+        again: dict[str, int] = {}
+        for t in targets:
+            ver, _ = _latest_manifest(t)
+            again[t] = ver if ver is not None else -1
+        if pins == again:
+            return _close_snapshot_over_txns(pins)
+        last = again
+    return _close_snapshot_over_txns(last)
+
+
+def _close_snapshot_over_txns(pins: dict[str, int]) -> dict[str, int]:
+    """Raise pins until every committed transaction touching a pinned
+    version is fully included (fixpoint; each pass only increases
+    pins, so it terminates)."""
+    changed = True
+    while changed:
+        changed = False
+        for t, v in list(pins.items()):
+            raw = _read_manifest_version(t, v)
+            if not isinstance(raw, dict) or not raw.get("pending_txn"):
+                continue
+            for ot, over in _txn_participants(t, raw):
+                if ot in pins and pins[ot] < over:
+                    if _version_is_committed(ot, over):
+                        pins[ot] = over
+                        changed = True
+    return pins
+
+
+def transaction():
+    """Public Python-API spelling of the multi-table atomic commit —
+    the context-manager equivalent of SQL ``BEGIN ... COMMIT``:
+
+        with sinks.transaction():
+            sinks.upsert(spark, prices, batch_a, ["k"])
+            sinks.upsert(spark, grok, batch_b, ["k"])
+        # <- both visible together here; an exception aborts both
+
+    Every manifest commit inside the scope publishes PENDING; normal
+    exit flips them all visible with the one outcome CAS; an exception
+    (or TransactionAbortedError from a concurrent force-abort) leaves
+    every table untouched. The outcome file lands under the FIRST
+    table the scope commits to."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def _scope():
+        ctx = None
+        with pending_transaction(uuid.uuid4().hex, None) as ctx:
+            try:
+                yield ctx
+            except BaseException:
+                if ctx["published"]:
+                    abort_pending_transaction(ctx)
+                raise
+        if ctx["published"]:
+            commit_pending_transaction(ctx)
+
+    return _scope()
+
+
+def pending_transaction(txn_id: str, outcome_path: str | None):
     """Context manager opening a pending-transaction scope on this
     thread: every manifest commit inside is stamped invisible until
     `commit_pending_transaction`. The scope only marks; it never
@@ -449,6 +572,8 @@ def commit_pending_transaction(ctx: dict) -> None:
     transaction first — in that case nothing was, or ever will be,
     visible."""
     canon = ctx["outcome"]
+    if canon is None:
+        return  # nothing was ever published — an empty transaction
     payload = "commit\n" + json.dumps(
         {"tables": [[t, v] for t, v in ctx["published"]]}
     )
@@ -487,6 +612,8 @@ def abort_pending_transaction(ctx: dict) -> None:
     waiting for a writer to trip over them. Losing the CAS to a commit
     is impossible from the owning thread (commit_ wasn't called), but
     the guard keeps the helper safe to call from anywhere."""
+    if ctx["outcome"] is None:
+        return  # nothing was ever published — nothing to resolve
     payload = "abort\n" + json.dumps({"by": "rollback"})
     try:
         _write_outcome_if_absent(ctx["outcome"], payload)
@@ -1991,6 +2118,10 @@ def _write_manifest_atomic(
         # stamp the FILE (not the logical state): this version is
         # invisible to every reader until the transaction's outcome
         # CAS lands (see the multi-table transaction block above)
+        if txn_ctx["outcome"] is None:
+            # lazy coordinator election (transaction() API): the
+            # first table the scope commits to hosts the outcome
+            txn_ctx["outcome"] = _txn_mirror_path(target, txn_ctx["id"])
         stamped = json.loads(text)
         stamped["pending_txn"] = {
             "id": txn_ctx["id"], "outcome": txn_ctx["outcome"],
@@ -4107,9 +4238,24 @@ def repair_manifest_table(target: str) -> list[int]:
     # deleted manifest leaves a HOLE that breaks the forward probe's
     # contiguity invariant — repair fills it with a duplicate too
     for v in range(0, vers[-1] + 1):
-        st = _load_state(target, v)
+        raw = _read_manifest_version(target, v)
+        vis = "committed"
+        if isinstance(raw, dict) and raw.get("pending_txn"):
+            # transaction versions are NEVER repair sources: an
+            # aborted one was never a table state, and an unresolved
+            # one here is a crashed committer (repair runs without
+            # concurrent writers by contract) — resolve it to aborted
+            # via the outcome CAS. Resolve BEFORE _load_state: the
+            # loader strips the stamp from the raw dict.
+            vis = _txn_visibility(target, raw)
+            if vis == "pending":
+                vis = _resolve_pending_for_write(target, raw)
+        st = _load_state(target, v, raw=raw)
         if isinstance(st, dict):
-            last_good = st
+            if vis == "committed":
+                last_good = st
+            # aborted txn version: loadable file, not corrupt — leave
+            # it in place, invisible, never a repair source
             continue
         if last_good is None:
             raise ValueError(
@@ -4137,7 +4283,14 @@ def repair_manifest_table(target: str) -> list[int]:
         last_good = dup
         _BASE_STATE_CACHE.clear()  # deltas above may now fold anew
     if repaired:
-        _write_checkpoint(target, _list_manifest_versions(target)[-1])
+        # aim the pointer at the newest COMMITTED version — never at
+        # an aborted transaction slot (readers would step back anyway,
+        # but the pointer is supposed to be the fast path)
+        best = _last_committed_at_or_below(
+            target, _list_manifest_versions(target)[-1]
+        )
+        if best is not None:
+            _write_checkpoint(target, best)
     return repaired
 
 
@@ -6664,3 +6817,107 @@ def sink_manifest_multicol(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("prune_w_ok", F.lit(prune_w))
         .withColumn("prune_u_ok", F.lit(prune_u))
     )
+
+
+_SNAPSHOT_ORACLE = """
+WITH base AS (
+  SELECT user_id,
+         SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS cents
+  FROM events GROUP BY user_id
+), txn_a AS (
+  SELECT * FROM (VALUES
+    (CAST(900001 AS BIGINT), CAST(11 AS BIGINT)),
+    (900002, 22)
+  ) AS v(user_id, cents)
+), af AS (
+  SELECT user_id, cents FROM base
+  UNION ALL SELECT user_id, cents FROM txn_a
+), bf AS (
+  SELECT * FROM (VALUES
+    (CAST(900001 AS BIGINT), CAST(1 AS BIGINT)),
+    (900003, 3)
+  ) AS v(user_id, n)
+)
+SELECT (SELECT COUNT(*) FROM af) AS a_rows,
+       (SELECT CAST(SUM(cents) AS BIGINT) FROM af) AS a_cents,
+       (SELECT COUNT(*) FROM bf) AS b_rows,
+       (SELECT CAST(SUM(n) AS BIGINT) FROM bf) AS b_n"""
+
+
+@register("sink_manifest_snapshot", oracle=_SNAPSHOT_ORACLE)
+def sink_manifest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRANSACTIONALLY CONSISTENT MULTI-TABLE SNAPSHOT (r12b): the
+    read-side completion of the multi-table atomic commit. Scenario:
+
+    1. table A seeded from the events aggregate; table B seeded with
+       one row — both via `transaction()` so the seeds land atomically;
+    2. a second transaction adds rows to BOTH tables;
+    3. `snapshot_tables([A, B])` pins a consistent cut;
+    4. AFTER the pins, one more commit lands on A alone — the pinned
+       reads must exclude it while including the whole transaction
+       from (2) on both tables (asserted: the late row is absent at
+       the pin, present at latest).
+
+    The oracle recomputes the pinned state relationally. At 100 TB
+    the pin set costs O(tables) metadata reads and zero data I/O —
+    the same versions-as-snapshot idea Delta/Iceberg expose, plus the
+    transaction-closure guarantee the outcome payload enables."""
+    base = scratch_dir("s36_")
+    a = os.path.join(base, "snap_a")
+    b = os.path.join(base, "snap_b")
+    events = load_table(spark, sf_dir, "events")
+    seed_a = events.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents")
+    )
+    with transaction():
+        upsert(spark, a, seed_a, ["user_id"])
+        upsert(
+            spark, b,
+            spark.createDataFrame(
+                [(900001, 1)], "user_id BIGINT, n BIGINT"
+            ),
+            ["user_id"],
+        )
+    with transaction():
+        upsert(
+            spark, a,
+            spark.createDataFrame(
+                [(900001, 11), (900002, 22)],
+                "user_id BIGINT, cents BIGINT",
+            ),
+            ["user_id"],
+        )
+        upsert(
+            spark, b,
+            spark.createDataFrame(
+                [(900003, 3)], "user_id BIGINT, n BIGINT"
+            ),
+            ["user_id"],
+        )
+    pins = snapshot_tables([a, b])
+    # a LATER commit on A alone: outside the snapshot
+    upsert(
+        spark, a,
+        spark.createDataFrame(
+            [(900009, 99)], "user_id BIGINT, cents BIGINT"
+        ),
+        ["user_id"],
+    )
+    at_pin = read_manifest_table(spark, a, version=pins[a])
+    b_pin = read_manifest_table(spark, b, version=pins[b])
+    assert at_pin.filter(F.col("user_id") == 900009).count() == 0
+    assert (
+        read_manifest_table(spark, a)
+        .filter(F.col("user_id") == 900009).count() == 1
+    )
+    assert at_pin.filter(F.col("user_id") == 900002).count() == 1
+    assert b_pin.filter(F.col("user_id") == 900003).count() == 1
+    a_agg = at_pin.agg(
+        F.count(F.lit(1)).alias("a_rows"),
+        F.sum("cents").cast("long").alias("a_cents"),
+    )
+    b_agg = b_pin.agg(
+        F.count(F.lit(1)).alias("b_rows"),
+        F.sum("n").cast("long").alias("b_n"),
+    )
+    return a_agg.crossJoin(b_agg)

@@ -55,6 +55,12 @@ Statement surface
   rewritten to their registered view names and Postgres-isms
   (``::type`` casts, ``STRING_AGG(... ORDER BY ...)``) transpiled
   (`_pg_compat`).
+- ``BEGIN / START TRANSACTION ... COMMIT | ROLLBACK`` — INSERT,
+  UPDATE and DELETE buffer and execute in statement order at COMMIT;
+  a transaction spanning several tables (or needing several
+  sequential commits) is ATOMIC via pending manifests + one
+  outcome-file CAS (see the Transactions block below and the
+  multi-table transaction block in sinks.py).
 
 Scale notes: every route lands on the manifest API's partition-scoped
 merge / metadata-only commit paths, so the SQL layer adds parsing
@@ -1414,15 +1420,16 @@ def _commit_txn(spark: SparkSession) -> DataFrame:
             for tag, ops in groups:
                 _commit_txn_group(spark, spec, tag, ops, results)
     else:
-        # MULTI-TABLE ATOMIC COMMIT (r12): each table's statements
-        # still compose into one manifest commit, but those commits
-        # are published PENDING (invisible) and flipped visible
-        # together by ONE outcome-file CAS — the reference's
-        # one-conn.commit()-per-batch semantics
-        # (`stock_grok_pipeline.py:84-158`) across every touched
-        # table. A crash or failure before the outcome CAS leaves
-        # every table untouched (a later writer force-aborts the
-        # orphaned pendings); after it, every table shows its batch.
+        # ATOMIC MULTI-COMMIT (r12): the transaction needs more than
+        # one manifest commit (several tables, and/or sequential
+        # statement groups on one table) — every commit publishes
+        # PENDING (invisible) and ONE outcome-file CAS flips them all
+        # visible together: the reference's one-conn.commit()-per-
+        # batch semantics (`stock_grok_pipeline.py:84-158`,
+        # `backfill.py:39-44`) across every touched table. A crash or
+        # failure before the outcome CAS leaves every table untouched
+        # (a later writer force-aborts the orphaned pendings); after
+        # it, every table shows its whole batch.
         txn_id = uuid.uuid4().hex
         coordinator = txn["tables"][order[0]]["target"]
         outcome = sinks._txn_mirror_path(coordinator, txn_id)

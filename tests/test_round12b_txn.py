@@ -426,6 +426,111 @@ def test_concurrent_multi_table_txn_fuzz(spark, tmp_path, monkeypatch):
             assert sinks._version_is_committed(tgt, r["version"])
 
 
+def test_snapshot_closure_repairs_torn_pins(spark, tmp_path):
+    """snapshot_tables' transaction closure: a pin set captured
+    mid-outcome-flip (table A pinned AT its txn version, table B
+    pinned BEFORE its participation) is raised to include the whole
+    transaction — the outcome payload names every participant."""
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    sinks.upsert(spark, a, _df(spark, [(1, 10, 0)]), ["k", "g"],
+                 partition_col="g")  # a@0
+    sinks.upsert(spark, b, _df(spark, [(5, 50, 0)]), ["k", "g"],
+                 partition_col="g")  # b@0
+    with sinks.transaction():
+        sinks.upsert(spark, a, _df(spark, [(2, 20, 0)]), ["k", "g"],
+                     partition_col="g")  # a@1
+        sinks.upsert(spark, b, _df(spark, [(6, 60, 0)]), ["k", "g"],
+                     partition_col="g")  # b@1
+    # simulate the mid-flip capture: A at its txn version, B before
+    torn = {a: 1, b: 0}
+    closed = sinks._close_snapshot_over_txns(dict(torn))
+    assert closed == {a: 1, b: 1}
+    # and the public API returns a consistent, closed cut
+    pins = sinks.snapshot_tables([a, b])
+    assert pins == {a: 1, b: 1}
+    got_b = {
+        (r["k"], r["v"])
+        for r in sinks.read_manifest_table(
+            spark, b, version=pins[b]
+        ).collect()
+    }
+    assert got_b == {(5, 50), (6, 60)}
+
+
+def test_transaction_context_manager_api(spark, tmp_path):
+    """sinks.transaction() — the Python-API BEGIN/COMMIT: normal exit
+    commits every staged table atomically (coordinator elected
+    lazily from the first commit); an exception aborts them all."""
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    with sinks.transaction():
+        sinks.upsert(spark, a, _df(spark, [(1, 10, 0)]), ["k", "g"],
+                     partition_col="g")
+        sinks.upsert(spark, b, _df(spark, [(5, 50, 0)]), ["k", "g"],
+                     partition_col="g")
+        assert sinks._latest_manifest(a) == (None, None)  # invisible
+    assert _count(spark, a) == 1 and _count(spark, b) == 1
+    with pytest.raises(RuntimeError, match="boom"):
+        with sinks.transaction():
+            sinks.upsert(spark, a, _df(spark, [(2, 20, 0)]), ["k", "g"],
+                         partition_col="g")
+            raise RuntimeError("boom")
+    _fresh_outcome_view()
+    assert _count(spark, a) == 1  # aborted with the exception
+    # an empty scope is a no-op (no outcome file, no error)
+    with sinks.transaction():
+        pass
+
+
+def test_repair_never_uses_aborted_txn_versions(
+    spark, tmp_path, monkeypatch
+):
+    """FSCK repair must not resurrect an aborted transaction's state:
+    repairing a rotted version duplicates the newest COMMITTED version
+    below it, skipping aborted slots; an unresolved pending found by
+    repair (crashed committer, offline by contract) is resolved to
+    aborted, not treated as corruption."""
+    monkeypatch.setattr(sinks, "_TXN_RESOLVE_WAIT_SECONDS", 0.2)
+    t = str(tmp_path / "t")
+    sinks.upsert(spark, t, _df(spark, [(1, 10, 0)]), ["k", "g"],
+                 partition_col="g")  # v0
+    outcome = sinks._txn_mirror_path(t, "txn-rep-1")
+    with sinks.pending_transaction("txn-rep-1", outcome):
+        sinks.upsert(spark, t, _df(spark, [(2, 20, 0)]), ["k", "g"],
+                     partition_col="g")  # v1, crash: never resolved
+    sinks.upsert(spark, t, _df(spark, [(3, 30, 1)]), ["k", "g"],
+                 partition_col="g")  # v2 (force-aborts v1 in its way)
+    # rot v2's manifest bytes
+    with open(
+        os.path.join(t, sinks._LOG_DIR, sinks._manifest_name(2)), "w"
+    ) as fh:
+        fh.write("{ rotted")
+    repaired = sinks.repair_manifest_table(t)
+    assert repaired == [2]
+    got = {
+        (r["k"], r["v"])
+        for r in sinks.read_manifest_table(spark, t).collect()
+    }
+    # duplicate of COMMITTED v0 — the aborted v1's (2,20) must NOT
+    # reappear (v2's own (3,30) is lost with its bytes, documented)
+    assert got == {(1, 10)}
+    assert not sinks._version_is_committed(t, 1)
+
+    # unresolved pending alone: repair resolves it to aborted and
+    # reports nothing corrupt
+    u = str(tmp_path / "u")
+    sinks.upsert(spark, u, _df(spark, [(1, 10, 0)]), ["k", "g"],
+                 partition_col="g")
+    with sinks.pending_transaction(
+        "txn-rep-2", sinks._txn_mirror_path(u, "txn-rep-2")
+    ):
+        sinks.upsert(spark, u, _df(spark, [(2, 20, 0)]), ["k", "g"],
+                     partition_col="g")
+    assert sinks.repair_manifest_table(u) == []
+    _fresh_outcome_view()
+    assert not sinks._version_is_committed(u, 1)
+    assert _count(spark, u) == 1
+
+
 def test_single_table_paths_untouched(spark, tmp_path):
     """No pending context: commits write no pending_txn stamp and the
     resolver's fast path takes the no-key shortcut."""

@@ -723,24 +723,32 @@ def test_manifest_concurrent_writers_both_survive(
         [(8, "2024-01-02", "from-A")], "ticker INT, date STRING, val STRING"
     )
 
-    real_latest = sinks._latest_manifest
+    # hook the WRITER's resolver (r12b: _latest_manifest_for_write —
+    # hooking the plain reader no longer stages the race, because the
+    # writer resolver's forward walk would absorb B's commit before
+    # the CAS and converge without a retry, which is also correct)
+    real_for_write = sinks._latest_manifest_for_write
     state = {"interleaved": False, "a_reads": 0}
 
-    def racy_latest(t):
-        out = real_latest(t)
+    def racy_for_write(t):
+        out = real_for_write(t)
         state["a_reads"] += 1
         if not state["interleaved"]:
             state["interleaved"] = True
             # B commits fully while A holds its (now stale) view
-            monkeypatch.setattr(sinks, "_latest_manifest", real_latest)
+            monkeypatch.setattr(
+                sinks, "_latest_manifest_for_write", real_for_write
+            )
             sinks.upsert(
                 spark, target, writer_b_rows, ["ticker", "date"],
                 partition_col="date", commit_mode="manifest",
             )
-            monkeypatch.setattr(sinks, "_latest_manifest", racy_latest)
+            monkeypatch.setattr(
+                sinks, "_latest_manifest_for_write", racy_for_write
+            )
         return out  # stale on the first read
 
-    monkeypatch.setattr(sinks, "_latest_manifest", racy_latest)
+    monkeypatch.setattr(sinks, "_latest_manifest_for_write", racy_for_write)
     sinks.upsert(
         spark, target, writer_a_rows, ["ticker", "date"],
         partition_col="date", commit_mode="manifest",
