@@ -49,16 +49,17 @@ def main(argv: list[str] | None = None) -> int:
 
     p_tbl = sub.add_parser(
         "table", help="manifest-table maintenance (history/count/stats/"
-        "compact/repartition/clone/show)"
+        "compact/repartition/clone/show/snapshot)"
     )
     p_tbl.add_argument(
         "action",
         choices=[
             "history", "count", "stats", "compact", "repartition",
-            "clone", "show", "delete", "update", "repair",
+            "clone", "show", "delete", "update", "repair", "snapshot",
         ],
     )
-    p_tbl.add_argument("target", help="manifest table path/URI")
+    p_tbl.add_argument("target", nargs="+",
+                       help="manifest table path/URI (snapshot: several)")
     p_tbl.add_argument("--to", default=None, help="clone destination")
     p_tbl.add_argument("--partition-col", default=None,
                        help="repartition: new partition column ('' = none)")
@@ -193,19 +194,26 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "table":
         from .operators import sinks
 
+        # `target` accepts several paths only for snapshot; every
+        # other action operates on exactly one table
+        if args.action != "snapshot" and len(args.target) > 1:
+            print("only `snapshot` accepts several targets")
+            return 1
+        target = args.target[0]
+
         if args.action == "history":
-            sinks.manifest_table_history(spark, args.target).show(
+            sinks.manifest_table_history(spark, target).show(
                 50, truncate=False
             )
         elif args.action == "count":
-            print(sinks.count_manifest_table(args.target, args.version))
+            print(sinks.count_manifest_table(target, args.version))
         elif args.action == "stats":
             sinks.manifest_table_stats(
-                spark, args.target, args.version
+                spark, target, args.version
             ).show(100, truncate=False)
         elif args.action == "compact":
             n = sinks.compact_manifest_table(
-                spark, args.target, args.rows_per_file,
+                spark, target, args.rows_per_file,
                 cluster_by=(
                     args.cluster_by.split(",") if args.cluster_by else None
                 ),
@@ -216,14 +224,14 @@ def main(argv: list[str] | None = None) -> int:
             print(f"compacted → {n} entries")
         elif args.action == "repartition":
             n = sinks.repartition_manifest_table(
-                spark, args.target, args.partition_col or None
+                spark, target, args.partition_col or None
             )
             print(f"re-laid-out → {n} entries")
         elif args.action == "clone":
             if not args.to:
                 ap.error("clone requires --to DEST")
             sinks.clone_manifest_table(
-                spark, args.target, args.to,
+                spark, target, args.to,
                 version=args.version, materialize=args.materialize,
             )
             print(f"cloned → {args.to}"
@@ -232,7 +240,7 @@ def main(argv: list[str] | None = None) -> int:
             if not args.where:
                 ap.error("delete requires --where SQL")
             n = sinks.delete_from_manifest_table(
-                spark, args.target, args.where, mode=args.mode
+                spark, target, args.where, mode=args.mode
             )
             print(f"deleted {n} rows ({args.mode})")
         elif args.action == "update":
@@ -240,21 +248,25 @@ def main(argv: list[str] | None = None) -> int:
                 ap.error("update requires --where SQL and --set COL=EXPR")
             assignments = dict(a.split("=", 1) for a in args.set)
             n = sinks.update_manifest_table(
-                spark, args.target, assignments, args.where
+                spark, target, assignments, args.where
             )
             print(f"updated {n} rows")
+        elif args.action == "snapshot":
+            pins = sinks.snapshot_tables(args.target)
+            for t in args.target:
+                print(f"{t} @ version {pins[t]}")
         elif args.action == "repair":
-            fixed = sinks.repair_manifest_table(args.target)
+            fixed = sinks.repair_manifest_table(target)
             print(
                 f"repaired versions: {fixed}" if fixed
                 else "nothing to repair"
             )
         elif args.action == "show":
             df = sinks.read_manifest_table(
-                spark, args.target, version=args.version
+                spark, target, version=args.version
             )
             if df is None:
-                print("no manifest table at", args.target)
+                print("no manifest table at", target)
                 return 1
             df.show(20, truncate=False)
             print(f"rows: {df.count()}")

@@ -52,13 +52,39 @@ def scratch_dir(prefix: str) -> str:
     prefix instead of accumulating unboundedly. (Removal must happen
     here, not after the key returns — registered sink keys return a
     lazy DataFrame that still reads from the current dir.)
-    """
+
+    Cleanup is PID-SCOPED (r12b): dir names embed the creating pid,
+    and a call removes only its OWN process's previous dirs plus dirs
+    whose creator is dead. Two harnesses running the same key
+    concurrently (bench + oracle gate) previously deleted each
+    other's LIVE scratch mid-key — observed as a spurious "no
+    manifest table" from whichever process lost."""
     base = os.path.join(os.path.dirname(__file__), "..", "..", ".scratch")
     os.makedirs(base, exist_ok=True)
+    me = os.getpid()
+
+    def _creator_pid(entry: str) -> int | None:
+        part = entry[len(prefix):].split("-", 1)[0]
+        return int(part) if part.isdigit() else None
+
+    def _alive(pid: int) -> bool:
+        try:
+            os.kill(pid, 0)
+            return True
+        except ProcessLookupError:
+            return False
+        except PermissionError:
+            return True  # exists, owned elsewhere
+
     for entry in os.listdir(base):
-        if entry.startswith(prefix):
+        if not entry.startswith(prefix):
+            continue
+        pid = _creator_pid(entry)
+        # pid None = legacy pre-r12b name: safe to reclaim (no live
+        # process names dirs that way anymore)
+        if pid is None or pid == me or not _alive(pid):
             shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
-    return tempfile.mkdtemp(prefix=prefix, dir=base)
+    return tempfile.mkdtemp(prefix=f"{prefix}{me}-", dir=base)
 
 
 def insert_ignore(
@@ -217,8 +243,11 @@ _TXN_RESOLVE_WAIT_SECONDS = 2.0  # writer patience before force-abort
 _TXN_RESOLVE_POLL_SECONDS = 0.1
 # txn id -> "commit" | "abort"; outcomes are immutable once created,
 # so the cache can never go stale. Unresolved ("pending") is NEVER
-# cached — it is the one transient state.
+# cached — it is the one transient state. Bounded: a long-lived
+# process running millions of transactions must not grow this without
+# limit (eviction only costs a re-read of a tiny immutable file).
 _TXN_OUTCOME_CACHE: dict[str, str] = {}
+_TXN_OUTCOME_CACHE_MAX = 4096
 _TXN_OUTCOME_LOCK = threading.Lock()
 # thread-local pending-transaction context: while set, every manifest
 # publish on this thread is stamped `pending_txn` (invisible until
@@ -244,6 +273,12 @@ def _txn_mirror_path(target: str, txn_id: str) -> str:
 
 def _cache_txn_outcome(txn_id: str, outcome: str) -> None:
     with _TXN_OUTCOME_LOCK:
+        if len(_TXN_OUTCOME_CACHE) >= _TXN_OUTCOME_CACHE_MAX:
+            # evict the oldest half (dicts iterate in insertion order)
+            for k in list(_TXN_OUTCOME_CACHE)[
+                : _TXN_OUTCOME_CACHE_MAX // 2
+            ]:
+                _TXN_OUTCOME_CACHE.pop(k, None)
         _TXN_OUTCOME_CACHE[txn_id] = outcome
 
 

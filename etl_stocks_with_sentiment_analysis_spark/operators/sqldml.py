@@ -60,7 +60,9 @@ Statement surface
   a transaction spanning several tables (or needing several
   sequential commits) is ATOMIC via pending manifests + one
   outcome-file CAS (see the Transactions block below and the
-  multi-table transaction block in sinks.py).
+  multi-table transaction block in sinks.py). ``SAVEPOINT name`` /
+  ``ROLLBACK TO [SAVEPOINT] name`` / ``RELEASE [SAVEPOINT] name``
+  scope partial rollback inside the buffer.
 
 Scale notes: every route lands on the manifest API's partition-scoped
 merge / metadata-only commit paths, so the SQL layer adds parsing
@@ -803,8 +805,16 @@ def execute_sql(
         _ = p.eat("TRANSACTION") or p.eat("WORK")
         return _commit_txn(spark)
     if p.eat("ROLLBACK") or p.eat("ABORT"):
+        if p.eat("TO"):
+            p.eat("SAVEPOINT")
+            return _rollback_to_savepoint(spark, p.ident())
         _ = p.eat("TRANSACTION") or p.eat("WORK")
         return _rollback_txn(spark)
+    if p.eat("SAVEPOINT"):
+        return _savepoint(spark, p.ident())
+    if p.eat("RELEASE"):
+        p.eat("SAVEPOINT")
+        return _release_savepoint(spark, p.ident())
     if p.at("OPTIMIZE"):
         return _optimize(spark, p)
     if p.at("VACUUM"):
@@ -1385,6 +1395,67 @@ def _rollback_txn(spark: SparkSession) -> DataFrame:
         raise ValueError("ROLLBACK outside a transaction")
     _TXN_LOCAL.txn = None
     return _status(spark, "ROLLBACK", "", None)
+
+
+def _savepoint(spark: SparkSession, name: str) -> DataFrame:
+    """SAVEPOINT: record the buffer's current shape. ROLLBACK TO it
+    discards every statement buffered after it (Postgres semantics —
+    trivially exact here because nothing publishes before COMMIT, so
+    a savepoint is just buffer lengths + the identity-reservation
+    watermarks). One deliberate divergence: restoring the reservation
+    watermark REUSES the rolled-back ids, where Postgres sequences
+    never rewind (its ids would skip) — SERIAL promises uniqueness,
+    not density, and both keep it."""
+    txn = _current_txn()
+    if txn is None:
+        raise ValueError("SAVEPOINT outside a transaction")
+    sps = txn.setdefault("savepoints", {})
+    txn["sp_seq"] = txn.get("sp_seq", 0) + 1
+    sps[name.lower()] = {
+        "seq": txn["sp_seq"],
+        "order": list(txn["order"]),
+        "ops_len": {k: len(txn["tables"][k]["ops"]) for k in txn["order"]},
+        "reserved": dict(txn["reserved"]),
+    }
+    return _status(spark, "SAVEPOINT", name, None)
+
+
+def _rollback_to_savepoint(spark: SparkSession, name: str) -> DataFrame:
+    txn = _current_txn()
+    if txn is None:
+        raise ValueError("ROLLBACK TO SAVEPOINT outside a transaction")
+    sp = (txn.get("savepoints") or {}).get(name.lower())
+    if sp is None:
+        raise ValueError(f"no such savepoint {name!r}")
+    keep = set(sp["order"])
+    for k in list(txn["tables"]):
+        if k not in keep:
+            del txn["tables"][k]
+        else:
+            del txn["tables"][k]["ops"][sp["ops_len"][k]:]
+    txn["order"] = list(sp["order"])
+    txn["reserved"] = dict(sp["reserved"])
+    # Postgres: the savepoint survives its own ROLLBACK TO; savepoints
+    # established AFTER it are destroyed
+    txn["savepoints"] = {
+        n: s for n, s in txn["savepoints"].items() if s["seq"] <= sp["seq"]
+    }
+    return _status(spark, "ROLLBACK TO SAVEPOINT", name, None)
+
+
+def _release_savepoint(spark: SparkSession, name: str) -> DataFrame:
+    txn = _current_txn()
+    if txn is None:
+        raise ValueError("RELEASE SAVEPOINT outside a transaction")
+    sp = (txn.get("savepoints") or {}).get(name.lower())
+    if sp is None:
+        raise ValueError(f"no such savepoint {name!r}")
+    # Postgres: RELEASE destroys the savepoint and everything after it;
+    # the buffered statements themselves are KEPT
+    txn["savepoints"] = {
+        n: s for n, s in txn["savepoints"].items() if s["seq"] < sp["seq"]
+    }
+    return _status(spark, "RELEASE SAVEPOINT", name, None)
 
 
 def _txn_buffer(

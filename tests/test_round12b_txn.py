@@ -426,6 +426,96 @@ def test_concurrent_multi_table_txn_fuzz(spark, tmp_path, monkeypatch):
             assert sinks._version_is_committed(tgt, r["version"])
 
 
+def test_cli_table_snapshot(spark, tmp_path, capsys):
+    """`table snapshot <a> <b>` prints a consistent pin per table;
+    single-target actions refuse several paths."""
+    from etl_stocks_with_sentiment_analysis_spark.__main__ import main
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    with sinks.transaction():
+        sinks.upsert(spark, a, _df(spark, [(1, 10, 0)]), ["k", "g"],
+                     partition_col="g")
+        sinks.upsert(spark, b, _df(spark, [(5, 50, 0)]), ["k", "g"],
+                     partition_col="g")
+    assert main(["table", "snapshot", a, b]) in (None, 0)
+    out = capsys.readouterr().out
+    assert f"{a} @ version 0" in out and f"{b} @ version 0" in out
+    assert main(["table", "count", a, b]) == 1
+    assert "only `snapshot`" in capsys.readouterr().out
+
+
+def test_crash_between_outcome_and_mirrors(spark, tmp_path, monkeypatch):
+    """The one crash window the mirrors leave open: the committer dies
+    AFTER the canonical outcome CAS but BEFORE mirroring/checkpoints.
+    The transaction must still be COMMITTED everywhere — resolution
+    falls through to the canonical path and re-mirrors locally."""
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    outcome = sinks._txn_mirror_path(a, "txn-mirror-crash")
+    with sinks.pending_transaction("txn-mirror-crash", outcome) as ctx:
+        sinks.upsert(spark, a, _df(spark, [(1, 10, 0)]), ["k", "g"],
+                     partition_col="g")
+        sinks.upsert(spark, b, _df(spark, [(5, 50, 0)]), ["k", "g"],
+                     partition_col="g")
+    real = sinks._write_outcome_if_absent
+    calls = {"n": 0}
+
+    def die_after_canonical(path, text):
+        real(path, text)
+        calls["n"] += 1
+        raise KeyboardInterrupt("simulated kill after outcome CAS")
+
+    monkeypatch.setattr(sinks, "_write_outcome_if_absent",
+                        die_after_canonical)
+    with pytest.raises(KeyboardInterrupt):
+        sinks.commit_pending_transaction(ctx)
+    monkeypatch.undo()
+    assert calls["n"] == 1  # canonical landed, mirrors did not
+    _fresh_outcome_view()
+    # b resolves committed via the CANONICAL outcome (its own mirror
+    # never landed) and re-mirrors it locally on that first,
+    # cache-cold resolution...
+    assert _count(spark, b) == 1
+    assert fsio.exists(sinks._txn_mirror_path(b, "txn-mirror-crash"))
+    # ...and a (hosting the canonical file) resolves committed too
+    assert _count(spark, a) == 1
+
+
+def test_savepoints(spark, tmp_path):
+    """SAVEPOINT / ROLLBACK TO / RELEASE over the transaction buffer:
+    rollback-to discards later statements (including a later table's
+    whole participation), the savepoint survives its own rollback,
+    release destroys later savepoints but keeps statements."""
+    from etl_stocks_with_sentiment_analysis_spark.operators import sqldml
+
+    spark.conf.set("spark.manifest_sql.warehouse", str(tmp_path / "wh"))
+    run = lambda s, p=None: sqldml.execute_sql(spark, s, params=p)
+    run("CREATE SCHEMA IF NOT EXISTS sv")
+    run("CREATE TABLE sv.a (k BIGINT, v BIGINT)")
+    run("CREATE TABLE sv.b (k BIGINT)")
+    with pytest.raises(ValueError, match="outside"):
+        run("SAVEPOINT s1")
+    run("BEGIN")
+    run("INSERT INTO sv.a VALUES (1, 10)")
+    run("SAVEPOINT s1")
+    run("INSERT INTO sv.a VALUES (2, 20)")
+    run("INSERT INTO sv.b VALUES (9)")     # b joins after s1
+    run("SAVEPOINT s2")
+    run("INSERT INTO sv.a VALUES (3, 30)")
+    run("ROLLBACK TO SAVEPOINT s1")        # drops (2,20), b, (3,30), s2
+    with pytest.raises(ValueError, match="no such savepoint"):
+        run("ROLLBACK TO SAVEPOINT s2")
+    run("INSERT INTO sv.a VALUES (4, 40)")
+    run("ROLLBACK TO s1")                  # s1 survives its own rollback
+    run("INSERT INTO sv.a VALUES (5, 50)")
+    run("RELEASE SAVEPOINT s1")            # statements kept, s1 gone
+    with pytest.raises(ValueError, match="no such savepoint"):
+        run("ROLLBACK TO s1")
+    run("COMMIT")
+    got = {(r["k"], r["v"]) for r in run("SELECT k, v FROM sv.a").collect()}
+    assert got == {(1, 10), (5, 50)}
+    assert run("SELECT COUNT(*) AS n FROM sv.b").collect()[0]["n"] == 0
+
+
 def test_snapshot_closure_repairs_torn_pins(spark, tmp_path):
     """snapshot_tables' transaction closure: a pin set captured
     mid-outcome-flip (table A pinned AT its txn version, table B
