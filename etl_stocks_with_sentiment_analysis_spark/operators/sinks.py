@@ -182,6 +182,11 @@ _LOG_MODE_TARGETS: set[str] = set()
 # stripped by _commit_metadata_only before republishing state.
 _EPHEMERAL_STATE_KEYS = ("repaired_from",)
 
+# FILE-level stamps written at publish time (commit wall clock for
+# TIMESTAMP AS OF; the multi-table transaction marker). They describe
+# one published file and are stripped from every loaded STATE.
+_FILE_STAMP_KEYS = ("pending_txn", "committed_at")
+
 
 class ManifestConflictError(RuntimeError):
     """A concurrent writer committed the manifest version this writer
@@ -1111,20 +1116,22 @@ def _load_state(target: str, version: int, raw=None):
         raw = _read_manifest_version(target, version)
     if not isinstance(raw, dict):
         return raw
-    # the pending_txn stamp is a FILE attribute (visibility is decided
-    # on raw manifests), never logical state: strip it so downstream
+    # FILE stamps (pending_txn, committed_at) are attributes of one
+    # published file, never logical state: strip them so downstream
     # state copies (_commit_metadata_only republishes a deep copy)
-    # can't propagate a resolved transaction's marker into descendants
+    # can't propagate a stale stamp into descendants
     if raw.get("format") == "full-sharded":
         st = _materialize_full(target, raw)
         if not isinstance(st, dict):
             return _BAD
         # private copy — the assembled dict shares cached shard objects
         st = json.loads(json.dumps(st))
-        st.pop("pending_txn", None)
+        for k in _FILE_STAMP_KEYS:
+            st.pop(k, None)
         return st
     if raw.get("format") != "delta":
-        raw.pop("pending_txn", None)
+        for k in _FILE_STAMP_KEYS:
+            raw.pop(k, None)
         return raw
     bv = raw["base"]
     base = _BASE_STATE_CACHE.get((target, bv))
@@ -1137,7 +1144,8 @@ def _load_state(target: str, version: int, raw=None):
             return _BAD
         _cache_base(target, bv, base)
     st = _fold_delta(base, raw)
-    st.pop("pending_txn", None)
+    for k in _FILE_STAMP_KEYS:
+        st.pop(k, None)
     return st
 
 
@@ -1840,14 +1848,66 @@ def _read_manifest_dirs(
     return out.select(*[F.col(f.name) for f in schema.fields])
 
 
+def version_at_timestamp(target: str, ts) -> int:
+    """TIMESTAMP AS OF resolution (r12b, the Delta semantics): the
+    NEWEST committed version whose recorded commit wall-clock is <=
+    `ts`. Accepts an epoch float/int, a datetime, or an ISO string
+    (naive strings read as UTC, like Spark session default here).
+    Raises if `ts` precedes the earliest timestamped commit. Commits
+    written before this feature carry no timestamp and cannot match —
+    the error says so. Same caveat as Delta: timestamps come from the
+    WRITER's clock, so cross-writer skew can reorder near-simultaneous
+    commits; version numbers are the precise pin."""
+    import datetime as _dt2
+
+    if isinstance(ts, str):
+        t = _dt2.datetime.fromisoformat(ts)
+        if t.tzinfo is None:
+            t = t.replace(tzinfo=_dt2.timezone.utc)
+        ts = t.timestamp()
+    elif isinstance(ts, _dt2.datetime):
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=_dt2.timezone.utc)
+        ts = ts.timestamp()
+    ts = float(ts)
+    best = None
+    any_stamped = False
+    for v in _list_manifest_versions(target):
+        raw = _read_manifest_version(target, v)
+        if not isinstance(raw, dict):
+            continue
+        if _txn_visibility(target, raw) != "committed":
+            continue
+        at = raw.get("committed_at")
+        if at is None:
+            continue  # pre-r12b commit: no recorded timestamp
+        any_stamped = True
+        if float(at) <= ts and (best is None or v > best):
+            best = v
+    if best is None:
+        raise ValueError(
+            f"no committed version at or before timestamp {ts} at "
+            f"{target}"
+            + (
+                ""
+                if any_stamped
+                else " — this table's commits predate recorded commit "
+                "timestamps; pin by VERSION AS OF instead"
+            )
+        )
+    return best
+
+
 def read_manifest_table(
     spark: SparkSession,
     target: str,
     version: int | None = None,
     bounds: dict | None = None,
+    timestamp=None,
 ) -> DataFrame | None:
     """Reader side of the manifest commit protocol: resolve a manifest
-    (the NEWEST by default, or an explicit retained ``version`` — time
+    (the NEWEST by default, an explicit retained ``version``, or a
+    ``timestamp`` resolved via `version_at_timestamp` — time
     travel within the `_RETAIN_VERSIONS` window), read exactly the data
     directories it references (each partition entry may point into a
     different snapshot — untouched partitions are carried forward by
@@ -1875,6 +1935,10 @@ def read_manifest_table(
     `_latest_manifest`), so resolution costs O(1) reads on any URI
     scheme regardless of how many commits the append-only log holds.
     """
+    if timestamp is not None:
+        if version is not None:
+            raise ValueError("pass version OR timestamp, not both")
+        version = version_at_timestamp(target, timestamp)
     if version is None:
         _, man = _latest_manifest(target)
         if man is None:
@@ -2149,19 +2213,24 @@ def _write_manifest_atomic(
     final = fsio.join(target, _LOG_DIR, _manifest_name(version))
     text = _encode_manifest(target, version, manifest, force_full=force_full)
     txn_ctx = _pending_txn_ctx()
+    # FILE-level stamps (never logical state — _load_state strips
+    # them so metadata-only republishes can't inherit a stale stamp):
+    # `committed_at` = driver wall clock at publish, the TIMESTAMP AS
+    # OF resolution key (Delta's commit timestamp; same single-writer-
+    # clock caveat). `pending_txn` = multi-table transaction marker.
+    stamped = json.loads(text)
+    stamped["committed_at"] = round(time.time(), 3)
     if txn_ctx is not None:
-        # stamp the FILE (not the logical state): this version is
-        # invisible to every reader until the transaction's outcome
-        # CAS lands (see the multi-table transaction block above)
         if txn_ctx["outcome"] is None:
             # lazy coordinator election (transaction() API): the
             # first table the scope commits to hosts the outcome
             txn_ctx["outcome"] = _txn_mirror_path(target, txn_ctx["id"])
-        stamped = json.loads(text)
+        # this version is invisible to every reader until the
+        # transaction's outcome CAS lands (multi-table block above)
         stamped["pending_txn"] = {
             "id": txn_ctx["id"], "outcome": txn_ctx["outcome"],
         }
-        text = json.dumps(stamped, indent=1, sort_keys=True)
+    text = json.dumps(stamped, indent=1, sort_keys=True)
     try:
         try:
             fsio.create_text_if_absent(final, text)
@@ -4156,7 +4225,11 @@ def manifest_table_history(spark: SparkSession, target: str) -> DataFrame:
     (NULL for pre-entry_rows manifests), n_snapshots,
     n_external_snapshots (non-zero for shallow clones), layout (the
     last full rewrite's clustering, e.g. ``zorder(ts,value)
-    point(event_id)``; NULL when never clustered)."""
+    point(event_id)``; NULL when never clustered), committed_at (the
+    publish wall clock backing TIMESTAMP AS OF, r12b; NULL for
+    commits predating the stamp)."""
+    import datetime as _dt2
+
     rows = []
     for v in _list_manifest_versions(target):
         raw = _read_manifest_version(target, v)
@@ -4167,6 +4240,7 @@ def manifest_table_history(spark: SparkSession, target: str) -> DataFrame:
             # never table states — history shows committed versions,
             # like Delta's DESCRIBE HISTORY
             continue
+        at = raw.get("committed_at")
         man = _load_state(target, v, raw=raw)
         if not isinstance(man, dict):
             continue
@@ -4194,13 +4268,20 @@ def manifest_table_history(spark: SparkSession, target: str) -> DataFrame:
                 len(man.get("external_bases") or {}),
                 n_pending,
                 lay_str,
+                (
+                    _dt2.datetime.fromtimestamp(
+                        float(at), _dt2.timezone.utc
+                    ).replace(tzinfo=None)
+                    if at is not None
+                    else None
+                ),
             )
         )
     return spark.createDataFrame(
         sorted(rows),
         "version INT, partition_col STRING, n_entries INT, "
         "n_rows BIGINT, n_snapshots INT, n_external_snapshots INT, "
-        "n_pending_deletes INT, layout STRING",
+        "n_pending_deletes INT, layout STRING, committed_at TIMESTAMP",
     )
 
 

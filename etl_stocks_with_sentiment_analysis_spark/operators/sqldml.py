@@ -45,8 +45,10 @@ Statement surface
   — the reference's analytics layer (`sql/dashboard_views.sql`), with
   live-table freshness through the tracked-view rebuild cascade.
 - Delta-dialect maintenance: ``SELECT ... FROM t VERSION AS OF n``
-  (time travel), ``DESCRIBE HISTORY t``, ``OPTIMIZE t [ZORDER BY
-  (cols)]``, ``VACUUM t``, ``RESTORE [TABLE] t TO VERSION AS OF n``
+  and ``... TIMESTAMP AS OF 'ts'`` (time travel; commit wall clocks
+  are stamped per manifest, r12b), ``DESCRIBE HISTORY t`` (includes
+  ``committed_at``), ``OPTIMIZE t [ZORDER BY (cols)]``, ``VACUUM t``,
+  ``RESTORE [TABLE] t TO VERSION AS OF n | TO TIMESTAMP AS OF 'ts'``
   (metadata-only rollback), ``SHOW CREATE TABLE t`` (round-trippable
   DDL reconstruction).
 - Everything else (SELECT/WITH/VALUES/EXPLAIN/SHOW/DESCRIBE) is the
@@ -628,12 +630,14 @@ _READ_HEADS = frozenset(
 
 
 def _rewrite_time_travel(spark: SparkSession, sql: str) -> str:
-    """`FROM t VERSION AS OF n` (the Delta time-travel read, spelled
-    in SQL) over BOUND tables: each occurrence registers a pinned
-    snapshot view `<view>__v<n>` (re-registration is idempotent; the
-    version must still be inside the retention window) and the
-    clause rewrites to that view name. Only names this router bound
-    are touched."""
+    """`FROM t VERSION AS OF n` and `FROM t TIMESTAMP AS OF 'ts'`
+    (the Delta time-travel reads, spelled in SQL) over BOUND tables:
+    each occurrence registers a pinned snapshot view `<view>__v<n>`
+    (re-registration is idempotent; the version must still be inside
+    the retention window) and the clause rewrites to that view name
+    — a timestamp resolves to its version first
+    (`sinks.version_at_timestamp`). Only names this router bound are
+    touched."""
     toks = _tokenize(sql)
     out: list[str] = []
     last = 0
@@ -643,11 +647,20 @@ def _rewrite_time_travel(spark: SparkSession, sql: str) -> str:
         if (
             t.kind == "word"
             and i + 3 < len(toks)
-            and toks[i + 1].upper == "VERSION"
+            and toks[i + 1].upper in ("VERSION", "TIMESTAMP")
             and toks[i + 2].upper == "AS"
             and toks[i + 3].upper == "OF"
             and i + 4 < len(toks)
-            and toks[i + 4].kind == "number"
+            and (
+                (
+                    toks[i + 1].upper == "VERSION"
+                    and toks[i + 4].kind == "number"
+                )
+                or (
+                    toks[i + 1].upper == "TIMESTAMP"
+                    and toks[i + 4].kind == "string"
+                )
+            )
         ):
             name = t.text.lower()
             try:
@@ -655,7 +668,12 @@ def _rewrite_time_travel(spark: SparkSession, sql: str) -> str:
             except ValueError:
                 i += 1
                 continue
-            ver = int(toks[i + 4].text)
+            if toks[i + 1].upper == "VERSION":
+                ver = int(toks[i + 4].text)
+            else:
+                ver = sinks.version_at_timestamp(
+                    target, toks[i + 4].text[1:-1].replace("''", "'")
+                )
             pinned = f"{view_name_for(name)}__v{ver}"
             sinks.register_manifest_view(spark, target, pinned, version=ver)
             with _SQL_LOCK:
@@ -846,12 +864,29 @@ def execute_sql(
         p.expect("RESTORE")
         p.eat("TABLE")
         name = p.qname()
-        p.expect("TO", "VERSION", "AS", "OF")
-        t = p.peek()
-        if t is None or t.kind != "number":
-            raise ValueError("RESTORE ... TO VERSION AS OF needs a number")
-        p.i += 1
-        sinks.restore_manifest_table(spark, _resolve_table(name), int(t.text))
+        p.expect("TO")
+        target = _resolve_table(name)
+        if p.eat("TIMESTAMP", "AS", "OF"):
+            t = p.peek()
+            if t is None or t.kind != "string":
+                raise ValueError(
+                    "RESTORE ... TO TIMESTAMP AS OF needs a quoted "
+                    "timestamp string"
+                )
+            p.i += 1
+            ver = sinks.version_at_timestamp(
+                target, t.text[1:-1].replace("''", "'")
+            )
+        else:
+            p.expect("VERSION", "AS", "OF")
+            t = p.peek()
+            if t is None or t.kind != "number":
+                raise ValueError(
+                    "RESTORE ... TO VERSION AS OF needs a number"
+                )
+            p.i += 1
+            ver = int(t.text)
+        sinks.restore_manifest_table(spark, target, ver)
         return _status(spark, "RESTORE", name, None)
     raise ValueError(
         f"unsupported SQL statement head {head!r} — supported: SELECT/"
@@ -2767,4 +2802,77 @@ def sink_manifest_txn_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
                    FROM txnm.px) AS px_new_cents,
                   (SELECT COUNT(*) FROM txnm.sg) AS sg_rows,
                   (SELECT CAST(SUM(n) AS BIGINT) FROM txnm.sg) AS sg_n"""
+    )
+
+
+_TT_TS_ORACLE = """
+WITH base AS (
+  SELECT user_id,
+         SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS cents
+  FROM events GROUP BY user_id
+)
+SELECT COUNT(*) AS n_users,
+       CAST(SUM(cents) AS BIGINT) AS cents
+FROM base"""
+
+
+@register("sink_manifest_time_travel_ts", oracle=_TT_TS_ORACLE)
+def sink_manifest_time_travel_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIMESTAMP AS OF time travel (r12b — the Delta read Spark users
+    reach for when they know WHEN, not which version): every commit
+    stamps its publish wall clock into the manifest FILE
+    (sinks._write_manifest_atomic; stripped from logical state), and
+    `sinks.version_at_timestamp` resolves the newest committed version
+    at-or-before the timestamp, skipping aborted transaction slots.
+
+    Scenario: seed v0 from the events aggregate; capture a wall-clock
+    instant; then v1 REWRITES a row and ADDS one. Reading
+    ``TIMESTAMP AS OF '<instant>'`` — through BOTH the Python API and
+    the SQL clause (asserted identical) — must return exactly the v0
+    state; the oracle recomputes it from events. The SQL route is the
+    returned frame, so the statement surface itself is oracle-checked.
+    DESCRIBE HISTORY exposes the stamps as `committed_at`."""
+    import datetime as _dt2
+    import time as _time
+
+    base = sinks.scratch_dir("s37_")
+    target = os.path.join(base, "tts")
+    events = load_table(spark, sf_dir, "events")
+    seed = events.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents")
+    )
+    sinks.upsert(spark, target, seed, ["user_id"])  # v0
+    _time.sleep(0.05)
+    t_mid = _time.time()
+    _time.sleep(0.05)
+    sinks.upsert(
+        spark, target,
+        spark.createDataFrame(
+            [(1, 0), (900001, 11)], "user_id BIGINT, cents BIGINT"
+        ),
+        ["user_id"],
+    )  # v1: rewrite + add — must NOT appear at the pin
+    api = sinks.read_manifest_table(spark, target, timestamp=t_mid)
+    assert api.filter(F.col("user_id") == 900001).count() == 0
+    latest = sinks.read_manifest_table(spark, target)
+    assert latest.filter(F.col("user_id") == 900001).count() == 1
+    # history exposes the stamps backing the resolution
+    hist = sinks.manifest_table_history(spark, target)
+    assert hist.filter(F.col("committed_at").isNotNull()).count() == 2
+    bind_sql_table(spark, "tts.t", target)
+    iso = (
+        _dt2.datetime.fromtimestamp(t_mid, _dt2.timezone.utc)
+        .replace(tzinfo=None).isoformat()
+    )
+    sql_pin = execute_sql(
+        spark,
+        f"SELECT user_id, cents FROM tts.t TIMESTAMP AS OF '{iso}'",
+    )
+    assert {tuple(r) for r in sql_pin.collect()} == {
+        tuple(r) for r in api.select("user_id", "cents").collect()
+    }
+    return execute_sql(
+        spark,
+        "SELECT COUNT(*) AS n_users, CAST(SUM(cents) AS BIGINT) AS cents "
+        f"FROM tts.t TIMESTAMP AS OF '{iso}'",
     )

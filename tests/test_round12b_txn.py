@@ -426,6 +426,63 @@ def test_concurrent_multi_table_txn_fuzz(spark, tmp_path, monkeypatch):
             assert sinks._version_is_committed(tgt, r["version"])
 
 
+def test_timestamp_as_of(spark, tmp_path):
+    """TIMESTAMP AS OF: resolves the newest committed version at or
+    before the instant, skips aborted transaction slots, errors
+    before the first commit, and RESTORE TO TIMESTAMP AS OF rolls
+    back through the same resolution."""
+    import datetime
+    import time
+
+    from etl_stocks_with_sentiment_analysis_spark.operators import sqldml
+
+    t = str(tmp_path / "t")
+    sinks.upsert(spark, t, _df(spark, [(1, 10, 0)]), ["k", "g"],
+                 partition_col="g")  # v0
+    time.sleep(0.05)
+    t_mid = time.time()
+    time.sleep(0.05)
+    # aborted txn version occupies v1 AFTER t_mid
+    with sinks.pending_transaction(
+        "tt-ts-1", sinks._txn_mirror_path(t, "tt-ts-1")
+    ) as ctx:
+        sinks.upsert(spark, t, _df(spark, [(2, 20, 0)]), ["k", "g"],
+                     partition_col="g")
+    sinks.abort_pending_transaction(ctx)
+    sinks.upsert(spark, t, _df(spark, [(3, 30, 1)]), ["k", "g"],
+                 partition_col="g")  # v2
+    assert sinks.version_at_timestamp(t, t_mid) == 0
+    assert sinks.version_at_timestamp(t, time.time()) == 2  # skips v1
+    with pytest.raises(ValueError, match="no committed version"):
+        sinks.version_at_timestamp(t, t_mid - 3600)
+    got = {
+        (r["k"], r["v"])
+        for r in sinks.read_manifest_table(
+            spark, t, timestamp=t_mid
+        ).collect()
+    }
+    assert got == {(1, 10)}
+    with pytest.raises(ValueError, match="version OR timestamp"):
+        sinks.read_manifest_table(spark, t, version=0, timestamp=t_mid)
+    # datetime and ISO-string spellings resolve identically
+    iso = (
+        datetime.datetime.fromtimestamp(t_mid, datetime.timezone.utc)
+        .replace(tzinfo=None).isoformat()
+    )
+    assert sinks.version_at_timestamp(t, iso) == 0
+    # SQL: RESTORE TABLE ... TO TIMESTAMP AS OF rolls back to v0
+    spark.conf.set("spark.manifest_sql.warehouse", str(tmp_path / "wh"))
+    sqldml.bind_sql_table(spark, "tt.t", t)
+    sqldml.execute_sql(
+        spark, f"RESTORE TABLE tt.t TO TIMESTAMP AS OF '{iso}'"
+    )
+    got = {
+        (r["k"], r["v"])
+        for r in sinks.read_manifest_table(spark, t).collect()
+    }
+    assert got == {(1, 10)}
+
+
 def test_cli_table_snapshot(spark, tmp_path, capsys):
     """`table snapshot <a> <b>` prints a consistent pin per table;
     single-target actions refuse several paths."""
