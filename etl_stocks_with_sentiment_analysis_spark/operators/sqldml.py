@@ -51,6 +51,10 @@ Statement surface
   ``RESTORE [TABLE] t TO VERSION AS OF n | TO TIMESTAMP AS OF 'ts'``
   (metadata-only rollback), ``SHOW CREATE TABLE t`` (round-trippable
   DDL reconstruction).
+- Catalog introspection (r12b): ``SHOW TABLES``,
+  ``information_schema.tables`` / ``.columns`` (what BI tools issue
+  on connect — the reference fronts Postgres with Metabase), and
+  ``ANALYZE t`` returning the commit-time per-entry stats.
 - Everything else (SELECT/WITH/VALUES/EXPLAIN/SHOW/DESCRIBE) is the
   READ path: tracked views refresh (`manifest_sql` semantics) and the
   text runs through ``spark.sql`` with bound schema-qualified names
@@ -764,12 +768,113 @@ def _pg_compat(sql: str) -> str:
     return "".join(out)
 
 
+_INFOSCHEMA_VIEWS = {"tables": "information_schema__tables",
+                     "columns": "information_schema__columns"}
+
+
+def _refresh_information_schema(spark: SparkSession) -> None:
+    """Materialize `information_schema.tables` / `.columns` over the
+    binding registry — the introspection surface BI tools (the
+    reference fronts Postgres with Metabase) issue on connect. Driver
+    work is O(bound tables) manifest METADATA reads; no data files
+    are opened (column lists come from the recorded schema JSON)."""
+    import json
+
+    from pyspark.sql.types import StructType
+
+    with _SQL_LOCK:
+        tables = dict(_SQL_TABLES)
+        views = dict(_SQL_VIEWS)
+    trows, crows = [], []
+
+    def split(name: str) -> tuple[str, str]:
+        return tuple(name.rsplit(".", 1)) if "." in name else (
+            "public", name
+        )
+
+    for name, target in sorted(tables.items()):
+        sch, tbl = split(name)
+        trows.append((sch, tbl, "BASE TABLE"))
+        _, man = sinks._latest_manifest(target)
+        if man is None:
+            continue
+        st = StructType.fromJson(json.loads(man["schema"]))
+        for pos, f in enumerate(st.fields, start=1):
+            crows.append((
+                sch, tbl, f.name, pos, f.dataType.simpleString(),
+                "YES" if f.nullable else "NO",
+            ))
+    for name in sorted(views):
+        sch, tbl = split(name)
+        trows.append((sch, tbl, "VIEW"))
+        try:
+            st = spark.table(view_name_for(name)).schema
+        except Exception:  # noqa: BLE001 - stale view: list it, no cols
+            continue
+        for pos, f in enumerate(st.fields, start=1):
+            crows.append((
+                sch, tbl, f.name, pos, f.dataType.simpleString(),
+                "YES" if f.nullable else "NO",
+            ))
+    spark.createDataFrame(
+        trows or [("", "", "")],
+        "table_schema STRING, table_name STRING, table_type STRING",
+    ).filter("table_name <> ''").createOrReplaceTempView(
+        _INFOSCHEMA_VIEWS["tables"]
+    )
+    spark.createDataFrame(
+        crows or [("", "", "", 0, "", "")],
+        "table_schema STRING, table_name STRING, column_name STRING, "
+        "ordinal_position INT, data_type STRING, is_nullable STRING",
+    ).filter("table_name <> ''").createOrReplaceTempView(
+        _INFOSCHEMA_VIEWS["columns"]
+    )
+
+
+def _rewrite_information_schema(spark: SparkSession, sql: str) -> str:
+    """Rewrite `information_schema.tables|columns` to the registered
+    temp views (refreshing them first). Tokenizer-based like the
+    bound-name rewrite, so string literals are never touched."""
+    if "information_schema" not in sql.lower():
+        return sql
+    _refresh_information_schema(spark)
+    toks = _tokenize(sql)
+    out: list[str] = []
+    last = 0
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if (
+            t.kind == "word"
+            and t.text.lower() == "information_schema"
+            and i + 2 < len(toks)
+            and toks[i + 1].text == "."
+            and toks[i + 2].kind == "word"
+            and toks[i + 2].text.lower() in _INFOSCHEMA_VIEWS
+        ):
+            out.append(sql[last : t.start])
+            out.append(_INFOSCHEMA_VIEWS[toks[i + 2].text.lower()])
+            last = toks[i + 2].end
+            i += 3
+            continue
+        i += 1
+    out.append(sql[last:])
+    return "".join(out)
+
+
 def _read_sql(spark: SparkSession, sql: str) -> DataFrame:
     """The read path every SELECT-shaped text takes: bound-name
-    rewrite -> time-travel pinning -> Postgres-compat transforms ->
-    `spark.sql`."""
+    rewrite -> information_schema rewrite -> time-travel pinning ->
+    Postgres-compat transforms -> `spark.sql`."""
     return spark.sql(
-        _pg_compat(_rewrite_time_travel(spark, _rewrite_bound_names(sql)))
+        _pg_compat(
+            _rewrite_time_travel(
+                spark,
+                _rewrite_information_schema(
+                    spark, _rewrite_bound_names(sql)
+                ),
+            )
+        )
     )
 
 
@@ -807,6 +912,15 @@ def execute_sql(
         q = _Parser(sql)
         q.expect("SHOW", "CREATE", "TABLE")
         return _show_create_table(spark, q.qname())
+    if head == "SHOW" and len(toks) > 1 and toks[1].upper == "TABLES":
+        # the router's catalog, not Spark's temp-view catalog — what a
+        # Postgres client's \dt / SHOW TABLES means here
+        _refresh_information_schema(spark)
+        return spark.sql(
+            "SELECT table_schema, table_name, table_type "
+            f"FROM {_INFOSCHEMA_VIEWS['tables']} "
+            "ORDER BY table_schema, table_name"
+        )
     if head in ("DESCRIBE", "DESC") and len(toks) > 1 and toks[1].upper == "HISTORY":
         q = _Parser(sql)
         q.expect(head, "HISTORY")
@@ -837,6 +951,15 @@ def execute_sql(
         return _optimize(spark, p)
     if p.at("VACUUM"):
         return _vacuum(spark, p)
+    if p.at("ANALYZE"):
+        # Postgres ANALYZE = refresh planner stats; this engine's
+        # per-entry stats are recorded AT COMMIT, so ANALYZE just
+        # returns them (metadata-only, no files opened)
+        p.expect("ANALYZE")
+        p.eat("TABLE")
+        return sinks.manifest_table_stats(
+            spark, _resolve_table(p.qname())
+        )
     if p.eat("CREATE", "SCHEMA") or p.eat("CREATE", "DATABASE"):
         return _create_schema(spark, p)
     if p.at("CREATE", "TABLE") or p.at("CREATE", "OR", "REPLACE", "TABLE"):
@@ -2875,4 +2998,63 @@ def sink_manifest_time_travel_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         "SELECT COUNT(*) AS n_users, CAST(SUM(cents) AS BIGINT) AS cents "
         f"FROM tts.t TIMESTAMP AS OF '{iso}'",
+    )
+
+
+_CATALOG_ORACLE = """
+SELECT * FROM (VALUES
+  ('px', CAST(3 AS BIGINT), 'string'),
+  ('sg', 1, 'bigint')
+) AS v(table_name, n_cols, c1_type)"""
+
+
+@register("sink_manifest_catalog", oracle=_CATALOG_ORACLE)
+def sink_manifest_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CATALOG INTROSPECTION (r12b): `information_schema.tables` /
+    `.columns` and `SHOW TABLES` over the binding registry — the
+    queries a BI tool issues on connect (the reference fronts its
+    Postgres with Metabase, which walks information_schema). Built
+    from bound manifests' recorded schema JSON: O(bound tables)
+    metadata reads, no data files opened.
+
+    Asserted: SHOW TABLES lists the schema's two base tables and one
+    view with types; ANALYZE returns the commit-time stats frame.
+    Returned (oracle-checked): per-table column counts and first
+    column types from an information_schema join."""
+    base = sinks.scratch_dir("s38_")
+    spark.conf.set("spark.manifest_sql.warehouse", base)
+    run = lambda s, p=None: execute_sql(spark, s, params=p)
+    run("DROP TABLE IF EXISTS cat.px")
+    run("DROP TABLE IF EXISTS cat.sg")
+    run("CREATE SCHEMA IF NOT EXISTS cat")
+    run(
+        """CREATE TABLE cat.px (
+               ticker VARCHAR(10) NOT NULL, date DATE, close NUMERIC,
+               UNIQUE(ticker)
+           )"""
+    )
+    run("CREATE TABLE cat.sg (k BIGINT)")
+    run("INSERT INTO cat.sg VALUES (1), (2)")
+    run("CREATE OR REPLACE VIEW cat.v AS SELECT k FROM cat.sg")
+    shown = {
+        (r["table_name"], r["table_type"])
+        for r in run("SHOW TABLES").collect()
+        if r["table_schema"] == "cat"
+    }
+    assert shown == {
+        ("px", "BASE TABLE"), ("sg", "BASE TABLE"), ("v", "VIEW")
+    }, shown
+    stats = run("ANALYZE cat.sg").collect()
+    assert sum(int(r["n_rows"]) for r in stats) == 2
+    return run(
+        """SELECT c.table_name,
+                  COUNT(*) AS n_cols,
+                  MAX(CASE WHEN c.ordinal_position = 1
+                           THEN c.data_type END) AS c1_type
+           FROM information_schema.columns c
+           JOIN information_schema.tables t
+             ON t.table_schema = c.table_schema
+            AND t.table_name = c.table_name
+           WHERE c.table_schema = 'cat' AND t.table_type = 'BASE TABLE'
+           GROUP BY c.table_name"""
     )

@@ -426,6 +426,43 @@ def test_concurrent_multi_table_txn_fuzz(spark, tmp_path, monkeypatch):
             assert sinks._version_is_committed(tgt, r["version"])
 
 
+def test_information_schema_and_show_tables(spark, tmp_path):
+    """Introspection edges: the rewriter never touches string
+    literals; view columns resolve; DESCRIBE HISTORY's committed_at
+    rides along; ANALYZE routes to commit-time stats."""
+    from etl_stocks_with_sentiment_analysis_spark.operators import sqldml
+
+    spark.conf.set("spark.manifest_sql.warehouse", str(tmp_path / "wh"))
+    run = lambda s, p=None: sqldml.execute_sql(spark, s, params=p)
+    run("CREATE SCHEMA IF NOT EXISTS isx")
+    run("CREATE TABLE isx.t (a BIGINT, b TEXT)")
+    run("CREATE OR REPLACE VIEW isx.w AS SELECT a FROM isx.t")
+    cols = {
+        (r["column_name"], r["data_type"])
+        for r in run(
+            "SELECT column_name, data_type FROM information_schema.columns "
+            "WHERE table_schema = 'isx' AND table_name = 't'"
+        ).collect()
+    }
+    assert cols == {("a", "bigint"), ("b", "string")}
+    vcols = [
+        r["column_name"]
+        for r in run(
+            "SELECT column_name FROM information_schema.columns "
+            "WHERE table_schema = 'isx' AND table_name = 'w'"
+        ).collect()
+    ]
+    assert vcols == ["a"]
+    # a string literal containing the phrase is data, not a reference
+    got = run(
+        "SELECT 'information_schema.tables' AS s"
+    ).collect()[0]["s"]
+    assert got == "information_schema.tables"
+    hist = run("DESCRIBE HISTORY isx.t")
+    assert "committed_at" in hist.columns
+    assert hist.filter("committed_at IS NOT NULL").count() == hist.count()
+
+
 def test_timestamp_as_of(spark, tmp_path):
     """TIMESTAMP AS OF: resolves the newest committed version at or
     before the instant, skips aborted transaction slots, errors
