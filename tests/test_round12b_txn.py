@@ -346,9 +346,27 @@ def test_concurrent_multi_table_txn_fuzz(spark, tmp_path, monkeypatch):
             op_id = wid * 1000 + seq
             ks = sorted({wid * 100 + rng.randint(1, 9) for _ in range(2)})
             kind = rng.choice(["txn", "txn", "plain_a", "plain_b",
-                               "zombie"])
+                               "zombie", "txn_mixed"])
             try:
-                if kind == "txn":
+                if kind == "txn_mixed":
+                    # transactional DELETE+UPSERT across both tables
+                    # (r12b statement groups): delete one of the
+                    # writer's keys from b, upsert into a — atomic
+                    run("BEGIN")
+                    try:
+                        run(f"DELETE FROM fzm.b WHERE k = {ks[0]}")
+                        run(upd.format(
+                            t="a", vals=f"({ks[0]}, {op_id})"
+                        ))
+                        run("COMMIT")
+                    except sinks.TransactionAbortedError:
+                        continue
+                    except Exception:
+                        if sqldml._current_txn() is not None:
+                            run("ROLLBACK")
+                        raise
+                    logs[wid].append(("mixed", [ks[0]], None, op_id))
+                elif kind == "txn":
                     vals_a = ", ".join(f"({k}, {op_id})" for k in ks)
                     vals_b = ", ".join(
                         f"({k}, {op_id})" for k in ks[:1]
@@ -404,6 +422,9 @@ def test_concurrent_multi_table_txn_fuzz(spark, tmp_path, monkeypatch):
                     model_a[k] = op_id
                 for k in ks_b:
                     model_b[k] = op_id
+            elif kind == "mixed":
+                model_b.pop(ks[0], None)
+                model_a[ks[0]] = op_id
             elif kind == "set_a":
                 for k in ks:
                     model_a[k] = op_id
