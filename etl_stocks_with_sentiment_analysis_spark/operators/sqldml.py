@@ -1502,12 +1502,13 @@ def _identity_start(
 # a run of plain INSERTs = one append; a run of same-arbiter DO
 # NOTHINGs = one first-wins merge; DO UPDATE / UPDATE / DELETE run
 # one commit each, in sequence, each seeing its predecessors'
-# staged state). Reads inside a transaction see the pre-transaction
-# snapshot (read-your-own-writes is NOT provided — a divergence from
-# Postgres; the staged rows become readable only at COMMIT).
-# DDL/MERGE/maintenance statements auto-commit and are refused
-# inside a transaction, like Postgres DDL effectively does for this
-# engine. ATOMICITY SCOPE (r12): a single-table transaction commits
+# staged state; TRUNCATE buffers as an unconditional delete — the
+# Postgres-transactional clear-and-reload shape). Reads inside a
+# transaction see the pre-transaction snapshot (read-your-own-writes
+# is NOT provided — a divergence from Postgres; the staged rows
+# become readable only at COMMIT). DDL/MERGE/maintenance statements
+# auto-commit and are refused inside a transaction, like Postgres
+# DDL effectively does for this engine. ATOMICITY SCOPE (r12): a single-table transaction commits
 # through the table's own manifest CAS; a MULTI-TABLE transaction is
 # atomic too — each table's commit is published PENDING (invisible)
 # and ONE outcome-file create-if-absent flips them all visible
@@ -2310,11 +2311,23 @@ def _delete(spark: SparkSession, p: _Parser) -> DataFrame:
 
 
 def _truncate(spark: SparkSession, p: _Parser) -> DataFrame:
-    _no_txn("TRUNCATE")
     p.expect("TRUNCATE")
     p.eat("TABLE")
     name = p.qname()
     target = _resolve_table(name)
+    txn = _current_txn()
+    if txn is not None:
+        # Postgres allows TRUNCATE inside a transaction (rolls back
+        # like any statement); here it buffers as an unconditional
+        # delete, executing in statement order at COMMIT (r12b)
+        man, _, meta = _table_meta(target)
+        _txn_buffer(
+            txn, name, target,
+            (sinks._man_pcols(man) or [None])[0],
+            list(meta.get("unique_keys") or []),
+            {"kind": "delete_stmt", "cond": "true"},
+        )
+        return _status(spark, "TRUNCATE (buffered)", name, None)
     n = sinks.delete_from_manifest_table(spark, target, "true")
     return _status(spark, "TRUNCATE", name, n)
 

@@ -290,6 +290,17 @@ def test_txn_statement_order_and_update(spark, tmp_path):
     run("UPDATE so.t SET v = 0 WHERE true")
     run("ROLLBACK")
     assert run("SELECT COUNT(*) AS n FROM so.t").collect()[0]["n"] == 3
+    # transactional clear-and-reload (TRUNCATE + INSERT, the Postgres
+    # pattern): old rows invisible mid-txn, swap atomic at COMMIT
+    run("BEGIN")
+    run("TRUNCATE TABLE so.t")
+    run("INSERT INTO so.t VALUES (9, 90)")
+    assert run("SELECT COUNT(*) AS n FROM so.t").collect()[0]["n"] == 3
+    run("COMMIT")
+    got = {
+        (r["k"], r["v"]) for r in run("SELECT k, v FROM so.t").collect()
+    }
+    assert got == {(9, 90)}
     # single-statement single-table txn still takes the direct path
     # (no _txn dir materialized by it — the earlier multi-commit
     # transactions on so.t DID create one, so check a fresh table)
