@@ -549,13 +549,13 @@ def embedding_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PQ_M, _PQ_K, _PQ_DSUB = 8, 4, 8  # 64 dims = 8 subspaces x 8 dims, 4 codes each
 
 
-def _sub_dot(a: str, b: str, m: int) -> str:
+def _sub_dot(a: str, b: str, m: int, dsub: int = _PQ_DSUB) -> str:
     """Exact dot product of subspace m of two integer-valued array
     columns (Spark SQL expression)."""
-    s = m * _PQ_DSUB + 1
+    s = m * dsub + 1
     return (
-        f"aggregate(zip_with(slice({a}, {s}, {_PQ_DSUB}),"
-        f" slice({b}, {s}, {_PQ_DSUB}),"
+        f"aggregate(zip_with(slice({a}, {s}, {dsub}),"
+        f" slice({b}, {s}, {dsub}),"
         " (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
     )
 
@@ -657,34 +657,57 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores exact integer sums in double ⇒ argmin and top-k order match
     the DuckDB oracle bit-for-bit.
     """
+    return pq_topk(spark, sf_dir)
+
+
+def pq_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    m: int = _PQ_M,
+    kcode: int = _PQ_K,
+    dim: int = 64,
+    k: int = 5,
+) -> DataFrame:
+    """The parameterized PQ pipeline behind `similarity_pq_topk` (r13:
+    factored out so the high-dim measurement, `tools/ann_highdim.py`,
+    can run PQ at 256+ dims where subspace COUNT — the expression-
+    width lever — actually grows). `m` subspaces of `dim // m` dims,
+    `kcode` codes per subspace anchored on vec_id 1..kcode, queries
+    vec_id % 100 == 0, exact-integer ADC scores, top-``k`` per query.
+    Same plan shape at every size: encode pass is one projection of
+    m small argmin folds, LUTs build against the broadcast codebook,
+    the scoring join broadcasts queries — no shuffle of the big side.
+    """
+    dsub = dim // m
     vecs = _scaled_vectors(spark, sf_dir)
     cb = (
-        vecs.filter(F.col("vec_id").isin(*range(1, _PQ_K + 1)))
+        vecs.filter(F.col("vec_id").isin(*range(1, kcode + 1)))
         .groupBy()
         .agg(
             *[
-                F.max(F.when(F.col("vec_id") == k + 1, F.col("v"))).alias(f"cv{k}")
-                for k in range(_PQ_K)
+                F.max(F.when(F.col("vec_id") == j + 1, F.col("v"))).alias(f"cv{j}")
+                for j in range(kcode)
             ]
         )
     )
+    sd = lambda a, b, mm: _sub_dot(a, b, mm, dsub)
     code_exprs = []
-    for m in range(_PQ_M):
+    for mm in range(m):
         structs = ", ".join(
-            f"named_struct('d', {_pq_score(_sub_dot, m, k, 'v')}, 'k', {k})"
-            for k in range(_PQ_K)
+            f"named_struct('d', {_pq_score(sd, mm, j, 'v')}, 'k', {j})"
+            for j in range(kcode)
         )
         code_exprs.append(
-            F.expr(f"array_sort(array({structs}))[0].k").alias(f"code{m}")
+            F.expr(f"array_sort(array({structs}))[0].k").alias(f"code{mm}")
         )
     codes = vecs.join(F.broadcast(cb)).select("vec_id", "v", *code_exprs)
 
     lut_exprs = []
-    for m in range(_PQ_M):
+    for mm in range(m):
         entries = ", ".join(
-            _pq_score(_sub_dot, m, k, "qv") for k in range(_PQ_K)
+            _pq_score(sd, mm, j, "qv") for j in range(kcode)
         )
-        lut_exprs.append(F.expr(f"array({entries})").alias(f"lut{m}"))
+        lut_exprs.append(F.expr(f"array({entries})").alias(f"lut{mm}"))
     q = (
         vecs.filter(F.col("vec_id") % 100 == 0)
         .select(
@@ -698,13 +721,13 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = codes.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
     adc = F.col("qn")
-    for m in range(_PQ_M):
-        adc = adc + F.element_at(f"lut{m}", F.col(f"code{m}") + 1)
+    for mm in range(m):
+        adc = adc + F.element_at(f"lut{mm}", F.col(f"code{mm}") + 1)
     scored = pairs.select("q_id", "vec_id", adc.cast("long").alias("adc_dist"))
     w = Window.partitionBy("q_id").orderBy("adc_dist", "vec_id")
     return (
         scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 5)
+        .filter(F.col("rn") <= k)
         .select("q_id", "vec_id", "adc_dist")
     )
 

@@ -244,8 +244,23 @@ class ManifestConflictError(RuntimeError):
 # ---------------------------------------------------------------------------
 
 _TXN_DIR = "_txn"  # under _LOG_DIR
-_TXN_RESOLVE_WAIT_SECONDS = 2.0  # writer patience before force-abort
+# Writer patience before force-aborting an unresolved pending txn it
+# finds in its way. 2 s of SILENCE is plenty for a crashed committer,
+# but a HEALTHY multi-group commit runs many Spark jobs — so live
+# committers heartbeat a `<outcome>.inflight` marker
+# (_TXN_HEARTBEAT_SECONDS) and a resolver that sees the marker
+# advance extends its patience up to _TXN_RESOLVE_MAX_WAIT_SECONDS
+# (a crashed committer stops beating, so resolution still
+# terminates). Both knobs are env-configurable for slow object
+# stores / giant transactions.
+_TXN_RESOLVE_WAIT_SECONDS = float(
+    os.environ.get("SPARK_MANIFEST_TXN_RESOLVE_WAIT", "2.0")
+)
+_TXN_RESOLVE_MAX_WAIT_SECONDS = float(
+    os.environ.get("SPARK_MANIFEST_TXN_RESOLVE_MAX_WAIT", "120.0")
+)
 _TXN_RESOLVE_POLL_SECONDS = 0.1
+_TXN_HEARTBEAT_SECONDS = 0.5
 # txn id -> "commit" | "abort"; outcomes are immutable once created,
 # so the cache can never go stale. Unresolved ("pending") is NEVER
 # cached — it is the one transient state. Bounded: a long-lived
@@ -351,15 +366,34 @@ def _resolve_pending_for_write(target: str, raw: dict) -> str:
     abort attempt loses and the version is committed."""
     pt = raw.get("pending_txn") or {}
     txn_id = str(pt.get("id") or "")
-    deadline = time.monotonic() + _TXN_RESOLVE_WAIT_SECONDS
+    canon = str(pt.get("outcome") or "") or _txn_mirror_path(target, txn_id)
+    start = time.monotonic()
+    deadline = start + _TXN_RESOLVE_WAIT_SECONDS
+    hard_deadline = start + max(
+        _TXN_RESOLVE_MAX_WAIT_SECONDS, _TXN_RESOLVE_WAIT_SECONDS
+    )
+    last_beat: str | None = None
     while True:
         out = _read_txn_outcome(target, pt)
         if out is not None:
             return "committed" if out == "commit" else "aborted"
+        # a LIVE committer heartbeats `<outcome>.inflight`; a marker
+        # that advanced since we last looked means the transaction is
+        # healthy, just big — extend patience (bounded: a crashed
+        # committer stops beating, so force-abort still happens)
+        try:
+            beat = fsio.read_text(canon + ".inflight")
+        except (FileNotFoundError, OSError):
+            beat = None
+        if beat is not None and beat != last_beat:
+            last_beat = beat
+            deadline = min(
+                time.monotonic() + _TXN_RESOLVE_WAIT_SECONDS,
+                hard_deadline,
+            )
         if time.monotonic() >= deadline:
             break
         time.sleep(_TXN_RESOLVE_POLL_SECONDS)
-    canon = str(pt.get("outcome") or "") or _txn_mirror_path(target, txn_id)
     payload = "abort\n" + json.dumps(
         {"by": "writer-resolution", "table": target}
     )
@@ -523,7 +557,12 @@ def snapshot_tables(targets: list[str], retries: int = 5) -> dict[str, int]:
         again: dict[str, int] = {}
         for t in targets:
             ver, _ = _latest_manifest(t)
-            again[t] = ver if ver is not None else -1
+            if ver is None:
+                # the manifest vanished between passes (concurrent
+                # DROP): fail loudly NOW, not later as a confusing
+                # read error at a -1 pin
+                raise ValueError(f"no manifest table at {t}")
+            again[t] = ver
         if pins == again:
             return _close_snapshot_over_txns(pins)
         last = again
@@ -596,10 +635,40 @@ def pending_transaction(txn_id: str, outcome_path: str | None):
             raise ValueError("nested pending transactions are unsupported")
         ctx = {"id": txn_id, "outcome": outcome_path, "published": []}
         _PENDING_TXN.ctx = ctx
+        # HEARTBEAT (r13): a live committer beats `<outcome>.inflight`
+        # so a concurrent writer polling the outcome can tell a
+        # healthy long-running commit (marker advancing → extend
+        # patience) from a crashed one (silence → force-abort after
+        # _TXN_RESOLVE_WAIT_SECONDS). Daemon thread; best-effort —
+        # a lost beat only costs earlier abortion, never atomicity.
+        stop = threading.Event()
+
+        def _beat() -> None:
+            seq = 0
+            path = outcome_path + ".inflight"
+            while not stop.is_set():
+                seq += 1
+                try:
+                    fsio.write_text(path, f"{seq}\n")
+                except OSError:
+                    pass
+                stop.wait(_TXN_HEARTBEAT_SECONDS)
+
+        beater: threading.Thread | None = None
+        if outcome_path is not None:
+            beater = threading.Thread(target=_beat, daemon=True)
+            beater.start()
         try:
             yield ctx
         finally:
             _PENDING_TXN.ctx = None
+            if beater is not None:
+                stop.set()
+                beater.join(timeout=2 * _TXN_HEARTBEAT_SECONDS)
+                try:
+                    fsio.delete(outcome_path + ".inflight")
+                except (FileNotFoundError, OSError):
+                    pass
 
     return _scope()
 
@@ -1848,7 +1917,37 @@ def _read_manifest_dirs(
     return out.select(*[F.col(f.name) for f in schema.fields])
 
 
-def version_at_timestamp(target: str, ts) -> int:
+# target -> {version: committed_at} for versions observed COMMITTED
+# with a stamp. Safe to cache forever: a committed version file is
+# immutable, so its (version, committed_at) pair can never change
+# (pending/aborted/unstamped versions are never cached). Bounded per
+# target by the table's history; entries die with the process.
+_COMMIT_TS_CACHE: dict[str, dict[int, float]] = {}
+_COMMIT_TS_LOCK = threading.Lock()
+
+
+def _committed_at(target: str, v: int) -> float | None:
+    """committed_at of version `v` if it is a COMMITTED stamped
+    version, else None — memoized (immutable once committed)."""
+    with _COMMIT_TS_LOCK:
+        hit = _COMMIT_TS_CACHE.get(target, {}).get(v)
+    if hit is not None:
+        return hit
+    raw = _read_manifest_version(target, v)
+    if not isinstance(raw, dict):
+        return None
+    if _txn_visibility(target, raw) != "committed":
+        return None
+    at = raw.get("committed_at")
+    if at is None:
+        return None  # pre-r12b commit: no recorded timestamp
+    at = float(at)
+    with _COMMIT_TS_LOCK:
+        _COMMIT_TS_CACHE.setdefault(target, {})[v] = at
+    return at
+
+
+def version_at_timestamp(target: str, ts, strict: bool = False) -> int:
     """TIMESTAMP AS OF resolution (r12b, the Delta semantics): the
     NEWEST committed version whose recorded commit wall-clock is <=
     `ts`. Accepts an epoch float/int, a datetime, or an ISO string
@@ -1857,7 +1956,21 @@ def version_at_timestamp(target: str, ts) -> int:
     written before this feature carry no timestamp and cannot match —
     the error says so. Same caveat as Delta: timestamps come from the
     WRITER's clock, so cross-writer skew can reorder near-simultaneous
-    commits; version numbers are the precise pin."""
+    commits; version numbers are the precise pin.
+
+    COST (r13, was O(full history) per call): the scan walks versions
+    NEWEST-FIRST and stops at the first committed stamped version at
+    or below `ts` — committed_at is monotone non-decreasing in version
+    for a single table's log (every commit CASes past the previous
+    tip), so the first hit IS the newest hit. Resolving a recent
+    timestamp on a long-lived table reads O(1) version files, not
+    O(history), and each (version, committed_at) pair is memoized
+    process-wide (immutable once committed).
+
+    ``strict=True`` mirrors Delta's RESTORE guard: a timestamp LATER
+    than the newest commit raises (mentioning the latest available
+    timestamp) instead of silently resolving to the latest version —
+    a mistyped future date must not become a no-op restore."""
     import datetime as _dt2
 
     if isinstance(ts, str):
@@ -1870,32 +1983,34 @@ def version_at_timestamp(target: str, ts) -> int:
             ts = ts.replace(tzinfo=_dt2.timezone.utc)
         ts = ts.timestamp()
     ts = float(ts)
-    best = None
+    newest_at: float | None = None
     any_stamped = False
-    for v in _list_manifest_versions(target):
-        raw = _read_manifest_version(target, v)
-        if not isinstance(raw, dict):
-            continue
-        if _txn_visibility(target, raw) != "committed":
-            continue
-        at = raw.get("committed_at")
+    for v in reversed(_list_manifest_versions(target)):
+        at = _committed_at(target, v)
         if at is None:
-            continue  # pre-r12b commit: no recorded timestamp
+            continue
         any_stamped = True
-        if float(at) <= ts and (best is None or v > best):
-            best = v
-    if best is None:
-        raise ValueError(
-            f"no committed version at or before timestamp {ts} at "
-            f"{target}"
-            + (
-                ""
-                if any_stamped
-                else " — this table's commits predate recorded commit "
-                "timestamps; pin by VERSION AS OF instead"
-            )
+        if newest_at is None:
+            newest_at = at
+            if strict and ts > at:
+                raise ValueError(
+                    f"timestamp {ts} is after the latest commit "
+                    f"({at}) at {target} — RESTORE to a future "
+                    "timestamp would be a no-op; use the latest "
+                    "available timestamp or a VERSION AS OF pin"
+                )
+        if at <= ts:
+            return v  # newest-first: the first hit is the answer
+    raise ValueError(
+        f"no committed version at or before timestamp {ts} at "
+        f"{target}"
+        + (
+            ""
+            if any_stamped
+            else " — this table's commits predate recorded commit "
+            "timestamps; pin by VERSION AS OF instead"
         )
-    return best
+    )
 
 
 def read_manifest_table(
@@ -3529,97 +3644,124 @@ def merge_manifest_table(
             )
 
     def combine(scoped: DataFrame, incoming: DataFrame) -> DataFrame:
-        e = scoped.withColumn("_e_present", F.lit(True)).alias("e")
-        s = incoming.withColumn("_s_present", F.lit(True)).alias("s")
-        cond = functools.reduce(
-            lambda a, b: a & b,
-            [F.col(f"e.{c}").eqNullSafe(F.col(f"s.{c}")) for c in on],
+        return merge_combine_frames(
+            scoped, incoming, on,
+            when_matched=when_matched,
+            matched_condition=matched_condition,
+            when_not_matched=when_not_matched,
+            not_matched_condition=not_matched_condition,
+            update_set=update_set, insert_values=insert_values,
         )
-        j = e.join(s, cond, "full_outer")
-        matched = (
-            F.col("e._e_present").isNotNull()
-            & F.col("s._s_present").isNotNull()
-        )
-        mc = (
-            F.coalesce(F.expr(matched_condition), F.lit(False))
-            if matched_condition is not None else F.lit(True)
-        )
-        nmc = (
-            F.coalesce(F.expr(not_matched_condition), F.lit(False))
-            if not_matched_condition is not None else F.lit(True)
-        )
-        # target-side rows kept verbatim
-        keep_e = F.col("s._s_present").isNull()  # no match for e row
-        if when_matched is None:
-            keep_e = keep_e | matched
-        else:
-            keep_e = keep_e | (matched & ~mc)
-        if update_set is None and insert_values is None:
-            # legacy fast path: one filter + one projection for both
-            # updates-from-source and inserts (plan unchanged from r10)
-            take_s = F.lit(False)
-            if when_matched == "update":
-                take_s = matched & mc
-            if when_not_matched == "insert":
-                take_s = take_s | (F.col("e._e_present").isNull() & nmc)
-            e_rows = j.filter(keep_e).select(
-                [F.col(f"e.{c}").alias(c) for c in scoped.columns]
-            )
-            s_rows = j.filter(take_s).select(
-                [F.col(f"s.{c}").alias(c) for c in incoming.columns]
-            )
-            return s_rows.unionByName(e_rows, allowMissingColumns=True)
-        # explicit clause columns: ONE pass over the join — each
-        # output column is a CASE over the row's disposition (updated
-        # / inserted / kept), so the join executes once instead of
-        # once per filtered-union branch. Updated rows take each
-        # assignment (unassigned columns keep the EXISTING value);
-        # inserted rows take the insert list (unassigned null-fill);
-        # kept rows pass through; delete rows fail the filter.
-        upd_cond = (
-            matched & mc if when_matched == "update" else F.lit(False)
-        )
-        ins_cond = (
-            (F.col("e._e_present").isNull() & nmc)
-            if when_not_matched == "insert" else F.lit(False)
-        )
-        e_types = {f.name: f.dataType for f in scoped.schema.fields}
-        s_types = {f.name: f.dataType for f in incoming.schema.fields}
-        all_cols = list(scoped.columns) + [
-            c for c in incoming.columns if c not in scoped.columns
-        ]
-        cols = []
-        for c in all_cols:
-            dt = e_types.get(c) or s_types[c]
-            e_val = (
-                F.col(f"e.{c}") if c in e_types else F.lit(None)
-            ).cast(dt)
-            s_val = (
-                F.col(f"s.{c}") if c in s_types else F.lit(None)
-            ).cast(dt)
-            if update_set is not None and c in update_set:
-                upd_val = F.expr(update_set[c]).cast(dt)
-            elif update_set is not None:
-                upd_val = e_val  # unassigned: keep the existing value
-            else:
-                upd_val = s_val  # UPDATE SET * : source row wins
-            if insert_values is None:
-                ins_val = s_val
-            elif c in insert_values:
-                ins_val = F.expr(insert_values[c]).cast(dt)
-            else:
-                ins_val = F.lit(None).cast(dt)
-            cols.append(
-                F.when(upd_cond, upd_val)
-                .when(ins_cond, ins_val)
-                .otherwise(e_val)
-                .alias(c)
-            )
-        return j.filter(keep_e | upd_cond | ins_cond).select(cols)
 
     _upsert_manifest(
         spark, target, source, on, partition_col, txn=txn, combine=combine
     )
+
+
+def merge_combine_frames(
+    scoped: DataFrame,
+    incoming: DataFrame,
+    on: list[str],
+    when_matched: str | None = "update",
+    matched_condition: str | None = None,
+    when_not_matched: str | None = "insert",
+    not_matched_condition: str | None = None,
+    update_set: dict[str, str] | None = None,
+    insert_values: dict[str, str] | None = None,
+) -> DataFrame:
+    """The frame-level MERGE kernel `merge_manifest_table` commits
+    through the manifest — factored out (r13) so a transaction's
+    read-your-own-writes overlay can replay a buffered ON CONFLICT
+    statement over an in-memory frame with EXACTLY the semantics the
+    eventual COMMIT will apply. Same clause surface and NULL rules as
+    the docstring above; pure DataFrame in/out, no I/O."""
+    e = scoped.withColumn("_e_present", F.lit(True)).alias("e")
+    s = incoming.withColumn("_s_present", F.lit(True)).alias("s")
+    cond = functools.reduce(
+        lambda a, b: a & b,
+        [F.col(f"e.{c}").eqNullSafe(F.col(f"s.{c}")) for c in on],
+    )
+    j = e.join(s, cond, "full_outer")
+    matched = (
+        F.col("e._e_present").isNotNull()
+        & F.col("s._s_present").isNotNull()
+    )
+    mc = (
+        F.coalesce(F.expr(matched_condition), F.lit(False))
+        if matched_condition is not None else F.lit(True)
+    )
+    nmc = (
+        F.coalesce(F.expr(not_matched_condition), F.lit(False))
+        if not_matched_condition is not None else F.lit(True)
+    )
+    # target-side rows kept verbatim
+    keep_e = F.col("s._s_present").isNull()  # no match for e row
+    if when_matched is None:
+        keep_e = keep_e | matched
+    else:
+        keep_e = keep_e | (matched & ~mc)
+    if update_set is None and insert_values is None:
+        # legacy fast path: one filter + one projection for both
+        # updates-from-source and inserts (plan unchanged from r10)
+        take_s = F.lit(False)
+        if when_matched == "update":
+            take_s = matched & mc
+        if when_not_matched == "insert":
+            take_s = take_s | (F.col("e._e_present").isNull() & nmc)
+        e_rows = j.filter(keep_e).select(
+            [F.col(f"e.{c}").alias(c) for c in scoped.columns]
+        )
+        s_rows = j.filter(take_s).select(
+            [F.col(f"s.{c}").alias(c) for c in incoming.columns]
+        )
+        return s_rows.unionByName(e_rows, allowMissingColumns=True)
+    # explicit clause columns: ONE pass over the join — each
+    # output column is a CASE over the row's disposition (updated
+    # / inserted / kept), so the join executes once instead of
+    # once per filtered-union branch. Updated rows take each
+    # assignment (unassigned columns keep the EXISTING value);
+    # inserted rows take the insert list (unassigned null-fill);
+    # kept rows pass through; delete rows fail the filter.
+    upd_cond = (
+        matched & mc if when_matched == "update" else F.lit(False)
+    )
+    ins_cond = (
+        (F.col("e._e_present").isNull() & nmc)
+        if when_not_matched == "insert" else F.lit(False)
+    )
+    e_types = {f.name: f.dataType for f in scoped.schema.fields}
+    s_types = {f.name: f.dataType for f in incoming.schema.fields}
+    all_cols = list(scoped.columns) + [
+        c for c in incoming.columns if c not in scoped.columns
+    ]
+    cols = []
+    for c in all_cols:
+        dt = e_types.get(c) or s_types[c]
+        e_val = (
+            F.col(f"e.{c}") if c in e_types else F.lit(None)
+        ).cast(dt)
+        s_val = (
+            F.col(f"s.{c}") if c in s_types else F.lit(None)
+        ).cast(dt)
+        if update_set is not None and c in update_set:
+            upd_val = F.expr(update_set[c]).cast(dt)
+        elif update_set is not None:
+            upd_val = e_val  # unassigned: keep the existing value
+        else:
+            upd_val = s_val  # UPDATE SET * : source row wins
+        if insert_values is None:
+            ins_val = s_val
+        elif c in insert_values:
+            ins_val = F.expr(insert_values[c]).cast(dt)
+        else:
+            ins_val = F.lit(None).cast(dt)
+        cols.append(
+            F.when(upd_cond, upd_val)
+            .when(ins_cond, ins_val)
+            .otherwise(e_val)
+            .alias(c)
+        )
+    return j.filter(keep_e | upd_cond | ins_cond).select(cols)
 
 
 def repartition_manifest_table(

@@ -144,14 +144,21 @@ class ManifestStreamReader(DataSourceStreamReader):
     def initialOffset(self) -> dict:
         if self.starting_version is not None:
             return {"version": self.starting_version - 1}
-        from ..operators import sinks
-
-        ver, man = sinks._latest_manifest(self.target)
-        if man is None:
-            raise ValueError(f"no manifest table at {self.target}")
-        # current-snapshot start: the first batch delivers version
-        # `ver`'s FULL image, later batches its successors' appends
-        return {"version": ver - 1, "snapshot": ver}
+        # DETERMINISTIC BY CONSTRUCTION (r13): on a restart whose
+        # FIRST batch is crash-orphaned (offsets WAL written, commit
+        # log not), Spark re-evaluates initialOffset() for the replay
+        # range's start. The pre-r13 answer ({"version": latest-1,
+        # "snapshot": latest}) moved if the table had advanced, so the
+        # replayed batch silently planned EMPTY and the snapshot rows
+        # were lost (proven by tests/test_round13_ops.py::
+        # test_streaming_crash_restart_exactly_once). Now the start is
+        # the constant {-1} and `partitions` derives the snapshot base
+        # from the END offset — which for a replay comes from the WAL,
+        # so the replayed plan is byte-identical to the crashed one
+        # (the same fix Kafka makes by persisting its initial offsets
+        # into the checkpoint; the Python DataSource API exposes no
+        # checkpoint directory, so determinism replaces persistence).
+        return {"version": -1}
 
     def latestOffset(self) -> dict:
         from ..operators import sinks
@@ -168,14 +175,34 @@ class ManifestStreamReader(DataSourceStreamReader):
     def _preds(self, man: dict) -> list:
         return man.get("delete_predicates") or []
 
+    def _snapshot_base(self, start: dict, end: dict) -> int | None:
+        """The version whose FULL image the range's first batch
+        delivers, or None for a pure append walk (startingVersion
+        pins). A legacy checkpoint's recorded {"snapshot": v} start is
+        honored verbatim; the r13 protocol derives the base from the
+        END offset so the plan is a pure function of (start, end) —
+        deterministic across crash-restart replays."""
+        snap = start.get("snapshot")
+        if snap is not None:
+            return int(snap)
+        if int(start["version"]) < 0 and self.starting_version is None:
+            from ..operators import sinks
+
+            return sinks._last_committed_at_or_below(
+                self.target, int(end["version"])
+            )
+        return None
+
     def partitions(self, start: dict, end: dict):
         from ..operators import fsio, sinks
 
         parts: list[_FilesPartition] = []
         schema_json = self.schema.json()
-        snap_at = start.get("snapshot")
+        snap_at = self._snapshot_base(start, end)
         prev_v: int | None = None  # last committed version below v
         for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
+            if snap_at is not None and v < int(snap_at):
+                continue  # folded into the snapshot image at snap_at
             if not sinks._version_is_committed(self.target, v):
                 # an aborted multi-table transaction version: never a
                 # table state, delivers nothing (versions <= the latest
@@ -348,9 +375,11 @@ class ManifestCdfStreamReader(ManifestStreamReader):
             )
         data_schema_json = StructType(data_fields).json()
         parts: list[_CdcPartition] = []
-        snap_at = start.get("snapshot")
+        snap_at = self._snapshot_base(start, end)
         prev_v: int | None = None  # last committed version below v
         for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
+            if snap_at is not None and v < int(snap_at):
+                continue  # folded into the snapshot image at snap_at
             if not sinks._version_is_committed(self.target, v):
                 # aborted multi-table transaction version: never a
                 # table state, so the change feed has nothing to emit
@@ -525,7 +554,32 @@ class ManifestStreamDataSource(DataSource):
 
 
 def register_manifest_stream_source(spark) -> None:
-    """Register the format with this session (idempotent)."""
+    """Register the format with this session (idempotent), and enable
+    Spark's AvailableNow wrapper for it.
+
+    TRIGGER.AVAILABLENOW (r13): the Python DataSource API (Spark
+    4.1) exposes no `SupportsTriggerAvailableNow` hook, so without
+    help every `.trigger(availableNow=True)` over this source FALLS
+    BACK to single-batch execution — correct for a clean drain, but
+    "may not guarantee processing new data if there is an uncommitted
+    batch": a query restarting over a crash-orphaned batch replays it
+    and stops, silently missing commits that landed since. Spark's
+    `AvailableNowDataStreamWrapper` (this conf) closes that hole: it
+    snapshots `latestOffset` at each start and feeds bounded batches
+    up to it, re-preparing on restart, giving the full AvailableNow
+    contract. Spark gates the wrapper behind a config because it is
+    only sound for sources whose offset ranges REPLAY exactly — which
+    this source guarantees by construction: offsets are committed
+    manifest VERSIONS (monotone, immutable once committed; aborted
+    txn versions are skipped via `_version_is_committed`), and
+    `partitions(start, end)` is a pure function of the immutable
+    version log, so any range re-read yields identical rows. The
+    crash-between-WAL-and-commit restart is proven exactly-once for
+    both snapshot and CDF modes in
+    tests/test_round13_ops.py::test_streaming_crash_restart_*."""
+    spark.conf.set(
+        "spark.sql.streaming.triggerAvailableNowWrapper.enabled", "true"
+    )
     spark.dataSource.register(ManifestStreamDataSource)
 
 

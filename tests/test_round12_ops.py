@@ -457,8 +457,8 @@ def test_txn_guards(spark, wh):
     """Nested BEGIN, COMMIT/ROLLBACK outside a txn, DDL inside one,
     and INSERT..SELECT inside one are all refused with clear errors;
     UPDATE/DELETE buffer (r12b — the reference's backfill clears
-    tables transactionally); reads inside a txn see the
-    pre-transaction snapshot."""
+    tables transactionally); reads inside a txn see the committed
+    snapshot PLUS the statement buffer (read-your-own-writes, r13)."""
     run = lambda s, p=None: sqldml.execute_sql(spark, s, params=p)
     run("DROP TABLE IF EXISTS t12.d")
     run("CREATE SCHEMA IF NOT EXISTS t12")
@@ -484,10 +484,15 @@ def test_txn_guards(spark, wh):
         with pytest.raises(ValueError, match="not supported"):
             run("INSERT INTO t12.d SELECT 7")
         run("INSERT INTO t12.d VALUES (1)")
-        # snapshot read: buffered row invisible, seeded row intact
+        # read-your-own-writes (r13): the buffered insert is visible
+        # to THIS session (the no-op UPDATE/DELETE changed nothing);
+        # committed state still holds only the seeded row
         assert run(
             "SELECT COUNT(*) AS n FROM t12.d"
-        ).collect()[0]["n"] == 1
+        ).collect()[0]["n"] == 2
+        assert sinks.count_manifest_table(
+            sqldml._resolve_table("t12.d")
+        ) == 1
     finally:
         run("ROLLBACK")
     # the rolled-back buffer (incl. UPDATE/DELETE) left no trace

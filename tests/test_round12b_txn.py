@@ -253,9 +253,16 @@ def test_txn_backfill_shape_delete_two_tables_atomically(spark, tmp_path):
     run("BEGIN")
     run("DELETE FROM bf.grok")
     run("DELETE FROM bf.prices")
-    # invisible mid-transaction
-    assert run("SELECT COUNT(*) AS n FROM bf.prices").collect()[0]["n"] == 2
-    assert run("SELECT COUNT(*) AS n FROM bf.grok").collect()[0]["n"] == 1
+    # read-your-own-writes (r13): THIS session's reads see the
+    # buffered clears; the committed state is untouched until COMMIT
+    assert run("SELECT COUNT(*) AS n FROM bf.prices").collect()[0]["n"] == 0
+    assert run("SELECT COUNT(*) AS n FROM bf.grok").collect()[0]["n"] == 0
+    from etl_stocks_with_sentiment_analysis_spark.operators import sinks
+
+    assert sinks.count_manifest_table(
+        sqldml._resolve_table("bf.prices")
+    ) == 2
+    assert sinks.count_manifest_table(sqldml._resolve_table("bf.grok")) == 1
     run("COMMIT")
     assert run("SELECT COUNT(*) AS n FROM bf.prices").collect()[0]["n"] == 0
     assert run("SELECT COUNT(*) AS n FROM bf.grok").collect()[0]["n"] == 0
@@ -291,11 +298,13 @@ def test_txn_statement_order_and_update(spark, tmp_path):
     run("ROLLBACK")
     assert run("SELECT COUNT(*) AS n FROM so.t").collect()[0]["n"] == 3
     # transactional clear-and-reload (TRUNCATE + INSERT, the Postgres
-    # pattern): old rows invisible mid-txn, swap atomic at COMMIT
+    # pattern): this session's mid-txn SELECT sees the reloaded state
+    # (read-your-own-writes, r13 — the verification-SELECT shape);
+    # committed state swaps atomically at COMMIT
     run("BEGIN")
     run("TRUNCATE TABLE so.t")
     run("INSERT INTO so.t VALUES (9, 90)")
-    assert run("SELECT COUNT(*) AS n FROM so.t").collect()[0]["n"] == 3
+    assert run("SELECT COUNT(*) AS n FROM so.t").collect()[0]["n"] == 1
     run("COMMIT")
     got = {
         (r["k"], r["v"]) for r in run("SELECT k, v FROM so.t").collect()

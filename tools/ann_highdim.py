@@ -36,6 +36,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 
 from etl_stocks_with_sentiment_analysis_spark.llmdata.similarity import (  # noqa: E402
     ivf_topk,
+    pq_topk,
     similarity_bruteforce_topk,
 )
 from etl_stocks_with_sentiment_analysis_spark.session import get_spark  # noqa: E402
@@ -58,17 +59,31 @@ def plan_build_seconds(df) -> float:
     return time.time() - t0
 
 
+def pq_top3(spark, sf_dir: str, dim: int) -> dict[int, list[int]]:
+    """PQ top-3 per query at dsub=8 (m = dim/8 subspaces, 4 codes)."""
+    rows = pq_topk(spark, sf_dir, m=dim // 8, kcode=4, dim=dim, k=3).collect()
+    out: dict[int, list[int]] = {}
+    for r in sorted(
+        rows, key=lambda r: (r["q_id"], r["adc_dist"], r["vec_id"])
+    ):
+        out.setdefault(r["q_id"], []).append(r["vec_id"])
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=40000)
     ap.add_argument("--groups", type=int, default=400)
-    ap.add_argument("--dims", type=int, nargs="+", default=[64, 256, 768])
+    ap.add_argument(
+        "--dims", type=int, nargs="+", default=[64, 256, 768, 1536]
+    )
     ap.add_argument("--noise", type=float, default=0.05)
     args = ap.parse_args()
 
     spark = get_spark("ann-highdim")
     spark.sparkContext.setLogLevel("ERROR")
     rows = []
+    pq_rows = []
     for dim in args.dims:
         out = f"/tmp/ann_hd_{dim}"
         # hold the member-to-center NOISE NORM constant across dims
@@ -89,6 +104,30 @@ def main() -> None:
             lambda: similarity_bruteforce_topk(spark, out)
             .write.format("noop").mode("overwrite").save()
         )
+        # PQ at dsub=8: subspace count m = dim/8 is the expression-
+        # width lever (192 subspaces at 1536 dims) — measure recall,
+        # wall, and plan-build where it could actually bite
+        plan_pq = round(
+            plan_build_seconds(
+                pq_topk(spark, out, m=dim // 8, kcode=4, dim=dim, k=3)
+            ),
+            2,
+        )
+        pq_rec = round(recall_at_3(truth, pq_top3(spark, out, dim)), 3)
+        pq_wall = timed_median(
+            lambda: pq_topk(spark, out, m=dim // 8, kcode=4, dim=dim, k=3)
+            .write.format("noop").mode("overwrite").save()
+        )
+        pq_rows.append(
+            (dim, dim // 8, pq_rec, pq_wall, brute_wall,
+             round(pq_wall / brute_wall, 2), plan_pq)
+        )
+        print(
+            f"  dim={dim} PQ m={dim // 8}: recall@3={pq_rec} "
+            f"wall={pq_wall}s brute={brute_wall}s "
+            f"ratio={round(pq_wall / brute_wall, 2)} plan={plan_pq}s",
+            flush=True,
+        )
         for nprobe in (2, 4):
             rec = round(recall_at_3(truth, ivf_top3(spark, out, nprobe)), 3)
             wall = timed_median(
@@ -105,6 +144,32 @@ def main() -> None:
                 f"plan(ivf)={plan_ivf}s plan(brute)={plan_brute}s",
                 flush=True,
             )
+
+    pq_hdr = "## PQ at high dims (r13)\n"
+    pq_lines = [
+        "",
+        f"Measured {datetime.date.today().isoformat()} on the same "
+        "seeded clustered corpus (`tools/ann_highdim.py`). PQ holds "
+        "the SUBSPACE WIDTH fixed at 8 dims, so subspace COUNT m = "
+        "dim/8 grows with dimensionality — m is the expression-width "
+        "lever (the encode projection carries m argmin folds and the "
+        "ADC sum m lookups), exactly where Catalyst/codegen could "
+        "still break at production dims. 4 codes per subspace, "
+        "anchored like the registered `similarity_pq_topk` key.",
+        "",
+        "| dim | m (subspaces) | recall@3 | PQ wall (s) | "
+        "brute wall (s) | ratio | plan-build PQ (s) |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for r in pq_rows:
+        pq_lines.append(
+            f"| {r[0]} | {r[1]} | {r[2]} | {r[3]} | {r[4]} | {r[5]}× | "
+            f"{r[6]} |"
+        )
+    pq_lines.append("")
+    replace_section(
+        os.path.join(REPO, "ML_BASELINE.md"), pq_hdr, "\n".join(pq_lines)
+    )
 
     hdr = "## ANN recall — high-dimensional corpus (r12)\n"
     lines = [

@@ -129,29 +129,85 @@ def calibration_probe(spark, reps: int = 3) -> float:
     return walls[len(walls) // 2]
 
 
-def calibration_probe_long(spark) -> tuple[float, float]:
-    """The r12 long probe: (trimmed median seconds, kept-rep spread %).
-    One warm-up rep discarded, five measured, min+max trimmed."""
+def _probe_long_once(spark) -> float:
+    """One rep of the r12 long probe job (400M rows, 1M groups)."""
     from pyspark.sql import functions as F
 
-    def once() -> float:
-        t0 = time.time()
-        (
-            spark.range(0, 400_000_000, 1, 32)
-            .selectExpr("id % 1000003 AS k", "id AS v")
-            .groupBy("k")
-            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
-            .agg(F.sum("s"), F.sum("n"))
-            .collect()
-        )
-        return time.time() - t0
+    t0 = time.time()
+    (
+        spark.range(0, 400_000_000, 1, 32)
+        .selectExpr("id % 1000003 AS k", "id AS v")
+        .groupBy("k")
+        .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+        .agg(F.sum("s"), F.sum("n"))
+        .collect()
+    )
+    return time.time() - t0
 
-    once()  # warm-up rep (first run pays scheduling/JIT noise)
-    walls = sorted(once() for _ in range(5))
+
+def calibration_probe_long(spark) -> tuple[float, float]:
+    """The r12 long probe: (trimmed median seconds, kept-rep spread %).
+    One warm-up rep discarded, five measured, min+max trimmed. Kept
+    for standalone use; the GATE now samples the same job interleaved
+    through the key loop (`InterleavedProbe`)."""
+    _probe_long_once(spark)  # warm-up (first run pays JIT noise)
+    walls = sorted(_probe_long_once(spark) for _ in range(5))
     kept = walls[1:-1]
     med = kept[len(kept) // 2]
     spread_pct = (kept[-1] - kept[0]) / med * 100
     return med, spread_pct
+
+
+class InterleavedProbe:
+    """r13 (judge item 3, third round of probe hardening): two rounds
+    of adjudicating box noise by hand showed a probe measured ONCE,
+    up front or at the end, samples a different box state than the
+    keys did (background load comes and goes within a 25-minute
+    gate). The gate now runs ONE probe rep every `total/target` keys
+    — the reps sample the SAME wall-clock span the keys ran in — and
+    reports the min+max-trimmed median and kept-rep spread. If the
+    spread is still >= `spread_target_pct`, more reps are taken
+    (auto-rerun, bounded) until the kept spread passes or the cap is
+    hit; the recorded spread then states the achieved precision
+    either way. The budget line (s/key) divides by the trimmed
+    median, so it is adjudicable without a manual A/B."""
+
+    def __init__(self, spark, total_keys: int, target: int = 5,
+                 spread_target_pct: float = 5.0, max_reps: int = 14):
+        self.spark = spark
+        self.stride = max(1, total_keys // target)
+        self.spread_target_pct = spread_target_pct
+        self.max_reps = max_reps
+        self.walls: list[float] = []
+
+    def maybe(self, key_index: int) -> None:
+        """Called at the top of each key iteration: probes BETWEEN
+        key batches (never before the first key — the session must be
+        warm with real work, not probe JIT)."""
+        if key_index > 0 and key_index % self.stride == 0:
+            self.walls.append(_probe_long_once(self.spark))
+
+    def _trimmed(self) -> tuple[float, float, list[float]]:
+        walls = sorted(self.walls)
+        trim = 2 if len(walls) >= 8 else (1 if len(walls) >= 5 else 0)
+        kept = walls[trim : len(walls) - trim] if trim else walls
+        med = kept[len(kept) // 2]
+        spread = (kept[-1] - kept[0]) / med * 100 if len(kept) > 1 else 0.0
+        return med, spread, kept
+
+    def stats(self) -> tuple[float, float, int]:
+        """(trimmed median, kept spread %, total reps) — auto-rerun
+        until the kept spread beats the target or the rep cap."""
+        while len(self.walls) < 5:
+            self.walls.append(_probe_long_once(self.spark))
+        med, spread, _ = self._trimmed()
+        while (
+            spread >= self.spread_target_pct
+            and len(self.walls) < self.max_reps
+        ):
+            self.walls.append(_probe_long_once(self.spark))
+            med, spread, _ = self._trimmed()
+        return med, spread, len(self.walls)
 
 
 # Lifecycle-tier keys (r12, judge item 3): multi-commit / multi-drain
@@ -195,7 +251,10 @@ def main() -> int:
     oracles = registry.all_oracles()
     keys = args.keys or sorted(qs)
     n_pass = n_soft = n_fail = n_noracle = 0
-    for key in keys:
+    prober = InterleavedProbe(spark, len(keys)) if args.json else None
+    for key_index, key in enumerate(keys):
+        if prober is not None:
+            prober.maybe(key_index)
         t0 = time.time()
         try:
             sdf = qs[key](spark, args.sf).toPandas()
@@ -271,9 +330,12 @@ def main() -> int:
     if args.json:
         import json
 
-        gate_wall = round(time.time() - gate_t0, 1)
+        # gate wall excludes the interleaved probe reps' own time
+        gate_wall = round(
+            time.time() - gate_t0 - sum(prober.walls), 1
+        )
         probe = round(calibration_probe(spark), 3)
-        probe_long, probe_spread = calibration_probe_long(spark)
+        probe_long, probe_spread, probe_reps = prober.stats()
         probe_long = round(probe_long, 3)
         scale = PROBE_LONG_REF_SECONDS / probe_long
         # per-tier walls: sums of the per-key secs (excludes session
@@ -305,6 +367,10 @@ def main() -> int:
             "probe_seconds": probe,
             "probe_long_seconds": probe_long,
             "probe_long_spread_pct": round(probe_spread, 1),
+            "probe_long_reps": probe_reps,
+            "probe_mode": "interleaved",  # r13: sampled between key
+            # batches through the whole gate, trimmed median,
+            # auto-rerun until kept spread < 5% (or rep cap)
             "probe_long_ref_seconds": PROBE_LONG_REF_SECONDS,
             "wall_normalized_seconds": round(gate_wall * scale, 1),
             "tiers": tiers,
