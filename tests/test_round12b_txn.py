@@ -378,6 +378,19 @@ def test_concurrent_multi_table_txn_fuzz(spark, tmp_path, monkeypatch):
                         run(upd.format(
                             t="a", vals=f"({ks[0]}, {op_id})"
                         ))
+                        # read-your-own-writes UNDER CONCURRENCY
+                        # (r13): this writer's keys are disjoint, so
+                        # its in-txn reads must equal its own buffer
+                        # regardless of other writers' commits racing
+                        got_a = run(
+                            f"SELECT v FROM fzm.a WHERE k = {ks[0]}"
+                        ).collect()
+                        assert [r["v"] for r in got_a] == [op_id], got_a
+                        got_b = run(
+                            "SELECT COUNT(*) AS n FROM fzm.b "
+                            f"WHERE k = {ks[0]}"
+                        ).collect()[0]["n"]
+                        assert got_b == 0, got_b
                         run("COMMIT")
                     except sinks.TransactionAbortedError:
                         continue
