@@ -350,6 +350,17 @@ def _txn_visibility(target: str, raw: dict) -> str:
     pt = raw.get("pending_txn")
     if not pt:
         return "committed"
+    ctx = _pending_txn_ctx()
+    if ctx is not None and pt.get("id") == ctx["id"]:
+        # READ-YOUR-OWN-WRITES (r13): the OWNING thread sees its own
+        # staged versions as committed — `with sinks.transaction():`
+        # reads back what it just upserted, like the SQL router's
+        # in-transaction reads (and like any Postgres session). Every
+        # other thread/process still resolves the version pending
+        # until the outcome CAS; if the transaction later aborts, the
+        # owner saw rows that never published — exactly READ
+        # COMMITTED + ROLLBACK semantics.
+        return "committed"
     out = _read_txn_outcome(target, pt)
     if out == "commit":
         return "committed"
@@ -442,19 +453,12 @@ def _latest_manifest_for_write(target: str):
             # rotted version's data twice — see repair_manifest_table)
             break
         vis = _txn_visibility(target, raw)
+        # NOTE: our OWN staged versions come back "committed" from
+        # _txn_visibility (read-your-own-writes, r13) — later
+        # statements of the same transaction build on them and we
+        # never force-resolve our own in-flight outcome
         if vis == "pending":
-            ctx = _pending_txn_ctx()
-            if (
-                ctx is not None
-                and (raw.get("pending_txn") or {}).get("id") == ctx["id"]
-            ):
-                # OUR OWN staged version: later statements of the same
-                # transaction build on it (sequential per-table
-                # statement execution at COMMIT — never force-resolve
-                # our own in-flight outcome)
-                vis = "committed"
-            else:
-                vis = _resolve_pending_for_write(target, raw)
+            vis = _resolve_pending_for_write(target, raw)
         if vis == "committed":
             st = _load_state(target, v, raw=raw)
             if not isinstance(st, dict):
@@ -601,7 +605,13 @@ def transaction():
     exit flips them all visible with the one outcome CAS; an exception
     (or TransactionAbortedError from a concurrent force-abort) leaves
     every table untouched. The outcome file lands under the FIRST
-    table the scope commits to."""
+    table the scope commits to.
+
+    READ-YOUR-OWN-WRITES (r13): reads on the OWNING thread
+    (`read_manifest_table`, registered views it refreshes, history)
+    see the scope's staged versions as committed — upsert-then-read
+    compositions behave like one Postgres session. Other threads and
+    processes see nothing until the outcome CAS."""
     import contextlib
 
     @contextlib.contextmanager
@@ -644,29 +654,31 @@ def pending_transaction(txn_id: str, outcome_path: str | None):
         stop = threading.Event()
 
         def _beat() -> None:
+            # the outcome path may be assigned LAZILY at the first
+            # pending publish (transaction() starts with None) — poll
+            # the ctx each tick and beat once it exists
             seq = 0
-            path = outcome_path + ".inflight"
             while not stop.is_set():
                 seq += 1
-                try:
-                    fsio.write_text(path, f"{seq}\n")
-                except OSError:
-                    pass
+                path = ctx.get("outcome")
+                if path is not None:
+                    try:
+                        fsio.write_text(path + ".inflight", f"{seq}\n")
+                    except OSError:
+                        pass
                 stop.wait(_TXN_HEARTBEAT_SECONDS)
 
-        beater: threading.Thread | None = None
-        if outcome_path is not None:
-            beater = threading.Thread(target=_beat, daemon=True)
-            beater.start()
+        beater = threading.Thread(target=_beat, daemon=True)
+        beater.start()
         try:
             yield ctx
         finally:
             _PENDING_TXN.ctx = None
-            if beater is not None:
-                stop.set()
-                beater.join(timeout=2 * _TXN_HEARTBEAT_SECONDS)
+            stop.set()
+            beater.join(timeout=2 * _TXN_HEARTBEAT_SECONDS)
+            if ctx.get("outcome") is not None:
                 try:
-                    fsio.delete(outcome_path + ".inflight")
+                    fsio.delete(ctx["outcome"] + ".inflight")
                 except (FileNotFoundError, OSError):
                     pass
 

@@ -2072,11 +2072,18 @@ def _insert(spark: SparkSession, p: _Parser) -> DataFrame:
             f"SELECT * FROM VALUES {', '.join(rows)} AS v({collist})"
         )
         ordered = True
+        n_rows: int | None = len(tuples)
     else:
         # INSERT ... SELECT: everything up to a top-level ON CONFLICT
         select_text = p.expr_text(_INSERT_STOPS, stop_punct="")
         sinks.refresh_tracked_views(spark)
-        sel = _read_sql(spark, select_text)
+        txn0 = _current_txn()
+        if txn0 is not None and txn0["order"]:
+            # inside a transaction the SELECT sees the session state
+            # (read-your-own-writes overlay), like any other read
+            sel = _read_sql_in_txn(spark, select_text, txn0)
+        else:
+            sel = _read_sql(spark, select_text)
         if len(sel.columns) != len(src_cols):
             raise ValueError(
                 f"INSERT SELECT arity {len(sel.columns)} != column list "
@@ -2089,7 +2096,30 @@ def _insert(spark: SparkSession, p: _Parser) -> DataFrame:
                 for k, c in enumerate(src_cols)
             ],
         )
-        ordered = False
+        if txn0 is not None:
+            # Postgres executes the statement NOW against the session
+            # state; only durability waits for COMMIT. Materialize the
+            # SELECT (executor-side, no driver collect) so the
+            # buffered frame can never re-evaluate against state that
+            # moved by COMMIT time — and densify __ord so identity
+            # reservation and DO-NOTHING first-wins compose across
+            # statements exactly like a VALUES insert. The one-
+            # partition window is bounded by the materialized
+            # statement size (the reference's transactions are batch-
+            # sized); a bulk load belongs outside a transaction.
+            from pyspark.sql import Window
+
+            incoming = incoming.localCheckpoint(eager=True)
+            n_rows = incoming.count()
+            incoming = incoming.withColumn(
+                "__ord",
+                F.row_number().over(Window.orderBy(F.col("__ord")))
+                - F.lit(1),
+            )
+            ordered = True
+        else:
+            ordered = False
+            n_rows = None
 
     # defaults for unlisted columns; identity auto-assignment
     missing = [c for c in table_cols if c not in src_cols]
@@ -2108,7 +2138,7 @@ def _insert(spark: SparkSession, p: _Parser) -> DataFrame:
             # reserved identity values the table's manifest can't see
             # yet — continue the sequence past them
             start = max(start, txn["reserved"].get(name.lower(), 0))
-            txn["reserved"][name.lower()] = start + len(tuples)
+            txn["reserved"][name.lower()] = start + (n_rows or 0)
         if ordered:
             from pyspark.sql import Window
 
@@ -2185,19 +2215,18 @@ def _insert(spark: SparkSession, p: _Parser) -> DataFrame:
                 "table declares no UNIQUE key and none were given"
             )
 
-    n_in = incoming.count() if ordered else None
+    n_in = n_rows if ordered else None
     part = pcols[0] if pcols else None
 
     txn = _current_txn()
     if txn is not None:
-        if not ordered:
-            raise ValueError(
-                "INSERT ... SELECT inside BEGIN/COMMIT is not supported "
-                "— transactions buffer literal VALUES statements (the "
-                "reference's batch-commit shape, "
-                "stock_grok_pipeline.py:84-158); run the SELECT insert "
-                "as its own statement"
-            )
+        # r13: INSERT ... SELECT buffers too — the SELECT already
+        # evaluated (and materialized) at statement time against the
+        # session's read-your-own-writes state, Postgres semantics.
+        # One cheap action forces literal/cast evaluation so malformed
+        # statements fail NOW (statement time, like Postgres), never
+        # silently at COMMIT
+        incoming.count()
         _txn_buffer(
             txn, name, target, part, unique_keys,
             {

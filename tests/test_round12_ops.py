@@ -481,8 +481,12 @@ def test_txn_guards(spark, wh):
         ] == "DELETE (buffered)"
         with pytest.raises(ValueError, match="not supported"):
             run("ALTER TABLE t12.d ADD COLUMN x BIGINT")
-        with pytest.raises(ValueError, match="not supported"):
-            run("INSERT INTO t12.d SELECT 7")
+        # INSERT ... SELECT buffers too since r13 (evaluated at
+        # statement time against the session state)
+        assert run("INSERT INTO t12.d SELECT 7").collect()[0][
+            "operation"
+        ] == "INSERT (buffered)"
+        run("DELETE FROM t12.d WHERE k = 7")
         run("INSERT INTO t12.d VALUES (1)")
         # read-your-own-writes (r13): the buffered insert is visible
         # to THIS session (the no-op UPDATE/DELETE changed nothing);

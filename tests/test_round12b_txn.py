@@ -11,6 +11,7 @@ JVM-less Python worker — a genuine cross-process resolution check).
 """
 
 import os
+import threading
 
 import pytest
 
@@ -43,10 +44,19 @@ def test_multi_table_commit_atomic_visibility(spark, tmp_path):
     with sinks.pending_transaction("txn-vis-1", outcome) as ctx:
         sinks.upsert(spark, a, _df(spark, [(2, 20, 0)]), ["k", "g"],
                      partition_col="g")
-        assert _count(spark, a) == 1  # staged, invisible
+        # r13 read-your-own-writes: the OWNING thread sees its staged
+        # version; any other thread still sees only committed state
+        assert _count(spark, a) == 2
+        other: list[int] = []
+        th = threading.Thread(
+            target=lambda: other.append(_count(spark, a))
+        )
+        th.start()
+        th.join()
+        assert other == [1]  # staged, invisible to other sessions
         sinks.upsert(spark, b, _df(spark, [(6, 60, 0)]), ["k", "g"],
                      partition_col="g")
-        assert _count(spark, a) == 1 and _count(spark, b) == 1
+        assert _count(spark, a) == 2 and _count(spark, b) == 2
     # scope closed but outcome not yet published: still invisible
     _fresh_outcome_view()
     assert _count(spark, a) == 1 and _count(spark, b) == 1
@@ -705,7 +715,16 @@ def test_transaction_context_manager_api(spark, tmp_path):
                      partition_col="g")
         sinks.upsert(spark, b, _df(spark, [(5, 50, 0)]), ["k", "g"],
                      partition_col="g")
-        assert sinks._latest_manifest(a) == (None, None)  # invisible
+        # r13: the OWNER reads its own staged commit; other threads
+        # would still resolve (None, None) until the outcome CAS
+        assert _count(spark, a) == 1
+        seen: list = []
+        th = threading.Thread(
+            target=lambda: seen.append(sinks._latest_manifest(a))
+        )
+        th.start()
+        th.join()
+        assert seen == [(None, None)]  # invisible to other sessions
     assert _count(spark, a) == 1 and _count(spark, b) == 1
     with pytest.raises(RuntimeError, match="boom"):
         with sinks.transaction():

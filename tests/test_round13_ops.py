@@ -240,6 +240,103 @@ def test_heartbeat_extends_resolver_patience(spark, tmp_path, monkeypatch):
     assert sinks.count_manifest_table(target) == 2  # 3 never landed
 
 
+def test_txn_insert_select_statement_time_evaluation(spark, wh):
+    """INSERT ... SELECT inside a transaction (r13, closing the last
+    buffered-statement refusal): the SELECT evaluates AT STATEMENT
+    TIME against the session's read-your-own-writes state — it sees
+    earlier buffered statements, is frozen against later ones
+    (Postgres semantics), and SERIAL identity composes across SELECT
+    and VALUES statements in one transaction."""
+    run = lambda s, p=None: sqldml.execute_sql(spark, s, params=p)
+    run("DROP TABLE IF EXISTS isel.src")
+    run("DROP TABLE IF EXISTS isel.dst")
+    run("CREATE SCHEMA IF NOT EXISTS isel")
+    run("CREATE TABLE isel.src (k BIGINT, v BIGINT)")
+    run(
+        "CREATE TABLE isel.dst (id SERIAL PRIMARY KEY, k BIGINT, "
+        "v BIGINT, UNIQUE(k))"
+    )
+    run("INSERT INTO isel.src VALUES (1, 10), (2, 20), (3, 30)")
+    run("INSERT INTO isel.dst (k, v) VALUES (0, 0)")
+    run("BEGIN")
+    run("INSERT INTO isel.dst (k, v) VALUES (100, 1000)")  # buffered
+    # the SELECT sees the buffered row (MAX(v) = 1000 via RYOW)
+    run(
+        "INSERT INTO isel.dst (k, v) SELECT k, v + "
+        "(SELECT MAX(v) FROM isel.dst) FROM isel.src"
+    )
+    # frozen at statement time: mutating src afterwards (still inside
+    # the transaction) must not change what was buffered
+    run("UPDATE isel.src SET v = 0 WHERE true")
+    run("COMMIT")
+    rows = run("SELECT id, k, v FROM isel.dst").collect()
+    got = {(r["k"], r["v"]) for r in rows}
+    assert got == {
+        (0, 0), (100, 1000), (1, 1010), (2, 1020), (3, 1030)
+    }, got
+    # SERIAL ids are dense and unique across the whole transaction
+    # (the SELECT-insert rows take ids 3-5 in the statement's own
+    # evaluation order — a SELECT without ORDER BY has none to pin)
+    assert sorted(r["id"] for r in rows) == [1, 2, 3, 4, 5]
+    # identity continues past the SELECT-insert's reserved block
+    run("BEGIN")
+    run("INSERT INTO isel.dst (k, v) SELECT k + 50, v FROM isel.src")
+    run("INSERT INTO isel.dst (k, v) VALUES (999, 9)")
+    run("COMMIT")
+    assert sorted(
+        r["id"] for r in run("SELECT id FROM isel.dst").collect()
+    ) == list(range(1, 10))
+
+
+def test_python_api_transaction_reads_own_writes(spark, tmp_path):
+    """`with sinks.transaction():` — the Python-API BEGIN/COMMIT —
+    reads back its own staged commits on the owning thread (r13,
+    matching the SQL router's in-transaction reads), while another
+    thread still sees only committed state; an aborted scope's reads
+    never published."""
+    t = str(tmp_path / "pyryow")
+    df = lambda rows: spark.createDataFrame(rows, "k BIGINT, v BIGINT")
+    sinks.upsert(spark, t, df([(1, 10)]), ["k"], commit_mode="manifest")
+    other: list[int] = []
+
+    def read_other() -> None:
+        other.append(sinks.read_manifest_table(spark, t).count())
+
+    with sinks.transaction():
+        sinks.upsert(spark, t, df([(2, 20)]), ["k"])
+        # owning thread: staged row visible mid-transaction
+        got = {
+            (r["k"], r["v"])
+            for r in sinks.read_manifest_table(spark, t).collect()
+        }
+        assert got == {(1, 10), (2, 20)}
+        # the staged state COMPOSES: a second statement builds on it,
+        # and the owner reads the composition
+        sinks.upsert(spark, t, df([(2, 21), (3, 30)]), ["k"])
+        got = {
+            (r["k"], r["v"])
+            for r in sinks.read_manifest_table(spark, t).collect()
+        }
+        assert got == {(1, 10), (2, 21), (3, 30)}
+        # another thread (no pending ctx): committed state only
+        th = threading.Thread(target=read_other)
+        th.start()
+        th.join()
+        assert other == [1]
+    # committed: everything visible to everyone
+    assert sinks.count_manifest_table(t) == 3
+    # an aborted scope leaves no trace despite having been readable
+    # to its owner mid-scope
+    try:
+        with sinks.transaction():
+            sinks.upsert(spark, t, df([(9, 90)]), ["k"])
+            assert sinks.count_manifest_table(t) == 4  # own read
+            raise RuntimeError("abort")
+    except RuntimeError:
+        pass
+    assert sinks.count_manifest_table(t) == 3
+
+
 # --- Trigger.AvailableNow on the Python streaming source ----------------
 
 
