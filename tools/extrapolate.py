@@ -53,6 +53,13 @@ EXTRA_KEYS = [
     # one outcome CAS; the coordination cost is O(1) files, the data
     # work is each table's single composed commit)
     "sink_manifest_txn_multi",
+    # r13: read-your-own-writes (per-read overlay replay over the
+    # committed scan — the overlay cost must track the BUFFER, not
+    # the table) and the READ ONLY snapshot transaction (pins are
+    # O(tables) metadata reads; the reads themselves are pinned-view
+    # scans)
+    "sink_manifest_txn_ryow",
+    "sink_manifest_read_txn",
 ]
 MEASURED = HEADLINE + EXTRA_KEYS
 from etl_stocks_with_sentiment_analysis_spark import registry  # noqa: E402
