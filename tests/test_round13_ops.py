@@ -240,6 +240,31 @@ def test_heartbeat_extends_resolver_patience(spark, tmp_path, monkeypatch):
     assert sinks.count_manifest_table(target) == 2  # 3 never landed
 
 
+def test_read_only_txn_rejects_every_write_kind(spark, wh):
+    """BEGIN READ ONLY refuses INSERT / UPDATE / DELETE / TRUNCATE /
+    INSERT..SELECT with the Postgres 25006-shaped error; COMMIT ends
+    the snapshot and writes work again."""
+    run = lambda s, p=None: sqldml.execute_sql(spark, s, params=p)
+    run("DROP TABLE IF EXISTS ro.t")
+    run("CREATE SCHEMA IF NOT EXISTS ro")
+    run("CREATE TABLE ro.t (k BIGINT, UNIQUE(k))")
+    run("INSERT INTO ro.t VALUES (1)")
+    run("BEGIN READ ONLY")
+    for stmt in (
+        "INSERT INTO ro.t VALUES (2)",
+        "INSERT INTO ro.t SELECT 3",
+        "UPDATE ro.t SET k = 9 WHERE false",
+        "DELETE FROM ro.t",
+        "TRUNCATE TABLE ro.t",
+    ):
+        with pytest.raises(ValueError, match="read-only"):
+            run(stmt)
+    assert run("SELECT COUNT(*) AS n FROM ro.t").collect()[0]["n"] == 1
+    run("COMMIT")
+    run("INSERT INTO ro.t VALUES (2)")
+    assert run("SELECT COUNT(*) AS n FROM ro.t").collect()[0]["n"] == 2
+
+
 def test_txn_insert_select_statement_time_evaluation(spark, wh):
     """INSERT ... SELECT inside a transaction (r13, closing the last
     buffered-statement refusal): the SELECT evaluates AT STATEMENT
