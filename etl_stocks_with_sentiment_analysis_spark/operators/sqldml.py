@@ -3320,21 +3320,21 @@ WITH base AS (
   SELECT user_id, n, cents FROM base
   UNION ALL
   SELECT * FROM (VALUES
-    (CAST(900001 AS BIGINT), CAST(1 AS BIGINT), CAST(100 AS BIGINT)),
-    (900002, 2, 200)
+    (CAST(1000000000001 AS BIGINT), CAST(1 AS BIGINT), CAST(100 AS BIGINT)),
+    (1000000000002, 2, 200)
   ) AS v(user_id, n, cents)
 ), upd AS (
   SELECT user_id, n,
-         CASE WHEN user_id >= 900000 THEN cents + 5 ELSE cents END
+         CASE WHEN user_id >= 1000000000000 THEN cents + 5 ELSE cents END
            AS cents
   FROM with_new
 ), fin AS (
-  SELECT user_id, n, cents FROM upd WHERE user_id <> 900002
+  SELECT user_id, n, cents FROM upd WHERE user_id <> 1000000000002
 )
 SELECT COUNT(*) AS n_users,
        CAST(SUM(n) AS BIGINT) AS n_events,
        CAST(SUM(cents) AS BIGINT) AS cents,
-       CAST(MAX(CASE WHEN user_id >= 900000 THEN cents END) AS BIGINT)
+       CAST(MAX(CASE WHEN user_id >= 1000000000000 THEN cents END) AS BIGINT)
          AS new_cents
 FROM fin"""
 
@@ -3384,33 +3384,35 @@ def sink_manifest_txn_ryow(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = """SELECT COUNT(*) AS n_users,
                     CAST(SUM(n) AS BIGINT) AS n_events,
                     CAST(SUM(cents) AS BIGINT) AS cents,
-                    CAST(MAX(CASE WHEN user_id >= 900000 THEN cents END)
+                    CAST(MAX(CASE WHEN user_id >= 1000000000000 THEN cents END)
                          AS BIGINT) AS new_cents
              FROM ryow.t"""
     run("BEGIN")
-    run("INSERT INTO ryow.t VALUES (900001, 1, 100), (900002, 2, 200)")
+    run("INSERT INTO ryow.t VALUES (1000000000001, 1, 100), "
+        "(1000000000002, 2, 200)")
     # verification SELECT sees the buffered insert (the reference's
     # insert-then-requery shape on one connection)
     assert (
         run("SELECT COUNT(*) AS n FROM ryow.t").collect()[0]["n"]
         == n_base + 2
     )
-    run("UPDATE ryow.t SET cents = cents + 5 WHERE user_id >= 900000")
+    run("UPDATE ryow.t SET cents = cents + 5 "
+        "WHERE user_id >= 1000000000000")
     got = run(
         """SELECT CAST(SUM(cents) AS BIGINT) AS s FROM ryow.t
-           WHERE user_id >= 900000"""
+           WHERE user_id >= 1000000000000"""
     ).collect()[0]["s"]
     assert got == 310, got  # both new rows, post-UPDATE
-    run("DELETE FROM ryow.t WHERE user_id = 900002")
+    run("DELETE FROM ryow.t WHERE user_id = 1000000000002")
     run("SAVEPOINT sp")
-    run("INSERT INTO ryow.t VALUES (900003, 3, 300)")
+    run("INSERT INTO ryow.t VALUES (1000000000003, 3, 300)")
     assert (
-        run("SELECT COUNT(*) AS n FROM ryow.t WHERE user_id = 900003")
+        run("SELECT COUNT(*) AS n FROM ryow.t WHERE user_id = 1000000000003")
         .collect()[0]["n"] == 1
     )
     run("ROLLBACK TO SAVEPOINT sp")  # un-reads the rolled-back insert
     assert (
-        run("SELECT COUNT(*) AS n FROM ryow.t WHERE user_id = 900003")
+        run("SELECT COUNT(*) AS n FROM ryow.t WHERE user_id = 1000000000003")
         .collect()[0]["n"] == 0
     )
     mid = run(agg).collect()[0]  # the mid-txn read of the final state

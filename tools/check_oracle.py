@@ -368,6 +368,10 @@ def main() -> int:
             "probe_long_seconds": probe_long,
             "probe_long_spread_pct": round(probe_spread, 1),
             "probe_long_reps": probe_reps,
+            # raw walls IN SAMPLING ORDER (interleaved first, then any
+            # auto-rerun reps) so a high spread is auditable from the
+            # JSON alone: one slow wave vs sustained drift
+            "probe_long_walls": [round(w, 2) for w in prober.walls],
             "probe_mode": "interleaved",  # r13: sampled between key
             # batches through the whole gate, trimmed median,
             # auto-rerun until kept spread < 5% (or rep cap)
