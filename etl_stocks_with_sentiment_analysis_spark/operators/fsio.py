@@ -166,6 +166,34 @@ def _is_local(path: str) -> bool:
     return scheme in ("", "file")
 
 
+# "is a scheme-less path LOCAL?" depends on Hadoop's fs.defaultFS —
+# on a real cluster a bare path means HDFS. Resolved once per session
+# (one JVM round-trip), so the local READ fast path below never
+# misroutes a cluster path. Keyed by session identity like _jvm_cache.
+_default_fs_local: tuple | None = None
+
+
+def _local_read_path(path: str) -> str | None:
+    """The filesystem path for a PROVABLY-LOCAL `path`, else None.
+    `file://` URIs are always local; scheme-less paths are local only
+    when the session's fs.defaultFS is the local filesystem."""
+    global _default_fs_local
+    p = urlparse(path)
+    if p.scheme == "file":
+        return p.path
+    if p.scheme:
+        return None
+    spark = _session()
+    c = _default_fs_local
+    if c is None or c[0] is not spark:
+        default = spark._jsc.hadoopConfiguration().get(
+            "fs.defaultFS", "file:///"
+        )
+        c = (spark, str(default).startswith("file:"))
+        _default_fs_local = c
+    return path if c[1] else None
+
+
 def _local_path(path: str) -> str:
     p = urlparse(path)
     return p.path if p.scheme else path
@@ -271,6 +299,19 @@ def read_text(path: str) -> str:
                 return stream.read().decode("utf-8")
         except (FileNotFoundError, OSError) as e:
             raise FileNotFoundError(path) from e
+    # LOCAL READ FAST PATH (r13): manifest metadata resolution issues
+    # several small reads per statement; through the JVM each costs a
+    # py4j round-trip (~15-20 ms measured) vs ~50 µs for a direct
+    # read. Only provably-local paths take it (file:// scheme, or
+    # scheme-less with a local fs.defaultFS) — cluster URIs keep the
+    # Hadoop FileSystem semantics untouched.
+    lp = _local_read_path(path)
+    if lp is not None:
+        try:
+            with open(lp, "rb") as fh:
+                return fh.read().decode("utf-8")
+        except FileNotFoundError:
+            raise FileNotFoundError(path) from None
     jvm, fs, jp = _jfs(path)
     try:
         stream = fs.open(jp)

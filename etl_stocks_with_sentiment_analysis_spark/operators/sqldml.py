@@ -902,38 +902,57 @@ def _read_sql(spark: SparkSession, sql: str) -> DataFrame:
 # table's exact name shadows the overlay rewrite.
 
 
-def _replay_txn_op(df: DataFrame, op: dict) -> DataFrame:
-    """Replay ONE buffered statement over a frame with EXACTLY the
-    semantics its COMMIT group will apply (kinds match `_txn_groups`;
-    the ON CONFLICT paths share `sinks.merge_combine_frames` with the
-    manifest merge itself, so read and commit can never diverge)."""
+def _replay_txn_group(
+    df: DataFrame, tag: str, ops: list[dict]
+) -> DataFrame:
+    """Replay ONE commit group of buffered statements over a frame
+    with EXACTLY the semantics `_commit_txn_group` will apply — the
+    overlay iterates the same `_txn_groups` partitioning and the ON
+    CONFLICT paths share `sinks.merge_combine_frames` with the
+    manifest merge itself, so read and commit can never diverge. A
+    bulk-restore transaction's thousands of buffered VALUES inserts
+    replay as ONE combined frame per group (`_cells_group_frame`),
+    not one plan node per statement."""
     from pyspark.sql import Window
 
-    k = op["kind"]
-    if k is None:  # plain INSERT (UNIQUE enforcement happens at COMMIT)
+    spark = df.sparkSession
+    if tag == "insert_plain":
+        frame = _cells_group_frame(spark, ops)
+        if frame is None:
+            frame = _union_tree([_op_frame(spark, op) for op in ops])
         return df.unionByName(
-            op["frame"].drop("__ord"), allowMissingColumns=True
+            frame.drop("__ord"), allowMissingColumns=True
         )
-    if k == "nothing":  # INSERT ... ON CONFLICT DO NOTHING
-        arb = list(op["arbiter"])
+    if tag == "insert_nothing":
+        frame = _cells_group_frame(spark, ops)
+        if frame is None:
+            shifted = []
+            base = 0
+            for op in ops:
+                shifted.append(_op_frame(spark, op, ord_base=base))
+                base += op["n"]
+            frame = _union_tree(shifted)
+        arb = list(ops[0]["arbiter"])
         w = Window.partitionBy(*arb).orderBy(F.col("__ord"))
         inc = (
-            op["frame"].withColumn("__rn", F.row_number().over(w))
+            frame.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .drop("__rn", "__ord")
         )
         return sinks.merge_combine_frames(
             df, inc, arb, when_matched=None, when_not_matched="insert"
         )
-    if k == "update":  # INSERT ... ON CONFLICT DO UPDATE
+    if tag == "insert_update":
+        op = ops[0]
         return sinks.merge_combine_frames(
-            df, op["frame"].drop("__ord"), list(op["arbiter"]),
+            df, _op_frame(spark, op).drop("__ord"), list(op["arbiter"]),
             when_matched="update",
             matched_condition=op["matched_cond"],
             when_not_matched="insert",
             update_set=op["update_set"] or None,
         )
-    if k == "update_stmt":  # UPDATE ... SET ... WHERE
+    if tag == "update_stmt":  # UPDATE ... SET ... WHERE
+        op = ops[0]
         hit = F.coalesce(F.expr(op["cond"]), F.lit(False))
         # every SET expression evaluates against the PRE-update row
         # (one projection), the update_manifest_table contract
@@ -950,9 +969,11 @@ def _replay_txn_op(df: DataFrame, op: dict) -> DataFrame:
             else F.col(c)
             for c in df.columns
         ])
-    if k == "delete_stmt":  # DELETE / TRUNCATE
-        return df.filter(~F.coalesce(F.expr(op["cond"]), F.lit(False)))
-    raise ValueError(f"unknown buffered statement kind {k!r}")
+    if tag == "delete_stmt":  # DELETE / TRUNCATE
+        return df.filter(
+            ~F.coalesce(F.expr(ops[0]["cond"]), F.lit(False))
+        )
+    raise ValueError(f"unknown buffered group tag {tag!r}")
 
 
 def _rewrite_txn_overlay(sql: str, overlays: dict[str, str]) -> str:
@@ -990,8 +1011,8 @@ def _read_sql_in_txn(spark: SparkSession, sql: str, txn: dict) -> DataFrame:
         if not spec["ops"]:
             continue
         df = sinks.read_manifest_table(spark, spec["target"])
-        for op in spec["ops"]:
-            df = _replay_txn_op(df, op)
+        for tag, ops in _txn_groups(spec):
+            df = _replay_txn_group(df, tag, ops)
         vname = view_name_for(key)
         oname = f"{vname}__ryow_{tid}"
         df.createOrReplaceTempView(oname)
@@ -1027,15 +1048,30 @@ def execute_sql(
     a one-row status frame ``(operation, table, rows_affected)`` for
     writes (rows_affected NULL where counting would cost an extra
     scan, like Spark's own DML)."""
+    if "\\" in sql_text:
+        # pg_dump/psql meta-commands are LINE-oriented, never
+        # ';'-terminated (`\restrict`, `\unrestrict`, `\connect`,
+        # `\.`): strip those lines so a dump runs verbatim (the
+        # statement splitter would otherwise glue them onto the next
+        # statement). Only lines STARTING with a backslash command are
+        # touched — backslashes inside statements are untouched.
+        sql_text = "\n".join(
+            line
+            for line in sql_text.split("\n")
+            if not re.match(r"\s*\\[a-zA-Z.]", line)
+        )
     stmts = split_statements(substitute_params(sql_text, params))
     if not stmts:
         raise ValueError("empty SQL statement")
     if len(stmts) > 1:
         # a ';'-separated script through the single-statement entry
         # (the CLI `sql` subcommand fed an init.sql): run each in
-        # order, return the LAST statement's result
+        # order, return the LAST statement's result. Comment-only
+        # chunks (pg_dump section trailers) are skipped, like psql.
         out = None
         for s in stmts:
+            if not _tokenize(s):
+                continue
             out = execute_sql(spark, s)
         return out
     sql = stmts[0]
@@ -1090,6 +1126,34 @@ def execute_sql(
         q.expect(head, "HISTORY")
         name = q.qname()
         return sinks.manifest_table_history(spark, _resolve_table(name))
+    if head == "SET":
+        # Postgres session GUCs (`SET statement_timeout = 0`, pg_dump
+        # preamble): accepted as no-ops — none of the dump-emitted
+        # GUCs has an engine meaning here (timeouts, encodings, and
+        # row_security are connection concerns). Returns a status row
+        # so scripts keep their one-result-per-statement shape.
+        q = _Parser(sql)
+        q.expect("SET")
+        q.eat("LOCAL") or q.eat("SESSION")
+        return _status(spark, "SET", q.ident(), None)
+    if (
+        head == "SELECT"
+        and len(toks) > 3
+        and toks[1].text.lower() == "pg_catalog"
+        and toks[2].text == "."
+        and toks[3].text.lower() in ("set_config", "setval")
+    ):
+        # pg_dump's two pg_catalog calls: set_config('search_path',…)
+        # is a session GUC (no-op here — names are schema-qualified
+        # through the binding registry), and setval('<t>_id_seq', n)
+        # restores the SERIAL sequence — this engine derives the next
+        # identity from the recorded MAX of the column (manifest
+        # stats), which for a dump-then-restore equals setval's n+1,
+        # so the restore semantics hold without sequence state.
+        # (Divergence, documented: a setval ABOVE the data max would
+        # leave a gap in Postgres; here ids stay dense from max+1.)
+        fn = toks[3].text.lower()
+        return _status(spark, "SELECT pg_catalog." + fn, "", None)
     if head in _READ_HEADS:
         sinks.refresh_tracked_views(spark)
         txn = _current_txn()
@@ -1215,13 +1279,28 @@ def execute_sql_script(
     return [execute_sql(spark, s) for s in split_statements(text)]
 
 
+# (session id, op, table, n) -> status frame. Status frames are
+# immutable one-row results; building one costs a createDataFrame
+# py4j round-trip (~25 ms), which DOMINATED bulk-restore transactions
+# (one "INSERT (buffered)" status per dump statement). A restore's
+# statuses collapse to one cache entry. Bounded by distinct statuses.
+_STATUS_CACHE: dict[tuple, DataFrame] = {}
+
+
 def _status(
     spark: SparkSession, op: str, table: str, n: int | None
 ) -> DataFrame:
-    return spark.createDataFrame(
-        [(op, table, n)],
-        "operation string, table string, rows_affected bigint",
-    )
+    key = (id(spark), op, table, n)
+    got = _STATUS_CACHE.get(key)
+    if got is None:
+        if len(_STATUS_CACHE) >= 4096:
+            _STATUS_CACHE.clear()
+        got = spark.createDataFrame(
+            [(op, table, n)],
+            "operation string, table string, rows_affected bigint",
+        )
+        _STATUS_CACHE[key] = got
+    return got
 
 
 # ---------------------------------------------------------------------------
@@ -1954,15 +2033,76 @@ def _txn_groups(spec: dict) -> list[tuple[str, list[dict]]]:
     return groups
 
 
+def _cells_frame(
+    spark: SparkSession, cell_rows: list[list[str]], cols: list[str],
+    ord_base: int = 0,
+) -> DataFrame:
+    """ONE `VALUES` DataFrame from buffered text cells (each row a
+    list of `CAST((expr) AS type)` strings), with a 0-based `__ord`
+    literal column offset by ``ord_base`` (the DO-NOTHING first-wins
+    global order)."""
+    rows = [
+        f"({ord_base + i}, {', '.join(cells)})"
+        for i, cells in enumerate(cell_rows)
+    ]
+    collist = ", ".join(["__ord"] + cols)
+    return spark.sql(
+        f"SELECT * FROM VALUES {', '.join(rows)} AS v({collist})"
+    )
+
+
+def _op_frame(spark: SparkSession, op: dict, ord_base: int = 0) -> DataFrame:
+    """Materialize one buffered INSERT op: either the DataFrame it
+    captured at statement time (SELECT-inserts) or its text cells."""
+    f = op.get("frame")
+    if f is not None:
+        if ord_base:
+            f = f.withColumn(
+                "__ord", F.col("__ord").cast("long") + F.lit(ord_base)
+            )
+        return f
+    return _cells_frame(spark, op["cells"], op["cols"], ord_base)
+
+
+def _cells_group_frame(spark: SparkSession, ops: list[dict]):
+    """The bulk-restore fast path: when EVERY op in a commit group is
+    text-cells with one column layout, the whole group materializes
+    as ONE VALUES frame (one analysis round-trip for thousands of
+    buffered statements), with statement-order `__ord` running
+    globally. Returns None when the group is mixed — the caller
+    falls back to per-op frames."""
+    if any(op.get("frame") is not None for op in ops):
+        return None
+    if len({tuple(op["cols"]) for op in ops}) != 1:
+        return None
+    rows = [cells for op in ops for cells in op["cells"]]
+    return _cells_frame(spark, rows, ops[0]["cols"])
+
+
+def _union_tree(frames: list) -> "DataFrame":
+    """Balanced unionByName — a restore-shaped transaction buffers
+    THOUSANDS of single-row INSERT frames, and a linear union chain
+    gives Catalyst an O(n)-deep plan (quadratic analysis, stack
+    risk); the tree keeps depth O(log n)."""
+    while len(frames) > 1:
+        frames = [
+            frames[i].unionByName(frames[i + 1])
+            if i + 1 < len(frames)
+            else frames[i]
+            for i in range(0, len(frames), 2)
+        ]
+    return frames[0]
+
+
 def _commit_txn_group(
     spark: SparkSession, spec: dict, tag: str, ops: list[dict],
     results: list[tuple[str, str, int | None]],
 ) -> None:
     """Execute ONE commit group of a transaction (see _txn_groups)."""
     if tag == "insert_plain":
-        frame = ops[0]["frame"]
-        for op in ops[1:]:
-            frame = frame.unionByName(op["frame"])
+        frame = _cells_group_frame(spark, ops)
+        if frame is None:
+            frame = _union_tree([_op_frame(spark, op) for op in ops])
         _apply_insert(
             spark, spec["name"], spec["target"], frame, None, [],
             {}, None, spec["unique_keys"], spec["part"],
@@ -1974,16 +2114,15 @@ def _commit_txn_group(
     elif tag == "insert_nothing":
         # global literal order across the run's statements:
         # Postgres's first-wins applies to the whole sequence
-        frame = None
-        offset = 0
-        for op in ops:
-            shifted = op["frame"].withColumn(
-                "__ord", F.col("__ord").cast("long") + F.lit(offset)
-            )
-            frame = shifted if frame is None else frame.unionByName(
-                shifted
-            )
-            offset += op["n"]
+        offset = sum(op["n"] for op in ops)
+        frame = _cells_group_frame(spark, ops)
+        if frame is None:
+            shifted = []
+            base = 0
+            for op in ops:
+                shifted.append(_op_frame(spark, op, ord_base=base))
+                base += op["n"]
+            frame = _union_tree(shifted)
         _apply_insert(
             spark, spec["name"], spec["target"], frame, "nothing",
             list(ops[0]["arbiter"]), {}, None, spec["unique_keys"],
@@ -1995,7 +2134,7 @@ def _commit_txn_group(
     elif tag == "insert_update":
         op = ops[0]
         _apply_insert(
-            spark, spec["name"], spec["target"], op["frame"],
+            spark, spec["name"], spec["target"], _op_frame(spark, op),
             "update", list(op["arbiter"]), op["update_set"],
             op["matched_cond"], spec["unique_keys"], spec["part"],
             op["n"],
@@ -2045,6 +2184,8 @@ def _insert(spark: SparkSession, p: _Parser) -> DataFrame:
     src_cols = listed or table_cols
 
     # ---- build the incoming frame -----------------------------------
+    txn_now = _current_txn()
+    cell_rows: list[list[str]] | None = None
     if p.eat("VALUES"):
         tuples: list[list[str]] = []
         while True:
@@ -2059,20 +2200,28 @@ def _insert(spark: SparkSession, p: _Parser) -> DataFrame:
                 p.i += 1
                 continue
             break
-        rows = []
-        for idx, exprs in enumerate(tuples):
-            cells = [str(idx)]
+        cell_rows = []
+        for exprs in tuples:
+            cells = []
             for c, e in zip(src_cols, exprs):
                 if e.upper() == "DEFAULT":
                     e = defaults.get(c, "NULL")
                 cells.append(f"CAST(({e}) AS {types[c].simpleString()})")
-            rows.append(f"({', '.join(cells)})")
-        collist = ", ".join(["__ord"] + list(src_cols))
-        incoming = spark.sql(
-            f"SELECT * FROM VALUES {', '.join(rows)} AS v({collist})"
-        )
+            cell_rows.append(cells)
         ordered = True
         n_rows: int | None = len(tuples)
+        if txn_now is None:
+            incoming = _cells_frame(spark, cell_rows, list(src_cols))
+        else:
+            # BUFFERED VALUES STAY TEXT (r13 bulk-restore path): a
+            # pg_dump restore pushes THOUSANDS of single-row inserts
+            # through one transaction — building a DataFrame per
+            # statement costs a py4j/analysis round-trip each
+            # (~45 ms), so the cells buffer as SQL text and COMMIT
+            # (or a read-your-own-writes overlay) materializes the
+            # whole group as ONE VALUES frame. Identity and defaults
+            # become literal cells below.
+            incoming = None
     else:
         # INSERT ... SELECT: everything up to a top-level ON CONFLICT
         select_text = p.expr_text(_INSERT_STOPS, stop_punct="")
@@ -2123,13 +2272,18 @@ def _insert(spark: SparkSession, p: _Parser) -> DataFrame:
 
     # defaults for unlisted columns; identity auto-assignment
     missing = [c for c in table_cols if c not in src_cols]
+    out_cols = list(src_cols)
     for c in missing:
         if c == identity:
             continue
         expr = defaults.get(c, "NULL")
-        incoming = incoming.withColumn(
-            c, F.expr(f"CAST(({expr}) AS {types[c].simpleString()})")
-        )
+        cast = f"CAST(({expr}) AS {types[c].simpleString()})"
+        out_cols.append(c)
+        if incoming is not None:
+            incoming = incoming.withColumn(c, F.expr(cast))
+        else:
+            for cells in cell_rows:
+                cells.append(cast)
     if identity is not None and identity not in src_cols:
         start = _identity_start(spark, target, man, identity)
         txn = _current_txn()
@@ -2139,16 +2293,28 @@ def _insert(spark: SparkSession, p: _Parser) -> DataFrame:
             # yet — continue the sequence past them
             start = max(start, txn["reserved"].get(name.lower(), 0))
             txn["reserved"][name.lower()] = start + (n_rows or 0)
-        if ordered:
+        out_cols.append(identity)
+        if incoming is None:
+            # buffered VALUES: ids are known integers NOW — literal
+            # cells, no window needed at materialization
+            idt = types[identity].simpleString()
+            for i, cells in enumerate(cell_rows):
+                cells.append(f"CAST({start + i} AS {idt})")
+        elif ordered:
             from pyspark.sql import Window
 
             w = Window.orderBy(F.col("__ord"))
             idv = (F.row_number().over(w) + F.lit(start - 1))
+            incoming = incoming.withColumn(
+                identity, idv.cast(types[identity])
+            )
         else:
             # scale path: unique, monotone, SPARSE ids (SERIAL promises
             # uniqueness, not density) — no global sort of a big SELECT
             idv = F.col("__ord") + F.lit(start)
-        incoming = incoming.withColumn(identity, idv.cast(types[identity]))
+            incoming = incoming.withColumn(
+                identity, idv.cast(types[identity])
+            )
 
     # ---- conflict clause routing -------------------------------------
     conflict: str | None = None  # None | "nothing" | "update"
@@ -2223,18 +2389,20 @@ def _insert(spark: SparkSession, p: _Parser) -> DataFrame:
         # r13: INSERT ... SELECT buffers too — the SELECT already
         # evaluated (and materialized) at statement time against the
         # session's read-your-own-writes state, Postgres semantics.
-        # One cheap action forces literal/cast evaluation so malformed
-        # statements fail NOW (statement time, like Postgres), never
-        # silently at COMMIT
-        incoming.count()
-        _txn_buffer(
-            txn, name, target, part, unique_keys,
-            {
-                "kind": conflict, "frame": incoming, "arbiter": arbiter,
-                "update_set": update_set, "matched_cond": matched_cond,
-                "n": n_in,
-            },
-        )
+        # VALUES inserts buffer as TEXT CELLS (`cells`/`cols`) and
+        # materialize per GROUP at COMMIT/read — one analysis round-
+        # trip per group, not per statement (the bulk-restore path).
+        op = {
+            "kind": conflict, "arbiter": arbiter,
+            "update_set": update_set, "matched_cond": matched_cond,
+            "n": n_in,
+        }
+        if incoming is not None:
+            op["frame"] = incoming
+        else:
+            op["cells"] = cell_rows
+            op["cols"] = out_cols
+        _txn_buffer(txn, name, target, part, unique_keys, op)
         return _status(spark, "INSERT (buffered)", name, n_in)
 
     return _apply_insert(
@@ -3427,6 +3595,96 @@ def sink_manifest_txn_ryow(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the in-transaction read already saw EXACTLY the committed state
     assert tuple(mid) == tuple(post), (tuple(mid), tuple(post))
     return out
+
+
+_PG_DUMP_ORACLE = """
+SELECT CAST(1030 AS BIGINT) AS n_rows,
+       CAST(551565 AS BIGINT) AS sum_id,
+       CAST(5 AS BIGINT) AS n_tickers,
+       CAST(206 AS BIGINT) AS n_dates,
+       CAST(394 AS BIGINT) AS n_neutral,
+       CAST(327 AS BIGINT) AS n_negative,
+       CAST(309 AS BIGINT) AS n_positive,
+       CAST('2026-01-09' AS DATE) AS max_date"""
+
+
+@register("source_pg_dump_restore", oracle=_PG_DUMP_ORACLE)
+def source_pg_dump_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restore the reference's ACTUAL pg_dump backup, VERBATIM (r13):
+    `/root/reference/grok_explanations_backup.sql` is a real
+    `pg_dump --inserts` artifact — psql meta-commands (`\\restrict` /
+    `\\unrestrict`), a GUC preamble (`SET statement_timeout = 0`,
+    `SELECT pg_catalog.set_config('search_path', ...)`), 1,030
+    single-row `INSERT INTO raw.grok_explanations VALUES (...)`
+    statements with explicit SERIAL ids and escaped quotes, and a
+    closing `SELECT pg_catalog.setval('raw.grok_explanations_id_seq',
+    1050, true)`. The schema comes from running the reference's
+    `init.sql` first (also verbatim, statement-by-statement with
+    psql's default ON_ERROR_STOP=off tolerance — its comment says
+    `CREATE DATABASE metabase` "will fail if already exists, which is
+    fine").
+
+    The restore itself runs the dump as ONE transaction (`psql
+    --single-transaction -f dump.sql`, the documented safe way to
+    restore): all 1,030 inserts buffer and COMMIT composes them into
+    EXACTLY ONE manifest commit (asserted via DESCRIBE HISTORY) —
+    O(1) commits however long the dump, with the balanced-union plan
+    (`_union_tree`) keeping analysis cost O(n log n). After restore,
+    the SERIAL sequence continues at 1051 exactly as the dump's
+    setval demands (asserted) — identity derives from the recorded
+    column max, so sequence state needs no separate restore.
+
+    The oracle is the dump's content, stated as literals: the file is
+    a fixed artifact, so its aggregate IS a constant (same device as
+    the seeded-literal oracles elsewhere in this module)."""
+    base = sinks.scratch_dir("s38_")
+    spark.conf.set("spark.manifest_sql.warehouse", base)
+    run = lambda s, p=None: execute_sql(spark, s, params=p)
+    run("DROP TABLE IF EXISTS raw.stock_prices")
+    run("DROP TABLE IF EXISTS raw.grok_explanations")
+    with open("/root/reference/init.sql") as fh:
+        init_text = fh.read()
+    for stmt in split_statements(init_text):
+        try:
+            run(stmt)
+        except ValueError:
+            # psql ON_ERROR_STOP=off: init.sql expects re-runs to
+            # fail on CREATE DATABASE and keep going
+            pass
+    with open("/root/reference/grok_explanations_backup.sql") as fh:
+        dump_text = fh.read()
+    hist0 = run("DESCRIBE HISTORY raw.grok_explanations").count()
+    run("BEGIN")
+    run(dump_text)  # the whole dump, verbatim, one transaction
+    run("COMMIT")
+    # the 1,030-statement restore landed as EXACTLY ONE commit
+    hist1 = run("DESCRIBE HISTORY raw.grok_explanations").count()
+    assert hist1 == hist0 + 1, (hist0, hist1)
+    # the SERIAL sequence continues where setval pinned it (1050+1)
+    run(
+        "INSERT INTO raw.grok_explanations (ticker, date) "
+        "VALUES ('PROBE', '2026-02-01')"
+    )
+    nid = run(
+        "SELECT id AS i FROM raw.grok_explanations "
+        "WHERE ticker = 'PROBE'"
+    ).collect()[0]["i"]
+    assert nid == 1051, nid
+    run("DELETE FROM raw.grok_explanations WHERE ticker = 'PROBE'")
+    return run(
+        """SELECT COUNT(*) AS n_rows,
+                  CAST(SUM(id) AS BIGINT) AS sum_id,
+                  COUNT(DISTINCT ticker) AS n_tickers,
+                  COUNT(DISTINCT date) AS n_dates,
+                  COUNT(CASE WHEN sentiment = 'neutral' THEN 1 END)
+                      AS n_neutral,
+                  COUNT(CASE WHEN sentiment = 'negative' THEN 1 END)
+                      AS n_negative,
+                  COUNT(CASE WHEN sentiment = 'positive' THEN 1 END)
+                      AS n_positive,
+                  MAX(date) AS max_date
+           FROM raw.grok_explanations"""
+    )
 
 
 _TT_TS_ORACLE = """
