@@ -1284,7 +1284,7 @@ def execute_sql_script(
 # py4j round-trip (~25 ms), which DOMINATED bulk-restore transactions
 # (one "INSERT (buffered)" status per dump statement). A restore's
 # statuses collapse to one cache entry. Bounded by distinct statuses.
-_STATUS_CACHE: dict[tuple, DataFrame] = {}
+_STATUS_CACHE: dict[tuple, tuple] = {}  # key -> (session, frame)
 
 
 def _status(
@@ -1292,15 +1292,19 @@ def _status(
 ) -> DataFrame:
     key = (id(spark), op, table, n)
     got = _STATUS_CACHE.get(key)
-    if got is None:
-        if len(_STATUS_CACHE) >= 4096:
-            _STATUS_CACHE.clear()
-        got = spark.createDataFrame(
-            [(op, table, n)],
-            "operation string, table string, rows_affected bigint",
-        )
-        _STATUS_CACHE[key] = got
-    return got
+    # identity check guards id() reuse after a stopped session is
+    # garbage-collected (the cache must never serve a frame bound to
+    # a dead JVM)
+    if got is not None and got[0] is spark:
+        return got[1]
+    if len(_STATUS_CACHE) >= 4096:
+        _STATUS_CACHE.clear()
+    frame = spark.createDataFrame(
+        [(op, table, n)],
+        "operation string, table string, rows_affected bigint",
+    )
+    _STATUS_CACHE[key] = (spark, frame)
+    return frame
 
 
 # ---------------------------------------------------------------------------
