@@ -1954,8 +1954,20 @@ def _committed_at(target: str, v: int) -> float | None:
     if at is None:
         return None  # pre-r12b commit: no recorded timestamp
     at = float(at)
-    with _COMMIT_TS_LOCK:
-        _COMMIT_TS_CACHE.setdefault(target, {})[v] = at
+    # Cache-poison guard (r14, ADVICE fix): _txn_visibility gives the
+    # OWNING thread a read-your-own-writes shortcut that reports its
+    # still-pending staged versions as 'committed' — correct for the
+    # in-txn resolution above, but poison for a forever-cache: if the
+    # owner resolves TIMESTAMP AS OF mid-transaction and then ABORTS,
+    # the cached (version, ts) pair would outlive the abort and later
+    # reads in this process could pin a version that never published.
+    # So a txn-stamped version is memoized only when its OUTCOME FILE
+    # independently reads 'commit' — no owner shortcut for the cache.
+    pt = raw.get("pending_txn")
+    durably_committed = (not pt) or _read_txn_outcome(target, pt) == "commit"
+    if durably_committed:
+        with _COMMIT_TS_LOCK:
+            _COMMIT_TS_CACHE.setdefault(target, {})[v] = at
     return at
 
 

@@ -84,6 +84,7 @@ import os
 import re
 import threading
 import uuid
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -707,13 +708,26 @@ def _pg_compat(sql: str) -> str:
     class casts map their TYPE NAME (Spark 4 parses `::` natively but
     not Postgres alias types), and `STRING_AGG(expr, sep ORDER BY k)`
     moves its inline ordering to the standard `WITHIN GROUP (ORDER BY
-    k)` Spark implements."""
+    k)` Spark implements.
+
+    STRING LITERALS (r14): Postgres standard-conforming strings treat
+    backslash as a PLAIN character; Spark's parser processes C-style
+    escapes by default, silently turning `'\\documentclass'` into
+    `'documentclass'`. Every backslash inside a single-quoted literal
+    is doubled here so the routed statement reproduces the Postgres
+    bytes exactly (pg_dump --inserts emits such values verbatim)."""
     toks = _tokenize(sql)
     out: list[str] = []
     last = 0
     i = 0
     while i < len(toks):
         t = toks[i]
+        if t.kind == "string" and "\\" in t.text:
+            out.append(sql[last : t.start])
+            out.append(t.text.replace("\\", "\\\\"))
+            last = t.end
+            i += 1
+            continue
         if (
             t.text == "::"
             and i + 1 < len(toks)
@@ -976,22 +990,58 @@ def _replay_txn_group(
     raise ValueError(f"unknown buffered group tag {tag!r}")
 
 
+_CLAUSE_WORDS = frozenset(
+    {
+        "SELECT", "WHERE", "GROUP", "ORDER", "HAVING", "LIMIT",
+        "WINDOW", "UNION", "INTERSECT", "EXCEPT", "ON", "USING",
+        "SET", "VALUES", "WITH", "PARTITION", "OVER", "QUALIFY",
+    }
+)
+
+
 def _rewrite_txn_overlay(sql: str, overlays: dict[str, str]) -> str:
     """Token-rewrite references to buffered tables' view names into
     their thread-scoped overlay views. Runs AFTER the bound-name and
     time-travel rewrites, so qualified names are already collapsed to
     view names and `VERSION/TIMESTAMP AS OF` pins (already rewritten
     to `__v<n>` names) keep reading their pinned snapshot, never the
-    overlay. A token preceded by '.' is a column reference; one
-    followed by '(' is a function call — both skipped."""
+    overlay.
+
+    POSITIONAL (r14, ADVICE fix): only tokens in TABLE-REFERENCE
+    position are rewritten — directly after FROM/JOIN, or after a
+    comma while the enclosing clause is a FROM-list. A column, alias,
+    or function that happens to share a buffered table's name
+    (realistic for single-word bindings like `events`) is left alone,
+    so `SELECT count(*) AS events FROM t` keeps its column name.
+    Clause state is tracked lexically across subqueries (each inner
+    FROM re-arms the comma rule; any other clause keyword disarms
+    it), which is exact for the grammar the router accepts."""
     toks = _tokenize(sql)
     out: list[str] = []
     last = 0
+    clause = ""
+    clause_stack: list[str] = []  # '('-depth: restore clause on ')'
     for i, t in enumerate(toks):
+        prev = toks[i - 1] if i > 0 else None
+        in_table_pos = prev is not None and (
+            (prev.kind == "word" and prev.upper in ("FROM", "JOIN"))
+            or (prev.text == "," and clause == "FROM")
+        )
+        if t.text == "(":
+            clause_stack.append(clause)
+        elif t.text == ")":
+            if clause_stack:
+                clause = clause_stack.pop()
+        elif t.kind == "word":
+            u = t.upper
+            if u in ("FROM", "JOIN"):
+                clause = "FROM"
+            elif u in _CLAUSE_WORDS:
+                clause = u
         if (
-            t.kind == "word"
+            in_table_pos
+            and t.kind == "word"
             and t.text.lower() in overlays
-            and not (i > 0 and toks[i - 1].text == ".")
             and not (i + 1 < len(toks) and toks[i + 1].text == "(")
         ):
             out.append(sql[last : t.start])
@@ -1039,6 +1089,72 @@ def _drop_txn_overlays(spark: SparkSession, txn: dict | None) -> None:
             pass
 
 
+_DOLLAR_TAG_RE = re.compile(r"\$[A-Za-z_][A-Za-z_0-9]*\$|\$\$")
+
+
+def _strip_psql_meta(text: str) -> str:
+    """Drop psql meta-command lines (`\\restrict`, `\\connect`,
+    `\\.`) — but ONLY lines whose start is OUTSIDE every string
+    literal and comment (r14, ADVICE fix). pg_dump/psql meta-commands
+    are LINE-oriented and never appear inside a statement, yet
+    `--inserts` dumps emit embedded newlines in text values
+    literally, so a value whose continuation line begins with
+    ``\\documentclass`` is DATA, not a meta-command. We track
+    single-quoted strings (with ``''`` doubling), double-quoted
+    identifiers, dollar-quoted bodies, and ``/* */`` comments across
+    lines; a line is stripped only in true meta-command position.
+    (Postgres E'' backslash-escape strings are not tracked — pg_dump
+    emits standard-conforming strings.)"""
+    out_lines: list[str] = []
+    in_sq = in_dq = in_block = False
+    dollar_tag: str | None = None
+    for line in text.split("\n"):
+        if (
+            not (in_sq or in_dq or in_block or dollar_tag)
+            and re.match(r"\s*\\[a-zA-Z.]", line)
+        ):
+            continue  # true psql meta-command
+        out_lines.append(line)
+        i, n = 0, len(line)
+        while i < n:
+            c = line[i]
+            if in_block:
+                if c == "*" and line.startswith("*/", i):
+                    in_block = False
+                    i += 2
+                    continue
+            elif in_sq:
+                if c == "'":
+                    in_sq = False  # '' doubling toggles back next char
+            elif in_dq:
+                if c == '"':
+                    in_dq = False
+            elif dollar_tag is not None:
+                if c == "$" and line.startswith(dollar_tag, i):
+                    i += len(dollar_tag)
+                    dollar_tag = None
+                    continue
+            else:
+                if c == "-" and line.startswith("--", i):
+                    break  # rest of line is comment; state unchanged
+                if c == "/" and line.startswith("/*", i):
+                    in_block = True
+                    i += 2
+                    continue
+                if c == "'":
+                    in_sq = True
+                elif c == '"':
+                    in_dq = True
+                elif c == "$":
+                    m = _DOLLAR_TAG_RE.match(line, i)
+                    if m:
+                        dollar_tag = m.group(0)
+                        i = m.end()
+                        continue
+            i += 1
+    return "\n".join(out_lines)
+
+
 def execute_sql(
     spark: SparkSession, sql_text: str, params=None
 ) -> DataFrame:
@@ -1049,17 +1165,7 @@ def execute_sql(
     writes (rows_affected NULL where counting would cost an extra
     scan, like Spark's own DML)."""
     if "\\" in sql_text:
-        # pg_dump/psql meta-commands are LINE-oriented, never
-        # ';'-terminated (`\restrict`, `\unrestrict`, `\connect`,
-        # `\.`): strip those lines so a dump runs verbatim (the
-        # statement splitter would otherwise glue them onto the next
-        # statement). Only lines STARTING with a backslash command are
-        # touched — backslashes inside statements are untouched.
-        sql_text = "\n".join(
-            line
-            for line in sql_text.split("\n")
-            if not re.match(r"\s*\\[a-zA-Z.]", line)
-        )
+        sql_text = _strip_psql_meta(sql_text)
     stmts = split_statements(substitute_params(sql_text, params))
     if not stmts:
         raise ValueError("empty SQL statement")
@@ -1279,31 +1385,40 @@ def execute_sql_script(
     return [execute_sql(spark, s) for s in split_statements(text)]
 
 
-# (session id, op, table, n) -> status frame. Status frames are
+# session -> {(op, table, n): status frame}. Status frames are
 # immutable one-row results; building one costs a createDataFrame
 # py4j round-trip (~25 ms), which DOMINATED bulk-restore transactions
 # (one "INSERT (buffered)" status per dump statement). A restore's
-# statuses collapse to one cache entry. Bounded by distinct statuses.
-_STATUS_CACHE: dict[tuple, tuple] = {}  # key -> (session, frame)
+# statuses collapse to one cache entry. Keyed WEAKLY by the session
+# (r14, ADVICE fix): a stopped, dropped session — and the frames
+# pinning its py4j graph — is collected automatically, and eviction
+# is per-session instead of a wholesale clear at an arbitrary size.
+# Identity-keying by the live object also makes id()-reuse impossible
+# by construction. Inner dicts are bounded by distinct statuses per
+# session (op × table × n); a 4096 cap guards pathological churn.
+_STATUS_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def _status(
     spark: SparkSession, op: str, table: str, n: int | None
 ) -> DataFrame:
-    key = (id(spark), op, table, n)
-    got = _STATUS_CACHE.get(key)
-    # identity check guards id() reuse after a stopped session is
-    # garbage-collected (the cache must never serve a frame bound to
-    # a dead JVM)
-    if got is not None and got[0] is spark:
-        return got[1]
-    if len(_STATUS_CACHE) >= 4096:
-        _STATUS_CACHE.clear()
+    per_session = _STATUS_CACHE.get(spark)
+    if per_session is None:
+        per_session = {}
+        _STATUS_CACHE[spark] = per_session
+    key = (op, table, n)
+    got = per_session.get(key)
+    if got is not None:
+        return got
+    if len(per_session) >= 4096:
+        per_session.clear()
     frame = spark.createDataFrame(
         [(op, table, n)],
         "operation string, table string, rows_affected bigint",
     )
-    _STATUS_CACHE[key] = (spark, frame)
+    per_session[key] = frame
     return frame
 
 
@@ -2209,7 +2324,12 @@ def _insert(spark: SparkSession, p: _Parser) -> DataFrame:
             cells = []
             for c, e in zip(src_cols, exprs):
                 if e.upper() == "DEFAULT":
+                    # stored defaults are already _pg_compat'd at
+                    # CREATE TABLE time — don't re-apply (it would
+                    # re-double literal backslashes)
                     e = defaults.get(c, "NULL")
+                else:
+                    e = _pg_compat(e)
                 cells.append(f"CAST(({e}) AS {types[c].simpleString()})")
             cell_rows.append(cells)
         ordered = True

@@ -58,6 +58,7 @@ diff is the defined feed). The foreachBatch helper
 from __future__ import annotations
 
 import json
+import logging
 import urllib.parse
 
 from pyspark.sql.datasource import (
@@ -576,10 +577,25 @@ def register_manifest_stream_source(spark) -> None:
     version log, so any range re-read yields identical rows. The
     crash-between-WAL-and-commit restart is proven exactly-once for
     both snapshot and CDF modes in
-    tests/test_round13_ops.py::test_streaming_crash_restart_*."""
-    spark.conf.set(
-        "spark.sql.streaming.triggerAvailableNowWrapper.enabled", "true"
-    )
+    tests/test_round13_ops.py::test_streaming_crash_restart_*.
+
+    SCOPE CAVEAT (r14, ADVICE fix): the conf is SESSION-global — it
+    also forces the wrapper onto any OTHER Python streaming source
+    registered in the same session, which is only sound if that
+    source's offset ranges replay exactly too. So we flip it only
+    when the user has not already set it (an explicit setting, either
+    way, wins) and log that registration changed it."""
+    conf_key = "spark.sql.streaming.triggerAvailableNowWrapper.enabled"
+    current = spark.conf.get(conf_key, None)
+    if current is None:
+        spark.conf.set(conf_key, "true")
+        logging.getLogger(__name__).info(
+            "register_manifest_stream_source enabled %s session-wide "
+            "for Trigger.AvailableNow support; this affects every "
+            "Python streaming source in the session (set it "
+            "explicitly to opt out)",
+            conf_key,
+        )
     spark.dataSource.register(ManifestStreamDataSource)
 
 

@@ -1,0 +1,195 @@
+"""Round-14 tests — the r13 advisor fixes: string-literal-aware psql
+meta-command stripping, positional (table-reference-only) RYOW
+overlay rewriting, the commit-timestamp forever-cache refusing the
+owner's read-your-own-writes shortcut, and the session-weak status
+cache."""
+
+import gc
+import threading
+import weakref
+
+import pytest
+
+from etl_stocks_with_sentiment_analysis_spark.operators import sinks, sqldml
+
+
+@pytest.fixture()
+def wh(spark, tmp_path):
+    spark.conf.set("spark.manifest_sql.warehouse", str(tmp_path / "wh"))
+    yield str(tmp_path / "wh")
+
+
+# --- psql meta-command stripper (string-literal aware) ------------------
+
+
+def test_strip_psql_meta_preserves_multiline_literals():
+    """A continuation line of a multi-line string VALUE that begins
+    with a backslash word (pg_dump --inserts emits embedded newlines
+    literally) is DATA, not a meta-command — it must survive."""
+    text = (
+        "\\restrict abc\n"
+        "INSERT INTO t VALUES (1, 'first line\n"
+        "\\documentclass{article}\n"
+        "\\date{today}\n"
+        "last line');\n"
+        "\\unrestrict abc\n"
+        "INSERT INTO t VALUES (2, 'plain');\n"
+    )
+    got = sqldml._strip_psql_meta(text)
+    assert "\\documentclass{article}" in got
+    assert "\\date{today}" in got
+    assert "\\restrict" not in got
+    assert "\\unrestrict" not in got
+
+
+def test_strip_psql_meta_tracks_quotes_comments_dollar():
+    """Doubled quotes, line/block comments, and dollar-quoted bodies
+    all position the stripper correctly."""
+    text = (
+        "SELECT 'it''s a\n"
+        "\\x continuation';\n"      # inside '' (after doubling) — keep
+        "-- a comment with ' that must not open a string\n"
+        "\\connect somedb\n"        # true meta-command — strip
+        "SELECT $$body\n"
+        "\\. not a terminator\n"
+        "$$;\n"
+        "/* block ' comment\n"
+        "spanning */ SELECT 1;\n"
+        "\\q\n"                     # meta-command after block closed
+    )
+    got = sqldml._strip_psql_meta(text)
+    assert "\\x continuation" in got
+    assert "\\. not a terminator" in got
+    assert "\\connect" not in got
+    assert "\\q" not in got
+
+
+def test_execute_sql_multiline_literal_roundtrip(spark, wh):
+    """End-to-end: a text value whose continuation line starts with a
+    backslash word survives INSERT → SELECT exactly (r13 would have
+    silently truncated the value or corrupted the statement)."""
+    run = lambda s: sqldml.execute_sql(spark, s)
+    run("DROP TABLE IF EXISTS r14.tex")
+    run("CREATE SCHEMA IF NOT EXISTS r14")
+    run("CREATE TABLE r14.tex (k BIGINT, body STRING, UNIQUE(k))")
+    body = "preamble\n\\documentclass{article}\n\\date{2026-08-16}\nend"
+    run(f"INSERT INTO r14.tex VALUES (1, '{body}')")
+    got = run("SELECT body FROM r14.tex WHERE k = 1").collect()[0]["body"]
+    assert got == body
+
+
+# --- RYOW overlay rewrite is positional ---------------------------------
+
+
+def test_ryow_overlay_skips_alias_and_column_positions(spark, wh):
+    """An AS alias or expression token equal to a buffered table's
+    view name must NOT be rewritten — only table-reference positions
+    (after FROM/JOIN, or a comma in a FROM-list) are."""
+    run = lambda s: sqldml.execute_sql(spark, s)
+    run("DROP TABLE IF EXISTS evts")
+    run("CREATE TABLE evts (k BIGINT, UNIQUE(k))")
+    run("INSERT INTO evts VALUES (1)")
+    run("BEGIN")
+    run("INSERT INTO evts VALUES (2)")
+    # alias equals the buffered view name: column must keep its name,
+    # and the FROM reference must still see the buffered row
+    df = run("SELECT COUNT(*) AS evts FROM evts")
+    assert df.columns == ["evts"]
+    assert df.collect()[0]["evts"] == 2
+    # comma in a FROM-list IS a table position — overlay applies
+    df2 = run(
+        "SELECT COUNT(*) AS n FROM (SELECT 1 AS x) t, evts"
+    )
+    assert df2.collect()[0]["n"] == 2
+    # a subquery's own alias list is not a table position
+    df3 = run(
+        "SELECT evts FROM (SELECT k AS evts FROM evts) q ORDER BY evts"
+    )
+    assert [r["evts"] for r in df3.collect()] == [1, 2]
+    run("ROLLBACK")
+    assert run("SELECT COUNT(*) AS n FROM evts").collect()[0]["n"] == 1
+
+
+def test_rewrite_txn_overlay_unit():
+    ov = {"evts": "evts__ryow_1"}
+    f = sqldml._rewrite_txn_overlay
+    assert f("SELECT COUNT(*) AS evts FROM evts", ov) == (
+        "SELECT COUNT(*) AS evts FROM evts__ryow_1"
+    )
+    assert f("SELECT evts + 1 FROM evts", ov) == (
+        "SELECT evts + 1 FROM evts__ryow_1"
+    )
+    assert f("SELECT a FROM t JOIN evts ON t.k = evts.k", ov) == (
+        "SELECT a FROM t JOIN evts__ryow_1 ON t.k = evts.k"
+    )
+    assert f("SELECT a FROM t, evts WHERE t.k = evts.k", ov) == (
+        "SELECT a FROM t, evts__ryow_1 WHERE t.k = evts.k"
+    )
+    # subquery closes: the outer FROM-list comma still re-arms
+    assert f("SELECT a FROM (SELECT 1 AS b) s, evts", ov) == (
+        "SELECT a FROM (SELECT 1 AS b) s, evts__ryow_1"
+    )
+    # GROUP BY / ORDER BY / SELECT-list commas are not table positions
+    assert f("SELECT x, evts FROM t GROUP BY x, evts", ov) == (
+        "SELECT x, evts FROM t GROUP BY x, evts"
+    )
+
+
+# --- commit-timestamp cache: no owner shortcut --------------------------
+
+
+def test_committed_at_not_poisoned_by_aborted_txn(spark, tmp_path):
+    """Resolving TIMESTAMP AS OF *inside* a transaction must not
+    memoize the owner's still-pending staged version: if the
+    transaction then aborts, later timestamp reads in the same
+    process must never resolve to the aborted version."""
+    target = str(tmp_path / "cache_poison")
+    df1 = spark.range(3).withColumnRenamed("id", "k")
+    sinks.upsert(spark, target, df1, ["k"])
+    committed_v = max(sinks._list_manifest_versions(target))
+    try:
+        with sinks.transaction():
+            df2 = spark.range(5, 10).withColumnRenamed("id", "k")
+            sinks.upsert(spark, target, df2, ["k"])
+            staged_v = max(sinks._list_manifest_versions(target))
+            assert staged_v > committed_v
+            staged_at = sinks._committed_at(target, staged_v)
+            # the OWNER may resolve its own staged commit time (RYOW)…
+            assert staged_at is not None
+            # …but the forever-cache must not have memoized it
+            assert staged_v not in sinks._COMMIT_TS_CACHE.get(target, {})
+            raise RuntimeError("abort this transaction")
+    except RuntimeError:
+        pass
+    # after the abort the staged version is invisible to timestamps
+    assert sinks._committed_at(target, staged_v) is None
+    v = sinks.version_at_timestamp(target, staged_at + 3600.0)
+    assert v == committed_v
+
+
+# --- status cache is weak per session -----------------------------------
+
+
+def test_status_cache_weak_and_per_session(spark, wh):
+    run = lambda s: sqldml.execute_sql(spark, s)
+    run("DROP TABLE IF EXISTS r14.sc")
+    run("CREATE SCHEMA IF NOT EXISTS r14")
+    run("CREATE TABLE r14.sc (k BIGINT, UNIQUE(k))")
+    f1 = sqldml._status(spark, "INSERT", "r14.sc", 1)
+    f2 = sqldml._status(spark, "INSERT", "r14.sc", 1)
+    assert f1 is f2  # memoized per (op, table, n)
+    assert isinstance(sqldml._STATUS_CACHE, weakref.WeakKeyDictionary)
+    assert spark in sqldml._STATUS_CACHE
+
+    class FakeSession:
+        def createDataFrame(self, rows, schema):
+            return ("frame", rows, schema)
+
+    fake = FakeSession()
+    sqldml._status(fake, "INSERT", "t", 1)
+    assert fake in sqldml._STATUS_CACHE
+    ref = weakref.ref(fake)
+    del fake
+    gc.collect()
+    # a dropped session's entry (and its frames) collect automatically
+    assert ref() is None
