@@ -39,6 +39,10 @@ _EAGER_KEYS = {
     "pipeline_dedup_stack",
     "dedup_index_build",  # materializes the LSH index parquet
     "dedup_index_probe",  # ditto (probe side itself is lazy)
+    "similarity_index_build",  # materializes the ANN index parquet
+    "similarity_index_append",  # ditto (plus appends)
+    "similarity_index_probe",  # ditto (probe side itself is lazy)
+    "similarity_index_compact",  # ditto (plus staged-swap rewrite)
     "pipeline_dbt_models",  # runs the dbt project (CTAS commits)
 }
 

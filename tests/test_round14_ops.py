@@ -193,3 +193,90 @@ def test_status_cache_weak_and_per_session(spark, wh):
     gc.collect()
     # a dropped session's entry (and its frames) collect automatically
     assert ref() is None
+
+
+# --- persisted ANN index lifecycle ---------------------------------------
+
+
+def _scaled_queries(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from etl_stocks_with_sentiment_analysis_spark.llmdata import similarity as sim
+
+    return (
+        sim._scaled_vectors(spark, sf_dir)
+        .filter(F.col("vec_id") % 100 == 0)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+        )
+    )
+
+
+def test_ann_index_probe_recall_parity(spark, sf_dir, tmp_path):
+    """A probe of an index built over the FULL corpus returns the
+    IDENTICAL top-k as the in-query `ivf_topk` build — the invariant
+    that makes the persisted artifact safe to serve from (the r13
+    verdict's 'recall parity with the in-query build')."""
+    from etl_stocks_with_sentiment_analysis_spark.llmdata import similarity as sim
+
+    idx = str(tmp_path / "annidx_full")
+    sim.build_ann_index(spark, sim._scaled_vectors(spark, sf_dir), idx)
+    probed = sim.probe_ann_index(
+        spark, idx, _scaled_queries(spark, sf_dir), nprobe=2, k=3
+    )
+    inquery = sim.ivf_topk(spark, sf_dir, nprobe=2, k=3)
+    got = sorted(map(tuple, probed.collect()))
+    want = sorted(map(tuple, inquery.collect()))
+    assert got == want and len(got) > 0
+
+
+def test_ann_index_append_replay_and_compact(spark, sf_dir, tmp_path):
+    """Append is replay-idempotent (second delivery is a no-op),
+    compaction reduces the file count and leaves probes row-identical."""
+    from pyspark.sql import functions as F
+
+    from etl_stocks_with_sentiment_analysis_spark.llmdata import similarity as sim
+
+    vecs = sim._scaled_vectors(spark, sf_dir)
+    idx = str(tmp_path / "annidx_grow")
+    sim.build_ann_index(spark, vecs.filter(F.col("vec_id") % 10 != 0), idx)
+    batch = vecs.filter(F.col("vec_id") % 10 == 0)
+    sim.append_ann_index(spark, idx, batch)
+    stats1 = sorted(map(tuple, sim._ann_index_stats(spark, idx).collect()))
+    sim.append_ann_index(spark, idx, batch)  # replay
+    stats2 = sorted(map(tuple, sim._ann_index_stats(spark, idx).collect()))
+    assert stats1 == stats2
+    q = _scaled_queries(spark, sf_dir)
+    before = sorted(map(tuple, sim.probe_ann_index(spark, idx, q).collect()))
+    import os
+
+    assign = os.path.join(idx, "assign")
+    files_before = sum(
+        len([f for f in fs if f.endswith(".parquet")])
+        for _, _, fs in os.walk(assign)
+    )
+    n_files = sim.compact_ann_index(spark, idx)
+    assert n_files <= files_before
+    after = sorted(map(tuple, sim.probe_ann_index(spark, idx, q).collect()))
+    assert before == after and len(after) > 0
+
+
+def test_ann_index_probe_prunes_partitions(spark, sf_dir, tmp_path):
+    """The probe's assign/ scan carries a dynamic-pruning partition
+    filter on cell_id — the physical guarantee behind the
+    flat-in-corpus probe cost (only probed cells are read)."""
+    from pyspark.sql import functions as F
+
+    from etl_stocks_with_sentiment_analysis_spark.llmdata import similarity as sim
+
+    idx = str(tmp_path / "annidx_dpp")
+    sim.build_ann_index(
+        spark,
+        sim._scaled_vectors(spark, sf_dir).filter(F.col("vec_id") % 10 != 0),
+        idx,
+    )
+    res = sim.probe_ann_index(spark, idx, _scaled_queries(spark, sf_dir))
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan.lower()
