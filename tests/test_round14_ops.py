@@ -280,3 +280,69 @@ def test_ann_index_probe_prunes_partitions(spark, sf_dir, tmp_path):
     res = sim.probe_ann_index(spark, idx, _scaled_queries(spark, sf_dir))
     plan = res._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruningexpression" in plan.lower()
+
+
+# --- greedy wordpiece token counts ---------------------------------------
+
+
+def test_bpe_word_count_known_values(spark):
+    """Hand-checked greedy longest-prefix segmentations over the
+    pinned vocab."""
+    from pyspark.sql import functions as F
+
+    from etl_stocks_with_sentiment_analysis_spark.llmdata import text as T
+
+    def seg(word):
+        # python reference of the same greedy rule
+        rem, cnt = word.lower(), 0
+        while rem:
+            ml = max(
+                (len(p) for p in T._BPE_VOCAB if rem.startswith(p)),
+                default=1,
+            )
+            rem = rem[ml:]
+            cnt += 1
+        return cnt
+
+    words = [
+        "the", "theory", "nation", "stocks", "trading", "Überraschung",
+        "a", "", "42", "anti-pattern", "documentation", "xyzzy",
+    ]
+    df = spark.createDataFrame([(w,) for w in words], "w string").select(
+        "w", F.expr(T._bpe_word_count_expr("w")).alias("n")
+    )
+    got = {r["w"]: r["n"] for r in df.collect()}
+    for w in words:
+        assert got[w] == seg(w), (w, got[w], seg(w))
+    # sanity on the rule itself: 'the' is one token, and every word
+    # tokenizes to between 1 and len(word) tokens
+    assert seg("the") == 1
+    for w in words:
+        if w:
+            assert 1 <= seg(w) <= len(w)
+
+
+def test_bpe_counts_bound_ws_counts(spark, sf_dir):
+    """Per doc: bpe tokens >= whitespace tokens (each word is >= 1
+    token) and <= character count (each step eats >= 1 char)."""
+    from pyspark.sql import functions as F
+
+    from etl_stocks_with_sentiment_analysis_spark.llmdata.text import (
+        text_token_count_bpe,
+    )
+    from etl_stocks_with_sentiment_analysis_spark.sources import load_table
+
+    counts = text_token_count_bpe(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.length(F.regexp_replace("text", " ", "")).alias("n_chars_nospace"),
+    )
+    bad = (
+        counts.join(docs, "doc_id")
+        .filter(
+            (F.col("n_bpe_tokens") < F.col("n_ws_tokens"))
+            | (F.col("n_bpe_tokens") > F.col("n_chars_nospace"))
+        )
+        .count()
+    )
+    assert bad == 0
