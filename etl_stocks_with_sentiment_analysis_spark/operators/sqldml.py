@@ -1051,18 +1051,58 @@ def _rewrite_txn_overlay(sql: str, overlays: dict[str, str]) -> str:
     return "".join(out)
 
 
+# In-txn reads materialize the overlay once the buffer holds this
+# many commit groups: below it, a read replays the (short) chain
+# lazily over the committed snapshot — today's plan, no
+# materialization of the base table; at or above it, the replayed
+# frame is localCheckpoint'ed and CACHED per (table, committed
+# version, op count), so the NEXT read replays only the ops buffered
+# SINCE — O(new statements) instead of O(whole buffer) per SELECT
+# (the pg_dump restore buffers 1,030 statements; an interleaved
+# read-every-N workload was re-planning the entire overlay each
+# time). Splitting the replay at any op boundary is semantically
+# safe: groups only batch ADJACENT composable statements into one
+# commit, ord_base resets per group, and first-wins DO NOTHING
+# composes sequentially — proven by the RYOW fuzz, which interleaves
+# reads at random buffer depths.
+_OVERLAY_CKPT_GROUPS = 8
+
+
 def _read_sql_in_txn(spark: SparkSession, sql: str, txn: dict) -> DataFrame:
     """In-transaction read: committed snapshot + the statement buffer
-    replayed in order (Postgres read-your-own-writes)."""
+    replayed in order (Postgres read-your-own-writes). Big buffers
+    replay INCREMENTALLY off a cached materialized overlay (see
+    `_OVERLAY_CKPT_GROUPS`); the cache invalidates whenever another
+    writer commits to the table (each read still sees the LATEST
+    committed snapshot underneath, Postgres READ COMMITTED)."""
     overlays: dict[str, str] = {}
     tid = threading.get_ident()
+    cache = txn.setdefault("overlay_cache", {})
     for key in txn["order"]:
         spec = txn["tables"][key]
-        if not spec["ops"]:
+        n_ops = len(spec["ops"])
+        if not n_ops:
             continue
-        df = sinks.read_manifest_table(spark, spec["target"])
-        for tag, ops in _txn_groups(spec):
+        ver = sinks._latest_manifest(spec["target"])[0]
+        ent = cache.get(key)
+        if (
+            ent is not None
+            and ent["version"] == ver
+            and ent["n_ops"] <= n_ops
+        ):
+            df = ent["df"]
+            new_ops = spec["ops"][ent["n_ops"] :]
+        else:
+            ent = None
+            df = sinks.read_manifest_table(spark, spec["target"])
+            new_ops = spec["ops"]
+        groups = _txn_groups({"ops": new_ops}) if new_ops else []
+        for tag, ops in groups:
             df = _replay_txn_group(df, tag, ops)
+        big = len(_txn_groups(spec)) >= _OVERLAY_CKPT_GROUPS
+        if big and (ent is None or new_ops):
+            df = df.localCheckpoint(eager=True)
+            cache[key] = {"version": ver, "n_ops": n_ops, "df": df}
         vname = view_name_for(key)
         oname = f"{vname}__ryow_{tid}"
         df.createOrReplaceTempView(oname)

@@ -346,3 +346,46 @@ def test_bpe_counts_bound_ws_counts(spark, sf_dir):
         .count()
     )
     assert bad == 0
+
+
+# --- bounded RYOW overlay replanning -------------------------------------
+
+
+def test_ryow_overlay_cache_incremental_and_invalidation(spark, wh):
+    """Past `_OVERLAY_CKPT_GROUPS` buffered groups the overlay is
+    cached + extended incrementally; a concurrent committed write
+    must still invalidate it (each in-txn read sees the LATEST
+    committed snapshot under the buffer)."""
+    run = lambda s: sqldml.execute_sql(spark, s)
+    run("DROP TABLE IF EXISTS r14.oc")
+    run("CREATE SCHEMA IF NOT EXISTS r14")
+    run("CREATE TABLE r14.oc (k BIGINT, v BIGINT, UNIQUE(k))")
+    run("INSERT INTO r14.oc VALUES (0, 0)")
+    run("BEGIN")
+    for i in range(1, 13):  # 24 groups: INSERT + UPDATE alternate
+        run(f"INSERT INTO r14.oc VALUES ({i}, {i})")
+        run(f"UPDATE r14.oc SET v = v + 100 WHERE k = {i}")
+    got = run(
+        "SELECT COUNT(*) AS n, SUM(v) AS s FROM r14.oc"
+    ).collect()[0]
+    assert got["n"] == 13 and got["s"] == sum(i + 100 for i in range(1, 13))
+    txn = sqldml._current_txn()
+    assert txn and txn.get("overlay_cache"), "cache should be active"
+    # read again with no new statements: served from the cached frame
+    got2 = run("SELECT SUM(v) AS s FROM r14.oc").collect()[0]["s"]
+    assert got2 == got["s"]
+    # another connection commits mid-transaction -> cache invalidates
+    saved, sqldml._TXN_LOCAL.txn = sqldml._current_txn(), None
+    run("INSERT INTO r14.oc VALUES (99, 9900)")
+    sqldml._TXN_LOCAL.txn = saved
+    got3 = run(
+        "SELECT COUNT(*) AS n, SUM(v) AS s FROM r14.oc"
+    ).collect()[0]
+    assert got3["n"] == 14 and got3["s"] == got["s"] + 9900
+    # buffer keeps extending incrementally after the rebuild
+    run("INSERT INTO r14.oc VALUES (50, 50)")
+    got4 = run("SELECT COUNT(*) AS n FROM r14.oc").collect()[0]["n"]
+    assert got4 == 15
+    run("ROLLBACK")
+    n = run("SELECT COUNT(*) AS n FROM r14.oc").collect()[0]["n"]
+    assert n == 2  # base row + the concurrent commit only
