@@ -161,6 +161,44 @@ def _java_exc_name(err) -> str:
         return ""
 
 
+# ---------------------------------------------------------------------------
+# Object-store semantics test double (r14). Real object stores are
+# unreachable from the test sandbox, so the CAS contract the module
+# docstring documents (rename-fails-on-existing for HDFS-class
+# stores; If-None-Match conditional PUT for S3A with
+# fs.s3a.create.conditional.enabled) was dispatch-audited but never
+# EXECUTED against store semantics. A registered fake store routes
+# every fsio op for its scheme to a Python object implementing the
+# Hadoop-FileSystem-shaped primitives, so the two-writer CAS races
+# and crash-window tests run against emulated store behavior —
+# including a deliberately RACY check-then-act rename mode proving
+# the tests can tell correct semantics from broken ones. Empty in
+# production; the JVM paths are untouched when nothing is registered.
+#
+# A store object provides: exists(p) -> bool, status(p) ->
+# (is_dir, mtime) or None, list(p) -> [(name, is_dir, mtime)],
+# open_bytes(p) -> bytes (FileNotFoundError when absent),
+# create(p, data: bytes, overwrite: bool) (FileExistsError when
+# overwrite=False and p exists — atomic iff the store's
+# `conditional_put` attribute is true), rename(src, dst) -> bool
+# (False when dst exists), delete(p, recursive) -> bool, mkdirs(p).
+_FAKE_STORES: dict[str, object] = {}
+
+
+def register_fake_store(scheme: str, store) -> None:
+    _FAKE_STORES[scheme] = store
+
+
+def unregister_fake_store(scheme: str) -> None:
+    _FAKE_STORES.pop(scheme, None)
+
+
+def _fake_store(path: str):
+    if not _FAKE_STORES:
+        return None
+    return _FAKE_STORES.get(urlparse(path).scheme)
+
+
 def _is_local(path: str) -> bool:
     scheme = urlparse(path).scheme
     return scheme in ("", "file")
@@ -209,6 +247,9 @@ def join(path: str, *parts: str) -> str:
 
 
 def exists(path: str) -> bool:
+    st = _fake_store(path)
+    if st is not None:
+        return st.exists(path)
     if _no_session():
         from pyarrow import fs as pafs
 
@@ -218,6 +259,10 @@ def exists(path: str) -> bool:
 
 
 def is_dir(path: str) -> bool:
+    st = _fake_store(path)
+    if st is not None:
+        got = st.status(path)
+        return bool(got and got[0])
     if _no_session():
         from pyarrow import fs as pafs
 
@@ -236,6 +281,9 @@ def list_status(path: str) -> list[FileInfo]:
     store roundtrip — the listing primitive every manifest resolve and
     GC sweep uses. Missing dir lists as empty (a table with no commits
     reads as empty, never as an error)."""
+    st = _fake_store(path)
+    if st is not None:
+        return [FileInfo(*e) for e in st.list(path)]
     if _no_session():
         from pyarrow import fs as pafs
 
@@ -271,6 +319,12 @@ def list_status(path: str) -> list[FileInfo]:
 
 def mtime(path: str) -> float:
     """Raises FileNotFoundError if absent."""
+    st = _fake_store(path)
+    if st is not None:
+        got = st.status(path)
+        if got is None:
+            raise FileNotFoundError(path)
+        return got[1]
     if _no_session():
         from pyarrow import fs as pafs
 
@@ -290,6 +344,9 @@ def mtime(path: str) -> float:
 def read_text(path: str) -> str:
     """Whole-file UTF-8 read; raises FileNotFoundError if absent (the
     manifest resolver's raced-GC retry depends on that mapping)."""
+    st = _fake_store(path)
+    if st is not None:
+        return st.open_bytes(path).decode("utf-8")
     if _no_session():
         from pyarrow import fs as pafs
 
@@ -334,6 +391,10 @@ def write_text(path: str, text: str, sync: bool = True) -> None:
     touch is measurable protocol overhead at per-micro-batch commit
     rates, and durability of these files is explicitly not part of
     the commit contract."""
+    st = _fake_store(path)
+    if st is not None:
+        st.create(path, text.encode("utf-8"), True)
+        return
     _, fs, jp = _jfs(path)
     out = fs.create(jp, True)
     try:
@@ -353,6 +414,28 @@ def create_text_if_absent(path: str, text: str) -> None:
     the manifest protocol's lost-race signal. Store dispatch is the
     module docstring's contract: POSIX link(2) for local, HDFS
     create(overwrite=false) elsewhere."""
+    st = _fake_store(path)
+    if st is not None:
+        # Emulated object store (r14): exercise the documented store
+        # contracts for real. A store advertising `conditional_put`
+        # (the S3A If-None-Match path) publishes with ONE atomic
+        # conditional create; an HDFS-class store runs the same
+        # write-temp + dst-must-not-exist rename the JVM branch
+        # below uses.
+        if getattr(st, "conditional_put", False):
+            try:
+                st.create(path, text.encode("utf-8"), False)
+            except FileExistsError:
+                raise FileExistsError(path) from None
+            return
+        d, name = path.rsplit("/", 1)
+        tmp = f"{d}/.{name}.tmp-{uuid.uuid4().hex[:8]}"
+        st.create(tmp, text.encode("utf-8"), True)
+        renamed = st.rename(tmp, path)
+        if not renamed:
+            st.delete(tmp, False)
+            raise FileExistsError(path)
+        return
     if _is_local(path):
         lp = _local_path(path)
         d, name = os.path.split(lp)
@@ -419,6 +502,9 @@ def rename(src: str, dst: str) -> bool:
     """Move/rename within one store. False when the store refuses
     (e.g. destination exists on HDFS). Used by the OFFLINE manifest
     repair tool to archive rotted files — not by any commit path."""
+    st = _fake_store(src)
+    if st is not None:
+        return st.rename(src, dst)
     _, fs, jsrc = _jfs(src)
     _, _, jdst = _jfs(dst)
     try:
@@ -431,6 +517,9 @@ def rename(src: str, dst: str) -> bool:
 
 def delete(path: str, recursive: bool = False) -> bool:
     """Best-effort delete; False if absent."""
+    st = _fake_store(path)
+    if st is not None:
+        return st.delete(path, recursive)
     _, fs, jp = _jfs(path)
     try:
         return bool(fs.delete(jp, recursive))
@@ -441,5 +530,9 @@ def delete(path: str, recursive: bool = False) -> bool:
 
 
 def mkdirs(path: str) -> None:
+    st = _fake_store(path)
+    if st is not None:
+        st.mkdirs(path)
+        return
     _, fs, jp = _jfs(path)
     fs.mkdirs(jp)
