@@ -389,3 +389,60 @@ def test_ryow_overlay_cache_incremental_and_invalidation(spark, wh):
     run("ROLLBACK")
     n = run("SELECT COUNT(*) AS n FROM r14.oc").collect()[0]["n"]
     assert n == 2  # base row + the concurrent commit only
+
+
+# --- pluggable alert delivery --------------------------------------------
+
+
+def test_alert_shim_delivery_dedup_isolation(spark, sf_dir, tmp_path):
+    """The delivery half of the reference's notification callbacks:
+    fan-out to registered sinks, PagerDuty-style dedup_key collapse,
+    per-sink fault isolation, and the failure/success scope."""
+    from etl_stocks_with_sentiment_analysis_spark.operators.analytics import (
+        events_error_rate_alert,
+    )
+    from etl_stocks_with_sentiment_analysis_spark.plans import alerts
+
+    got: list = []
+    alerts.reset_dedup()
+    alerts.register_alert_sink("rec", got.append)
+    alerts.register_alert_sink("boom", lambda ev: 1 / 0)  # must isolate
+    out = str(tmp_path / "alerts.jsonl")
+    alerts.register_alert_sink("file", alerts.file_sink(out))
+    try:
+        frame = events_error_rate_alert(spark, sf_dir)
+        n_flagged = frame.filter("is_alert").count()
+        n = alerts.emit_frame_alerts(
+            frame, "is_alert", "events_error_rate",
+            "error rate {err_bp} bp on {day}", dedup_cols=("day",),
+        )
+        assert n == n_flagged
+        assert len(got) == n_flagged
+        assert all(ev.kind == "threshold" for ev in got)
+        # replay the same detection run: dedup collapses everything
+        assert alerts.emit_frame_alerts(
+            frame, "is_alert", "events_error_rate",
+            "error rate {err_bp} bp on {day}", dedup_cols=("day",),
+        ) == 0
+        # the file sink recorded the webhook-shaped payloads
+        import json
+
+        lines = [json.loads(x) for x in open(out)]
+        assert len(lines) == n_flagged
+        assert all("dedup_key" in x and "severity" in x for x in lines)
+        # failure/success callback scope
+        with alerts.alerting("pipe_ok"):
+            pass
+        with pytest.raises(ValueError):
+            with alerts.alerting("pipe_bad"):
+                raise ValueError("boom-detail")
+        kinds = [(ev.source, ev.kind) for ev in got[n_flagged:]]
+        assert ("pipe_ok", "success") in kinds
+        assert ("pipe_bad", "failure") in kinds
+        fail_ev = [ev for ev in got if ev.kind == "failure"][0]
+        assert "boom-detail" in fail_ev.summary
+    finally:
+        alerts.unregister_alert_sink("rec")
+        alerts.unregister_alert_sink("boom")
+        alerts.unregister_alert_sink("file")
+        alerts.reset_dedup()
