@@ -990,10 +990,15 @@ def _replay_txn_group(
     raise ValueError(f"unknown buffered group tag {tag!r}")
 
 
+# Clause keywords that END a FROM-list (so a following comma is a
+# SELECT/GROUP/ORDER-list comma, not a table-list comma). ON and
+# USING are deliberately absent: a join's ON/USING spec is PART of
+# the FROM clause — `FROM a JOIN b ON a.x = b.x, evts` keeps `evts`
+# in table position (SQL-92 mixed syntax).
 _CLAUSE_WORDS = frozenset(
     {
         "SELECT", "WHERE", "GROUP", "ORDER", "HAVING", "LIMIT",
-        "WINDOW", "UNION", "INTERSECT", "EXCEPT", "ON", "USING",
+        "WINDOW", "UNION", "INTERSECT", "EXCEPT",
         "SET", "VALUES", "WITH", "PARTITION", "OVER", "QUALIFY",
     }
 )
@@ -1029,6 +1034,18 @@ def _rewrite_txn_overlay(sql: str, overlays: dict[str, str]) -> str:
         )
         if t.text == "(":
             clause_stack.append(clause)
+            # a '(' directly after a plain word is a FUNCTION CALL's
+            # argument list — its commas are argument commas, never
+            # table-list commas (`ON f(a, evts)` must not rewrite a
+            # column named like a buffered table). Subquery parens
+            # (after FROM/JOIN/',' or another '(') keep the clause.
+            if (
+                prev is not None
+                and prev.kind == "word"
+                and prev.upper not in ("FROM", "JOIN")
+                and prev.upper not in _CLAUSE_WORDS
+            ):
+                clause = ""
         elif t.text == ")":
             if clause_stack:
                 clause = clause_stack.pop()

@@ -446,3 +446,22 @@ def test_alert_shim_delivery_dedup_isolation(spark, sf_dir, tmp_path):
         alerts.unregister_alert_sink("boom")
         alerts.unregister_alert_sink("file")
         alerts.reset_dedup()
+
+
+def test_rewrite_txn_overlay_mixed_join_comma_and_fn_args():
+    """SQL-92 mixed syntax keeps the FROM-list armed through a join's
+    ON spec; function-argument commas never count as table commas."""
+    ov = {"evts": "evts__ryow_1"}
+    f = sqldml._rewrite_txn_overlay
+    # comma after JOIN ... ON continues the table list
+    assert f(
+        "SELECT a FROM t JOIN u ON t.k = u.k, evts WHERE 1=1", ov
+    ) == "SELECT a FROM t JOIN u ON t.k = u.k, evts__ryow_1 WHERE 1=1"
+    # a column named like the table inside a function call in ON
+    assert f(
+        "SELECT a FROM t JOIN u ON f(t.k, evts) = 1", ov
+    ) == "SELECT a FROM t JOIN u ON f(t.k, evts) = 1"
+    # IN (SELECT ...) subquery: inner FROM still rewrites
+    assert f(
+        "SELECT a FROM t WHERE x IN (SELECT k FROM evts)", ov
+    ) == "SELECT a FROM t WHERE x IN (SELECT k FROM evts__ryow_1)"
