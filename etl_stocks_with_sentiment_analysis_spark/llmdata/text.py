@@ -1162,3 +1162,94 @@ def pipeline_sequence_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST((cum - n_tokens) DIV 512 AS LONG)").alias("bin_id"),
         F.expr("CAST((cum - n_tokens) % 512 AS LONG)").alias("bin_offset"),
     )
+
+
+def _bpe_tokens_expr(word: str) -> str:
+    """Spark SQL expression: the greedy-wordpiece TOKEN ARRAY of one
+    word (same step rule as `_bpe_word_count_expr`, accumulating the
+    matched piece — or the 1-char unknown fallback — per step)."""
+    voc = ", ".join(f"'{v}'" for v in _BPE_VOCAB)
+    match = (
+        f"coalesce(array_max(transform(filter(array({voc}),"
+        " p -> startswith(st.rem, p)), p -> length(p))), 1)"
+    )
+    return (
+        f"aggregate(sequence(1, length({word})),"
+        f" named_struct('rem', lower({word}),"
+        " 'toks', CAST(array() AS ARRAY<STRING>)),"
+        " (st, i) -> IF(st.rem = '', st, named_struct("
+        f"'rem', substring(st.rem, {match} + 1),"
+        f" 'toks', array_append(st.toks, substring(st.rem, 1, {match})))),"
+        " st -> st.toks)"
+    )
+
+
+_TOKENIZE_ORACLE = f"""
+WITH RECURSIVE
+tok AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents),
+words AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS widx, ws[i] AS wd
+  FROM tok, UNNEST(GENERATE_SERIES(1, GREATEST(LEN(ws), 0))) AS t(i)
+),
+st AS (
+  SELECT doc_id, widx, LOWER(wd) AS rem, CAST(0 AS BIGINT) AS tpos,
+         CAST(NULL AS VARCHAR) AS piece
+  FROM words
+  UNION ALL
+  SELECT doc_id, widx,
+         SUBSTR(rem, ml + 1),
+         tpos + 1,
+         SUBSTR(rem, 1, ml)
+  FROM (
+    SELECT doc_id, widx, rem, tpos,
+           COALESCE(LIST_MAX(LIST_TRANSFORM(LIST_FILTER(
+             [{", ".join(f"'{v}'" for v in _BPE_VOCAB)}],
+             p -> STARTS_WITH(rem, p)), p -> LENGTH(p))), 1) AS ml
+    FROM st WHERE rem <> ''
+  )
+)
+SELECT doc_id, widx, tpos, piece,
+       CAST(COALESCE(LIST_POSITION([{", ".join(f"'{v}'" for v in _BPE_VOCAB)}], piece) - 1,
+                     -1) AS BIGINT) AS vocab_id
+FROM st WHERE piece IS NOT NULL"""
+
+
+@register("text_tokenize_bpe", oracle=_TOKENIZE_ORACLE)
+def text_tokenize_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTUAL tokenization step (not just the count): one row per
+    emitted greedy-wordpiece piece with its word index, position
+    within the word, the piece text, and its pinned-vocab id (-1 for
+    the 1-char unknown fallback when the char itself is not a vocab
+    entry) — what a training loader consumes after
+    `pipeline_sequence_pack` decides the layout.
+
+    Scale shape: split → posexplode over words → per-word bounded
+    fold accumulating the piece array → posexplode over pieces. Pure
+    scan-side projection + generators, ZERO shuffles at any corpus
+    size; the DuckDB oracle replays the identical greedy rule as a
+    recursive CTE and derives vocab ids from the same pinned list."""
+    voc_arr = ", ".join(f"'{v}'" for v in _BPE_VOCAB)
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("widx0", "wd"),
+    ).select(
+        "doc_id",
+        (F.col("widx0") + 1).cast("long").alias("widx"),
+        "wd",
+    )
+    pieces = words.select(
+        "doc_id",
+        "widx",
+        F.posexplode(F.expr(_bpe_tokens_expr("wd"))).alias("tpos0", "piece"),
+    )
+    return pieces.select(
+        "doc_id",
+        "widx",
+        (F.col("tpos0") + 1).cast("long").alias("tpos"),
+        "piece",
+        F.expr(
+            f"CAST(coalesce(nullif(array_position(array({voc_arr}),"
+            " piece), 0) - 1, -1) AS LONG)"
+        ).alias("vocab_id"),
+    )

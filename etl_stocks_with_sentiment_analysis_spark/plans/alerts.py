@@ -101,11 +101,15 @@ def emit_alert(event: AlertEvent) -> int:
     registered — mirroring the reference's skip-when-unconfigured).
     Per-sink errors are logged and isolated, never raised."""
     with _LOCK:
-        if event.dedup_key is not None:
+        sinks = list(_SINKS.items())
+        if event.dedup_key is not None and sinks:
+            # dedup is only consumed when delivery is attempted — an
+            # alert dropped for lack of sinks (the reference's
+            # skip-when-unconfigured) must still deliver once sinks
+            # appear
             if event.dedup_key in _SEEN_DEDUP:
                 return 0
             _SEEN_DEDUP.add(event.dedup_key)
-        sinks = list(_SINKS.items())
     delivered = 0
     for name, fn in sinks:
         try:

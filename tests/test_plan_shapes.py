@@ -39,6 +39,7 @@ _EAGER_KEYS = {
     "pipeline_dedup_stack",
     "dedup_index_build",  # materializes the LSH index parquet
     "dedup_index_probe",  # ditto (probe side itself is lazy)
+    "dedup_index_append",  # ditto (plus appends)
     "similarity_index_build",  # materializes the ANN index parquet
     "similarity_index_append",  # ditto (plus appends)
     "similarity_index_probe",  # ditto (probe side itself is lazy)

@@ -465,3 +465,63 @@ def test_rewrite_txn_overlay_mixed_join_comma_and_fn_args():
     assert f(
         "SELECT a FROM t WHERE x IN (SELECT k FROM evts)", ov
     ) == "SELECT a FROM t WHERE x IN (SELECT k FROM evts__ryow_1)"
+
+
+def test_tokenize_bpe_consistent_with_counts(spark, sf_dir):
+    """The token STREAM and the token COUNT keys must agree: pieces
+    per doc == n_bpe_tokens, pieces reassemble the lowercased word,
+    and vocab ids round-trip through the pinned vocab."""
+    from pyspark.sql import functions as F
+
+    from etl_stocks_with_sentiment_analysis_spark.llmdata.text import (
+        _BPE_VOCAB,
+        text_token_count_bpe,
+        text_tokenize_bpe,
+    )
+
+    toks = text_tokenize_bpe(spark, sf_dir)
+    per_doc = toks.groupBy("doc_id").agg(F.count("*").alias("n_pieces"))
+    counts = text_token_count_bpe(spark, sf_dir)
+    bad = (
+        counts.join(per_doc, "doc_id", "left")
+        .filter(
+            F.coalesce(F.col("n_pieces"), F.lit(0)) != F.col("n_bpe_tokens")
+        )
+        .count()
+    )
+    assert bad == 0
+    # pieces concatenate back EXACTLY to the lowercased source words
+    # (3 whole docs; empty split words produce no pieces by design)
+    from collections import defaultdict
+
+    from etl_stocks_with_sentiment_analysis_spark.sources import load_table
+
+    doc_ids = [r["doc_id"] for r in toks.select("doc_id").distinct().limit(3).collect()]
+    got = defaultdict(str)
+    for r in (
+        toks.filter(F.col("doc_id").isin(doc_ids))
+        .orderBy("doc_id", "widx", "tpos")
+        .collect()
+    ):
+        got[(r["doc_id"], r["widx"])] += r["piece"]
+    src = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isin(doc_ids))
+        .collect()
+    }
+    assert got
+    for (doc_id, widx), joined in got.items():
+        assert joined == src[doc_id].split(" ")[widx - 1].lower()
+    # every non-empty source word of those docs is present
+    for doc_id, text in src.items():
+        for i, wd in enumerate(text.split(" "), start=1):
+            if wd:
+                assert got[(doc_id, i)] == wd.lower()
+    # vocab ids: -1 only for 1-char non-vocab pieces; others round-trip
+    rows = toks.filter(F.col("vocab_id") >= 0).limit(500).collect()
+    for r in rows:
+        assert _BPE_VOCAB[r["vocab_id"]] == r["piece"]
+    unk = toks.filter(F.col("vocab_id") < 0).limit(200).collect()
+    for r in unk:
+        assert len(r["piece"]) == 1 and r["piece"] not in _BPE_VOCAB
