@@ -702,6 +702,22 @@ def _pq_anchor_frame(vecs: DataFrame, kcode: int = _PQ_K) -> DataFrame:
     )
 
 
+def _pq_lut_exprs(
+    m: int = _PQ_M, kcode: int = _PQ_K, dsub: int = _PQ_DSUB
+) -> list:
+    """Per-subspace query lookup tables (lut0..lut{m-1}) for a frame
+    carrying the query vector as `qv` and the broadcast anchors as
+    cv0..cv{kcode-1} — one array of kcode ADC terms per subspace."""
+    sd = lambda a, b, mm: _sub_dot(a, b, mm, dsub)
+    out = []
+    for mm in range(m):
+        entries = ", ".join(
+            _pq_score(sd, mm, j, "qv") for j in range(kcode)
+        )
+        out.append(F.expr(f"array({entries})").alias(f"lut{mm}"))
+    return out
+
+
 def _pq_code_exprs(
     m: int = _PQ_M, kcode: int = _PQ_K, dsub: int = _PQ_DSUB
 ) -> list:
@@ -747,12 +763,7 @@ def pq_topk(
     )
     sd = lambda a, b, mm: _sub_dot(a, b, mm, dsub)
 
-    lut_exprs = []
-    for mm in range(m):
-        entries = ", ".join(
-            _pq_score(sd, mm, j, "qv") for j in range(kcode)
-        )
-        lut_exprs.append(F.expr(f"array({entries})").alias(f"lut{mm}"))
+    lut_exprs = _pq_lut_exprs(m, kcode, dsub)
     q = (
         vecs.filter(F.col("vec_id") % 100 == 0)
         .select(
@@ -974,6 +985,7 @@ def probe_ann_index(
     queries: DataFrame,
     nprobe: int = 2,
     k: int = 3,
+    pq_shortlist: int | None = None,
 ) -> DataFrame:
     """Query the PERSISTED index: rank each query (``q_id``, ``qv``,
     ``qn``) against the frozen coarse codebook (O(Q·nc), broadcast),
@@ -986,8 +998,19 @@ def probe_ann_index(
     O(Q·sqrt(N)), sublinear in corpus size at fixed query load
     (measured 1.34x at a 16x corpus, 4.51x at 64x vs linear —
     EXTRAPOLATION_CORPUS.md r14 probe rows); the O(N^1.25)
-    codebook + assignment work is paid at build, never per query."""
-    ccand, f2c, _ = _read_ann_codebooks(spark, idx_dir)
+    codebook + assignment work is paid at build, never per query.
+
+    ``pq_shortlist=s`` switches the candidate stage to the TWO-STAGE
+    serving shape production IVF-PQ runs (Jégou's IVFADC): candidates
+    in the probed cells are first ranked by ASYMMETRIC distance over
+    the index's STORED PQ codes — m table lookups per pair instead of
+    an O(d) dot product, the lever that matters at 768-1536 dims —
+    the top-``s`` per query survive, and only the shortlist pays the
+    exact-cosine re-rank. All-integer ADC with (adc, vec_id)
+    tie-break keeps the stage deterministic and oracle-exact; recall
+    is monotone in s (s >= cell population reproduces the plain probe
+    bit-for-bit — pytest-asserted)."""
+    ccand, f2c, pqa = _read_ann_codebooks(spark, idx_dir)
     qc_dist = (
         F.col("qn") - 2 * F.expr(_DOT.format(a="qv", b="ccv")) + F.col("cnrm")
     )
@@ -1020,12 +1043,26 @@ def probe_ann_index(
         .filter(F.col("rn") <= nprobe)
         .select("q_id", "qv", "qn", F.col("pc").alias("probe_cell"))
     )
+    if pq_shortlist is not None:
+        qp = qp.join(F.broadcast(pqa)).select(
+            "q_id", "qv", "qn", "probe_cell", *_pq_lut_exprs()
+        )
     cand = spark.read.parquet(os.path.join(idx_dir, "assign"))
     pairs = cand.join(
         F.broadcast(qp),
         (F.col("cell_id") == F.col("probe_cell"))
         & (F.col("vec_id") != F.col("q_id")),
     )
+    if pq_shortlist is not None:
+        adc = F.col("qn")
+        for mm in range(_PQ_M):
+            adc = adc + F.element_at(f"lut{mm}", F.col(f"code{mm}") + 1)
+        ws = Window.partitionBy("q_id").orderBy("adc_dist", "vec_id")
+        pairs = (
+            pairs.withColumn("adc_dist", adc.cast("long"))
+            .withColumn("srn", F.row_number().over(ws))
+            .filter(F.col("srn") <= pq_shortlist)
+        )
     cosine = F.expr(_DOT.format(a="qv", b="v")) / F.sqrt(
         F.col("qn") * F.col("nrm")
     )
@@ -1312,3 +1349,108 @@ def similarity_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     append_ann_index(spark, idx, batch)
     compact_ann_index(spark, idx)
     return _ann_index_stats(spark, idx)
+
+
+def _index_probe_pq_oracle(shortlist: int = 8) -> str:
+    anchors = ",\n".join(
+        f"pa{j} AS (SELECT v AS cv{j} FROM sc WHERE vec_id = {j + 1})"
+        for j in range(_PQ_K)
+    )
+    anchor_tables = ", ".join(f"pa{j}" for j in range(_PQ_K))
+    code_cols = []
+    for mm in range(_PQ_M):
+        scores = [
+            _pq_score(_duck_sub_dot, mm, j, "vf.v") for j in range(_PQ_K)
+        ]
+        conds = []
+        for j in range(_PQ_K - 1):
+            ands = " AND ".join(
+                f"{scores[j]} <= {scores[i]}" for i in range(j + 1, _PQ_K)
+            )
+            conds.append(f"WHEN {ands} THEN {j}")
+        code_cols.append(
+            f"CASE {' '.join(conds)} ELSE {_PQ_K - 1} END AS code{mm}"
+        )
+    adc_terms = []
+    for mm in range(_PQ_M):
+        branches = " ".join(
+            f"WHEN {j} THEN {_pq_score(_duck_sub_dot, mm, j, 'qp.qv')}"
+            for j in range(_PQ_K)
+        )
+        adc_terms.append(f"(CASE a.code{mm} {branches} END)")
+    adc = " + ".join(adc_terms)
+    codes = ",\n         ".join(code_cols)
+    return f"""
+WITH {_ivf_index_cte(_INDEX_CORPUS, f"n.{_INDEX_CORPUS}")},
+{anchors},
+codes AS (
+  SELECT vf.vec_id, vf.v, vf.nrm, vf.cell_id,
+         {codes}
+  FROM vf, {anchor_tables}
+),
+q AS (
+  SELECT vec_id AS q_id, v AS qv, nrm AS qn
+  FROM norms WHERE vec_id % 100 = 0
+),
+qc AS (
+  SELECT q_id, qv, qn, ccent_id AS q_ccent FROM (
+    SELECT q.q_id, q.qv, q.qn, c.ccent_id,
+           ROW_NUMBER() OVER (PARTITION BY q.q_id
+             ORDER BY q.qn - 2 * LIST_DOT_PRODUCT(q.qv, c.ccv) + c.cnrm,
+                      c.ccent_id) AS rn
+    FROM q, ccand c
+  ) WHERE rn = 1
+),
+qp AS (
+  SELECT q_id, qv, qn, probe_cell FROM (
+    SELECT qc.q_id, qc.qv, qc.qn,
+           COALESCE(f.fcent_id, -qc.q_ccent - 1) AS probe_cell,
+           ROW_NUMBER() OVER (PARTITION BY qc.q_id
+             ORDER BY COALESCE(qc.qn - 2 * LIST_DOT_PRODUCT(qc.qv, f.fcv) + f.fnrm, 0),
+                      COALESCE(f.fcent_id, -qc.q_ccent - 1)) AS rn
+    FROM qc LEFT JOIN f2c f ON f.ccent_id = qc.q_ccent
+  ) WHERE rn <= 2
+),
+sl AS (
+  SELECT q_id, qv, qn, vec_id, v, nrm FROM (
+    SELECT qp.q_id, qp.qv, qp.qn, a.vec_id, a.v, a.nrm,
+           ROW_NUMBER() OVER (PARTITION BY qp.q_id
+             ORDER BY CAST(qp.qn + {adc} AS BIGINT), a.vec_id) AS srn
+    FROM qp
+    JOIN codes a ON a.cell_id = qp.probe_cell AND a.vec_id <> qp.q_id,
+         {anchor_tables}
+  ) WHERE srn <= {shortlist}
+),
+pairs AS (
+  SELECT q_id, vec_id,
+         LIST_DOT_PRODUCT(qv, v) / SQRT(qn * nrm) AS cosine
+  FROM sl
+)
+SELECT q_id, vec_id, ROUND(cosine, 6) AS cosine FROM (
+  SELECT q_id, vec_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rn
+  FROM pairs
+) WHERE rn <= 3"""
+
+
+@register("similarity_index_probe_pq", oracle=_index_probe_pq_oracle())
+def similarity_index_probe_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-STAGE probe of the persisted index (production IVF-PQ /
+    IVFADC serving): probed-cell candidates are ranked by asymmetric
+    distance over the STORED PQ codes (m lookups per pair — the
+    arithmetic lever at 768-1536 dims, where the exact dot is O(d)),
+    the top-8 per query survive, and only that shortlist pays the
+    exact-cosine re-rank to top-3. Deterministic end-to-end (integer
+    ADC, (adc, vec_id) then (cosine desc, vec_id) tie-breaks), so the
+    DuckDB oracle reproduces every stage from the raw table."""
+    idx = _ann_index_dir(spark, sf_dir, prefix="annidxq_")
+    q = (
+        _scaled_vectors(spark, sf_dir)
+        .filter(F.col("vec_id") % 100 == 0)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+        )
+    )
+    return probe_ann_index(spark, idx, q, nprobe=2, k=3, pq_shortlist=8)

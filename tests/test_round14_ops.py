@@ -525,3 +525,43 @@ def test_tokenize_bpe_consistent_with_counts(spark, sf_dir):
     unk = toks.filter(F.col("vocab_id") < 0).limit(200).collect()
     for r in unk:
         assert len(r["piece"]) == 1 and r["piece"] not in _BPE_VOCAB
+
+
+def test_ann_pq_shortlist_converges_to_plain_probe(spark, sf_dir, tmp_path):
+    """A shortlist at least as large as any probed cell's population
+    reproduces the plain exact probe bit-for-bit; small shortlists
+    return subsets of the probed candidates with monotone recall."""
+    from pyspark.sql import functions as F
+
+    from etl_stocks_with_sentiment_analysis_spark.llmdata import similarity as sim
+
+    idx = str(tmp_path / "annidx_sl")
+    sim.build_ann_index(
+        spark,
+        sim._scaled_vectors(spark, sf_dir).filter(F.col("vec_id") % 10 != 0),
+        idx,
+    )
+    q = _scaled_queries(spark, sf_dir)
+    plain = sorted(map(tuple, sim.probe_ann_index(spark, idx, q).collect()))
+    huge = sorted(
+        map(
+            tuple,
+            sim.probe_ann_index(
+                spark, idx, q, pq_shortlist=10**6
+            ).collect(),
+        )
+    )
+    assert huge == plain and len(plain) > 0
+    # recall of the exact probe's top-3 is monotone in the shortlist
+    def recall(s):
+        got = {
+            (r["q_id"], r["vec_id"])
+            for r in sim.probe_ann_index(
+                spark, idx, q, pq_shortlist=s
+            ).collect()
+        }
+        want = {(a, b) for a, b, _ in plain}
+        return len(got & want) / len(want)
+
+    r4, r16 = recall(4), recall(16)
+    assert r4 <= r16 <= 1.0
