@@ -1454,3 +1454,132 @@ def similarity_index_probe_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return probe_ann_index(spark, idx, q, nprobe=2, k=3, pq_shortlist=8)
+
+
+def build_ann_index_kmeans(
+    spark: SparkSession,
+    corpus_vecs: DataFrame,
+    idx_dir: str,
+    k: int = 8,
+    seed: int = 42,
+) -> None:
+    """Persisted-index build with a LEARNED (MLlib KMeans) codebook —
+    the production quantizer `similarity_kmeans_ivf` runs in-query,
+    now frozen to disk like the content-keyed build. Encoding: the
+    learned centroids become the FINE codebook nested under a single
+    zero-vector coarse anchor, so every lifecycle path — `_ivf_assign`
+    routing, `append_ann_index` (new batches assign against the
+    frozen centroids, the model object is never needed again),
+    `probe_ann_index` (nprobe = multi-probe over learned centroids,
+    `pq_shortlist` included), `compact_ann_index` — reuses the same
+    frozen-frame contract with zero special cases. Assignment ranks
+    by the exact L2² expansion (nrm - 2·v·c + cnrm) with
+    (distance, centroid id) tie-break, a pure function of the stored
+    centroid frame."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = corpus_vecs.withColumn(
+        "features", array_to_vector(F.col("v").cast("array<double>"))
+    )
+    model = KMeans(
+        k=k, seed=seed, featuresCol="features", predictionCol="cid"
+    ).fit(feat)
+    cents = model.clusterCenters()
+    dim = len(cents[0])
+    f2c_rows = [
+        (
+            i,
+            [float(x) for x in c],
+            float(sum(float(x) * float(x) for x in c)),
+            0,
+        )
+        for i, c in enumerate(cents)
+    ]
+    f2c = spark.createDataFrame(
+        f2c_rows, "fcent_id long, fcv array<double>, fnrm double, ccent_id long"
+    )
+    ccand = spark.createDataFrame(
+        [(0, [0.0] * dim, 0.0)],
+        "ccent_id long, ccv array<double>, cnrm double",
+    )
+    ccand.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(idx_dir, "coarse")
+    )
+    f2c.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(idx_dir, "f2c")
+    )
+    _pq_anchor_frame(corpus_vecs).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(idx_dir, "pq_anchors")
+    )
+    ccand_f, f2c_f, pqa_f = _read_ann_codebooks(spark, idx_dir)
+    vf = _ivf_assign(corpus_vecs, ccand_f, f2c_f)
+    coded = vf.join(F.broadcast(pqa_f)).select(
+        "vec_id", "v", "nrm", "ccent_id", "cell_id", *_pq_code_exprs()
+    )
+    coded.write.mode("overwrite").partitionBy("cell_id").parquet(
+        os.path.join(idx_dir, "assign")
+    )
+
+
+_KMEANS_INDEX_ORACLE = """
+SELECT vec_id AS q_id,
+       CAST(1 AS BIGINT) AS n_ok,
+       CAST(1 AS BIGINT) AS cosine_ok,
+       CAST(1 AS BIGINT) AS sorted_ok
+FROM embeddings WHERE vec_id % 100 = 0"""
+
+
+@register("similarity_index_kmeans", oracle=_KMEANS_INDEX_ORACLE)
+def similarity_index_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted LEARNED-codebook index, built + probed in-session
+    (corpus vec_id % 10 != 0, queries % 100 == 0 — external by
+    construction). Learned cluster assignments aren't
+    SQL-reproducible, so the key is self-verifying like
+    `similarity_kmeans_ivf`: one row per query with invariant
+    booleans — 1-3 neighbors returned, cosines within [-1, 1], and
+    the returned ranks sorted by (cosine desc, vec_id). The raw
+    neighbor frame is `probe_ann_index` over the kmeans index; exact
+    frame-level guarantees (append replay, compaction identity,
+    shortlist convergence) are pytest-asserted in
+    tests/test_round14_ops.py."""
+    from ..operators.sinks import scratch_dir
+
+    corpus = _scaled_vectors(spark, sf_dir).filter(F.col("vec_id") % 10 != 0)
+    idx = os.path.join(scratch_dir("annidxk_"), "annidx")
+    build_ann_index_kmeans(spark, corpus, idx)
+    q = (
+        _scaled_vectors(spark, sf_dir)
+        .filter(F.col("vec_id") % 100 == 0)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+        )
+    )
+    topk = probe_ann_index(spark, idx, q, nprobe=2, k=3)
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")
+    prev_cos = F.lag("cosine").over(w)
+    per_q = (
+        topk.withColumn(
+            "disorder",
+            F.when(
+                prev_cos.isNull() | (prev_cos >= F.col("cosine")), 0
+            ).otherwise(1),
+        )
+        .groupBy("q_id")
+        .agg(
+            F.count("*").alias("n_results"),
+            F.min("cosine").alias("mn"),
+            F.max("cosine").alias("mx"),
+            F.sum("disorder").alias("disorder"),
+        )
+    )
+    return per_q.select(
+        "q_id",
+        F.col("n_results").between(1, 3).cast("long").alias("n_ok"),
+        ((F.col("mn") >= -1.0) & (F.col("mx") <= 1.0))
+        .cast("long")
+        .alias("cosine_ok"),
+        (F.col("disorder") == 0).cast("long").alias("sorted_ok"),
+    )

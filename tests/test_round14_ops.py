@@ -565,3 +565,45 @@ def test_ann_pq_shortlist_converges_to_plain_probe(spark, sf_dir, tmp_path):
 
     r4, r16 = recall(4), recall(16)
     assert r4 <= r16 <= 1.0
+
+
+def test_ann_kmeans_index_lifecycle(spark, sf_dir, tmp_path):
+    """The learned-codebook index honors the same lifecycle contract:
+    every corpus vector assigned to exactly one learned cell, appends
+    against the FROZEN centroids are replay-idempotent, compaction is
+    probe-identical, and a huge pq_shortlist reproduces the plain
+    probe."""
+    from pyspark.sql import functions as F
+
+    from etl_stocks_with_sentiment_analysis_spark.llmdata import similarity as sim
+
+    vecs = sim._scaled_vectors(spark, sf_dir)
+    corpus = vecs.filter(F.col("vec_id") % 10 != 0)
+    idx = str(tmp_path / "annidx_km")
+    sim.build_ann_index_kmeans(spark, corpus, idx, k=8, seed=42)
+    stats = sim._ann_index_stats(spark, idx)
+    assert stats.agg(F.sum("n_vecs")).collect()[0][0] == corpus.count()
+    assert stats.count() <= 8  # at most k learned cells
+    batch = vecs.filter(F.col("vec_id") % 10 == 0)
+    sim.append_ann_index(spark, idx, batch)
+    s1 = sorted(map(tuple, sim._ann_index_stats(spark, idx).collect()))
+    sim.append_ann_index(spark, idx, batch)  # replay
+    s2 = sorted(map(tuple, sim._ann_index_stats(spark, idx).collect()))
+    assert s1 == s2
+    assert (
+        sim._ann_index_stats(spark, idx).agg(F.sum("n_vecs")).collect()[0][0]
+        == vecs.count()
+    )
+    q = _scaled_queries(spark, sf_dir)
+    plain = sorted(map(tuple, sim.probe_ann_index(spark, idx, q).collect()))
+    assert plain
+    sl = sorted(
+        map(
+            tuple,
+            sim.probe_ann_index(spark, idx, q, pq_shortlist=10**6).collect(),
+        )
+    )
+    assert sl == plain
+    sim.compact_ann_index(spark, idx)
+    after = sorted(map(tuple, sim.probe_ann_index(spark, idx, q).collect()))
+    assert after == plain
