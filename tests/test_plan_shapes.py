@@ -43,7 +43,9 @@ _EAGER_KEYS = {
     "similarity_index_build",  # materializes the ANN index parquet
     "similarity_index_append",  # ditto (plus appends)
     "similarity_index_probe",  # ditto (probe side itself is lazy)
+    "similarity_index_probe_pq",  # ditto (two-stage ADC probe)
     "similarity_index_compact",  # ditto (plus staged-swap rewrite)
+    "similarity_index_kmeans",  # KMeans fit + index build in-session
     "pipeline_dbt_models",  # runs the dbt project (CTAS commits)
 }
 
