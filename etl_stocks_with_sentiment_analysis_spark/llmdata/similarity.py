@@ -896,7 +896,11 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def build_ann_index(
-    spark: SparkSession, corpus_vecs: DataFrame, idx_dir: str
+    spark: SparkSession,
+    corpus_vecs: DataFrame,
+    idx_dir: str,
+    pq_m: int = _PQ_M,
+    pq_dsub: int = _PQ_DSUB,
 ) -> None:
     """Materialize the persisted ANN index for a corpus of scaled
     vectors (`vec_id`, `v`, `nrm` — the `_scaled_vectors` shape):
@@ -930,14 +934,36 @@ def build_ann_index(
     _pq_anchor_frame(corpus_vecs).coalesce(1).write.mode("overwrite").parquet(
         os.path.join(idx_dir, "pq_anchors")
     )
+    _write_pq_meta(spark, idx_dir, pq_m, pq_dsub)
     ccand_f, f2c_f, pqa_f = _read_ann_codebooks(spark, idx_dir)
     vf = _ivf_assign(corpus_vecs, ccand_f, f2c_f)
     coded = vf.join(F.broadcast(pqa_f)).select(
-        "vec_id", "v", "nrm", "ccent_id", "cell_id", *_pq_code_exprs()
+        "vec_id", "v", "nrm", "ccent_id", "cell_id",
+        *_pq_code_exprs(pq_m, _PQ_K, pq_dsub),
     )
     coded.write.mode("overwrite").partitionBy("cell_id").parquet(
         os.path.join(idx_dir, "assign")
     )
+
+
+def _write_pq_meta(spark, idx_dir: str, pq_m: int, pq_dsub: int) -> None:
+    """Persist the PQ geometry (subspace count / width) with the
+    index so probes reconstruct the SAME code/LUT expressions at any
+    embedding dimensionality (64-dim default through 1536-dim
+    production: m = dim/8)."""
+    spark.createDataFrame(
+        [(pq_m, pq_dsub)], "pq_m int, pq_dsub int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(idx_dir, "pq_meta")
+    )
+
+
+def _read_pq_meta(spark, idx_dir: str) -> tuple[int, int]:
+    try:
+        r = spark.read.parquet(os.path.join(idx_dir, "pq_meta")).collect()[0]
+        return int(r["pq_m"]), int(r["pq_dsub"])
+    except Exception:  # noqa: BLE001 - pre-r14b index: pinned geometry
+        return _PQ_M, _PQ_DSUB
 
 
 def _read_ann_codebooks(
@@ -962,11 +988,15 @@ def append_ann_index(
     (persist + count) before the write so the append never scans the
     directory it is extending mid-write."""
     ccand, f2c, pqa = _read_ann_codebooks(spark, idx_dir)
+    pq_m, pq_dsub = _read_pq_meta(spark, idx_dir)
     assign_dir = os.path.join(idx_dir, "assign")
     coded = (
         _ivf_assign(new_vecs, ccand, f2c)
         .join(F.broadcast(pqa))
-        .select("vec_id", "v", "nrm", "ccent_id", "cell_id", *_pq_code_exprs())
+        .select(
+            "vec_id", "v", "nrm", "ccent_id", "cell_id",
+            *_pq_code_exprs(pq_m, _PQ_K, pq_dsub),
+        )
     )
     existing = spark.read.parquet(assign_dir).select("vec_id").distinct()
     delta = coded.join(existing, "vec_id", "left_anti").persist()
@@ -1044,8 +1074,10 @@ def probe_ann_index(
         .select("q_id", "qv", "qn", F.col("pc").alias("probe_cell"))
     )
     if pq_shortlist is not None:
+        pq_m, pq_dsub = _read_pq_meta(spark, idx_dir)
         qp = qp.join(F.broadcast(pqa)).select(
-            "q_id", "qv", "qn", "probe_cell", *_pq_lut_exprs()
+            "q_id", "qv", "qn", "probe_cell",
+            *_pq_lut_exprs(pq_m, _PQ_K, pq_dsub),
         )
     cand = spark.read.parquet(os.path.join(idx_dir, "assign"))
     pairs = cand.join(
@@ -1055,7 +1087,7 @@ def probe_ann_index(
     )
     if pq_shortlist is not None:
         adc = F.col("qn")
-        for mm in range(_PQ_M):
+        for mm in range(pq_m):
             adc = adc + F.element_at(f"lut{mm}", F.col(f"code{mm}") + 1)
         ws = Window.partitionBy("q_id").orderBy("adc_dist", "vec_id")
         pairs = (
@@ -1126,12 +1158,17 @@ def _ann_index_stats(spark: SparkSession, idx_dir: str) -> DataFrame:
     """Per-cell audit of the ON-DISK artifact: vector count, exact
     integer norm sum, and the sum of all PQ codes — any drift in
     assignment, appended rows, or stored codes moves one of them."""
+    assign = spark.read.parquet(os.path.join(idx_dir, "assign"))
+    code_cols = sorted(
+        (c for c in assign.columns if c.startswith("code")),
+        key=lambda c: int(c[4:]),
+    )
     code_total = None
-    for mm in range(_PQ_M):
-        c = F.col(f"code{mm}").cast("long")
-        code_total = c if code_total is None else code_total + c
+    for c in code_cols:
+        cc = F.col(c).cast("long")
+        code_total = cc if code_total is None else code_total + cc
     return (
-        spark.read.parquet(os.path.join(idx_dir, "assign"))
+        assign
         .withColumn("csum", code_total)
         .groupBy(F.col("cell_id").cast("long").alias("cell_id"))
         .agg(
@@ -1462,6 +1499,8 @@ def build_ann_index_kmeans(
     idx_dir: str,
     k: int = 8,
     seed: int = 42,
+    pq_m: int = _PQ_M,
+    pq_dsub: int = _PQ_DSUB,
 ) -> None:
     """Persisted-index build with a LEARNED (MLlib KMeans) codebook —
     the production quantizer `similarity_kmeans_ivf` runs in-query,
@@ -1512,10 +1551,12 @@ def build_ann_index_kmeans(
     _pq_anchor_frame(corpus_vecs).coalesce(1).write.mode("overwrite").parquet(
         os.path.join(idx_dir, "pq_anchors")
     )
+    _write_pq_meta(spark, idx_dir, pq_m, pq_dsub)
     ccand_f, f2c_f, pqa_f = _read_ann_codebooks(spark, idx_dir)
     vf = _ivf_assign(corpus_vecs, ccand_f, f2c_f)
     coded = vf.join(F.broadcast(pqa_f)).select(
-        "vec_id", "v", "nrm", "ccent_id", "cell_id", *_pq_code_exprs()
+        "vec_id", "v", "nrm", "ccent_id", "cell_id",
+        *_pq_code_exprs(pq_m, _PQ_K, pq_dsub),
     )
     coded.write.mode("overwrite").partitionBy("cell_id").parquet(
         os.path.join(idx_dir, "assign")
