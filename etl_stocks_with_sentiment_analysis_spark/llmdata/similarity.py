@@ -1089,12 +1089,22 @@ def probe_ann_index(
         adc = F.col("qn")
         for mm in range(pq_m):
             adc = adc + F.element_at(f"lut{mm}", F.col(f"code{mm}") + 1)
+        # rank on a SLIM projection — the shortlist window must never
+        # shuffle the vectors themselves (at 1536 dims a (qv, v) pair
+        # is ~24 KB; ids + the integer ADC are 24 bytes — the
+        # difference OOM'd the 1536-dim measurement). Survivors
+        # semi-join back into the full pair stream for the exact
+        # re-rank.
         ws = Window.partitionBy("q_id").orderBy("adc_dist", "vec_id")
-        pairs = (
-            pairs.withColumn("adc_dist", adc.cast("long"))
+        sl = (
+            pairs.select(
+                "q_id", "vec_id", adc.cast("long").alias("adc_dist")
+            )
             .withColumn("srn", F.row_number().over(ws))
             .filter(F.col("srn") <= pq_shortlist)
+            .select("q_id", "vec_id")
         )
+        pairs = pairs.join(sl, ["q_id", "vec_id"], "left_semi")
     cosine = F.expr(_DOT.format(a="qv", b="v")) / F.sqrt(
         F.col("qn") * F.col("nrm")
     )
