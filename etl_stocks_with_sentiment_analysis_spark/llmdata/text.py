@@ -1020,7 +1020,7 @@ def _bpe_word_count_expr(word: str) -> str:
     step, 1 char when none matches)."""
     voc = ", ".join(f"'{v}'" for v in _BPE_VOCAB)
     return (
-        f"aggregate(sequence(1, length({word})),"
+        f"aggregate(sequence(1, length(lower({word}))),"
         f" named_struct('rem', lower({word}), 'cnt', CAST(0 AS LONG)),"
         " (st, i) -> IF(st.rem = '', st, named_struct("
         "'rem', substring(st.rem, coalesce(array_max(transform(filter("
@@ -1174,7 +1174,7 @@ def _bpe_tokens_expr(word: str) -> str:
         " p -> startswith(st.rem, p)), p -> length(p))), 1)"
     )
     return (
-        f"aggregate(sequence(1, length({word})),"
+        f"aggregate(sequence(1, length(lower({word}))),"
         f" named_struct('rem', lower({word}),"
         " 'toks', CAST(array() AS ARRAY<STRING>)),"
         " (st, i) -> IF(st.rem = '', st, named_struct("

@@ -1028,9 +1028,14 @@ def _rewrite_txn_overlay(sql: str, overlays: dict[str, str]) -> str:
     clause_stack: list[str] = []  # '('-depth: restore clause on ')'
     for i, t in enumerate(toks):
         prev = toks[i - 1] if i > 0 else None
+        # table positions: directly after FROM/JOIN; a FROM-list
+        # comma; or directly after '(' while the clause is still a
+        # FROM-list — `FROM (evts JOIN u ON ...)` is a parenthesized
+        # join whose first word is a table reference (a function-call
+        # '(' resets the clause below, so its arguments never match)
         in_table_pos = prev is not None and (
             (prev.kind == "word" and prev.upper in ("FROM", "JOIN"))
-            or (prev.text == "," and clause == "FROM")
+            or (prev.text in (",", "(") and clause == "FROM")
         )
         if t.text == "(":
             clause_stack.append(clause)
@@ -1109,14 +1114,16 @@ def _read_sql_in_txn(spark: SparkSession, sql: str, txn: dict) -> DataFrame:
         ):
             df = ent["df"]
             new_ops = spec["ops"][ent["n_ops"] :]
+            groups = _txn_groups({"ops": new_ops}) if new_ops else []
+            big = True  # a cache entry only ever exists past the bar
         else:
             ent = None
             df = sinks.read_manifest_table(spark, spec["target"])
             new_ops = spec["ops"]
-        groups = _txn_groups({"ops": new_ops}) if new_ops else []
+            groups = _txn_groups({"ops": new_ops})
+            big = len(groups) >= _OVERLAY_CKPT_GROUPS
         for tag, ops in groups:
             df = _replay_txn_group(df, tag, ops)
-        big = len(_txn_groups(spec)) >= _OVERLAY_CKPT_GROUPS
         if big and (ent is None or new_ops):
             df = df.localCheckpoint(eager=True)
             cache[key] = {"version": ver, "n_ops": n_ops, "df": df}
@@ -2079,6 +2086,12 @@ def _rollback_to_savepoint(spark: SparkSession, name: str) -> DataFrame:
             del txn["tables"][k]["ops"][sp["ops_len"][k]:]
     txn["order"] = list(sp["order"])
     txn["reserved"] = dict(sp["reserved"])
+    # the RYOW overlay cache (r14) keys on (version, op count) —
+    # truncating the buffer can bring a table back to a PREVIOUSLY
+    # CACHED op count whose checkpointed frame contains the
+    # rolled-back statements, so the whole cache must go (the next
+    # read rebuilds from the committed snapshot + surviving buffer)
+    txn.pop("overlay_cache", None)
     # Postgres: the savepoint survives its own ROLLBACK TO; savepoints
     # established AFTER it are destroyed
     txn["savepoints"] = {

@@ -102,14 +102,8 @@ def emit_alert(event: AlertEvent) -> int:
     Per-sink errors are logged and isolated, never raised."""
     with _LOCK:
         sinks = list(_SINKS.items())
-        if event.dedup_key is not None and sinks:
-            # dedup is only consumed when delivery is attempted — an
-            # alert dropped for lack of sinks (the reference's
-            # skip-when-unconfigured) must still deliver once sinks
-            # appear
-            if event.dedup_key in _SEEN_DEDUP:
-                return 0
-            _SEEN_DEDUP.add(event.dedup_key)
+        if event.dedup_key is not None and event.dedup_key in _SEEN_DEDUP:
+            return 0
     delivered = 0
     for name, fn in sinks:
         try:
@@ -123,6 +117,15 @@ def emit_alert(event: AlertEvent) -> int:
             event.kind,
             event.source,
         )
+    if event.dedup_key is not None and delivered > 0:
+        # dedup is only consumed once at least one sink ACCEPTED the
+        # event — an alert dropped for lack of sinks, or whose every
+        # delivery failed (disk full, webhook down), stays deliverable
+        # on retry. Check-then-record means two concurrent emitters of
+        # the same key can both deliver (at-least-once, the PagerDuty
+        # model — the receiving side collapses on dedup_key too).
+        with _LOCK:
+            _SEEN_DEDUP.add(event.dedup_key)
     return delivered
 
 

@@ -607,3 +607,89 @@ def test_ann_kmeans_index_lifecycle(spark, sf_dir, tmp_path):
     sim.compact_ann_index(spark, idx)
     after = sorted(map(tuple, sim.probe_ann_index(spark, idx, q).collect()))
     assert after == plain
+
+
+def test_rewrite_txn_overlay_parenthesized_join():
+    """`FROM (evts JOIN u ON ...)` — a parenthesized join's first
+    word is a table reference (r14 review finding #2)."""
+    ov = {"evts": "evts__ryow_1"}
+    f = sqldml._rewrite_txn_overlay
+    assert f(
+        "SELECT a FROM (evts JOIN u ON evts.k = u.k)", ov
+    ) == "SELECT a FROM (evts__ryow_1 JOIN u ON evts.k = u.k)"
+    # function-call parens still never count as table positions
+    assert f("SELECT f(evts) FROM t", ov) == "SELECT f(evts) FROM t"
+
+
+def test_rollback_to_savepoint_invalidates_overlay_cache(spark, wh):
+    """ROLLBACK TO SAVEPOINT truncates the buffer; a later read must
+    rebuild the overlay, never serve a checkpoint containing the
+    rolled-back statements (r14 review finding #1)."""
+    run = lambda s: sqldml.execute_sql(spark, s)
+    run("DROP TABLE IF EXISTS r14.sv")
+    run("CREATE SCHEMA IF NOT EXISTS r14")
+    run("CREATE TABLE r14.sv (k BIGINT, v BIGINT, UNIQUE(k))")
+    run("BEGIN")
+    for i in range(1, 6):  # 10 groups -> past the checkpoint bar
+        run(f"INSERT INTO r14.sv VALUES ({i}, {i})")
+        run(f"UPDATE r14.sv SET v = v + 100 WHERE k = {i}")
+    run("SAVEPOINT sp")
+    for i in range(10, 22):  # grow well past the savepoint
+        run(f"INSERT INTO r14.sv VALUES ({i}, {i})")
+    # cache the big overlay (24+ ops)
+    assert run("SELECT COUNT(*) AS n FROM r14.sv").collect()[0]["n"] == 17
+    run("ROLLBACK TO SAVEPOINT sp")
+    # regrow the buffer past the OLD cached op count with DIFFERENT rows
+    for i in range(50, 70):
+        run(f"INSERT INTO r14.sv VALUES ({i}, {i})")
+    rows = {
+        r["k"]
+        for r in run("SELECT k FROM r14.sv").collect()
+    }
+    assert rows == set(range(1, 6)) | set(range(50, 70))
+    assert not rows & set(range(10, 22))  # rolled-back rows invisible
+    run("ROLLBACK")
+
+
+def test_alert_failed_delivery_keeps_dedup_key(spark, tmp_path):
+    """An alert whose every sink delivery failed stays deliverable on
+    retry (r14 review finding #4)."""
+    from etl_stocks_with_sentiment_analysis_spark.plans import alerts
+
+    alerts.reset_dedup()
+    state = {"fail": True}
+
+    def flaky(ev):
+        if state["fail"]:
+            raise OSError("disk full")
+
+    alerts.register_alert_sink("flaky", flaky)
+    try:
+        ev = alerts.AlertEvent(
+            kind="threshold", source="t", summary="s", dedup_key="k1"
+        )
+        assert alerts.emit_alert(ev) == 0  # delivery failed
+        state["fail"] = False
+        assert alerts.emit_alert(ev) == 1  # retry delivers
+        assert alerts.emit_alert(ev) == 0  # now deduplicated
+    finally:
+        alerts.unregister_alert_sink("flaky")
+        alerts.reset_dedup()
+
+
+def test_read_pq_meta_missing_dir_falls_back_only(spark, tmp_path):
+    """Only a MISSING pq_meta dir falls back to the pinned geometry;
+    a corrupt one propagates (r14 review finding #3)."""
+    from etl_stocks_with_sentiment_analysis_spark.llmdata import similarity as sim
+
+    idx = str(tmp_path / "meta_idx")
+    import os
+
+    os.makedirs(idx, exist_ok=True)
+    assert sim._read_pq_meta(spark, idx) == (sim._PQ_M, sim._PQ_DSUB)
+    bad = os.path.join(idx, "pq_meta")
+    os.makedirs(bad, exist_ok=True)
+    with open(os.path.join(bad, "part-00000.parquet"), "w") as f:
+        f.write("this is not parquet")
+    with pytest.raises(Exception):
+        sim._read_pq_meta(spark, idx)
