@@ -693,3 +693,75 @@ def test_read_pq_meta_missing_dir_falls_back_only(spark, tmp_path):
         f.write("this is not parquet")
     with pytest.raises(Exception):
         sim._read_pq_meta(spark, idx)
+
+
+def test_ryow_fuzz_deep_buffer_with_savepoints(spark, wh):
+    """The r13 fuzz at 12 steps barely crosses the overlay-cache bar
+    (8 commit groups) and never REGROWS past a rolled-back cache
+    point — exactly the blind spot the r14 review's savepoint-cache
+    bug lived in. This trial runs 40 mixed statements with reads
+    every 2 steps against the serial dict model, forcing: cache
+    activation, incremental extension, ROLLBACK TO truncation below a
+    cached op count, and regrowth beyond it."""
+    import random
+
+    run = lambda s: sqldml.execute_sql(spark, s)
+    rng = random.Random(1414)
+    run("CREATE SCHEMA IF NOT EXISTS rf")
+    run("DROP TABLE IF EXISTS rf.deep")
+    run("CREATE TABLE rf.deep (k BIGINT, v BIGINT, UNIQUE(k))")
+    seed = {k: k * 10 for k in range(1, 4)}
+    run(
+        "INSERT INTO rf.deep VALUES "
+        + ", ".join(f"({k}, {v})" for k, v in seed.items())
+    )
+    model = dict(seed)
+    saves: list[tuple[str, dict]] = []
+    run("BEGIN")
+    for step in range(40):
+        kind = rng.choice(
+            ["ins", "upsert", "update", "delete", "savepoint",
+             "rollback_to", "ins", "update"]
+        )
+        k = rng.randint(1, 15)
+        v = 1000 + step
+        if kind == "ins" and k not in model:
+            run(f"INSERT INTO rf.deep VALUES ({k}, {v})")
+            model[k] = v
+        elif kind == "upsert":
+            run(
+                f"INSERT INTO rf.deep VALUES ({k}, {v}) "
+                "ON CONFLICT (k) DO UPDATE SET v = EXCLUDED.v"
+            )
+            model[k] = v
+        elif kind == "update":
+            run(f"UPDATE rf.deep SET v = v + 1 WHERE k <= {k}")
+            model = {
+                mk: mv + (1 if mk <= k else 0) for mk, mv in model.items()
+            }
+        elif kind == "delete":
+            run(f"DELETE FROM rf.deep WHERE k = {k}")
+            model.pop(k, None)
+        elif kind == "savepoint":
+            name = f"d{step}"
+            run(f"SAVEPOINT {name}")
+            saves.append((name, dict(model)))
+        elif kind == "rollback_to" and saves:
+            idx = rng.randrange(len(saves))
+            name, snap = saves[idx]
+            run(f"ROLLBACK TO SAVEPOINT {name}")
+            model = dict(snap)
+            saves = saves[: idx + 1]
+        else:
+            continue
+        if step % 2 == 0:
+            got = {
+                r["k"]: r["v"]
+                for r in run("SELECT k, v FROM rf.deep").collect()
+            }
+            assert got == model, (step, kind, got, model)
+    run("COMMIT")
+    got = {
+        r["k"]: r["v"] for r in run("SELECT k, v FROM rf.deep").collect()
+    }
+    assert got == model
