@@ -702,6 +702,75 @@ _PG_CAST_MAP = {
 }
 
 
+_PG_ESCAPE_MAP = {
+    "b": "\b", "f": "\f", "n": "\n", "r": "\r", "t": "\t",
+    "'": "'", '"': '"', "\\": "\\",
+}
+
+
+def _decode_pg_estring(body: str) -> str:
+    """Decode the BODY of a Postgres E'...' escape string (quotes and
+    `''` doubling already removed) per the documented rules: \\b \\f
+    \\n \\r \\t, octal \\o{1,3}, hex \\xh{1,2}, unicode \\uXXXX /
+    \\UXXXXXXXX, and backslash-anychar -> that char."""
+    out: list[str] = []
+    i, n = 0, len(body)
+    while i < n:
+        c = body[i]
+        if c != "\\":
+            out.append(c)
+            i += 1
+            continue
+        if i + 1 >= n:
+            raise ValueError(
+                "E'...' literal ends with a lone backslash — its "
+                "closing quote was escaped, which this router's "
+                "tokenizer cannot split; rewrite the literal with "
+                "'' quote doubling"
+            )
+        nx = body[i + 1]
+        if nx in _PG_ESCAPE_MAP:
+            out.append(_PG_ESCAPE_MAP[nx])
+            i += 2
+        elif nx in "01234567":
+            j = i + 1
+            while j < min(i + 4, n) and body[j] in "01234567":
+                j += 1
+            out.append(chr(int(body[i + 1 : j], 8)))
+            i = j
+        elif nx == "x" and i + 2 < n and body[i + 2] in "0123456789abcdefABCDEF":
+            j = i + 2
+            while (
+                j < min(i + 4, n)
+                and body[j] in "0123456789abcdefABCDEF"
+            ):
+                j += 1
+            out.append(chr(int(body[i + 2 : j], 16)))
+            i = j
+        elif nx in ("u", "U"):
+            width = 4 if nx == "u" else 8
+            hexs = body[i + 2 : i + 2 + width]
+            if len(hexs) != width or any(
+                h not in "0123456789abcdefABCDEF" for h in hexs
+            ):
+                raise ValueError(
+                    f"malformed \\{nx} escape in E'...' literal"
+                )
+            out.append(chr(int(hexs, 16)))
+            i += 2 + width
+        else:
+            out.append(nx)
+            i += 2
+    return "".join(out)
+
+
+def _spark_string_literal(value: str) -> str:
+    """Encode arbitrary text as a Spark SQL single-quoted literal
+    (C-style escapes are ON by default in Spark's parser, so both the
+    backslash and the quote are escaped with a backslash)."""
+    return "'" + value.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
 def _pg_compat(sql: str) -> str:
     """Postgres-isms -> Spark SQL, token-level (the reference's
     dashboard file, `sql/dashboard_views.sql`, uses both): `::text`
@@ -715,13 +784,34 @@ def _pg_compat(sql: str) -> str:
     escapes by default, silently turning `'\\documentclass'` into
     `'documentclass'`. Every backslash inside a single-quoted literal
     is doubled here so the routed statement reproduces the Postgres
-    bytes exactly (pg_dump --inserts emits such values verbatim)."""
+    bytes exactly (pg_dump --inserts emits such values verbatim).
+
+    E'...' ESCAPE STRINGS (r15, ADVICE fix): a string literal whose
+    immediately-preceding token is the word E/e with no whitespace is
+    a Postgres escape string — its backslashes are ESCAPES, not
+    bytes, so doubling them would corrupt the value (E'\\n' must stay
+    a newline). The body is decoded per the Postgres rules and
+    re-encoded as a plain Spark literal, and the E prefix (which
+    Spark's parser would reject) is dropped."""
     toks = _tokenize(sql)
     out: list[str] = []
     last = 0
     i = 0
     while i < len(toks):
         t = toks[i]
+        if (
+            t.kind == "string"
+            and i > 0
+            and toks[i - 1].kind == "word"
+            and toks[i - 1].text.lower() == "e"
+            and toks[i - 1].end == t.start
+        ):
+            body = t.text[1:-1].replace("''", "'")
+            out.append(sql[last : toks[i - 1].start])
+            out.append(_spark_string_literal(_decode_pg_estring(body)))
+            last = t.end
+            i += 1
+            continue
         if t.kind == "string" and "\\" in t.text:
             out.append(sql[last : t.start])
             out.append(t.text.replace("\\", "\\\\"))
@@ -1004,6 +1094,86 @@ _CLAUSE_WORDS = frozenset(
 )
 
 
+def _cte_shadow_spans(toks: list[Tok]) -> list[tuple[str, int, int]]:
+    """Character spans where a WITH-clause name SHADOWS a like-named
+    buffered table (r15, ADVICE fix): `WITH evts AS (...) SELECT *
+    FROM evts` must read the CTE, not the overlay. Postgres
+    visibility is reproduced exactly — a non-recursive CTE is visible
+    from the END of its own body (earlier sibling bodies still see
+    the real table), a RECURSIVE one inside its own body too, and
+    both only until the enclosing subquery closes."""
+    spans: list[tuple[str, int, int]] = []
+    depths: list[int] = []
+    d = 0
+    for t in toks:
+        depths.append(d)
+        if t.text == "(":
+            d += 1
+        elif t.text == ")":
+            d = max(0, d - 1)
+    n = len(toks)
+    for i, t in enumerate(toks):
+        if not (t.kind == "word" and t.upper == "WITH"):
+            continue
+        d0 = depths[i]
+        scope_end = len(toks[-1].text) + toks[-1].start if n else 0
+        for k in range(i + 1, n):
+            if toks[k].text == ")" and depths[k] == d0:
+                scope_end = toks[k].start
+                break
+        j = i + 1
+        recursive = (
+            j < n and toks[j].kind == "word" and toks[j].upper == "RECURSIVE"
+        )
+        if recursive:
+            j += 1
+        while j < n and toks[j].kind in ("word", "dqident", "bqident"):
+            name_tok = toks[j]
+            j += 1
+            if j < n and toks[j].text == "(":  # optional column list
+                depth = 0
+                while j < n:
+                    if toks[j].text == "(":
+                        depth += 1
+                    elif toks[j].text == ")":
+                        depth -= 1
+                        if depth == 0:
+                            j += 1
+                            break
+                    j += 1
+            if not (
+                j < n and toks[j].kind == "word" and toks[j].upper == "AS"
+            ):
+                break  # not a CTE list (e.g. `timestamp WITH time zone`)
+            j += 1
+            if not (j < n and toks[j].text == "("):
+                break
+            depth = 0
+            body_end = scope_end
+            while j < n:  # skip the CTE body
+                if toks[j].text == "(":
+                    depth += 1
+                elif toks[j].text == ")":
+                    depth -= 1
+                    if depth == 0:
+                        body_end = toks[j].end
+                        j += 1
+                        break
+                j += 1
+            spans.append(
+                (
+                    _unquote_ident(name_tok),
+                    name_tok.start if recursive else body_end,
+                    scope_end,
+                )
+            )
+            if j < n and toks[j].text == ",":
+                j += 1
+                continue
+            break
+    return spans
+
+
 def _rewrite_txn_overlay(sql: str, overlays: dict[str, str]) -> str:
     """Token-rewrite references to buffered tables' view names into
     their thread-scoped overlay views. Runs AFTER the bound-name and
@@ -1020,8 +1190,11 @@ def _rewrite_txn_overlay(sql: str, overlays: dict[str, str]) -> str:
     so `SELECT count(*) AS events FROM t` keeps its column name.
     Clause state is tracked lexically across subqueries (each inner
     FROM re-arms the comma rule; any other clause keyword disarms
-    it), which is exact for the grammar the router accepts."""
+    it), which is exact for the grammar the router accepts.
+    WITH-clause names shadow like-named buffered tables within their
+    Postgres visibility span (`_cte_shadow_spans`, r15 ADVICE fix)."""
     toks = _tokenize(sql)
+    shadows = _cte_shadow_spans(toks)
     out: list[str] = []
     last = 0
     clause = ""
@@ -1065,6 +1238,10 @@ def _rewrite_txn_overlay(sql: str, overlays: dict[str, str]) -> str:
             and t.kind == "word"
             and t.text.lower() in overlays
             and not (i + 1 < len(toks) and toks[i + 1].text == "(")
+            and not any(
+                nm == t.text.lower() and s <= t.start < e
+                for nm, s, e in shadows
+            )
         ):
             out.append(sql[last : t.start])
             out.append(overlays[t.text.lower()])
@@ -1088,6 +1265,30 @@ def _rewrite_txn_overlay(sql: str, overlays: dict[str, str]) -> str:
 # composes sequentially — proven by the RYOW fuzz, which interleaves
 # reads at random buffer depths.
 _OVERLAY_CKPT_GROUPS = 8
+
+
+def _release_overlay_frame(df) -> None:
+    """Free a superseded localCheckpoint'ed overlay frame's executor
+    blocks NOW (r15, ADVICE fix) instead of waiting for Python GC +
+    the JVM ContextCleaner: the eager checkpoint pins its partitions
+    in executor storage, so a long transaction that invalidates
+    entries (new committed version, savepoint rollback, buffer
+    growth) would otherwise accumulate dead block sets. The frame's
+    analyzed plan is a LogicalRDD whose backing RDD owns the blocks;
+    unpersisting it renders the frame unreadable — callers only pass
+    frames that can never be read again. Best-effort by design (a
+    plan-shape surprise just defers to GC, never breaks a query)."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:  # noqa: BLE001 - fall back to GC-driven cleanup
+        pass
+
+
+def _release_overlay_cache(cache: dict | None) -> None:
+    """Release every checkpointed frame in an overlay cache dict that
+    is being discarded wholesale (COMMIT/ROLLBACK/savepoint-rollback)."""
+    for ent in (cache or {}).values():
+        _release_overlay_frame(ent["df"])
 
 
 def _read_sql_in_txn(spark: SparkSession, sql: str, txn: dict) -> DataFrame:
@@ -1117,6 +1318,9 @@ def _read_sql_in_txn(spark: SparkSession, sql: str, txn: dict) -> DataFrame:
             groups = _txn_groups({"ops": new_ops}) if new_ops else []
             big = True  # a cache entry only ever exists past the bar
         else:
+            if ent is not None:  # another writer committed; the stale
+                # checkpoint can never be read again (r15, ADVICE fix)
+                _release_overlay_frame(cache.pop(key)["df"])
             ent = None
             df = sinks.read_manifest_table(spark, spec["target"])
             new_ops = spec["ops"]
@@ -1126,6 +1330,11 @@ def _read_sql_in_txn(spark: SparkSession, sql: str, txn: dict) -> DataFrame:
             df = _replay_txn_group(df, tag, ops)
         if big and (ent is None or new_ops):
             df = df.localCheckpoint(eager=True)
+            # the new eager checkpoint fully materialized the replay,
+            # so the superseded base frame's blocks are dead — free
+            # them now (r15, ADVICE fix)
+            if ent is not None:
+                _release_overlay_frame(ent["df"])
             cache[key] = {"version": ver, "n_ops": n_ops, "df": df}
         vname = view_name_for(key)
         oname = f"{vname}__ryow_{tid}"
@@ -1145,12 +1354,17 @@ def _drop_txn_overlays(spark: SparkSession, txn: dict | None) -> None:
     """Best-effort cleanup of a transaction's overlay views at
     COMMIT/ROLLBACK (they are cheap logical plans; a leak would only
     linger until the next transaction on the same thread replaces
-    them)."""
+    them). Checkpointed overlay-cache frames are released eagerly
+    (r15, ADVICE fix) — the transaction is over, nothing reads them
+    again (COMMIT replays from the buffered ops, whose only frames
+    were eagerly checkpointed at statement time, never from here)."""
     for oname in (txn or {}).get("overlays", ()):
         try:
             spark.catalog.dropTempView(oname)
         except Exception:  # noqa: BLE001 - cleanup only
             pass
+    if txn is not None:
+        _release_overlay_cache(txn.pop("overlay_cache", None))
 
 
 _DOLLAR_TAG_RE = re.compile(r"\$[A-Za-z_][A-Za-z_0-9]*\$|\$\$")
@@ -2090,8 +2304,10 @@ def _rollback_to_savepoint(spark: SparkSession, name: str) -> DataFrame:
     # truncating the buffer can bring a table back to a PREVIOUSLY
     # CACHED op count whose checkpointed frame contains the
     # rolled-back statements, so the whole cache must go (the next
-    # read rebuilds from the committed snapshot + surviving buffer)
-    txn.pop("overlay_cache", None)
+    # read rebuilds from the committed snapshot + surviving buffer);
+    # the discarded checkpoints' executor blocks are freed eagerly
+    # (r15, ADVICE fix)
+    _release_overlay_cache(txn.pop("overlay_cache", None))
     # Postgres: the savepoint survives its own ROLLBACK TO; savepoints
     # established AFTER it are destroyed
     txn["savepoints"] = {
