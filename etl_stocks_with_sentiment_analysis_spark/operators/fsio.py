@@ -534,5 +534,17 @@ def mkdirs(path: str) -> None:
     if st is not None:
         st.mkdirs(path)
         return
+    if _no_session():
+        # session-less path (r15): the protocol tools and the
+        # resolver's pre-session probes run without a JVM, like
+        # list_status/read_text above
+        if _is_local(path):
+            os.makedirs(_local_path(path), exist_ok=True)
+            return
+        from pyarrow import fs as pafs  # noqa: F401
+
+        f, p = _pafs(path)
+        f.create_dir(p, recursive=True)
+        return
     _, fs, jp = _jfs(path)
     fs.mkdirs(jp)
