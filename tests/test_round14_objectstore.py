@@ -64,7 +64,14 @@ class FakeObjectStore:
         out = []
         for name in os.listdir(fp):
             c = os.path.join(fp, name)
-            out.append((name, os.path.isdir(c), os.stat(c).st_mtime))
+            try:
+                out.append((name, os.path.isdir(c), os.stat(c).st_mtime))
+            except FileNotFoundError:
+                # a concurrent writer's temp object vanished between
+                # the listing and the stat — real stores page a
+                # consistent snapshot, so the emulation skips it
+                # (exposed by tools/commit_throughput.py at 32 writers)
+                continue
         return out
 
     def open_bytes(self, p: str) -> bytes:

@@ -12,7 +12,9 @@ retries-per-commit, at two layers:
    tiny so the wall measures the commit protocol: resolve latest ->
    write snapshot -> merge -> CAS publish -> retry on conflict).
 2. PROTOCOL-ONLY — N processes racing the bare resolve+CAS loop
-   (list log dir -> next version -> create-if-absent) with NO Spark,
+   (list log dir -> next version -> create-if-absent, with the same
+   jittered backoff policy the engine's retry loops use; pass
+   backoff=False to _proto_writer for the r15 A/B) with NO Spark,
    on (a) the POSIX link(2) path and (b) the emulated object store
    in both conditional-PUT (S3 If-None-Match) and HDFS
    rename-semantics modes. This isolates the arbitration primitive
@@ -89,7 +91,9 @@ def _full_writer(root: str, target: str, wid: int, n_commits: int, log: str):
 
 
 def _proto_writer(mode: str, store_root: str, table: str, wid: int,
-                  n_commits: int, log: str):
+                  n_commits: int, log: str, backoff: bool = False):
+    import random
+
     sys.path.insert(0, REPO)
     from etl_stocks_with_sentiment_analysis_spark.operators import fsio
 
@@ -107,6 +111,7 @@ def _proto_writer(mode: str, store_root: str, table: str, wid: int,
     fsio.mkdirs(log_dir)
     done = 0
     conflicts = 0
+    streak = 0
     t0 = time.time()
     while done < n_commits:
         names = [fi.name for fi in fsio.list_status(log_dir)]
@@ -123,6 +128,13 @@ def _proto_writer(mode: str, store_root: str, table: str, wid: int,
             done += 1
         except FileExistsError:
             conflicts += 1
+            streak += 1
+            if backoff:
+                time.sleep(
+                    min(0.2, 0.002 * streak) * (0.5 + random.random())
+                )
+            continue
+        streak = 0
     t1 = time.time()
     with open(log, "a") as f:
         f.write(
@@ -171,14 +183,83 @@ def main() -> None:
                     help="full commits per writer")
     ap.add_argument("--proto-commits", type=int, default=120,
                     help="protocol-only commits per writer")
+    ap.add_argument("--layers", nargs="*", default=["proto", "full"],
+                    choices=["proto", "full"],
+                    help="which layers to run (PERF rows merge across runs)")
     args = ap.parse_args()
 
     scratch = tempfile.mkdtemp(prefix="committp_", dir=os.path.join(REPO, ".scratch"))
+    # (layer, primitive, writers) -> (commits/s, retries/commit); rows
+    # from previous partial runs are merged back in so `--layers proto`
+    # and `--layers full` can run separately without clobbering.
+    results: dict[tuple[str, str, int], tuple[str, str]] = {}
+
+    if "proto" in args.layers:
+        for n in args.writers:
+            for mode, label in (
+                ("posix", "POSIX link(2)"),
+                ("conditional_put", "store: If-None-Match PUT"),
+                ("hdfs", "store: create(overwrite=false)"),
+            ):
+                root = os.path.join(scratch, f"proto_{mode}_{n}")
+                os.makedirs(root, exist_ok=True)
+                table = (
+                    f"mock://bucket/tbl_{mode}_{n}"
+                    if mode != "posix"
+                    else os.path.join(root, "tbl")
+                )
+                log = os.path.join(root, "log.jsonl")
+                rows = _launch(
+                    n,
+                    _proto_writer,
+                    lambda w: (mode, root, table, w, args.proto_commits, log, True),
+                    log,
+                )
+                cps, rpc, total, conf = _summarize(rows)
+                print(f"proto {label} x{n}: {cps:.1f} commits/s, "
+                      f"{rpc:.2f} retries/commit ({total} commits, {conf} conflicts)")
+                results[("protocol-only", label, n)] = (f"{cps:.1f}", f"{rpc:.2f}")
+
+    if "full" in args.layers:
+        for n in args.writers:
+            root = os.path.join(scratch, f"full_{n}")
+            os.makedirs(root, exist_ok=True)
+            target = os.path.join(root, "wh", "tp_table")
+            log = os.path.join(root, "log.jsonl")
+            rows = _launch(
+                n,
+                _full_writer,
+                lambda w: (root, target, w, args.commits, log),
+                log,
+            )
+            cps, rpc, total, conf = _summarize(rows)
+            print(f"full POSIX x{n}: {cps:.2f} commits/s, "
+                  f"{rpc:.2f} retries/commit ({total} commits, {conf} conflicts)")
+            results[("full commit (Spark upsert)", "POSIX link(2)", n)] = (
+                f"{cps:.2f}", f"{rpc:.2f}",
+            )
+
+    path = os.path.join(REPO, "PERF.md")
+    marker = "## Multi-writer commit throughput (r15)"
+    with open(path) as f:
+        text = f.read()
+    if marker in text:
+        head, _, rest = text.partition(marker)
+        nxt = rest.find("\n## ")
+        section, text = (
+            rest[: nxt + 1] if nxt >= 0 else rest,
+            head.rstrip("\n") + "\n" + (rest[nxt + 1:] if nxt >= 0 else ""),
+        )
+        for ln in section.splitlines():
+            cells = [c.strip() for c in ln.strip().strip("|").split("|")]
+            if len(cells) == 5 and cells[2].isdigit():
+                key = (cells[0], cells[1], int(cells[2]))
+                results.setdefault(key, (cells[3], cells[4]))
     lines = [
         "",
-        "## Multi-writer commit throughput (r15)",
+        marker,
         "",
-        f"`python tools/commit_throughput.py` — N concurrent writer",
+        "`python tools/commit_throughput.py` — N concurrent writer",
         f"processes against ONE manifest table; {args.commits} full commits or",
         f"{args.proto_commits} protocol-only commits per writer. commits/s is",
         "total successful commits over the overlapped wall; retries/commit is",
@@ -188,63 +269,11 @@ def main() -> None:
         "| layer | CAS primitive | writers | commits/s | retries/commit |",
         "|---|---|---|---|---|",
     ]
-
-    for n in args.writers:
-        # protocol-only first (cheap), all three primitives
-        for mode, label in (
-            ("posix", "POSIX link(2)"),
-            ("conditional_put", "store: If-None-Match PUT"),
-            ("hdfs", "store: create(overwrite=false)"),
-        ):
-            root = os.path.join(scratch, f"proto_{mode}_{n}")
-            os.makedirs(root, exist_ok=True)
-            table = (
-                f"mock://bucket/tbl_{mode}_{n}"
-                if mode != "posix"
-                else os.path.join(root, "tbl")
-            )
-            log = os.path.join(root, "log.jsonl")
-            rows = _launch(
-                n,
-                _proto_writer,
-                lambda w: (mode, root, table, w, args.proto_commits, log),
-                log,
-            )
-            cps, rpc, total, conf = _summarize(rows)
-            print(f"proto {label} x{n}: {cps:.1f} commits/s, "
-                  f"{rpc:.2f} retries/commit ({total} commits, {conf} conflicts)")
-            lines.append(
-                f"| protocol-only | {label} | {n} | {cps:.1f} | {rpc:.2f} |"
-            )
-
-    for n in args.writers:
-        root = os.path.join(scratch, f"full_{n}")
-        os.makedirs(root, exist_ok=True)
-        target = os.path.join(root, "wh", "tp_table")
-        log = os.path.join(root, "log.jsonl")
-        rows = _launch(
-            n,
-            _full_writer,
-            lambda w: (root, target, w, args.commits, log),
-            log,
-        )
-        cps, rpc, total, conf = _summarize(rows)
-        print(f"full POSIX x{n}: {cps:.2f} commits/s, "
-              f"{rpc:.2f} retries/commit ({total} commits, {conf} conflicts)")
-        lines.append(
-            f"| full commit (Spark upsert) | POSIX link(2) | {n} "
-            f"| {cps:.2f} | {rpc:.2f} |"
-        )
+    for (layer, label, n), (cps, rpc) in sorted(
+        results.items(), key=lambda kv: (kv[0][0], kv[0][1], kv[0][2])
+    ):
+        lines.append(f"| {layer} | {label} | {n} | {cps} | {rpc} |")
     lines.append("")
-
-    path = os.path.join(REPO, "PERF.md")
-    marker = "## Multi-writer commit throughput (r15)"
-    with open(path) as f:
-        text = f.read()
-    if marker in text:
-        head, _, rest = text.partition(marker)
-        nxt = rest.find("\n## ")
-        text = head.rstrip("\n") + "\n" + (rest[nxt + 1:] if nxt >= 0 else "")
     with open(path, "w") as f:
         f.write(text.rstrip("\n") + "\n" + "\n".join(lines) + "\n")
     shutil.rmtree(scratch, ignore_errors=True)
