@@ -2328,6 +2328,51 @@ CAS_STATS = {"publishes": 0, "conflicts": 0}
 _CAS_STATS_LOCK = threading.Lock()
 
 
+# Under sustained multi-writer contention a fixed ATTEMPT cap starves:
+# each lost attempt re-reads + re-merges (a Spark job, ~seconds), so
+# with N writers the race can be lost many times in a row through no
+# fault of the statement — tools/commit_throughput.py measured real
+# aborts at 8 writers x 10 attempts (r15). Beyond the count cap a
+# writer therefore keeps retrying up to this wall budget, but ONLY
+# while the table's latest version keeps ADVANCING between its own
+# attempts — losing to live writers is contention (retry converges,
+# every loss means the system committed); a version that stops moving
+# while the CAS still refuses is corruption/wedge and fails fast at
+# the old cap. Bounds latency instead of attempts, the way
+# Delta/Iceberg commit services do.
+_CAS_RETRY_BUDGET_S = float(
+    os.environ.get("SPARK_MANIFEST_CAS_BUDGET", "120")
+)
+
+
+def _cas_attempts(target: str):
+    """Attempt indices for a CAS commit loop on ``target``: at least
+    `_CAS_MAX_RETRIES` tries; extended (to `_CAS_RETRY_BUDGET_S` of
+    wall clock) only while the observed latest version advances
+    between attempts. Pair with `_conflict_backoff` in the loop."""
+    t0 = time.time()
+    attempt = 0
+    last_ver: int | None = None
+    while True:
+        if attempt >= _CAS_MAX_RETRIES:
+            if time.time() - t0 >= _CAS_RETRY_BUDGET_S:
+                return
+            try:
+                ver = _latest_manifest(target)[0]
+            except Exception:  # noqa: BLE001 - resolver says wedged
+                return
+            if ver == last_ver:
+                return  # no system progress: fail like the fixed cap
+            last_ver = ver
+        elif attempt == _CAS_MAX_RETRIES - 1:
+            try:
+                last_ver = _latest_manifest(target)[0]
+            except Exception:  # noqa: BLE001
+                last_ver = None
+        yield attempt
+        attempt += 1
+
+
 def _conflict_backoff(attempt: int) -> None:
     """Jittered, CAPPED backoff between CAS retry attempts (r15,
     judge item 6). Measured with tools/commit_throughput.py at 32
@@ -3215,7 +3260,7 @@ def _upsert_manifest(
     tables compact once first."""
     fsio.mkdirs(target)
     last_conflict: ManifestConflictError | None = None
-    for attempt in range(_CAS_MAX_RETRIES):
+    for attempt in _cas_attempts(target):
         ver, man = _latest_manifest_for_write(target)
         if man is None:
             # MIGRATION GUARD (r9 ADVICE): committing a first manifest
@@ -3369,7 +3414,7 @@ def _upsert_manifest(
             if cons_active:
                 merged.unpersist()
     raise ManifestConflictError(
-        f"lost the manifest commit race {_CAS_MAX_RETRIES} times at {target}"
+        f"lost the manifest commit race {_CAS_MAX_RETRIES}+ times at {target}"
     ) from last_conflict
 
 
@@ -3485,7 +3530,7 @@ def compact_manifest_table(
     table fails loudly instead of starving forever; on a busy table
     compaction still lands as soon as it wins one race."""
     last_conflict: ManifestConflictError | None = None
-    for attempt in range(_CAS_MAX_RETRIES):
+    for attempt in _cas_attempts(target):
         ver, man = _latest_manifest_for_write(target)
         if man is None:
             raise ValueError(f"no manifest table at {target}")
@@ -3551,7 +3596,7 @@ def compact_manifest_table(
             _conflict_backoff(attempt)
             continue
     raise ManifestConflictError(
-        f"compaction lost the manifest commit race {_CAS_MAX_RETRIES} "
+        f"compaction lost the manifest commit race {_CAS_MAX_RETRIES}+ "
         f"times at {target}"
     ) from last_conflict
 
@@ -3844,7 +3889,7 @@ def repartition_manifest_table(
     read so concurrent upserts are never dropped. Returns the number
     of entries in the new layout."""
     last_conflict: ManifestConflictError | None = None
-    for attempt in range(_CAS_MAX_RETRIES):
+    for attempt in _cas_attempts(target):
         ver, man = _latest_manifest_for_write(target)
         if man is None:
             raise ValueError(f"no manifest table at {target}")
@@ -3874,7 +3919,7 @@ def repartition_manifest_table(
             _conflict_backoff(attempt)
             continue
     raise ManifestConflictError(
-        f"repartition lost the manifest commit race {_CAS_MAX_RETRIES} "
+        f"repartition lost the manifest commit race {_CAS_MAX_RETRIES}+ "
         f"times at {target}"
     ) from last_conflict
 
@@ -4045,7 +4090,7 @@ def delete_from_manifest_table(
     if mode != "copy_on_write":
         raise ValueError(f"unknown delete mode {mode!r}")
     last_conflict: ManifestConflictError | None = None
-    for attempt in range(_CAS_MAX_RETRIES):
+    for attempt in _cas_attempts(target):
         ver, man = _latest_manifest_for_write(target)
         if man is None:
             raise ValueError(f"no manifest table at {target}")
@@ -4103,7 +4148,7 @@ def delete_from_manifest_table(
             _conflict_backoff(attempt)
             continue
     raise ManifestConflictError(
-        f"delete lost the manifest commit race {_CAS_MAX_RETRIES} times "
+        f"delete lost the manifest commit race {_CAS_MAX_RETRIES}+ times "
         f"at {target}"
     ) from last_conflict
 
@@ -4146,7 +4191,7 @@ def apply_changes_manifest_table(
     )
     fsio.mkdirs(target)
     last_conflict: ManifestConflictError | None = None
-    for attempt in range(_CAS_MAX_RETRIES):
+    for attempt in _cas_attempts(target):
         ver, man = _latest_manifest_for_write(target)
         if man is None:
             raise ValueError(
@@ -4213,7 +4258,7 @@ def apply_changes_manifest_table(
             _conflict_backoff(attempt)
             continue
     raise ManifestConflictError(
-        f"CDC apply lost the manifest commit race {_CAS_MAX_RETRIES} "
+        f"CDC apply lost the manifest commit race {_CAS_MAX_RETRIES}+ "
         f"times at {target}"
     ) from last_conflict
 
@@ -4247,7 +4292,7 @@ def update_manifest_table(
     cond = F.expr(condition) if isinstance(condition, str) else condition
     hit = F.coalesce(cond, F.lit(False))
     last_conflict: ManifestConflictError | None = None
-    for attempt in range(_CAS_MAX_RETRIES):
+    for attempt in _cas_attempts(target):
         ver, man = _latest_manifest_for_write(target)
         if man is None:
             raise ValueError(f"no manifest table at {target}")
@@ -4326,7 +4371,7 @@ def update_manifest_table(
             _conflict_backoff(attempt)
             continue
     raise ManifestConflictError(
-        f"update lost the manifest commit race {_CAS_MAX_RETRIES} times "
+        f"update lost the manifest commit race {_CAS_MAX_RETRIES}+ times "
         f"at {target}"
     ) from last_conflict
 
@@ -4887,7 +4932,7 @@ def _commit_metadata_only(target: str, mutate) -> dict:
     which is always safe because the edit is a pure function of the
     current manifest."""
     last_conflict: ManifestConflictError | None = None
-    for attempt in range(_CAS_MAX_RETRIES):
+    for attempt in _cas_attempts(target):
         ver, man = _latest_manifest_for_write(target)
         if man is None:
             raise ValueError(f"no manifest table at {target}")
@@ -4914,7 +4959,7 @@ def _commit_metadata_only(target: str, mutate) -> dict:
             _gc_superseded(target, new)
         return new
     raise ManifestConflictError(
-        f"metadata commit lost the manifest race {_CAS_MAX_RETRIES} "
+        f"metadata commit lost the manifest race {_CAS_MAX_RETRIES}+ "
         f"times at {target}"
     ) from last_conflict
 

@@ -47,6 +47,11 @@ sys.path.insert(0, REPO)
 
 def _full_writer(root: str, target: str, wid: int, n_commits: int, log: str):
     sys.path.insert(0, REPO)
+    # at 32 oversubscribed writer JVMs the SYSTEM commits ~0.3/s, so a
+    # single fair wait can exceed the default 120 s contention budget —
+    # raise it for the harness (the measurement is throughput, not
+    # per-commit latency)
+    os.environ.setdefault("SPARK_MANIFEST_CAS_BUDGET", "900")
     from pyspark.sql import SparkSession
 
     from etl_stocks_with_sentiment_analysis_spark.operators import sinks
@@ -166,6 +171,11 @@ def _launch(n: int, target_fn, make_args, log: str) -> list[dict]:
     with open(log) as f:
         for line in f:
             rows.append(json.loads(line))
+    if len(rows) < n:
+        # a writer died (e.g. retry exhaustion) — the summary would
+        # silently count survivors only, understating contention
+        print(f"WARNING: {n - len(rows)} of {n} writers wrote no log "
+              "(aborted?) — row is partial", flush=True)
     return rows
 
 
