@@ -686,7 +686,10 @@ def test_read_pq_meta_missing_dir_falls_back_only(spark, tmp_path):
     import os
 
     os.makedirs(idx, exist_ok=True)
-    assert sim._read_pq_meta(spark, idx) == (sim._PQ_M, sim._PQ_DSUB)
+    # r15 widened the meta tuple with the learned-codebook kcode;
+    # a missing dir still falls back to the pinned ANCHOR geometry
+    # (kcode None = anchor codebook path)
+    assert sim._read_pq_meta(spark, idx) == (sim._PQ_M, sim._PQ_DSUB, None)
     bad = os.path.join(idx, "pq_meta")
     os.makedirs(bad, exist_ok=True)
     with open(os.path.join(bad, "part-00000.parquet"), "w") as f:
