@@ -2932,10 +2932,45 @@ def _publish_snapshot(
     pcols = _norm_pcols(partition_col)
     snap_rel = f"snap-{new_ver:012d}-{uuid.uuid4().hex[:8]}"
     snap = fsio.join(target, snap_rel)
+    # CHECK-constraint enforcement RIDES the snapshot write (r15,
+    # guide §1.2/§2.4 "don't compute things twice"): the violation
+    # counts are observed metrics of the write job itself, so a
+    # constrained commit pays ONE computation of the merged frame
+    # instead of a separate pre-write aggregate pass (the r10-r14
+    # shape persist()ed merged across two actions). Only successful
+    # tasks contribute to observed metrics, so retries can't
+    # double-count. A violation is detected before the manifest CAS —
+    # the never-published snapshot dir is removed and the table is
+    # untouched, exactly the old refusal semantics.
+    cons = constraints or {}
+    obs = None
+    if cons:
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        merged = merged.observe(
+            obs,
+            *[
+                F.count(F.when(_check_violates(sql), 1)).alias(nm)
+                for nm, sql in cons.items()
+            ],
+        )
     w = merged.write.mode("overwrite")
     if pcols:
         w = w.partitionBy(*pcols)
     w.parquet(snap)  # reads OLD snapshots, writes a NEW dir — no staging
+    if obs is not None:
+        row = obs.get
+        bad = {nm: int(row[nm]) for nm in cons if row[nm]}
+        if bad:
+            fsio.delete(snap, recursive=True)
+            raise ValueError(
+                f"commit to {target} violates CHECK constraint(s) "
+                + ", ".join(
+                    f"{nm!r} ({cons[nm]}): {n} row(s)"
+                    for nm, n in sorted(bad.items())
+                )
+            )
     # in-flight marker: a direct child whose mtime tells concurrent
     # GC sweeps this snapshot is mid-commit (dot-name — Spark's reader
     # ignores hidden files). Touched again right before the CAS, so
@@ -3371,18 +3406,10 @@ def _upsert_manifest(
                 if nm not in field_ids:
                     field_ids[nm] = next_id
                     next_id += 1
-        # enforcement + publish each execute the merged plan; persist
-        # across the two actions so a constrained commit pays the
-        # join/scan once, not twice (unpersisted per attempt — a CAS
-        # retry rebuilds merged from the fresh manifest)
-        cons_active = man is not None and bool(man.get("constraints"))
-        if cons_active:
-            from pyspark import StorageLevel
-
-            merged = merged.persist(StorageLevel.MEMORY_AND_DISK)
+        # CHECK enforcement rides the publish write itself as observed
+        # metrics (r15) — one computation of merged per attempt, no
+        # persist needed across a second action
         try:
-            if man is not None:
-                _enforce_constraints(man, merged, target)
             _publish_snapshot(
                 target, new_ver, merged, partition_col,
                 prev_pmap,
@@ -3410,9 +3437,6 @@ def _upsert_manifest(
             last_conflict = e
             _conflict_backoff(attempt)
             continue
-        finally:
-            if cons_active:
-                merged.unpersist()
     raise ManifestConflictError(
         f"lost the manifest commit race {_CAS_MAX_RETRIES}+ times at {target}"
     ) from last_conflict
@@ -4232,7 +4256,6 @@ def apply_changes_manifest_table(
             prev_pmap = None
         kept = scoped.join(changed_keys, keys, "left_anti")
         merged = inserts.unionByName(kept)
-        _enforce_constraints(man, merged, target)
         try:
             _publish_snapshot(
                 target, ver + 1, merged, pcols_arg, prev_pmap,
@@ -4345,7 +4368,6 @@ def update_manifest_table(
                 for f in schema.fields
             ]
         )
-        _enforce_constraints(man, updated, target)
         try:
             _publish_snapshot(
                 target, ver + 1, updated, pcols, prev_pmap,
@@ -5048,30 +5070,6 @@ def _constraints_referencing(man: dict, col: str) -> list[str]:
     # column v — the guard must match the way the engine resolves
     pat = re.compile(rf"\b{re.escape(col)}\b", re.IGNORECASE)
     return sorted(nm for nm, sql in cons.items() if pat.search(sql))
-
-
-def _enforce_constraints(man: dict, merged: DataFrame, target: str) -> None:
-    """Refuse a data commit whose merged frame violates any recorded
-    CHECK constraint (SQL semantics: a row violates only when the
-    predicate is FALSE; NULL passes). One combined aggregate pass —
-    skipped entirely when the table has no constraints."""
-    cons = man.get("constraints") or {}
-    if not cons:
-        return
-    aggs = [
-        F.count(F.when(_check_violates(sql), 1)).alias(nm)
-        for nm, sql in cons.items()
-    ]
-    row = merged.agg(*aggs).first()
-    bad = {nm: int(row[nm]) for nm in cons if row[nm]}
-    if bad:
-        raise ValueError(
-            f"commit to {target} violates CHECK constraint(s) "
-            + ", ".join(
-                f"{nm!r} ({cons[nm]}): {n} row(s)"
-                for nm, n in sorted(bad.items())
-            )
-        )
 
 
 def add_manifest_column(

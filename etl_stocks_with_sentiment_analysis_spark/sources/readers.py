@@ -69,6 +69,18 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
     raise TypeError(f"events.ts arrived as unsupported type {dt}")
 
 
+# (applicationId, abs path, mtime_ns, size) -> DataFrame. A reader
+# construction costs ~0.15 s of driver time (file listing + footer
+# schema inference) at any scale; every query key re-reads the same
+# immutable testdata tables, so the built PLAN is memoized (r15, guide
+# §1.2 driver-side fixed costs). This is plan reuse, NOT data caching:
+# every action still scans the parquet from disk. Keyed by the file's
+# identity (mtime+size) so a rewritten file — e.g. a drift-test copy —
+# never serves a stale file listing, and by applicationId so a plan
+# can't cross sessions.
+_TABLE_PLAN_MEMO: dict[tuple, DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table as a DataFrame (columnar parquet scan).
 
@@ -77,12 +89,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     read because a NANOS-typed file fails schema resolution without it
     ([PARQUET_TYPE_ILLEGAL]); the flag is a no-op for micros files.
     """
+    import os
+
     if name not in TESTDATA_TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TESTDATA_TABLES}")
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        st = os.stat(path)
+        ident: tuple | None = (st.st_mtime_ns, st.st_size)
+    except OSError:
+        ident = None  # let Spark raise its own missing-path error
+    key = (spark.sparkContext.applicationId, os.path.abspath(path), ident)
+    got = _TABLE_PLAN_MEMO.get(key) if ident is not None else None
+    if got is not None:
+        return got
     if name == "events":
         ensure_nanos_conf(spark)
-        return normalize_event_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = normalize_event_ts(spark.read.parquet(path))
+    else:
+        df = spark.read.parquet(path)
+    if ident is not None:
+        if len(_TABLE_PLAN_MEMO) > 256:  # bound: sessions x sfs x tables
+            _TABLE_PLAN_MEMO.clear()
+        _TABLE_PLAN_MEMO[key] = df
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
