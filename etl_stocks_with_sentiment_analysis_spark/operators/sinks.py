@@ -2678,7 +2678,370 @@ def _touched_manifest_keys(
     return {r["k"] for r in matched.collect()}
 
 
+# footer-stats observability: how many commits served entry stats
+# from parquet footers vs fell back to the read-back Spark job
+_FOOTER_STATS_USED = 0
+_FOOTER_STATS_FALLBACK = 0
+
+
+def _stat_lt(a, b) -> bool:
+    """Spark ordering for typed min/max compares: NaN sorts greatest."""
+    if isinstance(a, float) and a != a:
+        return False
+    if isinstance(b, float) and b != b:
+        return True
+    return a < b
+
+
+def _footer_serializers(merged_schema, stat_cols, session_tz):
+    """Per-column (decode, serialize) handlers replicating Spark's
+    `cast(string)` of a typed min/max, or None when any stat column's
+    type can't be reproduced exactly from footer statistics (caller
+    falls back to the read-back Spark job). Byte parity with the JVM
+    is NOT required — the manifest's stat strings are only ever cast
+    back to the column type on the prune side (`_prune_entry_keys` /
+    `_prune_entry_files`), so value-round-trip equality is the
+    contract — but we match bytes where trivial (ints, bools, dates,
+    strings, NaN/Infinity)."""
+    import datetime as _dt
+    import decimal as _decimal
+
+    from pyspark.sql.types import (
+        BooleanType,
+        ByteType,
+        DateType,
+        DecimalType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StringType,
+        TimestampNTZType,
+        TimestampType,
+    )
+
+    def _java_notation(srepr: str) -> str:
+        """Re-format a shortest-round-trip float repr into Java
+        Float/Double.toString notation: plain decimal for 1e-3 <=
+        |v| < 1e7 (always with a fractional part), else d.dddE<exp>.
+        Same digits, Java's placement — gives byte parity with the
+        read-back job's cast(string) for the common ranges (value
+        parity is what the prune-side cast-back actually needs)."""
+        neg = srepr.startswith("-")
+        if neg:
+            srepr = srepr[1:]
+        if "e" in srepr:
+            m, e = srepr.split("e")
+            exp = int(e)
+        else:
+            m, exp = srepr, 0
+        ip, _, fp = m.partition(".")
+        digits = (ip + fp).lstrip("0")
+        if not digits:
+            return "-0.0" if neg else "0.0"
+        if ip.lstrip("0"):
+            pos = len(ip) + exp  # v = 0.<digits> * 10^pos
+        else:
+            nz = 0
+            for ch in fp:
+                if ch != "0":
+                    break
+                nz += 1
+            pos = -nz + exp
+        digits = digits.rstrip("0") or "0"
+        if -2 <= pos <= 7:  # 1e-3 <= |v| < 1e7
+            if pos <= 0:
+                out = "0." + "0" * (-pos) + digits
+            elif pos >= len(digits):
+                out = digits + "0" * (pos - len(digits)) + ".0"
+            else:
+                out = digits[:pos] + "." + digits[pos:]
+        else:
+            out = f"{digits[0]}.{digits[1:] or '0'}E{pos - 1}"
+        return "-" + out if neg else out
+
+    def _fstr(v: float) -> str:
+        if v != v:
+            return "NaN"
+        if v == float("inf"):
+            return "Infinity"
+        if v == float("-inf"):
+            return "-Infinity"
+        return _java_notation(repr(float(v)))
+
+    def _ts_str(v) -> str:
+        s = v.strftime("%Y-%m-%d %H:%M:%S")
+        if v.microsecond:
+            s += (".%06d" % v.microsecond).rstrip("0")
+        return s
+
+    dtypes = {f.name: f.dataType for f in merged_schema.fields}
+    handlers: dict = {}
+    for c in stat_cols:
+        t = dtypes[c]
+        if isinstance(t, (ByteType, ShortType, IntegerType, LongType)):
+            handlers[c] = ("typed", lambda v: str(int(v)))
+        elif isinstance(t, BooleanType):
+            handlers[c] = ("typed", lambda v: "true" if v else "false")
+        elif isinstance(t, StringType):
+
+            def _sv(v):
+                # defensive: some parquet writers truncate long binary
+                # stats (an inexact bound is sound for pruning but
+                # would diverge from the read-back job's exact value);
+                # Spark's writer DROPS oversized stats instead, so a
+                # near-cap value is suspicious — refuse and fall back
+                if len(v.encode("utf-8", "surrogatepass")) > 3800:
+                    raise ValueError("string stat near parquet cap")
+                return v
+
+            handlers[c] = ("typed", _sv)
+        elif isinstance(t, DateType):
+            handlers[c] = ("typed", lambda v: v.isoformat())
+        elif isinstance(t, DoubleType):
+            handlers[c] = ("typed", _fstr)
+        elif isinstance(t, FloatType):
+            try:
+                import numpy as _np
+            except Exception:
+                return None  # need f32-shortest digits for parity
+
+            def _f32str(v, _np=_np):
+                f = float(v)
+                if f != f:
+                    return "NaN"
+                if f == float("inf"):
+                    return "Infinity"
+                if f == float("-inf"):
+                    return "-Infinity"
+                return _java_notation(repr(_np.float32(f)))
+
+            handlers[c] = ("typed", _f32str)
+        elif isinstance(t, DecimalType):
+            scale = t.scale
+
+            def _dec(raw, _s=scale):
+                u = (
+                    int.from_bytes(raw, "big", signed=True)
+                    if isinstance(raw, (bytes, bytearray))
+                    else int(raw)
+                )
+                return format(_decimal.Decimal(u).scaleb(-_s), "f")
+
+            handlers[c] = ("raw_decimal", _dec)
+        elif isinstance(t, TimestampNTZType):
+
+            def _ntz(v):
+                if v.tzinfo is not None:
+                    raise ValueError("NTZ stat arrived tz-aware")
+                return _ts_str(v)
+
+            handlers[c] = ("typed", _ntz)
+        elif isinstance(t, TimestampType):
+            if session_tz is None:
+                return None
+            try:
+                from zoneinfo import ZoneInfo
+
+                tz = ZoneInfo(session_tz)
+            except Exception:
+                return None
+
+            def _ltz(v, _tz=tz, _utc=_dt.timezone.utc):
+                if v.tzinfo is None:
+                    # parquet TIMESTAMP(adjustedToUTC=true) decodes
+                    # tz-aware; a naive value means a layout we did
+                    # not anticipate — refuse, caller falls back
+                    raise ValueError("TZ stat arrived naive")
+                return _ts_str(v.astimezone(_tz).replace(tzinfo=None))
+
+            handlers[c] = ("typed", _ltz)
+        else:
+            return None
+    return handlers
+
+
+def _entry_stats_footer(
+    spark: SparkSession,
+    snap: str,
+    merged_schema,
+    partition_cols,
+    new_keys: list[str],
+) -> tuple[dict, dict, dict] | None:
+    """Entry/file stats + row counts from the PARQUET FOOTERS of the
+    just-written snapshot — O(files) pure-metadata reads instead of a
+    second Spark job re-scanning data the write job just produced
+    (guide §1.2: don't compute things twice; this is what
+    Iceberg/Delta writers do). Returns None whenever anything about
+    the footers cannot be reproduced EXACTLY as the read-back job
+    would have (missing/undecodable chunk statistics — e.g. INT96
+    timestamps, NaN-dropped float ranges — non-local snapshot URIs,
+    exotic column types); the caller then runs the Spark path, so
+    this is a pure fast path, never a semantics change.
+
+    Directory structure gives the entry keys directly (each new_key
+    IS the Hive-escaped relative dir this snapshot wrote), which also
+    removes the old path's createDataFrame + typed join + collect."""
+    try:
+        import pyarrow.parquet as _pqt
+    except Exception:
+        return None
+    lp = _local_read_path_for_stats(snap)
+    if lp is None:
+        return None
+    pcols = _norm_pcols(partition_cols)
+    stat_cols = _stat_columns(merged_schema, pcols)
+    if any("." in c for c in stat_cols):
+        return None  # path_in_schema would be ambiguous
+    session_tz = None
+    try:
+        session_tz = spark.conf.get("spark.sql.session.timeZone")
+    except Exception:
+        pass
+    handlers = _footer_serializers(merged_schema, stat_cols, session_tz)
+    if handlers is None:
+        return None
+
+    out: dict = {}
+    rows: dict = {}
+    fstats: dict = {}
+    try:
+        for k in new_keys:
+            d = lp if k == "__ALL__" else os.path.join(lp, *k.split("/"))
+            per_file: dict = {}
+            for fn in os.listdir(d):
+                if fn.startswith((".", "_")) or not fn.endswith(".parquet"):
+                    continue
+                md = _pqt.ParquetFile(os.path.join(d, fn)).metadata
+                if md.num_rows == 0:
+                    continue  # the read-back job never saw its rows either
+                fmin: dict = {}
+                fmax: dict = {}
+                rg0 = md.row_group(0)
+                idx = {
+                    rg0.column(i).path_in_schema: i
+                    for i in range(rg0.num_columns)
+                }
+                if any(c not in idx for c in stat_cols):
+                    return None
+                for gi in range(md.num_row_groups):
+                    rg = md.row_group(gi)
+                    for c in stat_cols:
+                        ch = rg.column(idx[c])
+                        st = ch.statistics
+                        if st is None:
+                            return None  # can't tell all-null from absent
+                        if not st.has_min_max:
+                            if (
+                                st.has_null_count
+                                and st.null_count == rg.num_rows
+                            ):
+                                continue  # all-null chunk: contributes nothing
+                            return None  # values exist but no range recorded
+                        if (
+                            getattr(st, "is_min_value_exact", True) is False
+                            or getattr(st, "is_max_value_exact", True)
+                            is False
+                        ):
+                            return None  # truncated bound: not the true value
+                        kind, ser = handlers[c]
+                        if kind == "raw_decimal":
+                            mn, mx = ser(st.min_raw), ser(st.max_raw)
+                            # decimal strings compare wrong lexically;
+                            # compare as Decimal
+                            import decimal as _d
+
+                            tmn, tmx = _d.Decimal(mn), _d.Decimal(mx)
+                        else:
+                            tmn, tmx = st.min, st.max
+                            mn, mx = ser(tmn), ser(tmx)
+                        cur = fmin.get(c)
+                        if cur is None or _stat_lt(tmn, cur[0]):
+                            fmin[c] = (tmn, mn)
+                        cur = fmax.get(c)
+                        if cur is None or _stat_lt(cur[0], tmx):
+                            fmax[c] = (tmx, mx)
+                per_file[fn] = (
+                    md.num_rows,
+                    {
+                        c: [
+                            fmin[c][1] if c in fmin else None,
+                            fmax[c][1] if c in fmax else None,
+                        ]
+                        for c in stat_cols
+                    },
+                    fmin,
+                    fmax,
+                )
+            if not per_file:
+                continue
+            rows[k] = sum(nr for nr, _s, _mn, _mx in per_file.values())
+            if stat_cols:
+                entry: dict = {}
+                for c in stat_cols:
+                    emn = emx = None
+                    for nr, _s, fmn, fmx in per_file.values():
+                        if c in fmn and (
+                            emn is None or _stat_lt(fmn[c][0], emn[0])
+                        ):
+                            emn = fmn[c]
+                        if c in fmx and (
+                            emx is None or _stat_lt(emx[0], fmx[c][0])
+                        ):
+                            emx = fmx[c]
+                    entry[c] = [
+                        emn[1] if emn else None,
+                        emx[1] if emx else None,
+                    ]
+                out[k] = entry
+            if len(per_file) <= _FILE_STATS_MAX_PER_ENTRY:
+                fstats[k] = {
+                    fn: {"rows": nr, "stats": s}
+                    for fn, (nr, s, _mn, _mx) in per_file.items()
+                }
+    except Exception:
+        return None  # any surprise: the Spark read-back is the oracle
+    return out, rows, fstats
+
+
+def _local_read_path_for_stats(path: str) -> str | None:
+    """Resolve `path` to a local filesystem path when provably local
+    (same rule as fsio's read fast path), else None."""
+    try:
+        return fsio._local_read_path(path)
+    except Exception:
+        return None
+
+
 def _entry_stats(
+    spark: SparkSession,
+    snap: str,
+    merged_schema,
+    partition_cols,
+    ptypes: dict | None,
+    new_keys: list[str],
+) -> tuple[dict, dict, dict]:
+    """Dispatcher: parquet-footer fast path (pure metadata reads, no
+    second scan of just-written data), falling back to the original
+    read-back Spark job whenever footers can't reproduce the stats
+    exactly. Both paths return identical structures."""
+    if not new_keys:
+        return {}, {}, {}
+    got = _entry_stats_footer(
+        spark, snap, merged_schema, partition_cols, new_keys
+    )
+    global _FOOTER_STATS_USED, _FOOTER_STATS_FALLBACK
+    if got is not None:
+        _FOOTER_STATS_USED += 1
+        return got
+    _FOOTER_STATS_FALLBACK += 1
+    return _entry_stats_spark(
+        spark, snap, merged_schema, partition_cols, ptypes, new_keys
+    )
+
+
+def _entry_stats_spark(
     spark: SparkSession,
     snap: str,
     merged_schema,

@@ -1,0 +1,122 @@
+"""Round 15 optimization regression tests.
+
+Covers the commit-protocol fast paths introduced in the optimization
+round: parquet-footer entry stats (must be indistinguishable from the
+read-back Spark job), and the observe-riding CHECK enforcement's
+refusal semantics (covered in round10 tests; here we only assert the
+footer path's fallback discipline)."""
+
+import datetime
+import decimal
+
+import pytest
+
+from etl_stocks_with_sentiment_analysis_spark.operators import sinks
+
+
+def _keys_for(spark, snap, df, pcol):
+    pcols = [pcol] if pcol else []
+    if pcol:
+        new_keys = sorted(sinks._walk_partition_dirs(snap, pcols))
+        ptypes = {pcol: dict(df.dtypes)[pcol]}
+    else:
+        new_keys = ["__ALL__"]
+        ptypes = {}
+    return pcols, ptypes, new_keys
+
+
+def _both(spark, snap, df, pcol):
+    pcols, ptypes, new_keys = _keys_for(spark, snap, df, pcol)
+    foot = sinks._entry_stats_footer(spark, snap, df.schema, pcols, new_keys)
+    sp = sinks._entry_stats_spark(
+        spark, snap, df.schema, pcols, ptypes, new_keys
+    )
+    return foot, sp
+
+
+def test_footer_stats_match_spark_readback_mixed_types(spark, tmp_path):
+    rows = [
+        (1, 100, "alpha", datetime.date(2024, 1, 5), 0.0001, float("nan"),
+         decimal.Decimal("1.50"), True),
+        (2, -7, "z" * 300, datetime.date(2023, 12, 31), float("inf"), 2.5,
+         decimal.Decimal("-0.07"), False),
+        (3, None, None, None, None, None, None, None),
+    ]
+    sch = (
+        "id BIGINT, i INT, s STRING, d DATE, x DOUBLE, nanx DOUBLE, "
+        "dec DECIMAL(10,2), b BOOLEAN"
+    )
+    df = spark.createDataFrame(rows, sch)
+    snap = str(tmp_path / "mixed")
+    df.write.mode("overwrite").parquet(snap)
+    foot, sp = _both(spark, snap, df, None)
+    assert foot is not None, "footer path unexpectedly fell back"
+    assert foot == sp
+    # the Java-notation cases the formatter exists for
+    st = foot[0]["__ALL__"]
+    assert st["x"] == ["1.0E-4", "Infinity"]
+    assert st["nanx"] == ["2.5", "NaN"]
+    assert st["dec"] == ["-0.07", "1.50"]
+    assert st["b"] == ["false", "true"]
+
+
+def test_footer_stats_match_spark_readback_partitioned(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.range(0, 2000)
+        .select(
+            (F.col("id") % 3).cast("string").alias("grp"),
+            F.col("id").alias("v"),
+            (F.col("id") / 7.0).cast("float").alias("f"),
+        )
+        .repartition(4)
+    )
+    snap = str(tmp_path / "part")
+    df.write.mode("overwrite").partitionBy("grp").parquet(snap)
+    foot, sp = _both(spark, snap, df, "grp")
+    assert foot is not None
+    assert foot == sp
+    assert set(foot[0]) == {"grp=0", "grp=1", "grp=2"}
+    assert sum(foot[1].values()) == 2000
+
+
+def test_footer_stats_fall_back_on_int96_timestamps(spark, tmp_path):
+    # Spark's default parquet timestamp layout (INT96) records no
+    # usable chunk statistics; the dispatcher must take the read-back
+    # Spark job, not emit wrong/empty stats.
+    df = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 5, 12, 34, 56, 123000))],
+        "k BIGINT, ts TIMESTAMP",
+    )
+    snap = str(tmp_path / "ts")
+    df.write.mode("overwrite").parquet(snap)
+    foot, sp = _both(spark, snap, df, None)
+    if foot is None:
+        # INT96 layout: fallback (the normal case)
+        assert sp[1]["__ALL__"] == 1
+    else:
+        # micros layout (outputTimestampType changed): must match
+        assert foot == sp
+
+
+def test_java_notation_float_strings():
+    # byte parity with JVM Double.toString across its notation ranges
+    from etl_stocks_with_sentiment_analysis_spark.operators.sinks import (
+        _footer_serializers,
+    )
+    from pyspark.sql.types import StructType, StructField, DoubleType
+
+    schema = StructType([StructField("x", DoubleType())])
+    (kind, ser) = _footer_serializers(schema, ["x"], "UTC")["x"]
+    assert ser(5.0) == "5.0"
+    assert ser(0.001) == "0.001"
+    assert ser(0.0001) == "1.0E-4"
+    assert ser(10000000.0) == "1.0E7"
+    assert ser(9999999.0) == "9999999.0"
+    assert ser(123456789.012) == "1.23456789012E8"
+    assert ser(-0.0) == "-0.0"
+    assert ser(float("nan")) == "NaN"
+    assert ser(float("-inf")) == "-Infinity"
+    assert ser(1e22) == "1.0E22"
+    assert ser(1.5e-05) == "1.5E-5"
