@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
+from ..functions.localframe import local_rows_df
 from ..sources import load_table
 
 _SCALED = (
@@ -1058,7 +1059,8 @@ def _bucket_expr(n_buckets: int):
 
 
 def _write_ann_layout(spark, idx_dir: str, n_buckets: int) -> None:
-    spark.createDataFrame(
+    local_rows_df(
+        spark,
         [(n_buckets,)], "n_buckets int"
     ).coalesce(1).write.mode("overwrite").parquet(
         os.path.join(idx_dir, "layout")
@@ -1152,7 +1154,8 @@ def _write_pq_meta(
     K-means sub-codebooks) with the index so probes reconstruct the
     SAME code/LUT machinery at any embedding dimensionality (64-dim
     default through 1536-dim production: m = dim/8)."""
-    spark.createDataFrame(
+    local_rows_df(
+        spark,
         [(pq_m, pq_dsub, pq_kcode)], "pq_m int, pq_dsub int, pq_kcode int"
     ).coalesce(1).write.mode("overwrite").parquet(
         os.path.join(idx_dir, "pq_meta")
@@ -1243,7 +1246,8 @@ def _write_pq_codebook(spark, idx_dir: str, cb) -> None:
         for mm in range(cb.shape[0])
         for k in range(cb.shape[1])
     ]
-    spark.createDataFrame(
+    local_rows_df(
+        spark,
         rows, "m int, k int, cv array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(
         os.path.join(idx_dir, "pq_codebook")
@@ -2084,10 +2088,12 @@ def build_ann_index_kmeans(
         )
         for i, c in enumerate(cents)
     ]
-    f2c = spark.createDataFrame(
+    f2c = local_rows_df(
+        spark,
         f2c_rows, "fcent_id long, fcv array<double>, fnrm double, ccent_id long"
     )
-    ccand = spark.createDataFrame(
+    ccand = local_rows_df(
+        spark,
         [(0, [0.0] * dim, 0.0)],
         "ccent_id long, ccv array<double>, cnrm double",
     )

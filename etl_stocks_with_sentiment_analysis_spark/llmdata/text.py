@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_bucket
+from ..functions.localframe import local_rows_df
 from ..registry import register
 from ..sources import load_table
 
@@ -1308,7 +1309,8 @@ def _bpe_join_walk(spark: SparkSession, docs: DataFrame) -> DataFrame:
     """(doc_id, widx, wd, toks ARRAY<STRUCT<p,l>>) — greedy wordpiece
     segmentation of every whitespace word against `_BIGVOCAB` via the
     broadcast prefix join + native jump walk described above."""
-    vdf = spark.createDataFrame(
+    vdf = local_rows_df(
+        spark,
         [(p,) for p in _BIGVOCAB], "piece string"
     )
     words = docs.select(
@@ -1443,7 +1445,8 @@ def text_tokenize_bpe_bigvocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     piece's position in the sorted vocab (-1 for the 1-char unknown
     fallback when that char is not itself a piece); ids derive from
     the same sorted list in both engines."""
-    vdf = spark.createDataFrame(
+    vdf = local_rows_df(
+        spark,
         [(p, i) for i, p in enumerate(_BIGVOCAB)], "piece string, vid long"
     )
     seg = _bpe_join_walk(spark, load_table(spark, sf_dir, "documents"))

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import sinks
+from ..functions.localframe import local_rows_df
 from ..plans import panel
 from ..registry import register
 from . import tracking
@@ -175,7 +176,8 @@ def _metrics_df(spark: SparkSession, metrics: dict) -> DataFrame:
         )
         for m in _METRICS
     ]
-    return spark.createDataFrame(
+    return local_rows_df(
+        spark,
         rows, "metric STRING, meets_floor BIGINT, within_unit BIGINT"
     )
 
@@ -353,7 +355,8 @@ def ml_feature_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         prev = imp
-    return spark.createDataFrame(
+    return local_rows_df(
+        spark,
         rows,
         "rank BIGINT, feature_known BIGINT, within_unit BIGINT,"
         " nonincreasing BIGINT",

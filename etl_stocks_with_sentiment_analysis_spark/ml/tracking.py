@@ -18,6 +18,8 @@ import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.localframe import local_rows_df
 from pyspark.sql import functions as F
 
 RUNS_SCHEMA = (
@@ -48,7 +50,7 @@ def log_run(
             artifact_path,
         )
     ]
-    spark.createDataFrame(row, RUNS_SCHEMA).write.mode("append").parquet(log_dir)
+    local_rows_df(spark, row, RUNS_SCHEMA).write.mode("append").parquet(log_dir)
     return run_id
 
 
@@ -135,7 +137,7 @@ def log_artifact(
         h.update(data)
         total = len(data)
     row = [(run_id, float(time.time()), name, path, h.hexdigest(), total)]
-    spark.createDataFrame(row, ARTIFACTS_SCHEMA).write.mode("append").parquet(
+    local_rows_df(spark, row, ARTIFACTS_SCHEMA).write.mode("append").parquet(
         log_dir.rstrip("/") + "_artifacts"
     )
 
@@ -192,7 +194,7 @@ def register_model(
         prev = None
     version = (prev or 0) + 1
     row = [(model_name, version, run_id, stage, float(time.time()))]
-    spark.createDataFrame(row, REGISTRY_SCHEMA).write.mode("append").parquet(path)
+    local_rows_df(spark, row, REGISTRY_SCHEMA).write.mode("append").parquet(path)
     return version
 
 
@@ -223,7 +225,7 @@ def transition_stage(
             for r in current
         ]
     events.append((model_name, version, "", stage, float(time.time())))
-    spark.createDataFrame(events, REGISTRY_SCHEMA).write.mode("append").parquet(path)
+    local_rows_df(spark, events, REGISTRY_SCHEMA).write.mode("append").parquet(path)
 
 
 def model_versions(spark: SparkSession, log_dir: str) -> DataFrame:

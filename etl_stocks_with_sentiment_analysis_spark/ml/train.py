@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .features import BASE_FEATURES, LABELS, feature_matrix
+from ..functions.localframe import local_rows_df
 
 try:  # M3 — optional XGBoost-on-Spark (not in this image)
     from xgboost.spark import SparkXGBClassifier  # type: ignore  # noqa: F401
@@ -375,7 +376,8 @@ def search_decision_weights(
         grid = [(w0, w1, 1.0) for w0 in steps for w1 in steps]
     objective = objective or _macro_f1
     spark = valid_pred.sparkSession
-    gdf = spark.createDataFrame(
+    gdf = local_rows_df(
+        spark,
         [(i, *map(float, w)) for i, w in enumerate(grid)],
         "gid INT, " + ", ".join(f"w{i} DOUBLE" for i in range(k)),
     )
@@ -505,7 +507,8 @@ def bayes_rate_probe(
         (list(map(float, cell)) + [float(best[0])])
         for cell, best in cell_best.items()
     ]
-    map_df = spark.createDataFrame(
+    map_df = local_rows_df(
+        spark,
         rows, ", ".join(f"{c} DOUBLE" for c in outc) + ", probe_pred DOUBLE"
     )
     pred = te.join(F.broadcast(map_df), outc, "left").withColumn(

@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 
 from . import fsio
 from ..plans import panel
+from ..functions.localframe import local_rows_df
 from ..registry import register
 from ..sources import load_table
 
@@ -1632,7 +1633,7 @@ def _prune_entry_keys(
     sch = "k STRING" + "".join(
         f", mn{i} STRING, mx{i} STRING" for i in range(len(bcols))
     )
-    df = spark.createDataFrame(rows, sch)
+    df = local_rows_df(spark, rows, sch)
     keep = F.lit(True)
     for i, c in enumerate(bcols):
         lo, hi = bounds[c]
@@ -1695,7 +1696,7 @@ def _prune_entry_files(
     sch = "k STRING, f STRING" + "".join(
         f", mn{i} STRING, mx{i} STRING" for i in range(len(bcols))
     )
-    df = spark.createDataFrame(rows, sch)
+    df = local_rows_df(spark, rows, sch)
     keep = F.lit(True)
     for i, c in enumerate(bcols):
         lo, hi = bounds[c]
@@ -2661,7 +2662,7 @@ def _touched_manifest_keys(
     if not pairs:
         return set()
     sch = "k STRING" + "".join(f", raw{i} STRING" for i in range(n))
-    kdf = spark.createDataFrame(pairs, sch).select(
+    kdf = local_rows_df(spark, pairs, sch).select(
         "k",
         *[
             F.col(f"raw{i}").cast(ptypes[c]).alias(f"v{i}")
@@ -3108,7 +3109,7 @@ def _entry_stats_spark(
         n = len(pcols)
         pairs = [[k, *_key_level_values(k, n)] for k in new_keys]
         sch = "k STRING" + "".join(f", raw{i} STRING" for i in range(n))
-        kdf = spark.createDataFrame(pairs, sch).select(
+        kdf = local_rows_df(spark, pairs, sch).select(
             "k",
             *[
                 F.col(f"raw{i}").cast((ptypes or {})[c]).alias(f"v{i}")
@@ -3240,7 +3241,7 @@ def _file_point_index(
         n = len(pcols)
         pairs = [[k, *_key_level_values(k, n)] for k in new_keys]
         sch = "k STRING" + "".join(f", raw{i} STRING" for i in range(n))
-        kdf = spark.createDataFrame(pairs, sch).select(
+        kdf = local_rows_df(spark, pairs, sch).select(
             "k",
             *[
                 F.col(f"raw{i}").cast((ptypes or {})[c]).alias(f"v{i}")
@@ -4837,7 +4838,7 @@ def manifest_table_stats(
         sch = (
             "".join(f"raw{i} STRING, " for i in range(n)) + "n_rows BIGINT"
         )
-        return spark.createDataFrame(pairs, sch).select(
+        return local_rows_df(spark, pairs, sch).select(
             *[
                 F.col(f"raw{i}").cast(ptypes[c]).alias(c)
                 for i, c in enumerate(pcols)
@@ -4845,7 +4846,7 @@ def manifest_table_stats(
             "n_rows",
         )
     n = int(entry_rows.get("__ALL__", 0))
-    return spark.createDataFrame([(n,)], "n_rows BIGINT")
+    return local_rows_df(spark, [(n,)], "n_rows BIGINT")
 
 
 def manifest_table_history(spark: SparkSession, target: str) -> DataFrame:
@@ -4910,7 +4911,8 @@ def manifest_table_history(spark: SparkSession, target: str) -> DataFrame:
                 ),
             )
         )
-    return spark.createDataFrame(
+    return local_rows_df(
+        spark,
         sorted(rows),
         "version INT, partition_col STRING, n_entries INT, "
         "n_rows BIGINT, n_snapshots INT, n_external_snapshots INT, "
@@ -6461,7 +6463,7 @@ def sink_manifest_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(replicated_ok).alias("replicated_ok"),
             F.lit(atomic_ok).alias("atomic_ok"),
         )
-        return spark.createDataFrame(out.collect(), out.schema)
+        return local_rows_df(spark, out.collect(), out.schema)
     finally:
         a_rows.unpersist()
         b_rows.unpersist()
@@ -6867,7 +6869,7 @@ def sink_manifest_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert Counter(map(tuple, view_rows)) == Counter(
         map(tuple, full.collect())
     ), "maintained view diverged from full recompute"
-    return spark.createDataFrame(view_rows, view.schema)
+    return local_rows_df(spark, view_rows, view.schema)
 
 
 _REPART_ORACLE = """
@@ -7599,7 +7601,8 @@ def sink_manifest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         upsert(spark, a, seed_a, ["user_id"])
         upsert(
             spark, b,
-            spark.createDataFrame(
+            local_rows_df(
+        spark,
                 [(900001, 1)], "user_id BIGINT, n BIGINT"
             ),
             ["user_id"],
@@ -7607,7 +7610,8 @@ def sink_manifest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     with transaction():
         upsert(
             spark, a,
-            spark.createDataFrame(
+            local_rows_df(
+        spark,
                 [(900001, 11), (900002, 22)],
                 "user_id BIGINT, cents BIGINT",
             ),
@@ -7615,7 +7619,8 @@ def sink_manifest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         upsert(
             spark, b,
-            spark.createDataFrame(
+            local_rows_df(
+        spark,
                 [(900003, 3)], "user_id BIGINT, n BIGINT"
             ),
             ["user_id"],
@@ -7624,7 +7629,8 @@ def sink_manifest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a LATER commit on A alone: outside the snapshot
     upsert(
         spark, a,
-        spark.createDataFrame(
+        local_rows_df(
+        spark,
             [(900009, 99)], "user_id BIGINT, cents BIGINT"
         ),
         ["user_id"],

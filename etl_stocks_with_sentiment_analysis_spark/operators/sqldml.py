@@ -90,6 +90,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
+from ..functions.localframe import local_rows_df
 from ..sources import load_table
 from . import fsio
 from . import sinks
@@ -920,13 +921,15 @@ def _refresh_information_schema(spark: SparkSession) -> None:
                 sch, tbl, f.name, pos, f.dataType.simpleString(),
                 "YES" if f.nullable else "NO",
             ))
-    spark.createDataFrame(
+    local_rows_df(
+        spark,
         trows or [("", "", "")],
         "table_schema STRING, table_name STRING, table_type STRING",
     ).filter("table_name <> ''").createOrReplaceTempView(
         _INFOSCHEMA_VIEWS["tables"]
     )
-    spark.createDataFrame(
+    local_rows_df(
+        spark,
         crows or [("", "", "", 0, "", "")],
         "table_schema STRING, table_name STRING, column_name STRING, "
         "ordinal_position INT, data_type STRING, is_nullable STRING",
@@ -1692,7 +1695,8 @@ def _status(
         return got
     if len(per_session) >= 4096:
         per_session.clear()
-    frame = spark.createDataFrame(
+    frame = local_rows_df(
+        spark,
         [(op, table, n)],
         "operation string, table string, rows_affected bigint",
     )
@@ -2098,7 +2102,8 @@ def _show_create_table(spark: SparkSession, name: str) -> DataFrame:
     pcols = sinks._man_pcols(man)
     if pcols:
         ddl += f" PARTITIONED BY ({', '.join(pcols)})"
-    return spark.createDataFrame(
+    return local_rows_df(
+        spark,
         [(name, ddl)], "table string, create_statement string"
     )
 
@@ -2396,7 +2401,8 @@ def _commit_txn(spark: SparkSession) -> DataFrame:
         sinks.commit_pending_transaction(ctx)
     if not results:
         return _status(spark, "COMMIT", "", None)
-    return spark.createDataFrame(
+    return local_rows_df(
+        spark,
         [(f"COMMIT {op}", t, n) for op, t, n in results],
         "operation string, table string, rows_affected bigint",
     )
@@ -3881,7 +3887,8 @@ def sink_manifest_read_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
     post_a = run("SELECT COUNT(*) AS u FROM rtx.a").collect()[0]["u"]
     post_b = run("SELECT COUNT(*) AS r FROM rtx.b").collect()[0]["r"]
     assert post_a == snap_a["u"] + 1 and post_b == 5, (post_a, post_b)
-    return spark.createDataFrame(
+    return local_rows_df(
+        spark,
         [(snap_a["u"], snap_a["c"], snap_b["r"], snap_b["s"],
           post_a, post_b)],
         "snap_a_users bigint, snap_a_cents bigint, snap_b_rows bigint, "
@@ -4139,7 +4146,8 @@ def sink_manifest_time_travel_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
     _time.sleep(0.05)
     sinks.upsert(
         spark, target,
-        spark.createDataFrame(
+        local_rows_df(
+        spark,
             [(1, 0), (900001, 11)], "user_id BIGINT, cents BIGINT"
         ),
         ["user_id"],
