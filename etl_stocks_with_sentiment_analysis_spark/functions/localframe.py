@@ -39,7 +39,11 @@ def local_rows_df(spark: SparkSession, rows, schema) -> DataFrame:
         # the empty-local-relation shortcut has no Python slices at
         # all — nothing to fix, and parallelize([]) would error
         return spark.createDataFrame([], schema)
-    sc = spark.sparkContext
+    # sessions without a SparkContext (Spark Connect, test doubles)
+    # keep the plain createDataFrame path
+    sc = getattr(spark, "sparkContext", None)
+    if sc is None:
+        return spark.createDataFrame(rows, schema)
     n = min(
         len(rows) // _ROWS_PER_SLICE + 1,
         max(int(sc.defaultParallelism), 1),
