@@ -122,6 +122,24 @@ def main() -> None:
             }
     except Exception:  # noqa: BLE001 - sub-walls are evidence, not gate
         pass
+    # r15: the LSH band index got the same shared-build treatment, so
+    # `dedup_index_probe`'s timed reps measure the probe alone; the
+    # one-time band-table build wall is reported beside it.
+    try:
+        from etl_stocks_with_sentiment_analysis_spark.llmdata import (
+            dedup as _ddp,
+        )
+
+        build_s = _ddp.shared_lsh_build_wall(spark, sf_dir)
+        if build_s is not None and isinstance(
+            timings.get("dedup_index_probe"), float
+        ):
+            substages["dedup_index_probe"] = {
+                "build_s": build_s,
+                "probe_s": timings["dedup_index_probe"],
+            }
+    except Exception:  # noqa: BLE001 - sub-walls are evidence, not gate
+        pass
 
     probe_med, probe_spread, probe_reps = probe.stats()
     scale = PROBE_LONG_REF_SECONDS / probe_med

@@ -120,3 +120,30 @@ def test_java_notation_float_strings():
     assert ser(float("-inf")) == "-Infinity"
     assert ser(1e22) == "1.0E22"
     assert ser(1.5e-05) == "1.5E-5"
+
+
+def test_shared_lsh_index_isolation_and_reuse(spark, sf_dir):
+    """r15 shared LSH band index: read-only callers reuse ONE build per
+    (session, sf_dir); mutable callers get a private copy whose appends
+    never leak into the shared artifact (key isolation under any
+    execution order)."""
+    from etl_stocks_with_sentiment_analysis_spark.llmdata import dedup
+
+    a = dedup._lsh_index_dir(spark, sf_dir, prefix="tshared1_")
+    b = dedup._lsh_index_dir(spark, sf_dir, prefix="tshared2_")
+    assert a == b, "read-only callers must share one artifact"
+    assert dedup.shared_lsh_build_wall(spark, sf_dir) is not None
+
+    priv = dedup._lsh_index_dir(
+        spark, sf_dir, prefix="tsharedm_", mutable=True
+    )
+    assert priv != a
+    before = spark.read.parquet(a).count()
+    # mutate ONLY the private copy
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    batch = docs.filter("doc_id % 10 = 0").limit(20)
+    dedup.append_lsh_index(spark, priv, batch)
+    assert spark.read.parquet(a).count() == before, (
+        "shared artifact mutated by a private-copy append"
+    )
+    assert spark.read.parquet(priv).count() >= before

@@ -78,7 +78,7 @@ def main() -> None:
     if not os.path.isdir(os.path.join(scaled, "documents.parquet")):
         build_scaled(spark, "/root/testdata/sf0.1", scaled, args.k)
 
-    idx = _lsh_index_dir(spark, scaled, prefix="crawlcv_")
+    idx = _lsh_index_dir(spark, scaled, prefix="crawlcv_", mutable=True)
     docs = load_table(spark, scaled, "documents")
     new = docs.filter(F.col("doc_id") % 10 == 0)
 
