@@ -19,7 +19,9 @@ re-run safety).
 
 from __future__ import annotations
 
+import collections
 import functools
+import hashlib
 import json
 import os
 import random
@@ -1784,7 +1786,51 @@ def _parse_simple_type(simple: str):
     return StructType.fromDDL(f"c {simple}").fields[0].dataType
 
 
+# Manifest-read PLAN memo (r15, guide §1.2/§6 — driver-side listing
+# and reader construction are the fixed cost of every manifest read;
+# a committed manifest's referenced snapshot dirs are immutable, so
+# the constructed DataFrame plan is a pure function of the manifest
+# CONTENT + read scope and can be reused). Plan reuse only: every
+# action over a memoized frame still scans the parquet files. The key
+# hashes the full manifest JSON — not just the version number —
+# because `repair_manifest_log` may lawfully rewrite a damaged
+# version file (repaired content hashes differently and misses).
+# Bounded LRU; entries die with the process / SparkContext.
+_DIRS_PLAN_LOCK = threading.Lock()
+_DIRS_PLAN_MEMO: collections.OrderedDict = collections.OrderedDict()
+_DIRS_PLAN_CAP = 128
+
+
 def _read_manifest_dirs(
+    spark: SparkSession, target: str, man: dict, only_keys=None, bounds=None
+) -> DataFrame:
+    try:
+        app = spark.sparkContext.applicationId
+    except Exception:  # noqa: BLE001 - sessions without a context
+        return _read_manifest_dirs_build(spark, target, man, only_keys, bounds)
+    key = (
+        app,
+        target,
+        hashlib.md5(
+            json.dumps(man, sort_keys=True).encode("utf-8")
+        ).hexdigest(),
+        tuple(sorted(only_keys)) if only_keys is not None else None,
+        repr(sorted(bounds.items(), key=lambda kv: kv[0])) if bounds else None,
+    )
+    with _DIRS_PLAN_LOCK:
+        df = _DIRS_PLAN_MEMO.get(key)
+        if df is not None:
+            _DIRS_PLAN_MEMO.move_to_end(key)
+            return df
+    df = _read_manifest_dirs_build(spark, target, man, only_keys, bounds)
+    with _DIRS_PLAN_LOCK:
+        _DIRS_PLAN_MEMO[key] = df
+        while len(_DIRS_PLAN_MEMO) > _DIRS_PLAN_CAP:
+            _DIRS_PLAN_MEMO.popitem(last=False)
+    return df
+
+
+def _read_manifest_dirs_build(
     spark: SparkSession, target: str, man: dict, only_keys=None, bounds=None
 ) -> DataFrame:
     """Union exactly the data directories the manifest references
@@ -3280,6 +3326,7 @@ def _publish_snapshot(
     txns: dict | None = None,
     constraints: dict | None = None,
     sql_meta: dict | None = None,
+    validators: list | None = None,
 ) -> dict:
     """Shared tail of every manifest commit (upsert AND compaction):
     write the snapshot data dir (name made unique per ATTEMPT so two
@@ -3335,6 +3382,19 @@ def _publish_snapshot(
                     for nm, n in sorted(bad.items())
                 )
             )
+    # caller-supplied commit validators (r15): checks that RIDE the
+    # write job as observed metrics (e.g. MERGE source-uniqueness)
+    # instead of paying a separate pre-write action. Evaluated after
+    # the write, BEFORE the manifest CAS — a failing validator removes
+    # the never-published snapshot and leaves the table untouched,
+    # exactly the old pre-write refusal semantics.
+    if validators:
+        try:
+            for check in validators:
+                check()
+        except Exception:
+            fsio.delete(snap, recursive=True)
+            raise
     # in-flight marker: a direct child whose mtime tells concurrent
     # GC sweeps this snapshot is mid-commit (dot-name — Spark's reader
     # ignores hidden files). Touched again right before the CAS, so
@@ -3613,6 +3673,7 @@ def _upsert_manifest(
     partition_col: str | None,
     txn: tuple[str, int] | None = None,
     combine=None,
+    validators: list | None = None,
 ) -> None:
     """Manifest-commit upsert (see `upsert` for the semantics). Write
     order is the whole protocol: (1) new snapshot data dir fully
@@ -3795,6 +3856,7 @@ def _upsert_manifest(
                     man.get("delete_predicates") if man else None
                 ),
                 txns=txns,
+                validators=validators,
             )
             return
         except ManifestConflictError as e:
@@ -4120,18 +4182,46 @@ def merge_manifest_table(
             f"no manifest table at {target} — MERGE needs an existing "
             "target; create it with upsert(commit_mode='manifest')"
         )
+    validators = []
     if validate_source_unique:
-        dup = (
-            source.groupBy(*on).count().filter(F.col("count") > 1).head(1)
-        )
-        if dup:
-            raise ValueError(
-                f"MERGE source has multiple rows per ON key {on} "
-                f"(e.g. {tuple(dup[0])[:-1]}) — ambiguous matched-row "
-                "semantics; dedup the source, or pass "
-                "validate_source_unique=False to let every duplicate "
-                "land"
+        # The ambiguity check RIDES the commit write (r15, guide
+        # §1.2/§2.4): the old shape ran a separate aggregate ACTION
+        # over the source before the merge — a full extra evaluation
+        # of the source lineage (for MERGE USING (SELECT …) that is a
+        # whole aggregation job). Now a window flag over the
+        # statement-sized source is observed as a metric of the write
+        # job itself and checked BEFORE the manifest CAS — a dup
+        # source still raises with the table untouched (the
+        # unpublished snapshot dir is removed), exactly the old
+        # refusal semantics. The flag column is dropped before the
+        # merge kernel, so the written rows are unchanged.
+        from pyspark.sql import Observation, Window
+
+        obs = Observation()
+        source = (
+            source.withColumn(
+                "__src_dup",
+                F.count(F.lit(1)).over(Window.partitionBy(*on)) > 1,
             )
+            .observe(
+                obs,
+                F.count(F.when(F.col("__src_dup"), 1)).alias("dups"),
+            )
+            .drop("__src_dup")
+        )
+
+        def _refuse_dup_source() -> None:
+            n = int(obs.get["dups"])
+            if n:
+                raise ValueError(
+                    f"MERGE source has multiple rows per ON key {on} "
+                    f"({n} row(s) share a key) — ambiguous matched-row "
+                    "semantics; dedup the source, or pass "
+                    "validate_source_unique=False to let every "
+                    "duplicate land"
+                )
+
+        validators.append(_refuse_dup_source)
 
     def combine(scoped: DataFrame, incoming: DataFrame) -> DataFrame:
         return merge_combine_frames(
@@ -4144,7 +4234,8 @@ def merge_manifest_table(
         )
 
     _upsert_manifest(
-        spark, target, source, on, partition_col, txn=txn, combine=combine
+        spark, target, source, on, partition_col, txn=txn, combine=combine,
+        validators=validators,
     )
 
 

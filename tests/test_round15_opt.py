@@ -122,6 +122,90 @@ def test_java_notation_float_strings():
     assert ser(1.5e-05) == "1.5E-5"
 
 
+def test_merge_dup_refusal_rides_commit_and_cleans_up(spark, tmp_path):
+    """r15: MERGE source-uniqueness validation rides the commit write
+    (observed window metric) instead of a separate pre-write aggregate
+    action. The refusal semantics must be unchanged: a dup source
+    raises, the table version does not advance, and the never-published
+    snapshot dir is removed."""
+    import os
+
+    target = str(tmp_path / "mdup")
+    base = spark.createDataFrame(
+        [(1, "g1", "a", 10), (2, "g1", "b", 20)],
+        "id INT, g STRING, s STRING, v INT",
+    )
+    sinks.upsert(spark, target, base, ["id", "g"], partition_col="g")
+    ver_before = sinks._latest_manifest(target)[0]
+    snaps_before = {
+        d for d in os.listdir(target) if d.startswith("snap-")
+    }
+    dup = spark.createDataFrame(
+        [(1, "g1", "x", 1), (1, "g1", "y", 2)],
+        "id INT, g STRING, s STRING, v INT",
+    )
+    with pytest.raises(ValueError, match="multiple rows per ON key"):
+        sinks.merge_manifest_table(
+            spark, target, dup, ["id", "g"], partition_col="g"
+        )
+    assert sinks._latest_manifest(target)[0] == ver_before
+    snaps_after = {
+        d for d in os.listdir(target) if d.startswith("snap-")
+    }
+    assert snaps_after == snaps_before, "refused snapshot dir leaked"
+    got = {
+        tuple(r)
+        for r in sinks.read_manifest_table(spark, target).collect()
+    }
+    assert got == {(1, "g1", "a", 10), (2, "g1", "b", 20)}
+    # unique source still merges fine through the same path
+    ok = spark.createDataFrame(
+        [(1, "g1", "x", 1), (3, "g1", "c", 30)],
+        "id INT, g STRING, s STRING, v INT",
+    )
+    sinks.merge_manifest_table(
+        spark, target, ok, ["id", "g"], partition_col="g"
+    )
+    got = {
+        tuple(r)
+        for r in sinks.read_manifest_table(spark, target).collect()
+    }
+    assert got == {(1, "g1", "x", 1), (2, "g1", "b", 20), (3, "g1", "c", 30)}
+
+
+def test_manifest_dirs_plan_memo_reuse_and_invalidation(spark, tmp_path):
+    """r15 reader-plan memo: the same manifest CONTENT reuses one
+    constructed DataFrame (plan reuse only — actions still scan
+    parquet); a new commit (different content) builds a fresh plan and
+    reads the new rows."""
+    target = str(tmp_path / "memo")
+    base = spark.createDataFrame(
+        [(1, "g1", 10), (2, "g2", 20)], "id INT, g STRING, v INT"
+    )
+    sinks.upsert(spark, target, base, ["id", "g"], partition_col="g")
+    _, man1 = sinks._latest_manifest(target)
+    df_a = sinks._read_manifest_dirs(spark, target, man1)
+    df_b = sinks._read_manifest_dirs(spark, target, man1)
+    assert df_a is df_b, "identical manifest content must hit the memo"
+    # scoped reads key separately from full reads
+    df_scoped = sinks._read_manifest_dirs(
+        spark, target, man1, only_keys=["g=g1"]
+    )
+    assert df_scoped is not df_a
+    assert df_scoped.count() == 1
+    # a new commit changes the manifest content -> fresh plan, new rows
+    more = spark.createDataFrame([(3, "g1", 30)], "id INT, g STRING, v INT")
+    sinks.upsert(spark, target, more, ["id", "g"], partition_col="g")
+    _, man2 = sinks._latest_manifest(target)
+    df_c = sinks._read_manifest_dirs(spark, target, man2)
+    assert df_c is not df_a
+    assert {tuple(r) for r in df_c.collect()} == {
+        (1, "g1", 10), (2, "g2", 20), (3, "g1", 30)
+    }
+    # the old manifest's plan still serves time-travel reads
+    assert sinks._read_manifest_dirs(spark, target, man1) is df_a
+
+
 def test_shared_lsh_index_isolation_and_reuse(spark, sf_dir):
     """r15 shared LSH band index: read-only callers reuse ONE build per
     (session, sf_dir); mutable callers get a private copy whose appends
