@@ -3720,152 +3720,185 @@ def _upsert_manifest(
     tables compact once first."""
     fsio.mkdirs(target)
     last_conflict: ManifestConflictError | None = None
-    for attempt in _cas_attempts(target):
-        ver, man = _latest_manifest_for_write(target)
-        if man is None:
-            # MIGRATION GUARD (r9 ADVICE): committing a first manifest
-            # over a directory that already holds non-protocol data (a
-            # rename-layout table, plain parquet) would silently drop
-            # those rows from the table's logical view while legacy
-            # directory readers see old dirs mixed with snap-* dirs.
-            foreign = _non_manifest_entries(target)
-            if foreign:
+    # SOURCE MATERIALIZATION for partition-scoped commits (r15, guide
+    # §1.2/§5 — and what Delta's MERGE does to its source): the
+    # touched-keys probe is a SEPARATE action over `incoming`, so an
+    # expensive source lineage (MERGE USING (SELECT …), a derived
+    # refresh frame) was fully computed twice per commit — once for
+    # the probe, once inside the snapshot write. Persisting the source
+    # for the DURATION OF THE COMMIT makes the probe's evaluation
+    # serve the write too (and any CAS-retry re-merges). Released in
+    # the finally below, so no frame ever stays cached across the
+    # commit — a later identical plan can never be served from this
+    # entry. Best-effort storage (memory spilling to disk); eviction
+    # just recomputes, exactly today's behavior.
+    persisted: DataFrame | None = None
+    try:
+        for attempt in _cas_attempts(target):
+            ver, man = _latest_manifest_for_write(target)
+            if man is None:
+                # MIGRATION GUARD (r9 ADVICE): committing a first manifest
+                # over a directory that already holds non-protocol data (a
+                # rename-layout table, plain parquet) would silently drop
+                # those rows from the table's logical view while legacy
+                # directory readers see old dirs mixed with snap-* dirs.
+                foreign = _non_manifest_entries(target)
+                if foreign:
+                    raise ValueError(
+                        f"refusing commit_mode='manifest' at {target}: the "
+                        f"directory already holds non-manifest data "
+                        f"({foreign[:3]}{'...' if len(foreign) > 3 else ''}) "
+                        "but no manifest — this looks like a legacy rename-"
+                        "layout table. Use commit_mode='rename' to keep the "
+                        "old layout, or migrate explicitly: read the "
+                        "directory with spark.read.parquet and upsert it "
+                        "into a FRESH manifest target first."
+                    )
+            new_ver = 0 if ver is None else ver + 1
+            # EXACTLY-ONCE BY TRANSACTION ID (r8, Delta txnAppId/
+            # txnVersion): a replayed batch whose (app, batch) watermark
+            # is already recorded commits nothing — checked against the
+            # FRESH manifest inside the CAS loop, so a replay racing the
+            # original still resolves to exactly one version advance
+            if txn is not None and man is not None:
+                applied = (man.get("txns") or {}).get(str(txn[0]))
+                if applied is not None and int(applied) >= int(txn[1]):
+                    # still CONSUME the skipped frame: inside foreachBatch
+                    # every state-store partition must be processed or
+                    # Spark 4's commit validation fails the stream
+                    # (STATE_STORE_COMMIT_VALIDATION_FAILED) — one cheap
+                    # count of an already-skipped micro-batch
+                    incoming.count()
+                    return
+            txns = dict(man.get("txns") or {}) if man else {}
+            if txn is not None:
+                txns[str(txn[0])] = int(txn[1])
+            if man is not None and _man_pcols(man) != _norm_pcols(partition_col):
                 raise ValueError(
-                    f"refusing commit_mode='manifest' at {target}: the "
-                    f"directory already holds non-manifest data "
-                    f"({foreign[:3]}{'...' if len(foreign) > 3 else ''}) "
-                    "but no manifest — this looks like a legacy rename-"
-                    "layout table. Use commit_mode='rename' to keep the "
-                    "old layout, or migrate explicitly: read the "
-                    "directory with spark.read.parquet and upsert it "
-                    "into a FRESH manifest target first."
+                    f"partition_col {partition_col!r} does not match the table's "
+                    f"recorded partitioning {_man_pcols(man)!r} at {target} "
+                    "— a manifest table's partitioning is fixed per version; "
+                    "change the layout with repartition_manifest_table"
                 )
-        new_ver = 0 if ver is None else ver + 1
-        # EXACTLY-ONCE BY TRANSACTION ID (r8, Delta txnAppId/
-        # txnVersion): a replayed batch whose (app, batch) watermark
-        # is already recorded commits nothing — checked against the
-        # FRESH manifest inside the CAS loop, so a replay racing the
-        # original still resolves to exactly one version advance
-        if txn is not None and man is not None:
-            applied = (man.get("txns") or {}).get(str(txn[0]))
-            if applied is not None and int(applied) >= int(txn[1]):
-                # still CONSUME the skipped frame: inside foreachBatch
-                # every state-store partition must be processed or
-                # Spark 4's commit validation fails the stream
-                # (STATE_STORE_COMMIT_VALIDATION_FAILED) — one cheap
-                # count of an already-skipped micro-batch
-                incoming.count()
-                return
-        txns = dict(man.get("txns") or {}) if man else {}
-        if txn is not None:
-            txns[str(txn[0])] = int(txn[1])
-        if man is not None and _man_pcols(man) != _norm_pcols(partition_col):
-            raise ValueError(
-                f"partition_col {partition_col!r} does not match the table's "
-                f"recorded partitioning {_man_pcols(man)!r} at {target} "
-                "— a manifest table's partitioning is fixed per version; "
-                "change the layout with repartition_manifest_table"
-            )
-        recorded: dict[str, str] = {}
-        if man is not None:
-            from pyspark.sql.types import StructType
+            recorded: dict[str, str] = {}
+            if man is not None:
+                from pyspark.sql.types import StructType
 
-            recorded = {
-                f.name: f.dataType.simpleString()
-                for f in StructType.fromJson(json.loads(man["schema"])).fields
-            }
-            _check_schema_types(
-                man, dict(incoming.dtypes), target, allow_widening=True
-            )
-        prev_pmap = man["partitions"] if man else None
-        if man is None:
-            merged = incoming
-        else:
-            if partition_col:
-                only = _touched_manifest_keys(spark, man, incoming, partition_col)
-                scoped = _read_manifest_dirs(spark, target, man, only_keys=only)
+                recorded = {
+                    f.name: f.dataType.simpleString()
+                    for f in StructType.fromJson(json.loads(man["schema"])).fields
+                }
+                _check_schema_types(
+                    man, dict(incoming.dtypes), target, allow_widening=True
+                )
+            prev_pmap = man["partitions"] if man else None
+            if man is None:
+                merged = incoming
             else:
-                only = None
-                scoped = _read_manifest_dirs(spark, target, man)
-            if combine is not None:
-                # caller-supplied merge semantics (MERGE INTO's
-                # matched/not-matched clauses); re-invoked per CAS
-                # retry against the freshly scoped existing rows
-                merged = combine(scoped, incoming)
-                # delete-capable combines: a TOUCHED partition whose
-                # rows were all removed writes no new dir — it must
-                # DROP OUT of the carried-forward map instead of
-                # resurrecting by reference (same prev_pmap pruning as
-                # delete_from_manifest_table / apply_changes). Plain
-                # upserts never empty a touched partition (incoming
-                # defines touched), so the default path is unchanged.
-                if only is not None:
-                    prev_pmap = {
-                        k: v
-                        for k, v in man["partitions"].items()
-                        if k not in only
-                    }
+                if partition_col:
+                    if persisted is None:
+                        # the touched-keys probe below is a separate
+                        # ACTION over incoming — persist so the probe's
+                        # evaluation serves the snapshot write (and any
+                        # CAS-retry re-merge) too; released in finally.
+                        # Best-effort: a frame the caller already
+                        # persisted at another level just stays as-is.
+                        try:
+                            incoming = incoming.persist()
+                            persisted = incoming
+                        except Exception:  # noqa: BLE001
+                            pass
+                    only = _touched_manifest_keys(spark, man, incoming, partition_col)
+                    scoped = _read_manifest_dirs(spark, target, man, only_keys=only)
                 else:
-                    prev_pmap = None  # whole-table rewrite
+                    only = None
+                    scoped = _read_manifest_dirs(spark, target, man)
+                if combine is not None:
+                    # caller-supplied merge semantics (MERGE INTO's
+                    # matched/not-matched clauses); re-invoked per CAS
+                    # retry against the freshly scoped existing rows
+                    merged = combine(scoped, incoming)
+                    # delete-capable combines: a TOUCHED partition whose
+                    # rows were all removed writes no new dir — it must
+                    # DROP OUT of the carried-forward map instead of
+                    # resurrecting by reference (same prev_pmap pruning as
+                    # delete_from_manifest_table / apply_changes). Plain
+                    # upserts never empty a touched partition (incoming
+                    # defines touched), so the default path is unchanged.
+                    if only is not None:
+                        prev_pmap = {
+                            k: v
+                            for k, v in man["partitions"].items()
+                            if k not in only
+                        }
+                    else:
+                        prev_pmap = None  # whole-table rewrite
+                else:
+                    kept = scoped.join(incoming.select(*keys), keys, "left_anti")
+                    # allowMissingColumns: an incoming frame may ADD columns
+                    # (kept rows get NULLs) — the manifest records the widened
+                    # schema and the reader projects old snapshots to it
+                    merged = incoming.unionByName(kept, allowMissingColumns=True)
+            # field-id assignment: existing columns keep their permanent
+            # ids (legacy tables are seeded in recorded-schema order); NEW
+            # columns get fresh ids from the monotonic counter, so a
+            # dropped-then-re-added name can never alias old data
+            if man is None:
+                field_ids: dict | None = None
+                next_id: int | None = None
             else:
-                kept = scoped.join(incoming.select(*keys), keys, "left_anti")
-                # allowMissingColumns: an incoming frame may ADD columns
-                # (kept rows get NULLs) — the manifest records the widened
-                # schema and the reader projects old snapshots to it
-                merged = incoming.unionByName(kept, allowMissingColumns=True)
-        # field-id assignment: existing columns keep their permanent
-        # ids (legacy tables are seeded in recorded-schema order); NEW
-        # columns get fresh ids from the monotonic counter, so a
-        # dropped-then-re-added name can never alias old data
-        if man is None:
-            field_ids: dict | None = None
-            next_id: int | None = None
-        else:
-            field_ids = dict(man.get("field_ids") or {})
-            if not field_ids:
-                field_ids = {nm: i + 1 for i, nm in enumerate(recorded)}
-            next_id = man.get("next_field_id") or (
-                max(field_ids.values()) + 1
-            )
-            for nm in merged.columns:
-                if nm not in field_ids:
-                    field_ids[nm] = next_id
-                    next_id += 1
-        # CHECK enforcement rides the publish write itself as observed
-        # metrics (r15) — one computation of merged per attempt, no
-        # persist needed across a second action
-        try:
-            _publish_snapshot(
-                target, new_ver, merged, partition_col,
-                prev_pmap,
-                constraints=man.get("constraints") if man else None,
-                sql_meta=man.get("sql_meta") if man else None,
-                prev_stats=man.get("stats") if man else None,
-                field_ids=field_ids,
-                next_field_id=next_id,
-                prev_snap_columns=man.get("snap_columns") if man else None,
-                prev_snap_types=man.get("snap_types") if man else None,
-                prev_entry_rows=man.get("entry_rows") if man else None,
-                prev_external=man.get("external_bases") if man else None,
-                prev_file_stats=man.get("file_stats") if man else None,
-                prev_point_index=(
-                    man.get("file_point_index") if man else None
-                ),
-                layout=man.get("layout") if man else None,
-                prev_delete_preds=(
-                    man.get("delete_predicates") if man else None
-                ),
-                txns=txns,
-                validators=validators,
-            )
-            return
-        except ManifestConflictError as e:
-            last_conflict = e
-            _conflict_backoff(attempt)
-            continue
-    raise ManifestConflictError(
-        f"lost the manifest commit race {_CAS_MAX_RETRIES}+ times at {target}"
-    ) from last_conflict
+                field_ids = dict(man.get("field_ids") or {})
+                if not field_ids:
+                    field_ids = {nm: i + 1 for i, nm in enumerate(recorded)}
+                next_id = man.get("next_field_id") or (
+                    max(field_ids.values()) + 1
+                )
+                for nm in merged.columns:
+                    if nm not in field_ids:
+                        field_ids[nm] = next_id
+                        next_id += 1
+            # CHECK enforcement rides the publish write itself as observed
+            # metrics (r15) — one computation of merged per attempt, no
+            # persist needed across a second action
+            try:
+                _publish_snapshot(
+                    target, new_ver, merged, partition_col,
+                    prev_pmap,
+                    constraints=man.get("constraints") if man else None,
+                    sql_meta=man.get("sql_meta") if man else None,
+                    prev_stats=man.get("stats") if man else None,
+                    field_ids=field_ids,
+                    next_field_id=next_id,
+                    prev_snap_columns=man.get("snap_columns") if man else None,
+                    prev_snap_types=man.get("snap_types") if man else None,
+                    prev_entry_rows=man.get("entry_rows") if man else None,
+                    prev_external=man.get("external_bases") if man else None,
+                    prev_file_stats=man.get("file_stats") if man else None,
+                    prev_point_index=(
+                        man.get("file_point_index") if man else None
+                    ),
+                    layout=man.get("layout") if man else None,
+                    prev_delete_preds=(
+                        man.get("delete_predicates") if man else None
+                    ),
+                    txns=txns,
+                    validators=validators,
+                )
+                return
+            except ManifestConflictError as e:
+                last_conflict = e
+                _conflict_backoff(attempt)
+                continue
+        raise ManifestConflictError(
+            f"lost the manifest commit race {_CAS_MAX_RETRIES}+ times at "
+            f"{target}"
+        ) from last_conflict
+    finally:
+        if persisted is not None:
+            try:
+                persisted.unpersist()
+            except Exception:  # noqa: BLE001 - cleanup only
+                pass
 
 
 def _with_zvalue(df: DataFrame, cluster_by: list[str]) -> DataFrame:
@@ -5399,6 +5432,86 @@ def maintain_manifest_aggregate(
         )
         .filter(F.col("n_rows") > 0)
     )
+
+
+def create_empty_manifest_table(
+    spark: SparkSession,
+    target: str,
+    schema_ddl: str,
+    partition_col: str | None = None,
+    constraints: dict | None = None,
+    sql_meta: dict | None = None,
+) -> dict | None:
+    """Metadata-only CREATE TABLE (r15, guide §1.2): publish a v0
+    manifest that records the schema — and any CHECK constraints / SQL
+    router metadata — with ZERO data references. The caller knows the
+    table is empty by construction (a DDL column list, no rows), so
+    there is nothing for a Spark job to compute: the old path paid a
+    full empty-frame snapshot write PLUS a second metadata-only commit
+    just to land constraints. Zero-entry manifests are already a
+    first-class reader state (a partitioned empty commit records no
+    dirs; `_read_manifest_dirs` serves them as an empty frame with the
+    recorded schema), so readers and every later commit see exactly
+    the state the old two-commit path converged to — one version
+    earlier in the history numbering, as a single CREATE should be.
+
+    Returns the manifest, or None when the v0 CAS was lost to a
+    concurrent creator — the caller decides whether that is "already
+    exists" or falls back to the merging upsert path."""
+    from pyspark.sql.types import StructType
+
+    fsio.mkdirs(target)
+    ver, man = _latest_manifest_for_write(target)
+    if man is not None:
+        return None  # someone committed first; caller resolves
+    foreign = _non_manifest_entries(target)
+    if foreign:
+        raise ValueError(
+            f"refusing CREATE TABLE at {target}: the directory already "
+            f"holds non-manifest data "
+            f"({foreign[:3]}{'...' if len(foreign) > 3 else ''}) "
+            "but no manifest — migrate it explicitly first"
+        )
+    schema = StructType.fromDDL(schema_ddl)
+    pcols = _norm_pcols(partition_col)
+    dtypes = {f.name: f.dataType.simpleString() for f in schema.fields}
+    for c in pcols:
+        if c not in dtypes:
+            raise ValueError(
+                f"partition column {c!r} not in the column list"
+            )
+    ptypes = {c: dtypes[c] for c in pcols}
+    field_ids = {f.name: i + 1 for i, f in enumerate(schema.fields)}
+    manifest = {
+        "version": 0,
+        "partition_col": pcols[0] if len(pcols) == 1 else None,
+        "partition_type": ptypes[pcols[0]] if len(pcols) == 1 else None,
+        "partition_cols": pcols,
+        "partition_types": ptypes,
+        "partitions": {},
+        "stats": {},
+        "entry_rows": {},
+        "file_stats": {},
+        "file_point_index": {},
+        "layout": {},
+        "delete_predicates": [],
+        "external_bases": {},
+        "field_ids": field_ids,
+        "next_field_id": len(field_ids) + 1,
+        "snap_columns": {},
+        "snap_types": {},
+        "txns": {},
+        "schema": schema.json(),
+    }
+    if constraints:
+        manifest["constraints"] = dict(constraints)
+    if sql_meta:
+        manifest["sql_meta"] = dict(sql_meta)
+    try:
+        _write_manifest_atomic(target, 0, manifest)
+    except ManifestConflictError:
+        return None
+    return manifest
 
 
 def _commit_metadata_only(target: str, mutate) -> dict:

@@ -1877,30 +1877,29 @@ def _create_table(spark: SparkSession, p: _Parser) -> DataFrame:
                 "partition value"
             )
 
-    # empty v0 commit records the schema; one metadata commit then
-    # records constraints + SQL metadata (identity/defaults/uniques)
+    # ONE metadata-only v0 commit records schema + constraints + SQL
+    # metadata together (r15, guide §1.2): the table is empty by
+    # construction, so the old empty-frame snapshot write (a full
+    # Spark job) plus second metadata commit computed nothing a
+    # reader needs — zero-entry manifests are a first-class state.
     schema_sql = ", ".join(f"{c} {t}" for c, t in cols)
-    empty = spark.createDataFrame([], schema_sql)
-    sinks.upsert(
-        spark, target, empty, unique_keys or [c for c, _ in cols],
-        partition_col=partition_col, commit_mode="manifest",
+    cons: dict[str, str] = {
+        f"{c}_not_null": f"{c} IS NOT NULL" for c in not_null
+    }
+    cons.update(checks)
+    meta = {
+        "unique_keys": unique_keys,
+        "identity": identity,
+        "defaults": defaults,
+    }
+    created = sinks.create_empty_manifest_table(
+        spark, target, schema_sql, partition_col=partition_col,
+        constraints=cons or None, sql_meta=meta,
     )
-
-    def mutate(man: dict) -> None:
-        cons = man.setdefault("constraints", {})
-        for c in not_null:
-            cons[f"{c}_not_null"] = f"{c} IS NOT NULL"
-        for cname, expr in checks.items():
-            cons[cname] = expr
-        if not cons:
-            man.pop("constraints", None)
-        man["sql_meta"] = {
-            "unique_keys": unique_keys,
-            "identity": identity,
-            "defaults": defaults,
-        }
-
-    sinks._commit_metadata_only(target, mutate)
+    if created is None:
+        # lost the v0 race: a concurrent creator published first —
+        # Postgres raises duplicate_table here, and so do we
+        raise ValueError(f"table {name!r} already exists")
     bind_sql_table(spark, name, target)
     return _status(spark, "CREATE TABLE", name, None)
 

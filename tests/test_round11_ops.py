@@ -694,18 +694,18 @@ def test_time_travel_history_optimize_vacuum(spark, wh):
            INSERT INTO t11_tt (k, v) VALUES (1, 10), (2, 20);
            UPDATE t11_tt SET v = v + 1 WHERE k = 1;""",
     )
-    # CREATE = v0 (empty) + v1 (sql_meta); INSERT = v2; UPDATE = v3 —
-    # VERSION AS OF 2 sees the pre-update image
+    # CREATE = v0 (ONE metadata-only commit, r15); INSERT = v1;
+    # UPDATE = v2 — VERSION AS OF 1 sees the pre-update image
     cur = _rows(spark, "t11_tt", "k, v")
     assert cur == {(1, 11), (2, 20)}
     old = {
         tuple(r) for r in sqldml.execute_sql(
-            spark, "SELECT k, v FROM t11_tt VERSION AS OF 2"
+            spark, "SELECT k, v FROM t11_tt VERSION AS OF 1"
         ).collect()
     }
     assert old == {(1, 10), (2, 20)}
     hist = sqldml.execute_sql(spark, "DESCRIBE HISTORY t11_tt")
-    assert [int(r["version"]) for r in hist.collect()] == [0, 1, 2, 3]
+    assert [int(r["version"]) for r in hist.collect()] == [0, 1, 2]
     st = sqldml.execute_sql(spark, "OPTIMIZE t11_tt").collect()[0]
     assert st["operation"] == "OPTIMIZE"
     sqldml.execute_sql(spark, "VACUUM t11_tt")
@@ -1192,12 +1192,12 @@ def test_restore_table(spark, wh):
         txn=("rst_app", 5),
     )
     assert _rows(spark, "t11_rst", "k, v") == {(1, 10), (7, 70)}
-    # v2 (the INSERT's state) is still inside the 3-version window
-    sqldml.execute_sql(spark, "RESTORE TABLE t11_rst TO VERSION AS OF 2")
+    # v1 (the INSERT's state) is still inside the 3-version window
+    sqldml.execute_sql(spark, "RESTORE TABLE t11_rst TO VERSION AS OF 1")
     assert _rows(spark, "t11_rst", "k, v") == {(1, 10), (2, 20)}
     # history preserved: the restore is a NEW version on top
     hist = sqldml.execute_sql(spark, "DESCRIBE HISTORY t11_rst").collect()
-    assert len(hist) == 6  # create(2) + insert + delete + txn + restore
+    assert len(hist) == 5  # create + insert + delete + txn + restore
     # the txn watermark survived: replaying batch 5 commits NOTHING
     sinks.upsert(
         spark, target,

@@ -83,10 +83,10 @@ def test_drop_table_drops_pinned_time_travel_views(spark, wh):
     run("CREATE TABLE r12.tt (k BIGINT, v BIGINT, UNIQUE(k))")
     run("INSERT INTO r12.tt VALUES (1, 10)")
     run("INSERT INTO r12.tt VALUES (2, 20)")
-    # v0 = empty create, v1 = sql_meta commit, v2 = first INSERT
-    n0 = run("SELECT COUNT(*) AS n FROM r12.tt VERSION AS OF 2").collect()
+    # v0 = CREATE (one metadata-only commit, r15), v1 = first INSERT
+    n0 = run("SELECT COUNT(*) AS n FROM r12.tt VERSION AS OF 1").collect()
     assert n0[0]["n"] == 1
-    pin = sqldml.view_name_for("r12.tt") + "__v2"
+    pin = sqldml.view_name_for("r12.tt") + "__v1"
     assert any(
         t.name == pin for t in spark.catalog.listTables() if t.isTemporary
     )
@@ -524,7 +524,7 @@ def test_concurrent_sql_router_fuzz(spark, wh, monkeypatch):
     run = lambda s, p=None: sqldml.execute_sql(spark, s, params=p)
     run("DROP TABLE IF EXISTS fz.t")
     run("CREATE SCHEMA IF NOT EXISTS fz")
-    run("CREATE TABLE fz.t (k BIGINT, v BIGINT, UNIQUE(k))")  # v0+v1
+    run("CREATE TABLE fz.t (k BIGINT, v BIGINT, UNIQUE(k))")  # v0
     target = sqldml._resolve_table("fz.t")
     n_writers, n_ops = 3, 15
     errors: list[str] = []
@@ -601,7 +601,7 @@ def test_concurrent_sql_router_fuzz(spark, wh, monkeypatch):
     assert not errors, errors
 
     model: dict[int, int] = {}
-    n_commits = 2  # CREATE TABLE = empty v0 + sql_meta commit
+    n_commits = 1  # CREATE TABLE = ONE metadata-only v0 (r15)
     cols_expected: set[str] = set()
     for wid in range(n_writers):
         for kind, payload, op_id in logs[wid]:
@@ -795,7 +795,7 @@ def test_cdf_uses_recorded_unique_key_without_option(spark, wh, tmp_path):
     run("INSERT INTO r12x.cdf VALUES (1, 11) "
         "ON CONFLICT (k) DO UPDATE SET v = EXCLUDED.v")
     t = sqldml._resolve_table("r12x.cdf")
-    stream = _cdf_stream(spark, t, startingVersion="3")
+    stream = _cdf_stream(spark, t, startingVersion="2")
     got = {
         (r["k"], r["v"], r["_change_type"])
         for r in _drain_raw(

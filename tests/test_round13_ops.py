@@ -172,15 +172,15 @@ def test_ryow_time_travel_pins_ignore_overlay(spark, wh):
     run = lambda s, p=None: sqldml.execute_sql(spark, s, params=p)
     run("DROP TABLE IF EXISTS rf.tt")
     run("CREATE SCHEMA IF NOT EXISTS rf")
-    run("CREATE TABLE rf.tt (k BIGINT, UNIQUE(k))")   # v0+v1 (DDL)
-    run("INSERT INTO rf.tt VALUES (1)")               # v2
+    run("CREATE TABLE rf.tt (k BIGINT, UNIQUE(k))")   # v0 (one DDL commit)
+    run("INSERT INTO rf.tt VALUES (1)")               # v1
     run("BEGIN")
     run("INSERT INTO rf.tt VALUES (2)")
     assert run(
         "SELECT COUNT(*) AS n FROM rf.tt"
     ).collect()[0]["n"] == 2  # overlay
     assert run(
-        "SELECT COUNT(*) AS n FROM rf.tt VERSION AS OF 2"
+        "SELECT COUNT(*) AS n FROM rf.tt VERSION AS OF 1"
     ).collect()[0]["n"] == 1  # pin, not overlay
     run("ROLLBACK")
 

@@ -206,6 +206,55 @@ def test_manifest_dirs_plan_memo_reuse_and_invalidation(spark, tmp_path):
     assert sinks._read_manifest_dirs(spark, target, man1) is df_a
 
 
+def test_create_table_single_metadata_commit(spark, tmp_path):
+    """r15: CREATE TABLE publishes ONE metadata-only v0 manifest (no
+    Spark job, no empty snapshot dir) recording schema + constraints +
+    sql_meta together. The recorded schema must be byte-identical to
+    the old empty-frame path's, history depth is 1, and the usual
+    post-CREATE flows (INSERT, constraint refusal, read-back) work."""
+    import os
+
+    from etl_stocks_with_sentiment_analysis_spark.operators import sqldml
+
+    spark.conf.set("spark.manifest_sql.warehouse", str(tmp_path / "wh"))
+    run = lambda s, p=None: sqldml.execute_sql(spark, s, params=p)
+    run("DROP TABLE IF EXISTS copt.t")
+    run("CREATE SCHEMA IF NOT EXISTS copt")
+    run(
+        """CREATE TABLE copt.t (
+               k BIGINT NOT NULL, grp INT, v DOUBLE,
+               UNIQUE(k, grp), CHECK (v >= 0)
+           ) PARTITIONED BY (grp)"""
+    )
+    target = sqldml._resolve_table("copt.t")
+    ver, man = sinks._latest_manifest(target)
+    assert ver == 0 and man["partitions"] == {}
+    # no snapshot dir was ever written
+    assert not any(d.startswith("snap-") for d in os.listdir(target))
+    # schema byte-parity with the old empty-frame commit path
+    old_schema = spark.createDataFrame(
+        [], "k BIGINT, grp INT, v DOUBLE"
+    ).schema.json()
+    assert man["schema"] == old_schema
+    assert man["sql_meta"]["unique_keys"] == ["k", "grp"]
+    assert "k_not_null" in man["constraints"]
+    assert run("DESCRIBE HISTORY copt.t").count() == 1
+    # empty read-back with the recorded schema
+    empty = run("SELECT * FROM copt.t")
+    assert empty.columns == ["k", "grp", "v"] and empty.count() == 0
+    # post-CREATE flows: INSERT lands at v1; CHECK refuses bad rows
+    run("INSERT INTO copt.t VALUES (1, 2, 0.5)")
+    assert run("SELECT COUNT(*) AS n FROM copt.t").collect()[0]["n"] == 1
+    assert sinks._latest_manifest(target)[0] == 1
+    with pytest.raises(ValueError, match="NOT NULL|not_null"):
+        run("INSERT INTO copt.t VALUES (NULL, 3, 1.0)")
+    with pytest.raises(ValueError, match="CHECK|check"):
+        run("INSERT INTO copt.t VALUES (5, 3, -1.0)")
+    # IF NOT EXISTS is a no-op on the live table
+    run("CREATE TABLE IF NOT EXISTS copt.t (k BIGINT, UNIQUE(k))")
+    assert sinks._latest_manifest(target)[0] == 1
+
+
 def test_shared_lsh_index_isolation_and_reuse(spark, sf_dir):
     """r15 shared LSH band index: read-only callers reuse ONE build per
     (session, sf_dir); mutable callers get a private copy whose appends
