@@ -3327,6 +3327,7 @@ def _publish_snapshot(
     constraints: dict | None = None,
     sql_meta: dict | None = None,
     validators: list | None = None,
+    rebalance: bool = True,
 ) -> dict:
     """Shared tail of every manifest commit (upsert AND compaction):
     write the snapshot data dir (name made unique per ATTEMPT so two
@@ -3343,6 +3344,28 @@ def _publish_snapshot(
     pcols = _norm_pcols(partition_col)
     snap_rel = f"snap-{new_ver:012d}-{uuid.uuid4().hex[:8]}"
     snap = fsio.join(target, snap_rel)
+    # OPTIMIZED WRITE (r15, guide §6 "small files hurt twice" /
+    # Iceberg write.distribution-mode=hash): a merge output carries
+    # the shuffle partitioning of whatever plan produced it, so a
+    # few-hundred-row commit wrote one tiny file per task per dir
+    # (measured: 256 files for a 5,000-row 8-partition upsert; 52 for
+    # a 10-row follow-up) — every one a task launch at write, a
+    # footer-stats read at commit, and an open at every read. An AQE
+    # REBALANCE over the partition columns coalesces to
+    # ~advisory-size output files and still SPLITS a skewed dir
+    # across tasks (unlike a plain repartition(pcols)). Callers that
+    # lay the frame out themselves (compaction's rows_per_file +
+    # z-order clustering, repartition) pass rebalance=False — a
+    # shuffle here would destroy their ordering.
+    if rebalance:
+        try:
+            merged = (
+                merged.hint("rebalance", *pcols)
+                if pcols
+                else merged.hint("rebalance")
+            )
+        except Exception:  # noqa: BLE001 - layout is best-effort
+            pass
     # CHECK-constraint enforcement RIDES the snapshot write (r15,
     # guide §1.2/§2.4 "don't compute things twice"): the violation
     # counts are observed metrics of the write job itself, so a
@@ -4056,6 +4079,7 @@ def compact_manifest_table(
                 next_field_id=man.get("next_field_id"),
                 txns=man.get("txns"),
                 point_index=point_index,
+                rebalance=False,  # compaction controls its own layout
                 layout={
                     k: v
                     for k, v in (
@@ -4424,6 +4448,7 @@ def repartition_manifest_table(
                 field_ids=man.get("field_ids"),
                 next_field_id=man.get("next_field_id"),
                 txns=man.get("txns"),
+                rebalance=False,  # caller repartitioned deliberately
             )
             return len(manifest["partitions"])
         except ManifestConflictError as e:

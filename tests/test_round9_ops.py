@@ -188,8 +188,14 @@ def test_register_manifest_view_bounds_prune_files(spark, tmp_path):
     target = str(tmp_path / "tbl")
     rows = [(i, f"p{i % 4}", i * 10) for i in range(64)]
     df = spark.createDataFrame(rows, "id INT, p STRING, v INT")
-    sinks.upsert(spark, target, df, ["id", "p"], partition_col="p",
-                 commit_mode="manifest")
+    sinks.upsert(spark, target, df, ["id", "p"], commit_mode="manifest")
+    # the r15 rebalanced write coalesces a tiny commit to one file
+    # (nothing left for FILE-level skipping to prove); compact into
+    # the layout file skipping exists for — unpartitioned, clustered
+    # on the bounded column, several tight-range stat-carrying files
+    sinks.compact_manifest_table(
+        spark, target, rows_per_file=8, cluster_by=["v"]
+    )
     full = sinks.register_manifest_view(spark, target, "r9_full")
     scoped = sinks.register_manifest_view(
         spark, target, "r9_scoped", bounds={"v": (0, 50)}
