@@ -1795,21 +1795,38 @@ def _parse_simple_type(simple: str):
 # hashes the full manifest JSON — not just the version number —
 # because `repair_manifest_log` may lawfully rewrite a damaged
 # version file (repaired content hashes differently and misses).
-# Bounded LRU; entries die with the process / SparkContext.
+# Scoped PER SESSION (WeakKeyDictionary, like sqldml._STATUS_CACHE):
+# a DataFrame executes under its own session's state, so serving one
+# session's plan to another (a microbatch clone, spark.newSession())
+# would silently apply the FIRST session's confs — timezone, ANSI
+# mode — to the second session's read. Per-session bounded LRU;
+# entries die with their session.
 _DIRS_PLAN_LOCK = threading.Lock()
-_DIRS_PLAN_MEMO: collections.OrderedDict = collections.OrderedDict()
+_DIRS_PLAN_MEMO: "weakref.WeakKeyDictionary" = None  # set below
 _DIRS_PLAN_CAP = 128
+
+
+def _dirs_plan_memo_for(spark):
+    global _DIRS_PLAN_MEMO
+    if _DIRS_PLAN_MEMO is None:
+        import weakref
+
+        _DIRS_PLAN_MEMO = weakref.WeakKeyDictionary()
+    memo = _DIRS_PLAN_MEMO.get(spark)
+    if memo is None:
+        memo = collections.OrderedDict()
+        _DIRS_PLAN_MEMO[spark] = memo
+    return memo
 
 
 def _read_manifest_dirs(
     spark: SparkSession, target: str, man: dict, only_keys=None, bounds=None
 ) -> DataFrame:
     try:
-        app = spark.sparkContext.applicationId
+        spark.sparkContext.applicationId
     except Exception:  # noqa: BLE001 - sessions without a context
         return _read_manifest_dirs_build(spark, target, man, only_keys, bounds)
     key = (
-        app,
         target,
         hashlib.md5(
             json.dumps(man, sort_keys=True).encode("utf-8")
@@ -1818,15 +1835,17 @@ def _read_manifest_dirs(
         repr(sorted(bounds.items(), key=lambda kv: kv[0])) if bounds else None,
     )
     with _DIRS_PLAN_LOCK:
-        df = _DIRS_PLAN_MEMO.get(key)
+        memo = _dirs_plan_memo_for(spark)
+        df = memo.get(key)
         if df is not None:
-            _DIRS_PLAN_MEMO.move_to_end(key)
+            memo.move_to_end(key)
             return df
     df = _read_manifest_dirs_build(spark, target, man, only_keys, bounds)
     with _DIRS_PLAN_LOCK:
-        _DIRS_PLAN_MEMO[key] = df
-        while len(_DIRS_PLAN_MEMO) > _DIRS_PLAN_CAP:
-            _DIRS_PLAN_MEMO.popitem(last=False)
+        memo = _dirs_plan_memo_for(spark)
+        memo[key] = df
+        while len(memo) > _DIRS_PLAN_CAP:
+            memo.popitem(last=False)
     return df
 
 
@@ -3356,7 +3375,15 @@ def _publish_snapshot(
     # across tasks (unlike a plain repartition(pcols)). Callers that
     # lay the frame out themselves (compaction's rows_per_file +
     # z-order clustering, repartition) pass rebalance=False — a
-    # shuffle here would destroy their ordering.
+    # shuffle here would destroy their ordering. Likewise a table
+    # whose carried layout records z-order clustering: its rewrites
+    # (UPDATE/DELETE/CDC on touched entries) read roughly in
+    # clustered scan order, and a keyless rebalance is round-robin —
+    # it would interleave rows and widen every per-file [min, max]
+    # the clustering exists to keep tight. Clustered tables keep the
+    # shuffle-free write until the next OPTIMIZE re-clusters.
+    if rebalance and (layout or {}).get("cluster_by"):
+        rebalance = False
     if rebalance:
         try:
             merged = (
@@ -3824,11 +3851,18 @@ def _upsert_manifest(
                         # ACTION over incoming — persist so the probe's
                         # evaluation serves the snapshot write (and any
                         # CAS-retry re-merge) too; released in finally.
-                        # Best-effort: a frame the caller already
-                        # persisted at another level just stays as-is.
+                        # A frame the CALLER already persisted is left
+                        # untouched (persist() on a cached frame is a
+                        # silent no-op, so re-persisting would make the
+                        # finally unpersist THEIR cache) — it already
+                        # serves the double-evaluation purpose.
                         try:
-                            incoming = incoming.persist()
-                            persisted = incoming
+                            if not (
+                                incoming.storageLevel.useMemory
+                                or incoming.storageLevel.useDisk
+                            ):
+                                incoming = incoming.persist()
+                                persisted = incoming
                         except Exception:  # noqa: BLE001
                             pass
                     only = _touched_manifest_keys(spark, man, incoming, partition_col)
@@ -4184,10 +4218,16 @@ def merge_manifest_table(
     SOURCE UNIQUENESS: two source rows matching the same target row
     make the merge ambiguous (which update wins?) — Delta raises
     `DELTA_MULTIPLE_SOURCE_ROW_MATCHING_TARGET_ROW_IN_MERGE`, and so
-    does this (one cheap O(source) pre-check; pass
-    ``validate_source_unique=False`` to skip when the source is
-    dedup'd upstream — duplicate matches then ALL land, duplicating
-    the key).
+    does this. The check RIDES the commit write as an observed metric
+    (r15): the refusal fires after the snapshot is written but BEFORE
+    the manifest CAS — the never-published snapshot is removed and
+    the table is untouched, but the merge work IS paid before a dup
+    source is rejected. A txn-replayed batch whose (app, batch) is
+    already recorded skips the commit AND the check (the original
+    commit already validated; exactly-once replay is a no-op by
+    design). Pass ``validate_source_unique=False`` to skip when the
+    source is dedup'd upstream — duplicate matches then ALL land,
+    duplicating the key.
 
     EXPLICIT CLAUSE COLUMNS (r11, the SQL router's MERGE surface):
     ``update_set`` maps target columns to SQL expressions evaluated
@@ -4252,19 +4292,24 @@ def merge_manifest_table(
         # unpublished snapshot dir is removed), exactly the old
         # refusal semantics. The flag column is dropped before the
         # merge kernel, so the written rows are unchanged.
+        import uuid as _uuid
+
         from pyspark.sql import Observation, Window
 
+        # collision-proof flag name: a source column literally named
+        # __src_dup must survive withColumn/drop untouched
+        flag = f"__src_dup_{_uuid.uuid4().hex[:8]}"
         obs = Observation()
         source = (
             source.withColumn(
-                "__src_dup",
+                flag,
                 F.count(F.lit(1)).over(Window.partitionBy(*on)) > 1,
             )
             .observe(
                 obs,
-                F.count(F.when(F.col("__src_dup"), 1)).alias("dups"),
+                F.count(F.when(F.col(flag), 1)).alias("dups"),
             )
-            .drop("__src_dup")
+            .drop(flag)
         )
 
         def _refuse_dup_source() -> None:

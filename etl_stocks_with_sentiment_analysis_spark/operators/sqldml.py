@@ -1897,8 +1897,12 @@ def _create_table(spark: SparkSession, p: _Parser) -> DataFrame:
         constraints=cons or None, sql_meta=meta,
     )
     if created is None:
-        # lost the v0 race: a concurrent creator published first —
-        # Postgres raises duplicate_table here, and so do we
+        # lost the v0 race: a concurrent creator published first.
+        # IF NOT EXISTS keeps its no-op contract (bind to the winner's
+        # table); a plain CREATE raises Postgres' duplicate_table.
+        if if_not:
+            bind_sql_table(spark, name, target)
+            return _status(spark, "CREATE TABLE", name, None)
         raise ValueError(f"table {name!r} already exists")
     bind_sql_table(spark, name, target)
     return _status(spark, "CREATE TABLE", name, None)

@@ -255,6 +255,55 @@ def test_create_table_single_metadata_commit(spark, tmp_path):
     assert sinks._latest_manifest(target)[0] == 1
 
 
+def test_create_empty_manifest_shape_matches_publish_snapshot(spark, tmp_path):
+    """Drift guard: `create_empty_manifest_table` hand-assembles the
+    manifest dict that `_publish_snapshot` builds for data commits. A
+    field added to one and forgotten in the other would ship SQL-
+    created tables whose manifests lack keys readers index directly —
+    assert the two constructors emit the SAME key set."""
+    from etl_stocks_with_sentiment_analysis_spark.operators import sqldml
+
+    spark.conf.set("spark.manifest_sql.warehouse", str(tmp_path / "wh"))
+    run = lambda s, p=None: sqldml.execute_sql(spark, s, params=p)
+    run("DROP TABLE IF EXISTS par.t")
+    run("CREATE SCHEMA IF NOT EXISTS par")
+    run("CREATE TABLE par.t (k BIGINT NOT NULL, v BIGINT, UNIQUE(k))")
+    target = sqldml._resolve_table("par.t")
+    man0 = sinks._manifest_at_version(target, 0)
+    run("INSERT INTO par.t VALUES (1, 10)")
+    man1 = sinks._manifest_at_version(target, 1)
+    assert set(man0) == set(man1), (
+        "CREATE-born manifest keys drifted from _publish_snapshot's: "
+        f"only-in-create={set(man0) - set(man1)}, "
+        f"only-in-commit={set(man1) - set(man0)}"
+    )
+
+
+def test_upsert_leaves_caller_persisted_source_cached(spark, tmp_path):
+    """r15 review fix: the commit-scoped source materialization must
+    NOT unpersist a cache the CALLER created on the incoming frame
+    (persist() on a cached frame is a silent no-op, so blindly
+    re-persisting would make the commit's finally release theirs)."""
+    target = str(tmp_path / "cached_src")
+    base = spark.createDataFrame(
+        [(1, "g1", 1), (2, "g2", 2)], "id INT, g STRING, v INT"
+    )
+    sinks.upsert(spark, target, base, ["id", "g"], partition_col="g")
+    src = spark.createDataFrame([(3, "g1", 3)], "id INT, g STRING, v INT")
+    src.persist()
+    try:
+        src.count()
+        assert src.storageLevel.useMemory
+        sinks.upsert(spark, target, src, ["id", "g"], partition_col="g")
+        assert src.storageLevel.useMemory, (
+            "commit released the caller's cache on the source frame"
+        )
+    finally:
+        src.unpersist()
+    got = sinks.read_manifest_table(spark, target)
+    assert got.count() == 3
+
+
 def test_shared_lsh_index_isolation_and_reuse(spark, sf_dir):
     """r15 shared LSH band index: read-only callers reuse ONE build per
     (session, sf_dir); mutable callers get a private copy whose appends
