@@ -15,11 +15,27 @@ family drifts ±15-30% across sessions (PERF.md). The bench now runs
 the SAME interleaved trimmed-median calibration probe the oracle gate
 uses (tools/check_oracle.py `InterleavedProbe`: one ~4 s pinned
 shuffle job sampled between key batches, min+max-trimmed median,
-auto-rerun until the kept spread is <5% or the rep cap): the JSON
+auto-rerun until the kept spread is <5% or the rep cap): the sidecar
 carries `probe_walls` (raw reps), `probe` (trimmed median + spread)
 and `normalized_queries` / `normalized_total` (wall × REF/probe), so
 PERF.md's round-over-round table reads off the normalized column with
 no forensics.
+
+OUTPUT CONTRACT (r16, VERDICT items 2+3): the r15 one-line JSON grew
+to ~2.9 KB and the driver stores only the last 2,000 chars of bench
+stdout — BENCH_r14's `parsed` came back null and PERF_r15 had nothing
+to diff. The PRINTED line is now the compact driver contract only
+(metric/value/unit/queries/sf/errors/substages/value_total_work/
+footer_stats, ~1.2 KB); the full evidence blob (per-query spread,
+probe walls, normalized columns) is written to a SIDECAR file
+($SPARK_GRAFT_BENCH_SIDECAR, default bench_sidecar.json beside this
+script). `value` keeps its r15 meaning (sum of timed medians) so the
+round-over-round diff stays apples-to-apples; `value_total_work`
+additionally folds in the one-time shared-index build substages —
+the one number that means "all work this run performed".
+`footer_stats` exports the commit protocol's footer-vs-fallback
+entry-stats counters (VERDICT item 8) so a silent fallback regression
+is visible in the round evidence, not disguised as box noise.
 """
 
 from __future__ import annotations
@@ -141,6 +157,23 @@ def main() -> None:
     except Exception:  # noqa: BLE001 - sub-walls are evidence, not gate
         pass
 
+    # r16: per-drain catch-up walls of the long-lived readstream query
+    # (VERDICT item 1) — the per-drain floor as published evidence
+    try:
+        from etl_stocks_with_sentiment_analysis_spark.streaming import (
+            source as _src,
+        )
+
+        dw = _src.last_drain_walls(spark)
+        if dw and isinstance(
+            timings.get("streaming_manifest_readstream"), float
+        ):
+            substages["streaming_manifest_readstream"] = {
+                "drain_walls_s": dw,
+            }
+    except Exception:  # noqa: BLE001 - sub-walls are evidence, not gate
+        pass
+
     probe_med, probe_spread, probe_reps = probe.stats()
     scale = PROBE_LONG_REF_SECONDS / probe_med
     normalized = {
@@ -149,29 +182,60 @@ def main() -> None:
         if isinstance(v, float)
     }
     total = round(sum(v for v in timings.values() if isinstance(v, float)), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "spread": spread,
-                "sf": sf,
-                "errors": errors,
-                "probe_walls": [round(w, 3) for w in probe.walls],
-                "probe": {
-                    "trimmed_median_s": round(probe_med, 3),
-                    "kept_spread_pct": round(probe_spread, 1),
-                    "reps": probe_reps,
-                    "ref_s": PROBE_LONG_REF_SECONDS,
-                },
-                "normalized_queries": normalized,
-                "normalized_total": round(sum(normalized.values()), 3),
-                "substages": substages,
-            }
-        )
+    build_total = round(
+        sum(
+            float(sub["build_s"])
+            for sub in substages.values()
+            if isinstance(sub.get("build_s"), (int, float))
+        ),
+        3,
     )
+    try:
+        from etl_stocks_with_sentiment_analysis_spark.operators import (
+            sinks as _sinks,
+        )
+
+        footer_stats = {
+            "used": _sinks._FOOTER_STATS_USED,
+            "fallback": _sinks._FOOTER_STATS_FALLBACK,
+        }
+    except Exception:  # noqa: BLE001 - counters are evidence, not gate
+        footer_stats = {}
+    compact = {
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "errors": errors,
+        "substages": substages,
+        "value_total_work": round(total + build_total, 3),
+        "footer_stats": footer_stats,
+    }
+    sidecar = dict(
+        compact,
+        spread=spread,
+        probe_walls=[round(w, 3) for w in probe.walls],
+        probe={
+            "trimmed_median_s": round(probe_med, 3),
+            "kept_spread_pct": round(probe_spread, 1),
+            "reps": probe_reps,
+            "ref_s": PROBE_LONG_REF_SECONDS,
+        },
+        normalized_queries=normalized,
+        normalized_total=round(sum(normalized.values()), 3),
+    )
+    sidecar_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_SIDECAR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "bench_sidecar.json"),
+    )
+    try:
+        with open(sidecar_path, "w") as f:
+            json.dump(sidecar, f, indent=1)
+    except OSError:
+        pass  # sidecar is evidence, never the contract
+    print(json.dumps(compact))
     # Nonzero exit when any headline query errored: gate scripts check
     # the exit status, not just the JSON `errors` field. The JSON line
     # above still prints either way so the driver records partial runs.

@@ -199,6 +199,16 @@ class ManifestConflictError(RuntimeError):
     after `_CAS_MAX_RETRIES` consecutive lost races."""
 
 
+class _NoopCommitRefusal(Exception):
+    """Internal sentinel raised by a commit validator when an observed
+    metric of the snapshot write proves the commit would be a no-op
+    (e.g. an UPDATE/DELETE whose predicate hit zero rows — r16, the
+    hit count rides the write instead of paying its own scan).
+    `_publish_snapshot` removes the never-published snapshot before
+    re-raising, so the caller returns 0 with the table and its version
+    history untouched — exactly the old pre-count refusal semantics."""
+
+
 # ---------------------------------------------------------------------------
 # MULTI-TABLE ATOMIC TRANSACTIONS (r12): pending manifests + ONE
 # outcome-file CAS.
@@ -4617,6 +4627,8 @@ def delete_from_manifest_table(
     two scans (pre-commit existence check + post-commit count), no
     rewrite; the commit itself retries CAS-style like every other.
     """
+    from pyspark.sql import Observation
+
     cond = F.expr(condition) if isinstance(condition, str) else condition
     hit = F.coalesce(cond, F.lit(False))
     if mode == "merge_on_read":
@@ -4687,23 +4699,65 @@ def delete_from_manifest_table(
             )
             if not cand:
                 return 0
+        # The deleted-row COUNT rides an existing job instead of its
+        # own scan (r16, guide §1.2/§2.4 — the DELETE used to pay
+        # discovery + count + write = up to 3 scans of the touched
+        # entries): partitioned tables observe the hit count on the
+        # touched-keys PROBE job (which already evaluates the hits);
+        # unpartitioned tables observe it on the snapshot WRITE job,
+        # with a refusal validator preserving the no-op contract (zero
+        # hits publishes NO new version — the unpublished snapshot is
+        # removed before the CAS, the table and its history untouched).
+        obs = Observation()
+        counted = F.count(F.when(hit, 1)).alias("n_hit")
+
+        def _observed_hits(only_keys) -> int:
+            # a CONSTANT predicate (DELETE with no WHERE → Filter(false)
+            # on the kept side) lets the optimizer prune the whole
+            # subtree under the filter, CollectMetrics included — the
+            # metrics row then never materializes and obs.get raises.
+            # Fall back to the old standalone count exactly there (the
+            # pre-r16 cost, paid only for constant predicates).
+            try:
+                return int(obs.get["n_hit"])
+            except Exception:  # noqa: BLE001 - pruned metrics node
+                return (
+                    _read_manifest_dirs(
+                        spark, target, man, only_keys=only_keys
+                    )
+                    .filter(hit)
+                    .count()
+                )
+
+        n_deleted: int | None = None
         if pcols:
-            full = _read_manifest_dirs(spark, target, man, only_keys=cand)
+            full = _read_manifest_dirs(
+                spark, target, man, only_keys=cand
+            ).observe(obs, counted)
             only = _touched_manifest_keys(
                 spark, man, full.filter(hit).select(*pcols), pcols
             )
             if not only:
                 return 0
+            # the probe action evaluated the hits through the observe
+            # node — the count is already known, no second scan
+            n_deleted = _observed_hits(only)
             scoped = _read_manifest_dirs(spark, target, man, only_keys=only)
             prev_pmap = {
                 k: v for k, v in man["partitions"].items() if k not in only
             }
+            validators = None
         else:
-            scoped = _read_manifest_dirs(spark, target, man)
+            scoped = _read_manifest_dirs(spark, target, man).observe(
+                obs, counted
+            )
             prev_pmap = None
-        n_deleted = scoped.filter(hit).count()
-        if n_deleted == 0:
-            return 0
+
+            def _noop_guard() -> None:
+                if _observed_hits(None) == 0:
+                    raise _NoopCommitRefusal()
+
+            validators = [_noop_guard]
         kept = scoped.filter(~hit)
         try:
             _publish_snapshot(
@@ -4723,8 +4777,14 @@ def delete_from_manifest_table(
                 layout=man.get("layout"),
                 prev_delete_preds=man.get("delete_predicates"),
                 txns=man.get("txns"),
+                validators=validators,
             )
-            return n_deleted
+            return (
+                n_deleted if n_deleted is not None
+                else _observed_hits(None)
+            )
+        except _NoopCommitRefusal:
+            return 0
         except ManifestConflictError as e:
             last_conflict = e
             _conflict_backoff(attempt)
@@ -4897,23 +4957,53 @@ def update_manifest_table(
             )
             if not cand:
                 return 0
+        # hit count rides the probe / write job (r16) — same shape and
+        # no-op contract as delete_from_manifest_table above
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        counted = F.count(F.when(hit, 1)).alias("n_hit")
+
+        def _observed_hits(only_keys) -> int:
+            # constant-predicate fallback — see delete_from_manifest_table
+            try:
+                return int(obs.get["n_hit"])
+            except Exception:  # noqa: BLE001 - pruned metrics node
+                return (
+                    _read_manifest_dirs(
+                        spark, target, man, only_keys=only_keys
+                    )
+                    .filter(hit)
+                    .count()
+                )
+
+        n_updated: int | None = None
         if pcols:
-            full = _read_manifest_dirs(spark, target, man, only_keys=cand)
+            full = _read_manifest_dirs(
+                spark, target, man, only_keys=cand
+            ).observe(obs, counted)
             only = _touched_manifest_keys(
                 spark, man, full.filter(hit).select(*pcols), pcols
             )
             if not only:
                 return 0
+            n_updated = _observed_hits(only)
             scoped = _read_manifest_dirs(spark, target, man, only_keys=only)
             prev_pmap = {
                 k: v for k, v in man["partitions"].items() if k not in only
             }
+            validators = None
         else:
-            scoped = _read_manifest_dirs(spark, target, man)
+            scoped = _read_manifest_dirs(spark, target, man).observe(
+                obs, counted
+            )
             prev_pmap = None
-        n_updated = scoped.filter(hit).count()
-        if n_updated == 0:
-            return 0
+
+            def _noop_guard() -> None:
+                if _observed_hits(None) == 0:
+                    raise _NoopCommitRefusal()
+
+            validators = [_noop_guard]
         updated = scoped.select(
             *[
                 (
@@ -4944,8 +5034,14 @@ def update_manifest_table(
                 layout=man.get("layout"),
                 prev_delete_preds=man.get("delete_predicates"),
                 txns=man.get("txns"),
+                validators=validators,
             )
-            return n_updated
+            return (
+                n_updated if n_updated is not None
+                else _observed_hits(None)
+            )
+        except _NoopCommitRefusal:
+            return 0
         except ManifestConflictError as e:
             last_conflict = e
             _conflict_backoff(attempt)

@@ -2852,27 +2852,70 @@ def _apply_insert(
         frame = incoming.drop("__ord")
         if unique_keys:
             # Postgres raises unique_violation on a plain INSERT that
-            # collides — enforce inside the commit's CAS loop so a
-            # concurrent writer can't slip a duplicate under the check
+            # collides — enforced inside the commit's CAS loop so a
+            # concurrent writer can't slip a duplicate under the check.
+            # The check RIDES the snapshot write (r16, guide §1.2/§2.4
+            # — the same observed-window-flag shape the r15 MERGE
+            # source validation uses): the pre-r16 combine ran a
+            # separate groupBy/head(1) ACTION over inc ∪ scoped, fully
+            # evaluating the incoming lineage AND re-reading the
+            # scoped snapshot once more than the write itself — an
+            # INSERT ... SELECT <agg> paid its aggregation twice. Now
+            # a count-over-key window flag on the merged frame is
+            # observed as a metric of the write job and checked before
+            # the manifest CAS; a violation removes the unpublished
+            # snapshot and leaves the table untouched, exactly the old
+            # refusal semantics. A fresh Observation is created per
+            # combine() invocation because combine re-runs per CAS
+            # retry against freshly scoped rows — the check must see
+            # the attempt it guards, never a stale attempt's metrics.
+            import uuid as _uuid
+
+            from pyspark.sql import Observation, Window
+
+            cell: dict = {}
+
             def combine(scoped: DataFrame, inc: DataFrame) -> DataFrame:
-                dup = (
-                    inc.select(*unique_keys)
-                    .unionAll(scoped.select(*unique_keys))
-                    .groupBy(*unique_keys)
-                    .count()
-                    .filter(F.col("count") > 1)
-                    .head(1)
+                merged = inc.unionByName(scoped, allowMissingColumns=True)
+                flag = f"__uq_dup_{_uuid.uuid4().hex[:8]}"
+                obs = Observation()
+                merged = (
+                    merged.withColumn(
+                        flag,
+                        F.count(F.lit(1)).over(
+                            Window.partitionBy(*unique_keys)
+                        ) > 1,
+                    )
+                    .observe(
+                        obs,
+                        F.count(F.when(F.col(flag), 1)).alias("dups"),
+                        F.min(
+                            F.when(
+                                F.col(flag),
+                                F.to_json(F.struct(*unique_keys)),
+                            )
+                        ).alias("sample"),
+                    )
+                    .drop(flag)
                 )
-                if dup:
+                cell["obs"] = obs
+                return merged
+
+            def _refuse_dup() -> None:
+                obs = cell.get("obs")
+                if obs is None:  # first commit of a fresh table: no
+                    return  # combine ran, nothing scoped to collide with
+                row = obs.get
+                if int(row["dups"] or 0):
                     raise ValueError(
                         f"unique constraint violation on {name} "
-                        f"{tuple(unique_keys)}: e.g. {tuple(dup[0])[:-1]} "
+                        f"{tuple(unique_keys)}: e.g. {row['sample']} "
                         "— use ON CONFLICT DO NOTHING / DO UPDATE"
                     )
-                return inc.unionByName(scoped, allowMissingColumns=True)
 
             sinks._upsert_manifest(
-                spark, target, frame, unique_keys, part, combine=combine
+                spark, target, frame, unique_keys, part, combine=combine,
+                validators=[_refuse_dup],
             )
         else:
 

@@ -1,6 +1,6 @@
 """Capture .explain('formatted') for bench headline queries.
 
-Writes plans/r15/<key>_<tag>.txt for each headline key (or an explicit
+Writes plans/r16/<key>_<tag>.txt for each headline key (or an explicit
 key list). Evidence artifact for the optimization round: the judge
 checks plan-shape claims (Exchange counts, join strategies,
 PushedFilters) against these files.
@@ -32,7 +32,7 @@ def main() -> None:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r15",
+        "r16",
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("capture-plans")
