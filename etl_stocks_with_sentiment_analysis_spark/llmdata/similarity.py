@@ -1043,12 +1043,36 @@ def build_ann_index(
     ``cell_id`` inside them — the same trade the LSH index makes with
     its band dirs. ``n_buckets`` is frozen with the index (``layout/``)
     so appends, probes, and compactions always agree with the build.
+    BUILD-SCOPED PERSIST (r16, guide §1.2/§5): the corpus frame feeds
+    every freeze job (coarse/fine codebooks, PQ anchors, optional
+    learned codebooks) plus the assignment pass — 4-6 evaluations of
+    the scaled-vectors lineage per build. Persisted for the DURATION
+    OF THE BUILD only and released in the finally, so nothing stays
+    cached across calls (a caller-persisted frame is left untouched,
+    same guard as _upsert_manifest's commit-scoped persist).
     """
-    ccand, f2c = _ivf_codebooks(corpus_vecs)
-    _freeze_and_assign(
-        spark, corpus_vecs, idx_dir, ccand, f2c, pq_m, pq_dsub,
-        n_buckets=n_buckets, pq_kcode=pq_kcode,
-    )
+    persisted = None
+    try:
+        try:
+            if not (
+                corpus_vecs.storageLevel.useMemory
+                or corpus_vecs.storageLevel.useDisk
+            ):
+                corpus_vecs = corpus_vecs.persist()
+                persisted = corpus_vecs
+        except Exception:  # noqa: BLE001 - persist is best-effort
+            pass
+        ccand, f2c = _ivf_codebooks(corpus_vecs)
+        _freeze_and_assign(
+            spark, corpus_vecs, idx_dir, ccand, f2c, pq_m, pq_dsub,
+            n_buckets=n_buckets, pq_kcode=pq_kcode,
+        )
+    finally:
+        if persisted is not None:
+            try:
+                persisted.unpersist()
+            except Exception:  # noqa: BLE001 - cleanup only
+                pass
 
 
 def _bucket_expr(n_buckets: int):
@@ -1107,24 +1131,51 @@ def _freeze_and_assign(
     ``codes ARRAY<INT>`` column), frozen under ``pq_codebook/`` —
     the production IVFADC shape. Appends/probes dispatch on the
     persisted pq_meta, so both flavors run through the same
-    lifecycle."""
-    ccand.coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(idx_dir, "coarse")
-    )
-    f2c.coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(idx_dir, "f2c")
-    )
-    _pq_anchor_frame(corpus_vecs).coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(idx_dir, "pq_anchors")
-    )
-    _write_pq_meta(spark, idx_dir, pq_m, pq_dsub, pq_kcode)
-    _write_ann_layout(spark, idx_dir, n_buckets)
-    if pq_kcode is not None:
-        _write_pq_codebook(
-            spark,
-            idx_dir,
-            train_pq_codebooks(corpus_vecs, pq_m, pq_kcode, pq_dsub),
+    lifecycle.
+
+    OVERLAPPED FREEZE (r16, guide §2.6): the codebook/anchor/meta/
+    layout writes are INDEPENDENT jobs on disjoint dirs — run serially
+    they cost their sum (profiled 2.9 s of the 5.0 s sf0.1 build, each
+    job mostly idle tail on 32 cores); submitted from a small thread
+    pool the wall is the max. The read-back + assignment still happen
+    strictly AFTER every freeze write completes, so the frozen-
+    artifact contract (assignments derive from what appends will see)
+    is unchanged."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _w_coarse() -> None:
+        ccand.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(idx_dir, "coarse")
         )
+
+    def _w_f2c() -> None:
+        f2c.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(idx_dir, "f2c")
+        )
+
+    def _w_anchors() -> None:
+        _pq_anchor_frame(corpus_vecs).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(idx_dir, "pq_anchors"))
+
+    freeze = [
+        _w_coarse,
+        _w_f2c,
+        _w_anchors,
+        lambda: _write_pq_meta(spark, idx_dir, pq_m, pq_dsub, pq_kcode),
+        lambda: _write_ann_layout(spark, idx_dir, n_buckets),
+    ]
+    if pq_kcode is not None:
+        freeze.append(
+            lambda: _write_pq_codebook(
+                spark,
+                idx_dir,
+                train_pq_codebooks(corpus_vecs, pq_m, pq_kcode, pq_dsub),
+            )
+        )
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        for fut in [pool.submit(f) for f in freeze]:
+            fut.result()  # propagate the first failure, wait for all
     ccand_f, f2c_f, pqa_f = _read_ann_codebooks(spark, idx_dir)
     vf = _ivf_assign(corpus_vecs, ccand_f, f2c_f)
     if pq_kcode is not None:
@@ -1667,10 +1718,19 @@ def _ann_index_dir(
     key isolation holds under any execution order; read-only keys
     (build-audit, probe, probe_pq) read the shared dir directly. The
     build wall is recorded beside the memo for bench sub-walls."""
+    import hashlib
+
     from ..operators.sinks import scratch_dir
 
-    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
-    memo_key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    # prefix embeds a short hash of the ABSOLUTE sf_dir, and the
+    # mutable copy happens INSIDE the lock — same two ADVICE fixes as
+    # dedup._lsh_index_dir (r16); see the comments there
+    apath = os.path.abspath(sf_dir)
+    tag = (
+        os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+        + "_" + hashlib.md5(apath.encode("utf-8")).hexdigest()[:8]
+    )
+    memo_key = (spark.sparkContext.applicationId, apath)
     with _ANN_SHARED_LOCK:
         ent = _ANN_SHARED_IDX.get(memo_key)
         if ent is None or not os.path.isdir(os.path.join(ent[0], "assign")):
@@ -1682,11 +1742,11 @@ def _ann_index_dir(
             build_ann_index(spark, corpus, idx)
             ent = (idx, round(time.time() - t0, 3))
             _ANN_SHARED_IDX[memo_key] = ent
-    if not mutable:
-        return ent[0]
-    priv = os.path.join(scratch_dir(prefix), "annidx")
-    shutil.copytree(ent[0], priv)
-    return priv
+        if mutable:
+            priv = os.path.join(scratch_dir(prefix), "annidx")
+            shutil.copytree(ent[0], priv)
+            return priv
+    return ent[0]
 
 
 def shared_index_build_wall(spark: SparkSession, sf_dir: str) -> float | None:

@@ -1805,38 +1805,38 @@ def _parse_simple_type(simple: str):
 # hashes the full manifest JSON — not just the version number —
 # because `repair_manifest_log` may lawfully rewrite a damaged
 # version file (repaired content hashes differently and misses).
-# Scoped PER SESSION (WeakKeyDictionary, like sqldml._STATUS_CACHE):
-# a DataFrame executes under its own session's state, so serving one
-# session's plan to another (a microbatch clone, spark.newSession())
-# would silently apply the FIRST session's confs — timezone, ANSI
-# mode — to the second session's read. Per-session bounded LRU;
-# entries die with their session.
+# Scoped PER SESSION: a DataFrame executes under its own session's
+# state, so serving one session's plan to another (a microbatch
+# clone, spark.newSession()) would silently apply the FIRST session's
+# confs — timezone, ANSI mode — to the second session's read. The r15
+# shape was a WeakKeyDictionary keyed by the session, but the values
+# (DataFrames) strongly reference their session, so an entry pinned
+# its own key and "dies with the session" was unreachable — a
+# per-microbatch spark.newSession() leaked its memo permanently (r16,
+# ADVICE fix). Now ONE GLOBAL bounded LRU keyed by the session's UUID
+# STRING (which the values don't reference): cross-session isolation
+# is the key's job, and a dead session's entries age out of the
+# 128-entry cap instead of pinning anything forever.
 _DIRS_PLAN_LOCK = threading.Lock()
-_DIRS_PLAN_MEMO: "weakref.WeakKeyDictionary" = None  # set below
+_DIRS_PLAN_MEMO: "collections.OrderedDict" = collections.OrderedDict()
 _DIRS_PLAN_CAP = 128
 
 
-def _dirs_plan_memo_for(spark):
-    global _DIRS_PLAN_MEMO
-    if _DIRS_PLAN_MEMO is None:
-        import weakref
-
-        _DIRS_PLAN_MEMO = weakref.WeakKeyDictionary()
-    memo = _DIRS_PLAN_MEMO.get(spark)
-    if memo is None:
-        memo = collections.OrderedDict()
-        _DIRS_PLAN_MEMO[spark] = memo
-    return memo
+def _session_uuid(spark) -> str | None:
+    try:
+        return str(spark._jsparkSession.sessionUUID())
+    except Exception:  # noqa: BLE001 - mocked/connect sessions
+        return None
 
 
 def _read_manifest_dirs(
     spark: SparkSession, target: str, man: dict, only_keys=None, bounds=None
 ) -> DataFrame:
-    try:
-        spark.sparkContext.applicationId
-    except Exception:  # noqa: BLE001 - sessions without a context
+    suid = _session_uuid(spark)
+    if suid is None:
         return _read_manifest_dirs_build(spark, target, man, only_keys, bounds)
     key = (
+        suid,
         target,
         hashlib.md5(
             json.dumps(man, sort_keys=True).encode("utf-8")
@@ -1845,17 +1845,15 @@ def _read_manifest_dirs(
         repr(sorted(bounds.items(), key=lambda kv: kv[0])) if bounds else None,
     )
     with _DIRS_PLAN_LOCK:
-        memo = _dirs_plan_memo_for(spark)
-        df = memo.get(key)
+        df = _DIRS_PLAN_MEMO.get(key)
         if df is not None:
-            memo.move_to_end(key)
+            _DIRS_PLAN_MEMO.move_to_end(key)
             return df
     df = _read_manifest_dirs_build(spark, target, man, only_keys, bounds)
     with _DIRS_PLAN_LOCK:
-        memo = _dirs_plan_memo_for(spark)
-        memo[key] = df
-        while len(memo) > _DIRS_PLAN_CAP:
-            memo.popitem(last=False)
+        _DIRS_PLAN_MEMO[key] = df
+        while len(_DIRS_PLAN_MEMO) > _DIRS_PLAN_CAP:
+            _DIRS_PLAN_MEMO.popitem(last=False)
     return df
 
 
@@ -4310,6 +4308,7 @@ def merge_manifest_table(
         # __src_dup must survive withColumn/drop untouched
         flag = f"__src_dup_{_uuid.uuid4().hex[:8]}"
         obs = Observation()
+        raw_source = source  # pre-flag frame, for the failure probe
         source = (
             source.withColumn(
                 flag,
@@ -4325,10 +4324,28 @@ def merge_manifest_table(
         def _refuse_dup_source() -> None:
             n = int(obs.get["dups"])
             if n:
+                # failure path only (r16, ADVICE fix): fetch one
+                # offending key for the message with the old cheap
+                # probe — this path is already paying a discarded
+                # write, one small aggregate restores the
+                # diagnosability the pre-r15 check reported
+                example = ""
+                try:
+                    dup = (
+                        raw_source.select(*on)
+                        .groupBy(*on)
+                        .count()
+                        .filter(F.col("count") > 1)
+                        .head(1)
+                    )
+                    if dup:
+                        example = f": e.g. {tuple(dup[0])[:-1]}"
+                except Exception:  # noqa: BLE001 - message garnish only
+                    pass
                 raise ValueError(
                     f"MERGE source has multiple rows per ON key {on} "
-                    f"({n} row(s) share a key) — ambiguous matched-row "
-                    "semantics; dedup the source, or pass "
+                    f"({n} row(s) share a key{example}) — ambiguous "
+                    "matched-row semantics; dedup the source, or pass "
                     "validate_source_unique=False to let every "
                     "duplicate land"
                 )
