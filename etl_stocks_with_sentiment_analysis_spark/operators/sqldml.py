@@ -2879,7 +2879,7 @@ def _apply_insert(
                 merged = inc.unionByName(scoped, allowMissingColumns=True)
                 flag = f"__uq_dup_{_uuid.uuid4().hex[:8]}"
                 obs = Observation()
-                merged = (
+                observed = (
                     merged.withColumn(
                         flag,
                         F.count(F.lit(1)).over(
@@ -2899,17 +2899,32 @@ def _apply_insert(
                     .drop(flag)
                 )
                 cell["obs"] = obs
-                return merged
+                cell["merged"] = merged  # observe-free twin: fallback probe
+                return observed
 
             def _refuse_dup() -> None:
                 obs = cell.get("obs")
                 if obs is None:  # first commit of a fresh table: no
                     return  # combine ran, nothing scoped to collide with
-                row = obs.get
-                if int(row["dups"] or 0):
+                try:
+                    row = obs.get
+                    dups, sample = int(row["dups"] or 0), row["sample"]
+                except Exception:  # noqa: BLE001 - pruned metrics node:
+                    # run the old standalone probe (same discipline as
+                    # update/delete's constant-predicate fallback)
+                    dup = (
+                        cell["merged"].select(*unique_keys)
+                        .groupBy(*unique_keys)
+                        .count()
+                        .filter(F.col("count") > 1)
+                        .head(1)
+                    )
+                    dups = 1 if dup else 0
+                    sample = tuple(dup[0])[:-1] if dup else None
+                if dups:
                     raise ValueError(
                         f"unique constraint violation on {name} "
-                        f"{tuple(unique_keys)}: e.g. {row['sample']} "
+                        f"{tuple(unique_keys)}: e.g. {sample} "
                         "— use ON CONFLICT DO NOTHING / DO UPDATE"
                     )
 
